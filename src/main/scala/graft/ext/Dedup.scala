@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. Every hash is md5-derived — deterministic, seedable via
+  * string salt, and reproducible in ANSI SQL (the DuckDB oracle runs the
+  * identical construction), with no dependence on engine-internal hash
+  * functions.
+  *
+  * Scale shape: exact dedup is one hash-groupBy; MinHash-LSH is
+  * linear-scan signature computation + an equi-join on (band, bandHash) —
+  * the candidate-pair join is the only shuffle and its keys are uniform
+  * by construction (hash buckets), so it survives 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text with the min id as the
+    * canonical representative and the duplicate count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** k-word shingles of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(lower(text))
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: element j = min over shingles of
+    * md5(shingle ++ ":" ++ j). Lexicographic min over fixed-width hex =
+    * numeric min over the 128-bit hash — no int conversion needed, and
+    * byte-identical in SQL. */
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 16): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles(text, k),
+        s => md5(concat(s, lit(":"), j.cast("string"))))))
+
+  /** LSH banding: docs → (doc, band, bandHash) long form. bands × rowsPerBand
+    * must equal the signature length. */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignature(col(textCol), k, bands * rowsPerBand)
+    docs.select(col(idCol).as("doc"), sig.as("__sig"))
+      .select(col("doc"), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          md5(concat_ws("|", slice(col("__sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)))).as("band_hash")))).as("bh"))
+      .select(col("doc"), col("bh.band"), col("bh.band_hash"))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 band bucket, with the
+    * estimated Jaccard = fraction of equal signature positions. */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", k: Int = 3,
+                        bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBands(docs, idCol, textCol, k, bands, rowsPerBand)
+    val pairs = b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    // verify: exact n-gram Jaccard on the candidate pairs only
+    val sh = docs.select(col(idCol).as("doc"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))).cast("double"), 4)
+          .as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for a pair of text columns. */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
+    val sa = array_distinct(shingles(a, k))
+    val sb = array_distinct(shingles(b, k))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  /** SimHash (nBits ≤ 32): bit j of the fingerprint = majority vote of
+    * bit j over md5(token) for all tokens. Bit j of an md5 is extracted
+    * from its hex char j/4 via strpos on a hex alphabet — portable to
+    * SQL verbatim. Returns the fingerprint as a bit-string column. */
+  def simhash(text: Column, nBits: Int = 32): Column = {
+    val toks = TextOps.tokens(lower(text))
+    val bits = (0 until nBits).map { j =>
+      // bit (j%4) of hex nibble j/4 of md5(token), summed over tokens
+      val perTokBit = transform(toks, t => shiftright(
+        (instr(lit("0123456789abcdef"),
+          substring(md5(t), j / 4 + 1, 1)) - 1).cast("int"),
+        3 - (j % 4)) % 2)
+      val votes = aggregate(perTokBit, lit(0), (acc, x) => acc + x)
+      when(votes * 2 >= size(toks), lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Hamming distance between two same-length bit-strings. */
+  def hammingDist(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""),
+      (x, y) => x =!= y), d => d))
+
+  /** Embedding-cosine near-dup pairs: brute force within LSH-ish
+    * coarse buckets (sign of the first two components quantized) to
+    * avoid the full cross join; exact cosine verification on candidates. */
+  def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        threshold: Double = 0.95): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      Similarity.signBucket(col(vecCol), 8).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — one broadcast of the (small)
+  * probe set against a linear scan of the corpus; fully codegen'd
+  * (`zip_with`/`aggregate`, no UDF). Scale path: IVF coarse
+  * quantization — assign every vector to its nearest centroid once
+  * (linear scan), then probe only matching buckets; the probe-side join
+  * becomes an equi-join on centroid id.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns (codegen'd;
+    * accumulates in double — cast float arrays first for determinism). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Sign-pattern coarse bucket: concatenated signs of the first n
+    * components — a trivial LSH family for near-dup blocking. */
+  def signBucket(v: Column, n: Int): Column =
+    concat_ws("", (0 until n).map(i =>
+      when(element_at(v, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Brute-force cosine top-k: for every probe (small DF), the k most
+    * similar corpus vectors. Probes broadcast; corpus scanned once; the
+    * per-probe top-k is a window (rank ties broken by corpus id —
+    * deterministic). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(col("pv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF index build: centroids = the vectors of every `stride`-th id
+    * (deterministic coarse codebook; real pipelines run k-means — the
+    * assignment plan below is identical either way). Returns the corpus
+    * with a `centroid_id` column. */
+  def ivfAssign(corpus: DataFrame, stride: Int = 97,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val centroids = corpus.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("centroid_id"),
+        col(vecCol).cast("array<double>").as("centv"))
+    val c = corpus.select(col(idCol), col(vecCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    c.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__v"), col("centv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__sim", "centv", "__v")
+  }
+
+  /** IVF top-k: probe only the nProbe nearest centroid buckets. The
+    * bucket-pruned scan replaces the full linear scan — at 100 TB the
+    * corpus is partitioned/bucketed BY centroid_id on disk so a probe
+    * touches only its buckets' files. */
+  def ivfTopK(assigned: DataFrame, probes: DataFrame, k: Int,
+              nProbe: Int = 2, stride: Int = 97,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val centroids = assigned.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("centroid_id"),
+        col(vecCol).cast("array<double>").as("centv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    val probeBuckets = p.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("pv"), col("centv")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("centroid_id"))
+    val c = assigned.select(col("centroid_id"), col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    probeBuckets.join(c, Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(col("pv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

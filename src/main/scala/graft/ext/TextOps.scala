@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * and document fingerprinting. All pure `functions._` compositions —
+  * whole-stage-codegen friendly, no UDFs — so they run at scan speed on
+  * a 100 TB documents table.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the baseline; BPE-ish regex below). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: splits on whitespace AND
+    * letter/digit/punct transitions — a cheap proxy for tokenizer cost
+    * estimation (true BPE needs the merges table; this is the standard
+    * pre-tokenization regex shape). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+|(?<=[a-zA-Z])(?=\\d)|(?<=\\d)(?=[a-zA-Z])|(?=[^\\sa-zA-Z0-9])"),
+      t => t =!= ""))
+
+  /** Quality score in [0,1]: blend of signals every filtering pipeline
+    * uses — mean word length sanity, stopword ratio, alpha ratio,
+    * repetition (distinct/total tokens). Deterministic, SQL-expressible. */
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val meanLen = length(concat_ws("", toks)).cast("double") / n
+    val lenOk = when(meanLen >= 3.0 && meanLen <= 10.0, 1.0).otherwise(0.0)
+    val stopRatio = size(filter(toks,
+      t => t.isin(Stopwords.map(s => lit(s)): _*))).cast("double") / n
+    val alphaRatio =
+      (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double"))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    round(lit(0.25) * lenOk + lit(0.25) * least(stopRatio * 10.0, lit(1.0)) +
+      lit(0.25) * alphaRatio + lit(0.25) * distinctRatio, 4)
+  }
+
+  /** Language-ID heuristic: stopword-hit ratio per language over a tiny
+    * built-in lexicon + CJK codepoint detection; argmax wins, "und" if
+    * no evidence. N-gram-free deterministic version (SQL-parity). */
+  val LangLexicon: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "que", "de"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val scores = LangLexicon.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, size(filter(toks, t => t.isin(words.map(lit): _*)))
+        .cast("double") / n)
+    }
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", "")) > 0
+    // argmax with deterministic tie-break on language code order
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(cjk, lit("zh"))
+      .when(best._2 > 0.0, best._1)
+      .otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text — the exact-near-canonical-dup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling (windowed) fingerprint: min md5 over all w-token windows —
+    * a winnowing-style content fingerprint robust to prefix/suffix edits. */
+  def rollingFingerprint(text: Column, w: Int = 8): Column = {
+    val toks = tokens(lower(text))
+    val windows = transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => md5(concat_ws(" ", slice(toks, i + 1, lit(w)))))
+    array_min(windows)
+  }
+}
