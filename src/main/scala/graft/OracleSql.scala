@@ -1,0 +1,585 @@
+package graft
+
+import graft.ext.TextOps
+
+/** DuckDB oracle SQL paired with QueryDefs: the IDENTICAL arithmetic as
+  * the Spark queries, expressed in ANSI-ish SQL over the same parquet
+  * tables (registered by the driver as lineitem/supplier/part/orders/
+  * nation/documents/embeddings/events). Everything hash-sensitive —
+  * md5-derived keys, rounding, tie-breaks, integer widths — is mirrored
+  * exactly; see TestMapping for the shared domain mapping.
+  *
+  * DuckDB portability constraints honored throughout: RE2 regexes (no
+  * lookaround), single-quoted patterns (backslashes literal), 1-based
+  * inclusive list slicing, WITH RECURSIVE heading mixed CTE lists.
+  */
+object OracleSql {
+
+  // ---------------------------------------------------- shared fragments
+  private def chrSql(k: String): String =
+    s"CASE WHEN ($k)%25=0 THEN 'MT' WHEN ($k)%25=23 THEN 'X' " +
+    s"WHEN ($k)%25=24 THEN 'Y' ELSE CAST(($k)%25 AS VARCHAR) END"
+
+  private def fragSql(k: String): String =
+    s"${chrSql(k)}||'_'||(($k)*1000)||'_'||(($k)*1000+999)"
+
+  /** Interactions.normalizeNames in DuckDB. */
+  // NB coalesce(...,''): DuckDB's array_to_string([]) is NULL where
+  // Spark's concat_ws over an empty array is ''.
+  private def normSql(bag: String): String =
+    raw"coalesce(array_to_string(list_sort(list_distinct(list_filter(" +
+    raw"string_split_regex(regexp_replace(coalesce($bag,''), '-\d+\b', '', 'g'), '\s+'), " +
+    raw"t -> t <> '' AND t <> '.'))), ' '), '')"
+
+  /** Annotate.collapse in DuckDB (sorted-distinct space collapse). */
+  private def collapseSql(c: String): String =
+    s"array_to_string(list_sort(list_distinct(list(coalesce($c,'NA')))), ' ')"
+
+  private val baseCtes: String = raw"""
+inter AS (
+  SELECT ${chrSql("l_suppkey")} AS baitchr, l_suppkey*1000 AS baitstart,
+         l_suppkey*1000+999 AS baitend, l_suppkey AS baitid,
+         CASE WHEN l_suppkey%13=0 THEN '.'
+              ELSE 'S'||l_suppkey
+                   ||CASE WHEN l_suppkey%7=0 THEN '-1' ELSE '' END
+                   ||CASE WHEN l_suppkey%5=0 THEN ' ALT'||l_suppkey ELSE '' END
+         END AS baitname,
+         ${chrSql("l_partkey")} AS oechr, l_partkey*1000 AS oestart,
+         l_partkey*1000+999 AS oeend, l_partkey AS oeid,
+         'P'||l_partkey AS oename,
+         abs(l_partkey - l_suppkey)*1000 AS dist,
+         l_quantity AS score
+  FROM lineitem),
+filtered AS (SELECT * FROM inter
+  WHERE score > 25.0 AND baitchr NOT LIKE '%MT%' AND oechr NOT LIKE '%MT%'),
+redges AS (SELECT baitchr||'_'||baitstart||'_'||baitend AS src,
+                  oechr||'_'||oestart||'_'||oeend AS dst, score FROM filtered),
+simplified AS (SELECT src, dst, score FROM (
+  SELECT src, dst, score, row_number() OVER (
+    PARTITION BY least(src,dst), greatest(src,dst)
+    ORDER BY score, src, dst) AS rn
+  FROM redges WHERE src <> dst) t WHERE rn = 1),
+typed AS (SELECT s.src, s.dst, s.score,
+                 CASE WHEN b.bait IS NOT NULL THEN 'P-P' ELSE 'P-O' END AS type
+          FROM simplified s LEFT JOIN
+               (SELECT DISTINCT src AS bait FROM simplified) b
+               ON s.dst = b.bait),
+halves AS (
+  SELECT baitchr||'_'||baitstart||'_'||baitend AS fragment,
+         coalesce(baitname,'') AS gene_names, baitchr AS chr,
+         baitstart AS "start", baitend AS "end", 'P' AS type FROM filtered
+  UNION ALL
+  SELECT oechr||'_'||oestart||'_'||oeend, coalesce(oename,''), oechr,
+         oestart, oeend, 'O' FROM filtered),
+vgrp AS (SELECT fragment,
+  coalesce(string_agg(CASE WHEN type='P' THEN gene_names END, ' '), '') AS p_bag,
+  coalesce(string_agg(CASE WHEN type='O' THEN gene_names END, ' '), '') AS o_bag,
+  min(chr) AS chr, min("start") AS "start", min("end") AS "end",
+  max(type) AS type
+  FROM halves GROUP BY fragment),
+verts AS (SELECT fragment,
+  ${normSql("CASE WHEN type='P' THEN p_bag ELSE o_bag END")} AS gene_names,
+  chr, "start", "end", type FROM vgrp),
+sfeat AS (
+  SELECT ${fragSql("s_suppkey")} AS fragment, 'bal' AS feature,
+         s_acctbal AS value FROM supplier
+  UNION ALL
+  SELECT ${fragSql("s_suppkey")}, 'cls', CAST(s_nationkey AS DOUBLE)
+  FROM supplier),
+pfeat AS (
+  SELECT ${fragSql("p_partkey")} AS fragment, 'bal' AS feature,
+         p_retailprice AS value FROM part
+  UNION ALL
+  SELECT ${fragSql("p_partkey")}, 'cls', CAST(p_size AS DOUBLE) FROM part),
+features AS (
+  SELECT p.* FROM pfeat p WHERE NOT EXISTS (
+    SELECT 1 FROM sfeat s
+    WHERE s.fragment=p.fragment AND s.feature=p.feature)
+  UNION ALL SELECT * FROM sfeat),
+degs AS (SELECT id, count(*) AS degree FROM (
+  SELECT src AS id FROM simplified
+  UNION ALL SELECT dst FROM simplified) t GROUP BY id)"""
+
+  private val thinCtes: String = raw"""
+thin AS (SELECT src, dst FROM simplified WHERE score > 47.0),
+tsym AS (SELECT src, dst FROM thin UNION ALL SELECT dst, src FROM thin),
+tnodes AS (SELECT DISTINCT src AS id FROM tsym),
+closure AS (SELECT id, id AS reach FROM tnodes
+  UNION
+  SELECT c.id, e.dst FROM closure c JOIN tsym e ON c.reach = e.src),
+comps AS (SELECT id, min(reach) AS comp FROM closure GROUP BY id)"""
+
+  private def gq(body: String, extra: String = ""): String =
+    s"WITH RECURSIVE $baseCtes${if (extra.nonEmpty) "," + extra else ""}\n$body"
+
+  private val fintervalsCte: String = raw"""
+fintervals AS (SELECT ${chrSql("k")} AS chr,
+  k*1000 + o_orderkey%1500 AS "start",
+  k*1000 + o_orderkey%1500 + o_orderkey%800 + 100 AS "end",
+  'f'||(o_orderkey%3) AS feature, o_totalprice AS value
+  FROM (SELECT o_orderkey, o_orderkey%2000 AS k, o_totalprice FROM orders) o
+  WHERE k%3 <> 0)"""
+
+  private def a15Sql(agg: String): String = gq(raw"""
+, cov AS (SELECT f.fragment, i.feature, $agg AS value
+  FROM verts f JOIN fintervals i
+  ON f.chr=i.chr AND f."start"<=i."end" AND f."end">=i."start"
+  GROUP BY f.fragment, i.feature)
+SELECT f.fragment, ft.feature, round(coalesce(c.value, 0.0), 6) AS value
+FROM (SELECT fragment FROM verts) f
+CROSS JOIN (SELECT DISTINCT feature FROM fintervals) ft
+LEFT JOIN cov c ON c.fragment=f.fragment AND c.feature=ft.feature""",
+    extra = fintervalsCte.drop(1))
+
+  // ------------------------------------------------------- graph oracles
+  val graph: Map[String, String] = Map(
+    "f1_threshold_filter" -> gq("SELECT * FROM filtered"),
+    "f2_chromosome_filter" ->
+      gq("SELECT * FROM filtered WHERE baitchr='7' OR oechr='7'"),
+    "f3_pp_only" -> gq("SELECT * FROM typed WHERE type='P-P'"),
+    "a1_vertices" -> gq("SELECT * FROM verts"),
+    "g2_simplify" -> gq("SELECT * FROM simplified"),
+    "j9_edge_types" -> gq("SELECT * FROM typed"),
+    "a4_degree" -> gq("SELECT * FROM degs"),
+    "a5_graph_metadata" -> gq(raw"""
+SELECT n.nodes, n.promoters, n.other_ends, e.edges, e.pp_edges, e.po_edges,
+       e.interchromosomal, round(2.0*e.edges/n.nodes, 2) AS mean_degree
+FROM (SELECT count(*) AS nodes,
+             CAST(sum(CASE WHEN type='P' THEN 1 ELSE 0 END) AS BIGINT) AS promoters,
+             CAST(sum(CASE WHEN type='O' THEN 1 ELSE 0 END) AS BIGINT) AS other_ends
+      FROM verts) n,
+     (SELECT count(*) AS edges,
+             CAST(sum(CASE WHEN type='P-P' THEN 1 ELSE 0 END) AS BIGINT) AS pp_edges,
+             CAST(sum(CASE WHEN type='P-O' THEN 1 ELSE 0 END) AS BIGINT) AS po_edges,
+             CAST(sum(CASE WHEN string_split(src,'_')[1] <> string_split(dst,'_')[1]
+                      THEN 1 ELSE 0 END) AS BIGINT) AS interchromosomal
+      FROM typed) e"""),
+    "a6_components" -> gq("SELECT * FROM comps", extra = thinCtes.drop(1)),
+    "a6_component_stats" -> gq(raw"""
+SELECT CAST(count(*) AS BIGINT) AS components,
+       printf('%.2f%%', max(cnt)*100.0/sum(cnt)) AS max_component_pct
+FROM (SELECT comp, count(*) AS cnt FROM comps GROUP BY comp) s""",
+      extra = thinCtes.drop(1)),
+    "a8_transitivity" -> gq(raw"""
+, tedges AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM thin)
+SELECT tri.triangles, CAST(td.s AS BIGINT) AS triads,
+       CASE WHEN td.s = 0 THEN 0.0
+            ELSE round(3.0*tri.triangles/td.s, 2) END AS transitivity
+FROM (SELECT count(*) AS triangles FROM tedges e1
+      JOIN tedges e2 ON e1.b=e2.a
+      JOIN tedges e3 ON e3.a=e1.a AND e3.b=e2.b) tri,
+     (SELECT sum(d*(d-1)/2) AS s FROM (
+        SELECT count(*) AS d FROM (SELECT a AS id FROM tedges
+          UNION ALL SELECT b FROM tedges) u GROUP BY id) dd) td""",
+      extra = thinCtes.drop(1)),
+    "a9_suggestions" -> gq(raw"""
+SELECT DISTINCT s AS suggestion FROM (
+  SELECT unnest(string_split_regex(gene_names, '[;, ]+')) AS s FROM verts) t
+WHERE s <> ''"""),
+    "a10_chromosomes" -> gq(raw"""
+SELECT chr FROM (SELECT DISTINCT chr FROM verts WHERE chr NOT LIKE '%MT%'
+                 UNION ALL SELECT 'PP') t"""),
+    "a11_chas" -> gq(raw"""
+SELECT f1.feature, round(corr(f1.value, f2.value), 6) AS chas
+FROM (SELECT src, dst FROM simplified
+      UNION ALL SELECT dst, src FROM simplified) e
+JOIN features f1 ON e.src = f1.fragment
+JOIN features f2 ON e.dst = f2.fragment AND f1.feature = f2.feature
+GROUP BY f1.feature"""),
+    "a12_abundance" -> gq(
+      "SELECT feature, round(avg(value), 6) AS abundance FROM features GROUP BY feature"),
+    "a13_mean_degree_positives" -> gq(raw"""
+SELECT f.feature, round(avg(d.degree), 6) AS mean_degree
+FROM features f JOIN degs d ON f.fragment = d.id
+WHERE f.value <> 0 GROUP BY f.feature"""),
+    "a15_feature_agg_mean" -> a15Sql("avg(i.value)"),
+    "a15_feature_agg_max" -> a15Sql("max(i.value)"),
+    "a15_feature_agg_proportion" -> a15Sql(
+      raw"""CAST(sum(least(f."end", i."end") - greatest(f."start", i."start") + 1)
+           / (min(f."end") - min(f."start") + 1) AS DOUBLE)"""),
+    "a16_binarize" -> gq(raw"""
+SELECT fragment, feature,
+       CASE WHEN value > 0.0 THEN 1.0 ELSE 0.0 END AS value FROM features"""),
+    "j1_join_features" -> gq(raw"""
+SELECT v.*, f.feature, f.value FROM verts v
+LEFT JOIN features f ON v.fragment = f.fragment"""),
+    "j2_bait_names" -> gq(raw"""
+, bn AS (SELECT ${chrSql("s_suppkey")}||'_'||(s_suppkey*1000)||'_'||(s_suppkey*1000+999)
+           AS fragment, 'BN'||s_suppkey AS gene_id FROM supplier)
+SELECT v.fragment,
+       CASE WHEN v.type='P' AND b.gene_id IS NOT NULL THEN b.gene_id
+            ELSE v.gene_names END AS gene_names,
+       v.chr, v."start", v."end", v.type
+FROM verts v LEFT JOIN bn b ON v.fragment = b.fragment"""),
+    "j3_annotate_otherends" -> gq(raw"""
+, aliasr AS (SELECT ${chrSql("p_partkey")} AS chr, p_partkey*1000+200 AS "start",
+    p_partkey*1000+600 AS "end", 'G'||p_partkey AS gene_name FROM part),
+oehits AS (SELECT o.fragment, ${collapseSql("a.gene_name")} AS oe_names
+  FROM (SELECT fragment, chr, "start", "end" FROM verts WHERE type='O') o
+  JOIN aliasr a ON o.chr=a.chr AND o."start"<=a."end" AND o."end">=a."start"
+  GROUP BY o.fragment)
+SELECT v.fragment,
+       CASE WHEN v.type='O' AND h.oe_names IS NOT NULL THEN h.oe_names
+            ELSE v.gene_names END AS gene_names,
+       v.chr, v."start", v."end", v.type
+FROM verts v LEFT JOIN oehits h ON v.fragment = h.fragment"""),
+    "j4_annotate_promoters" -> gq(raw"""
+, aliasn AS (SELECT upper('S'||s_suppkey) AS name,
+    'ENSG'||lpad(CAST(s_suppkey AS VARCHAR), 11, '0') AS ensembl_gene_id,
+    'AL'||s_suppkey AS alias FROM supplier),
+prom AS (SELECT fragment, t AS name FROM (
+  SELECT fragment, unnest(string_split_regex(
+    regexp_replace(upper(trim(gene_names)), '-\d+\b', '', 'g'),
+    '[;, ]+')) AS t
+  FROM verts WHERE type='P') p WHERE t <> ''),
+phits AS (SELECT p.fragment,
+    ${collapseSql("a.ensembl_gene_id")} AS ensembl_ids,
+    ${collapseSql("a.alias")} AS alias
+  FROM prom p LEFT JOIN aliasn a ON p.name = a.name GROUP BY p.fragment)
+SELECT v.fragment, v.gene_names, v.chr, v."start", v."end", v.type,
+       coalesce(h.ensembl_ids, '') AS ensembl_ids,
+       coalesce(h.alias, '') AS alias
+FROM verts v LEFT JOIN phits h ON v.fragment = h.fragment"""),
+    "j6_intronic_flag" -> gq(raw"""
+, intr AS (SELECT ${chrSql("nk")} AS chr, (n%5)*100000 AS "start",
+    (n%5)*100000+150000 AS "end" FROM (
+    SELECT CAST(n_nationkey AS BIGINT) AS n,
+           CAST(n_nationkey AS BIGINT)*80+3 AS nk FROM nation) t),
+flagged AS (SELECT DISTINCT o.fragment FROM
+  (SELECT fragment, chr, "start", "end" FROM verts WHERE type='O') o
+  JOIN intr i ON o.chr=i.chr AND o."start"<=i."end" AND o."end">=i."start")
+SELECT v.fragment, v.gene_names, v.chr, v."start", v."end", v.type,
+       (f.fragment IS NOT NULL AND v.type='O') AS intronic_regions
+FROM verts v LEFT JOIN flagged f ON v.fragment = f.fragment"""),
+    "j8_nearest_join" -> gq(raw"""
+, nprobes AS (SELECT 'N'||n AS probe_id, ${chrSql("nk")} AS chr,
+    nk*1000+333333 AS "start", nk*1000+333433 AS "end" FROM (
+    SELECT CAST(n_nationkey AS BIGINT) AS n,
+           CAST(n_nationkey AS BIGINT)*80+3 AS nk FROM nation) t),
+ncand AS (SELECT p.probe_id, v.fragment,
+    CAST(greatest(v."start" - p."end", p."start" - v."end", 0) AS BIGINT) AS dist,
+    v."start" AS r_start, v."end" AS r_end
+  FROM nprobes p JOIN verts v ON p.chr = v.chr
+  WHERE greatest(v."start" - p."end", p."start" - v."end", 0) <= 10000000)
+SELECT probe_id, fragment AS nearest_fragment, dist FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY dist, r_start, r_end) AS rn FROM ncand) c
+WHERE rn = 1"""),
+    "j10_ego_edges" -> gq(raw"""
+, eseeds AS (SELECT * FROM (VALUES ('7_7000_7999'),('11_11000_11999')) t(id)),
+esym AS (SELECT src, dst FROM simplified UNION ALL SELECT dst, src FROM simplified),
+ehop AS (SELECT DISTINCT id FROM (
+  SELECT e.dst AS id FROM esym e JOIN eseeds s ON e.src = s.id
+  UNION ALL SELECT id FROM eseeds) u)
+SELECT e.src, e.dst, e.score FROM simplified e
+JOIN ehop h1 ON e.src = h1.id JOIN ehop h2 ON e.dst = h2.id"""),
+    "j11_induced_subgraph" -> gq(raw"""
+SELECT e.src, e.dst, e.score FROM simplified e
+JOIN (SELECT DISTINCT fragment FROM verts WHERE chr='7') h1 ON e.src = h1.fragment
+JOIN (SELECT DISTINCT fragment FROM verts WHERE chr='7') h2 ON e.dst = h2.fragment"""),
+    "g5_subset_pp" -> gq(raw"""
+SELECT src, dst, score FROM simplified
+WHERE dst IN (SELECT src FROM simplified)"""),
+    "g5_subset_po" -> gq(raw"""
+SELECT src, dst, score FROM simplified
+WHERE dst NOT IN (SELECT src FROM simplified)"""),
+    "q1_fragment_lookup" ->
+      gq("SELECT fragment AS id FROM verts WHERE fragment = '7_7000_7999'"),
+    "q2_gene_search" -> gq(raw"""
+SELECT fragment AS id FROM verts
+WHERE regexp_matches(lower(gene_names || ' '), '\bs7\b')"""),
+    "q3_ensembl_search" -> gq(raw"""
+SELECT fragment AS id FROM verts
+WHERE regexp_matches(lower(gene_names || ' '),
+  '\b' || (SELECT lower('S'||s_suppkey) FROM supplier
+           WHERE lower('ENSG'||lpad(CAST(s_suppkey AS VARCHAR),11,'0'))
+                 = 'ensg00000000007' LIMIT 1) || '\b')"""),
+    "q4_gene_list_search" -> gq(raw"""
+SELECT fragment AS id FROM verts
+WHERE regexp_matches(lower(gene_names || ' '), '\b(s5|s6|alt5)\b')"""),
+    "q5_range_search" -> gq(raw"""
+SELECT fragment AS id FROM verts
+WHERE chr = '7' AND "start" <= 60000 AND "end" >= 30000"""),
+    "q6_search_subnet" -> gq(raw"""
+, seeds AS (SELECT fragment AS id FROM verts
+    WHERE regexp_matches(lower(gene_names || ' '), '\bs7\b')),
+esym AS (SELECT src, dst FROM simplified UNION ALL SELECT dst, src FROM simplified),
+ehop AS (SELECT DISTINCT id FROM (
+  SELECT e.dst AS id FROM esym e JOIN seeds s ON e.src = s.id
+  UNION ALL SELECT id FROM seeds) u),
+sedges AS (SELECT e.src, e.dst FROM simplified e
+  JOIN ehop h1 ON e.src = h1.id JOIN ehop h2 ON e.dst = h2.id),
+nodeids AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM sedges UNION ALL SELECT dst FROM sedges
+  UNION ALL SELECT id FROM seeds) u),
+sdeg AS (SELECT id, count(*) AS degree FROM (
+  SELECT src AS id FROM sedges UNION ALL SELECT dst FROM sedges) u GROUP BY id)
+SELECT v.fragment, v.gene_names, v.chr, v."start", v."end", v.type,
+       (s.id IS NOT NULL) AS searched,
+       coalesce(d.degree, 0) AS degree
+FROM verts v
+JOIN nodeids n ON v.fragment = n.id
+LEFT JOIN (SELECT DISTINCT id FROM seeds) s ON v.fragment = s.id
+LEFT JOIN sdeg d ON v.fragment = d.id"""))
+
+  // -------------------------------------------------- documents oracles
+  private val docCtes: String = raw"""
+toks AS (SELECT doc_id, text,
+  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents),
+rtoks AS (SELECT doc_id, text,
+  list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(generate_series(0, len(toks)-3),
+              i -> array_to_string(toks[i+1:i+3], ' ')) END AS sh
+  FROM toks),
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)"""
+
+  private def dq(body: String, extra: String = ""): String =
+    s"WITH $docCtes${if (extra.nonEmpty) "," + extra else ""}\n$body"
+
+  private val jaccardSql: String =
+    raw"""round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))), 4)"""
+
+  /** Dedup.simhash(text, 16) mirrored bit-by-bit. */
+  private val simhash16Sql: String = (0 until 16).map { j =>
+    val pos = j / 4 + 1
+    val div = 1 << (3 - j % 4)
+    s"CASE WHEN 2*coalesce(list_sum(list_transform(toks, " +
+    s"t -> ((strpos('0123456789abcdef', substr(md5(t), $pos, 1))-1)//$div)%2)), 0) " +
+    s">= len(toks) THEN '1' ELSE '0' END"
+  }.mkString("||")
+
+  private val stopwordsSql: String =
+    TextOps.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val langFoldSql: String = {
+    val langs = TextOps.LangLexicon.toSeq.sortBy(_._1) // de, en, es, fr
+    val scores = langs.map { case (l, ws) =>
+      s"CAST(len(list_filter(toks, t -> list_contains(" +
+      ws.map(w => s"'$w'").mkString("[", ",", "]") +
+      s", t))) AS DOUBLE)/greatest(len(toks),1) AS s_$l"
+    }.mkString(",\n  ")
+    val folds = langs.tail.zipWithIndex.map { case ((l, _), i) =>
+      val (pb, ps) = (s"b${i + 1}", s"s${i + 1}")
+      s"CASE WHEN s_$l > $ps THEN '$l' ELSE $pb END AS b${i + 2}, " +
+      s"CASE WHEN s_$l > $ps THEN s_$l ELSE $ps END AS s${i + 2}"
+    }
+    raw"""ls AS (SELECT doc_id, text, $scores FROM toks),
+f1 AS (SELECT *, 'de' AS b1, s_de AS s1 FROM ls),
+f2 AS (SELECT *, ${folds(0)} FROM f1),
+f3 AS (SELECT *, ${folds(1)} FROM f2),
+f4 AS (SELECT *, ${folds(2)} FROM f3)"""
+  }
+
+  val docs: Map[String, String] = Map(
+    "d1_exact_dedup" -> raw"""
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_dups FROM documents GROUP BY md5(text)""",
+    "d2_minhash_lsh" -> dq(raw"""
+SELECT c.doc_a, c.doc_b, $jaccardSql AS jaccard
+FROM cands c JOIN dsh a ON c.doc_a = a.doc_id JOIN dsh b ON c.doc_b = b.doc_id""",
+      extra = raw"""
+sig AS (SELECT doc_id, list_transform(generate_series(0,15),
+  j -> list_min(list_transform(sh, s -> md5(s||':'||j)))) AS sig FROM sh),
+bands AS (SELECT doc_id, t.b AS band,
+  md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b) t),
+cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id)"""
+        .drop(1)),
+    "d3_simhash" -> dq(s"SELECT doc_id, $simhash16Sql AS simhash FROM toks"),
+    "d4_ngram_jaccard" -> dq(raw"""
+SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, ${jaccardSql
+      .replace("a.sh", "a2.sh").replace("b.sh", "b2.sh")} AS jaccard
+FROM documents da JOIN documents db ON db.doc_id = da.doc_id + 1
+JOIN dsh a2 ON a2.doc_id = da.doc_id JOIN dsh b2 ON b2.doc_id = db.doc_id"""),
+    "t1_token_stats" -> dq(raw"""
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(string_split_regex(
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '([a-zA-Z])(\d)', '\1 \2', 'g'),
+      '(\d)([a-zA-Z])', '\1 \2', 'g'),
+      '([^\sa-zA-Z0-9])', ' \1', 'g'), '\s+'), t -> t <> '')) AS BIGINT)
+    AS n_bpeish,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM rtoks"""),
+    "t2_quality_score" -> dq(raw"""
+SELECT doc_id, round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
+                     + 0.25*alpha + 0.25*dst, 4) AS quality FROM (
+  SELECT doc_id,
+    CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.0 END AS lenok,
+    stop, alpha, dst FROM (
+    SELECT doc_id,
+      CAST(length(array_to_string(toks,'')) AS DOUBLE)/greatest(len(toks),1) AS ml,
+      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
+        AS DOUBLE)/greatest(len(toks),1) AS stop,
+      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        /greatest(length(text),1) AS alpha,
+      CAST(len(list_distinct(toks)) AS DOUBLE)/greatest(len(toks),1) AS dst
+    FROM rtoks) i) o"""),
+    "t3_lang_id" -> dq(raw"""
+SELECT doc_id,
+  CASE WHEN length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) > 0
+       THEN 'zh'
+       WHEN s4 > 0.0 THEN b4 ELSE 'und' END AS lang
+FROM f4""", extra = langFoldSql),
+    "t4_fingerprints" -> dq(raw"""
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+  list_min(list_transform(generate_series(0, greatest(len(toks)-8, 0)),
+    i -> md5(array_to_string(toks[i+1:i+8], ' ')))) AS rolling_fp
+FROM toks"""))
+
+  // ------------------------------------------------- embeddings oracles
+  private val embCtes: String = raw"""
+dims AS (SELECT unnest(generate_series(1,64)) AS i),
+vexp AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, dims),
+norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vexp GROUP BY vec_id)"""
+
+  private def eq(body: String, extra: String = ""): String =
+    s"WITH $embCtes${if (extra.nonEmpty) "," + extra else ""}\n$body"
+
+  val embeddings: Map[String, String] = Map(
+    "d5_embedding_neardups" -> eq(raw"""
+SELECT id_a, id_b, round(dd.dot/(na.nrm*nb.nrm), 6) AS cosine
+FROM (SELECT p.id_a, p.id_b, sum(va.x*vb.x) AS dot FROM cpairs p
+      JOIN vexp va ON va.vec_id = p.id_a
+      JOIN vexp vb ON vb.vec_id = p.id_b AND vb.i = va.i
+      GROUP BY p.id_a, p.id_b) dd
+JOIN norms na ON na.vec_id = dd.id_a JOIN norms nb ON nb.vec_id = dd.id_b
+WHERE round(dd.dot/(na.nrm*nb.nrm), 6) >= 0.3""",
+      extra = raw"""
+coefs AS (SELECT tb.b, tj.j, td.d,
+  CASE WHEN strpos('01234567', substr(md5(tb.b||':'||tj.j||':'||td.d), 1, 1)) > 0
+       THEN 1.0 ELSE -1.0 END AS c
+  FROM (SELECT unnest([0,1,2,3]) AS b) tb,
+       (SELECT unnest([0,1,2,3]) AS j) tj,
+       (SELECT unnest(generate_series(0,63)) AS d) td),
+lkeys AS (SELECT vec_id, b AS band,
+  string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS key
+  FROM (SELECT v.vec_id, c.b, c.j, sum(c.c * v.x) AS dot
+        FROM vexp v JOIN coefs c ON c.d = v.i - 1
+        GROUP BY v.vec_id, c.b, c.j) t
+  GROUP BY vec_id, b),
+cpairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM lkeys a JOIN lkeys b
+  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)""".drop(1)),
+    "s1_similarity_bruteforce" -> eq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
+       round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, corpus_id) AS rank
+      FROM (SELECT dd.probe_id, dd.corpus_id,
+              dd.dot/(na.nrm*nb.nrm) AS cosine
+            FROM (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
+                    sum(a.x*b.x) AS dot
+                  FROM vexp a JOIN vexp b ON a.i = b.i
+                  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+                  GROUP BY a.vec_id, b.vec_id) dd
+            JOIN norms na ON na.vec_id = dd.probe_id
+            JOIN norms nb ON nb.vec_id = dd.corpus_id) s) r
+WHERE rank <= 10"""),
+    "s2_similarity_ivf" -> eq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
+       round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored2) r
+WHERE rank <= 10""",
+      extra = raw"""
+cb AS (SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cdot AS (SELECT v.vec_id, c.centroid_id, sum(v.x * cv.x) AS dot
+  FROM vexp v JOIN cb c ON true
+  JOIN vexp cv ON cv.vec_id = c.centroid_id AND cv.i = v.i
+  GROUP BY v.vec_id, c.centroid_id),
+csim AS (SELECT cdot.vec_id, cdot.centroid_id,
+    cdot.dot/(nv.nrm*nc.nrm) AS sim
+  FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+  JOIN norms nc ON nc.vec_id = cdot.centroid_id),
+assigned AS (SELECT vec_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM csim) t
+  WHERE rn = 1),
+pbuckets AS (SELECT vec_id AS probe_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+  FROM csim WHERE vec_id < 5) t WHERE rn <= 2),
+cand AS (SELECT pb.probe_id, a.vec_id AS corpus_id
+  FROM pbuckets pb JOIN assigned a ON a.centroid_id = pb.centroid_id
+  WHERE a.vec_id <> pb.probe_id),
+cdots2 AS (SELECT c.probe_id, c.corpus_id, sum(pa.x*pb.x) AS dot
+  FROM cand c JOIN vexp pa ON pa.vec_id = c.probe_id
+  JOIN vexp pb ON pb.vec_id = c.corpus_id AND pb.i = pa.i
+  GROUP BY c.probe_id, c.corpus_id),
+scored2 AS (SELECT cdots2.probe_id, cdots2.corpus_id,
+    cdots2.dot/(na.nrm*nb.nrm) AS cosine
+  FROM cdots2 JOIN norms na ON na.vec_id = cdots2.probe_id
+  JOIN norms nb ON nb.vec_id = cdots2.corpus_id)""".drop(1)))
+
+  // ----------------------------------------------- events + multimodal
+  private def nibSql(pos: String): String =
+    s"(strpos('0123456789abcdef', substr(h, $pos, 1))-1)"
+
+  private val mmCtes: String = raw"""
+m AS (SELECT doc_id AS media_id,
+  CASE CAST(doc_id%3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  text, md5(text) AS h FROM documents),
+dec AS (SELECT media_id, kind, text, h,
+  CAST(((${nibSql("1")}*16 + ${nibSql("2")})%192 + 1)*10 AS BIGINT) AS width,
+  CAST(((${nibSql("3")}*16 + ${nibSql("4")})%108 + 1)*10 AS BIGINT) AS height,
+  CASE WHEN kind <> 'image' THEN CAST(strlen(text) AS BIGINT)*100 + 1000
+       ELSE NULL END AS duration_ms,
+  CASE CAST(media_id%3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'opus'
+       ELSE 'h264' END AS codec
+  FROM m)"""
+
+  private val m4Sql: String = (0 until 8).map { j =>
+    val hi = nibSql(s"${2 * j + 1}")
+    val lo = nibSql(s"${2 * j + 2}")
+    s"SELECT media_id, CAST($j AS BIGINT) AS dim_i, " +
+    s"CAST(CAST((($hi*16 + $lo)/127.5 - 1.0) AS FLOAT) AS DOUBLE) AS val FROM m"
+  }.mkString("\nUNION ALL\n")
+
+  val misc: Map[String, String] = Map(
+    "e1_sessionize" -> raw"""
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       round(sum(value), 4) AS session_value
+FROM (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM (SELECT *, CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                THEN 1 ELSE 0 END AS news
+            FROM (SELECT *, lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events) t1) t2) t3
+GROUP BY user_id, session_seq""",
+    "e2_windowed_counts" -> raw"""
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2""",
+    "m1_decode_meta" -> (s"WITH $mmCtes\n" +
+      "SELECT media_id, kind, width, height, duration_ms, codec FROM dec"),
+    "m2_resize_meta" -> (s"WITH $mmCtes\n" + raw"""
+SELECT media_id,
+  CAST(floor(width * least(640.0/width, 480.0/height, 1.0)) AS BIGINT) AS width,
+  CAST(floor(height * least(640.0/width, 480.0/height, 1.0)) AS BIGINT) AS height
+FROM dec"""),
+    "m3_frame_sample" -> (s"WITH $mmCtes\n" + raw"""
+SELECT media_id, kind,
+  unnest(generate_series(0, greatest(duration_ms - 1, 0), 60000)) AS frame_ts_ms
+FROM dec WHERE kind IN ('video', 'audio')"""),
+    "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql")
+
+  val all: Map[String, String] = graph ++ docs ++ embeddings ++ misc
+}

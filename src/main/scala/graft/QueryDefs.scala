@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.ext._
+import graft.streaming.EventStreams
+
+/** The Spark side of the driver's correctness harness: one named query
+  * per implemented operator from SURVEY.md §2 (+ the LLM-pipeline
+  * extensions), each running over the driver's parquet tables through
+  * the TestMapping domain mapping. Every column that the paired oracle
+  * SQL (OracleSql.scala) produces is aliased to the SAME name and, where
+  * the engines' natural integer widths differ, cast to long — the
+  * driver hash-compares values after sorting columns by name.
+  */
+object QueryDefs {
+  import TestMapping._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- graph
+  val graphQueries: Map[String, Q] = Map(
+    "f1_threshold_filter" -> ((s, d) => filtered(s, d)),
+    "f2_chromosome_filter" -> ((s, d) =>
+      Interactions.filterByChromosome(filtered(s, d), "7")),
+    "f3_pp_only" -> ((s, d) => Interactions.filterPPOnly(typed(s, d))),
+    "a1_vertices" -> ((s, d) => verts(s, d)),
+    "g2_simplify" -> ((s, d) => simplified(s, d)),
+    "j9_edge_types" -> ((s, d) => typed(s, d)),
+    "a4_degree" -> ((s, d) => GraphOps.degrees(simplified(s, d))),
+    "a5_graph_metadata" -> ((s, d) =>
+      GraphOps.graphMetadata(verts(s, d), typed(s, d))),
+    "a6_components" -> ((s, d) => GraphOps.connectedComponents(thin(s, d))),
+    "a6_component_stats" -> ((s, d) => GraphOps.componentStats(thin(s, d))),
+    "a7_diameter" -> ((s, d) => {
+      val diam = GraphOps.diameter(thin(s, d))
+      s.range(1).select(lit(diam).as("diameter"))
+    }),
+    "a8_transitivity" -> ((s, d) => GraphOps.transitivity(thin(s, d))),
+    "a9_suggestions" -> ((s, d) => Metadata.suggestions(verts(s, d))),
+    "a10_chromosomes" -> ((s, d) => Metadata.chromosomes(verts(s, d))),
+    "a11_chas" -> ((s, d) =>
+      Chas.chas(simplified(s, d), features(s, d))
+        .select(col("feature"), round(col("chas"), 6).as("chas"))),
+    "a12_abundance" -> ((s, d) =>
+      Chas.abundance(features(s, d))
+        .select(col("feature"), round(col("abundance"), 6).as("abundance"))),
+    "a13_mean_degree_positives" -> ((s, d) =>
+      Chas.meanDegreeOfPositives(features(s, d),
+          GraphOps.degrees(simplified(s, d)))
+        .select(col("feature"), round(col("mean_degree"), 6).as("mean_degree"))),
+    "a14_random_chas_envelope" -> ((s, d) =>
+      Chas.randomChasEnvelope(simplified(s, d), features(s, d),
+          nReplicates = 3, seed = 42L)
+        .select(col("feature"), round(col("chas_min"), 6).as("chas_min"),
+          round(col("chas_max"), 6).as("chas_max"))),
+    "a15_feature_agg_mean" -> ((s, d) =>
+      Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d), "mean")
+        .select(col("fragment"), col("feature"),
+          round(col("value"), 6).as("value"))),
+    "a15_feature_agg_max" -> ((s, d) =>
+      Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d), "max")
+        .select(col("fragment"), col("feature"),
+          round(col("value"), 6).as("value"))),
+    "a15_feature_agg_proportion" -> ((s, d) =>
+      Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d),
+          proportion = true)
+        .select(col("fragment"), col("feature"),
+          round(col("value"), 6).as("value"))),
+    "a16_binarize" -> ((s, d) => Chas.binarize(features(s, d))),
+    "a17_features_metadata" -> ((s, d) =>
+      Chas.featuresMetadata(simplified(s, d), features(s, d),
+        GraphOps.degrees(simplified(s, d)), nReplicates = 3, seed = 42L)),
+    "j1_join_features" -> ((s, d) =>
+      Annotate.joinFeatures(verts(s, d), features(s, d))),
+    "j2_bait_names" -> ((s, d) =>
+      Annotate.overwriteBaitNames(verts(s, d), baitNamesTable(s, d))),
+    "j3_annotate_otherends" -> ((s, d) =>
+      Annotate.annotateOtherEnds(verts(s, d), aliasRanges(s, d))),
+    "j4_annotate_promoters" -> ((s, d) =>
+      Annotate.annotatePromoters(verts(s, d), aliasTable(s, d))),
+    "j6_intronic_flag" -> ((s, d) =>
+      Annotate.flagIntronic(verts(s, d), intronicRegions(s, d))),
+    "j8_nearest_join" -> ((s, d) =>
+      Intervals.nearestJoin(probes(s, d),
+          verts(s, d).select("fragment", "chr", "start", "end"),
+          rightPrefix = "v_")
+        .select(col("probe_id"), col("v_fragment").as("nearest_fragment"),
+          col("__dist").as("dist"))),
+    "j10_ego_edges" -> ((s, d) => {
+      import s.implicits._
+      val seeds = Seq("7_7000_7999", "11_11000_11999").toDF("id")
+      GraphOps.egoEdges(simplified(s, d), seeds)
+    }),
+    "j11_induced_subgraph" -> ((s, d) =>
+      GraphOps.induced(simplified(s, d),
+        verts(s, d).filter(col("chr") === "7")
+          .select(col("fragment").as("id")))),
+    "g5_subset_pp" -> ((s, d) => {
+      val e = simplified(s, d)
+      GraphOps.subsetPP(e, e.select(col("src").as("id")))
+    }),
+    "g5_subset_po" -> ((s, d) => {
+      val e = simplified(s, d)
+      GraphOps.subsetPO(e, e.select(col("src").as("id")))
+        .select("src", "dst", "score")
+    }),
+    "q1_fragment_lookup" -> ((s, d) =>
+      Search.byFragmentId(verts(s, d), "7_7000_7999")),
+    "q2_gene_search" -> ((s, d) => Search.byGeneName(verts(s, d), "S7")),
+    "q3_ensembl_search" -> ((s, d) =>
+      Search.byEnsemblId(verts(s, d), Annotate.ensembl2name(aliasTable(s, d)),
+        "ENSG00000000007")),
+    "q4_gene_list_search" -> ((s, d) =>
+      Search.byGeneList(verts(s, d), Seq("S5", "S6", "ALT5"))),
+    "q5_range_search" -> ((s, d) =>
+      Search.byRange(verts(s, d), "7:30000-60000", expand = 0L,
+        nearest = false)),
+    "q6_search_subnet" -> ((s, d) => {
+      val v = verts(s, d)
+      val seeds = Search.byGeneName(v, "S7")
+      Search.subnetFromSeeds(v, simplified(s, d), seeds, ego = true).nodes
+    }))
+
+  // ------------------------------------------------- LLM-pipeline ext
+  val extQueries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
+    "d2_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashCandidates(table(s, d, "documents"))),
+    "d3_simhash" -> ((s, d) =>
+      table(s, d, "documents").select(col("doc_id"),
+        Dedup.simhash(col("text"), 16).as("simhash"))),
+    "d4_ngram_jaccard" -> ((s, d) => {
+      val doc = table(s, d, "documents")
+      doc.as("a").join(doc.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(Dedup.ngramJaccard(col("a.text"), col("b.text")), 4)
+            .as("jaccard"))
+    }),
+    "d5_embedding_neardups" -> ((s, d) =>
+      Dedup.embeddingNearDups(table(s, d, "embeddings"), threshold = 0.3,
+        bands = 4, bitsPerBand = 4, dim = 64)),
+    "s1_similarity_bruteforce" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    "s2_similarity_ivf" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val assigned = Similarity.ivfAssign(emb, nCentroids = 16)
+      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 5), k = 10,
+          nProbe = 2, nCentroids = 16)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    "t1_token_stats" -> ((s, d) =>
+      table(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))),
+    "t2_quality_score" -> ((s, d) =>
+      table(s, d, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+    "t3_lang_id" -> ((s, d) =>
+      table(s, d, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang"))),
+    "t4_fingerprints" -> ((s, d) =>
+      table(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"),
+        TextOps.rollingFingerprint(col("text"), 8).as("rolling_fp"))),
+    "e1_sessionize" -> ((s, d) =>
+      EventStreams.sessionizeBatch(events(s, d))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("session_start"), col("session_end"), col("session_value"))),
+    "e2_windowed_counts" -> ((s, d) =>
+      EventStreams.windowedCounts(events(s, d), "1 hour",
+        watermark = None)),
+    "m1_decode_meta" -> ((s, d) =>
+      Multimodal.decodeStub(
+          Multimodal.synthesize(table(s, d, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("kind"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.codec").as("codec"))),
+    "m2_resize_meta" -> ((s, d) =>
+      Multimodal.resizeStub(
+          Multimodal.decodeStub(Multimodal.synthesize(
+            table(s, d, "documents"), "doc_id", "text")), 640, 480)
+        .select(col("media_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"))),
+    "m3_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.decodeStub(Multimodal.synthesize(
+          table(s, d, "documents"), "doc_id", "text")), 60000L)),
+    "m4_feature_extract" -> ((s, d) =>
+      Multimodal.featureExtractStub(
+          Multimodal.synthesize(table(s, d, "documents"), "doc_id", "text"), 8)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("dim_i", "val")))
+        .select(col("media_id"), col("dim_i").cast("long").as("dim_i"),
+          col("val").cast("double").as("val"))))
+
+  val all: Map[String, Q] = graphQueries ++ extQueries
+
+  /** Headline subset for graft.Bench — representative of every operator
+    * family without re-running all ~56 correctness entries. */
+  val benchNames: Seq[String] = Seq(
+    "a1_vertices", "g2_simplify", "j9_edge_types", "a4_degree",
+    "a5_graph_metadata", "a6_components", "a8_transitivity", "a11_chas",
+    "a14_random_chas_envelope", "a15_feature_agg_mean",
+    "j3_annotate_otherends", "j8_nearest_join", "q6_search_subnet",
+    "d2_minhash_lsh", "d5_embedding_neardups", "s1_similarity_bruteforce",
+    "t2_quality_score", "e1_sessionize")
+}

@@ -72,10 +72,12 @@ object Chas {
   def aggregateOntoFragments(fragments: DataFrame, featureIntervals: DataFrame,
                              auxfun: String = "mean",
                              missingValue: Double = 0.0,
-                             proportion: Boolean = false): DataFrame = {
+                             proportion: Boolean = false,
+                             bucketWidth: Long = Intervals.DefaultBucketWidth): DataFrame = {
     val joined = Intervals.overlapJoin(
       fragments.select("fragment", "chr", "start", "end"),
-      featureIntervals, rightPrefix = "f_", joinType = "inner")
+      featureIntervals, rightPrefix = "f_", joinType = "inner",
+      bucketWidth = bucketWidth)
     val agged =
       if (proportion) {
         val overlapLen =
@@ -126,7 +128,7 @@ object Chas {
     * start coordinates parseable from the fragment id (chr_start_end).
     */
   def randomize(edges: DataFrame, nReplicates: Int, seed: Long,
-                distMatch: Boolean = false): DataFrame = {
+                distMatch: Boolean = false, maxRepair: Int = 20): DataFrame = {
     val binCol =
       if (distMatch) {
         // log-scale genomic distance bin; inter-chromosomal edges form
@@ -143,25 +145,67 @@ object Chas {
     val replicated = edges.select(col("src"), col("dst"))
       .withColumn("__bin", binCol)
       .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
+
     // Within each (replica, bin): permute dst among the edges of the bin
     // by pairing the i-th src (ordered by one hash) with the i-th dst
     // (ordered by another hash). Both orderings are seeded and
     // deterministic; ties broken by the full key.
-    val hSrc = xxhash64(col("src"), col("dst"), col("replica"), lit(seed))
-    val hDst = xxhash64(col("dst"), col("src"), col("replica"), lit(seed + 1))
-    val wSrc = Window.partitionBy(col("replica"), col("__bin")).orderBy(hSrc, col("src"), col("dst"))
-    val wDst = Window.partitionBy(col("replica"), col("__bin")).orderBy(hDst, col("dst"), col("src"))
-    val srcSide = replicated
-      .withColumn("__i", row_number().over(wSrc))
-      .select(col("replica"), col("__bin"), col("__i"), col("src"))
-    val dstSide = replicated
-      .withColumn("__i", row_number().over(wDst))
-      .select(col("replica").as("__r2"), col("__bin").as("__b2"),
-        col("__i").as("__i2"), col("dst"))
-    srcSide.join(dstSide,
-        col("replica") === col("__r2") && col("__bin") === col("__b2") &&
-        col("__i") === col("__i2"))
-      .select(col("replica"), col("src"), col("dst"))
+    def pair(rows: DataFrame, salt: Long): DataFrame = {
+      val hSrc = xxhash64(col("src"), col("dst"), col("replica"), lit(seed + salt))
+      val hDst = xxhash64(col("dst"), col("src"), col("replica"), lit(seed + salt + 1))
+      val wSrc = Window.partitionBy(col("replica"), col("__bin"))
+        .orderBy(hSrc, col("src"), col("dst"))
+      val wDst = Window.partitionBy(col("replica"), col("__bin"))
+        .orderBy(hDst, col("dst"), col("src"))
+      val srcSide = rows
+        .withColumn("__i", row_number().over(wSrc))
+        .select(col("replica"), col("__bin"), col("__i"), col("src"))
+      val dstSide = rows
+        .withColumn("__i", row_number().over(wDst))
+        .select(col("replica").as("__r2"), col("__bin").as("__b2"),
+          col("__i").as("__i2"), col("dst"))
+      srcSide.join(dstSide,
+          col("replica") === col("__r2") && col("__bin") === col("__b2") &&
+          col("__i") === col("__i2"))
+        .select(col("replica"), col("__bin"), col("src"), col("dst"))
+    }
+
+    // igraph/chaser rewiring (birewire-style) forbids self-loops and
+    // duplicate edges; a raw permutation emits both. Repair loop: keep
+    // the simple edges, re-permute the violators (iteration-salted hash,
+    // still seeded/deterministic) within their (replica, bin) — the
+    // endpoint multiset is preserved, so degrees are exact; violations
+    // shrink geometrically and the loop is a no-op once empty.
+    var cand = pair(replicated, 0L).localCheckpoint(eager = true)
+    var it = 0
+    var badCount = 1L
+    while (it < maxRepair && badCount > 0) {
+      val w = Window
+        .partitionBy(col("replica"),
+          least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+        .orderBy(col("src"), col("dst"))
+      val marked = cand.withColumn("__rn", row_number().over(w))
+        .withColumn("__bad", col("src") === col("dst") || col("__rn") > 1)
+        .localCheckpoint(eager = true)
+      badCount = marked.filter(col("__bad")).limit(1).count()
+      if (badCount > 0) {
+        // Re-permute the violators TOGETHER WITH a deterministic ~25%
+        // sample of good rows — a lone violator in a bin would otherwise
+        // re-pair with itself (identity) and never converge.
+        val coin = pmod(xxhash64(col("src"), col("dst"), col("replica"),
+          lit(seed + 31L * it)), lit(4)) === 0
+        val good = marked.filter(!col("__bad"))
+          .select("replica", "__bin", "src", "dst")
+        val repaired = pair(
+          marked.filter(col("__bad")).select("replica", "__bin", "src", "dst")
+            .unionAll(good.filter(coin)),
+          (it + 1) * 7919L)
+        cand = good.filter(!coin).unionAll(repaired)
+          .localCheckpoint(eager = true)
+      }
+      it += 1
+    }
+    cand.select(col("replica"), col("src"), col("dst"))
   }
 
   /** A14 random-ChAs envelope: ChAs per feature per randomized replicate,

@@ -44,27 +44,30 @@ object GraphOps {
   }
 
   /** J11 induced subgraph: edges whose BOTH endpoints are in `nodeSet`
-    * (one column `id`). leftsemi × 2; nodeSet is broadcast when small.
+    * (one column `id`). leftsemi × 2. The node set can be
+    * dataset-derived (unbounded at scale), so no broadcast hint — AQE
+    * broadcasts when the set is actually small.
     * Reference: induced_subgraph, network_generator_lib.R:195. */
   def induced(edges: DataFrame, nodeSet: DataFrame): DataFrame = {
     val ids = nodeSet.select(col("id")).distinct()
     edges
-      .join(broadcast(ids), edges("src") === ids("id"), "left_semi")
-      .join(broadcast(ids), edges("dst") === ids("id"), "left_semi")
+      .join(ids, edges("src") === ids("id"), "left_semi")
+      .join(ids, edges("dst") === ids("id"), "left_semi")
   }
 
   /** G5 subset by bait flag: PP subnet = edges among baits; PO = edges
-    * between a bait and a non-bait. Reference: chaser::subset_chromnet,
-    * network_generator.R:258-264. `baits` has one column `id`. */
+    * between a bait and a non-bait. Bait sets are edge-derived
+    * (millions at 100× scale) — no broadcast hint, AQE decides.
+    * Reference: chaser::subset_chromnet, network_generator.R:258-264.
+    * `baits` has one column `id`. */
   def subsetPP(edges: DataFrame, baits: DataFrame): DataFrame = {
     val b = baits.select(col("id")).distinct()
-    edges.join(broadcast(b), edges("src") === b("id"), "left_semi")
-      .join(broadcast(b), edges("dst") === b("id"), "left_semi")
+    edges.join(b, edges("src") === b("id"), "left_semi")
+      .join(b, edges("dst") === b("id"), "left_semi")
   }
 
   def subsetPO(edges: DataFrame, baits: DataFrame): DataFrame = {
-    val b = broadcast(baits.select(col("id")).distinct()
-      .withColumn("__b", lit(true)))
+    val b = baits.select(col("id")).distinct().withColumn("__b", lit(true))
     edges
       .join(b.as("b1"), edges("src") === col("b1.id"), "left")
       .join(b.as("b2"), edges("dst") === col("b2.id"), "left")
@@ -122,44 +125,65 @@ object GraphOps {
         max(col("size")) * lit(100.0) / sum(col("size"))).as("max_component_pct"))
   }
 
-  /** A7 diameter: longest shortest path (unweighted), computed by BFS
-    * frontier expansion from every node simultaneously — feasible on the
-    * reference's graph sizes by tracking (source, node, dist) triples
-    * only on the frontier. For big graphs use `diameterFrom` (pivoted
-    * double-sweep heuristic) instead; igraph's diameter on these nets is
-    * exact, so the exact variant is default with an iteration bound.
-    */
-  def diameter(edges: DataFrame, maxIter: Int = 64): Long = {
-    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    // visited(source, node); frontier(source, node)
-    var frontier = sym.select(col("src").as("source"), col("src").as("node"))
-      .distinct().localCheckpoint(true)
+  /** Single-source BFS eccentricity: (eccentricity, farthest node with
+    * min id). One frontier DataFrame, O(ecc) rounds each touching the
+    * edge list once — the scale-safe BFS shape (no per-source fan-out). */
+  private def bfsEccentricity(sym: DataFrame, source: String): (Long, String) = {
+    var frontier = sym.sparkSession.range(1)
+      .select(lit(source).as("node")).localCheckpoint(eager = true)
     var visited = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+    var last = frontier
     var dist = 0L
     var done = false
-    while (!done && dist < maxIter) {
+    while (!done) {
       val next = frontier
         .join(sym, frontier("node") === sym("src"))
-        .select(frontier("source").as("source"), col("dst").as("node"))
-        .distinct()
-        .join(visited.withColumnRenamed("source", "vs")
-                     .withColumnRenamed("node", "vn"),
-          col("source") === col("vs") && col("node") === col("vn"),
-          "left_anti")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.withColumnRenamed("node", "vn"),
+          col("node") === col("vn"), "left_anti")
         .localCheckpoint(eager = true)
       if (next.isEmpty) done = true
       else {
         dist += 1
-        val newVisited = visited.unionAll(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        newVisited.count()
+        last = next
+        val nv = visited.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+        nv.count()
         visited.unpersist()
-        visited = newVisited
+        visited = nv
         frontier = next
       }
     }
-    sym.unpersist(); visited.unpersist()
-    dist
+    val far = last.agg(min(col("node"))).collect()(0).getString(0)
+    visited.unpersist()
+    (dist, far)
+  }
+
+  /** A7 diameter: iterated double-sweep — BFS from a max-degree pivot,
+    * then repeatedly re-sweep from the farthest node found. Exact on
+    * trees and, in practice, on the power-law-ish graphs this engine
+    * targets (the double-sweep lower bound is known tight on real-world
+    * graphs); cost O(sweeps · E) instead of the all-pairs O(V · E) —
+    * the version that survives a 100k-node component.
+    * Reference: diameter(net), network_generator_lib.R:418. */
+  def diameter(edges: DataFrame, sweeps: Int = 4): Long = {
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    if (sym.isEmpty) { sym.unpersist(); return 0L }
+    val start = degrees(edges)
+      .orderBy(col("degree").desc, col("id"))
+      .limit(1).collect()(0).getString(0)
+    var best = 0L
+    var cur = start
+    val seen = scala.collection.mutable.Set[String]()
+    var i = 0
+    while (i < sweeps && !seen.contains(cur)) {
+      seen += cur
+      val (ecc, far) = bfsEccentricity(sym, cur)
+      if (ecc > best) best = ecc
+      cur = far
+      i += 1
+    }
+    sym.unpersist()
+    best
   }
 
   /** A8 global clustering coefficient (transitivity):

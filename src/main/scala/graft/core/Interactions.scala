@@ -36,9 +36,22 @@ object Interactions {
   def fragmentId(chr: Column, start: Column, end: Column): Column =
     concat_ws("_", chr, start, end)
 
+  /** Gene-name bag normalization applied during vertex derivation
+    * (reference: generate_vertex, network_generator_lib.R:351-360):
+    * "."/NA → "", transcript suffix `-\d+\b` stripped, then
+    * split + unique + re-collapse. The reference keeps first-occurrence
+    * order (R `unique`); a distributed shuffle cannot honor input order,
+    * so we sort the token set — deterministic under any partitioning. */
+  def normalizeNames(bag: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(filter(
+      split(regexp_replace(coalesce(bag, lit("")), "-\\d+\\b", ""), "\\s+"),
+      t => t =!= "" && t =!= "."))))
+
   /** A1 vertex derivation: stack bait + oe halves, tag type P/O, dedup.
     * A fragment that appears as both bait and oe is a promoter ("P" wins
-    * — the reference's bait set defines promoters; J9 below).
+    * — the reference's bait set defines promoters; J9 below), and its
+    * gene_names come from the bait rows (the reference's bait-side names
+    * take precedence; oe names are annotation-derived later via J3).
     * Reference: generate_vertex, network_generator_lib.R:323-362.
     *
     * For Hi-C inputs (no names), pass hasNames=false: gene_names = "".
@@ -56,18 +69,23 @@ object Interactions {
       coalesce(oeNames, lit("")).as("gene_names"),
       col("oeChr").as("chr"), col("oeStart").as("start"),
       col("oeEnd").as("end"), lit("O").as("type"))
-    // P wins over O for fragments seen on both sides: aggregate min(type)
-    // ("O" > "P" lexically) — one shuffle, no window.
+    // P wins over O for fragments seen on both sides: max(type)
+    // ("P" > "O" lexically) — one shuffle, no window. chr/start/end are
+    // functionally determined by the fragment key, so first() is
+    // deterministic in value.
     baits.unionAll(oes)
       .groupBy("fragment")
       .agg(
-        max(when(col("type") === "P", col("gene_names"))).as("p_names"),
-        max(col("gene_names")).as("any_names"),
+        concat_ws(" ", collect_list(when(col("type") === "P", col("gene_names"))))
+          .as("p_bag"),
+        concat_ws(" ", collect_list(when(col("type") === "O", col("gene_names"))))
+          .as("o_bag"),
         first(col("chr")).as("chr"), first(col("start")).as("start"),
         first(col("end")).as("end"),
-        min(col("type")).as("type"))
+        max(col("type")).as("type"))
       .select(col("fragment"),
-        coalesce(col("p_names"), col("any_names"), lit("")).as("gene_names"),
+        normalizeNames(when(col("type") === "P", col("p_bag"))
+          .otherwise(col("o_bag"))).as("gene_names"),
         col("chr"), col("start"), col("end"), col("type"))
   }
 
@@ -122,15 +140,16 @@ object Interactions {
   }
 
   /** J9 bait classification: an edge is P-P iff its oe endpoint is also
-    * a bait somewhere in the dataset, else P-O. Bait sets are small
-    * relative to edges → broadcast semi-join shape; Catalyst broadcasts
-    * automatically under the threshold, and we hint it.
+    * a bait somewhere in the dataset, else P-O. The bait set is derived
+    * from the edge table itself — unbounded at scale — so NO broadcast
+    * hint: AQE picks broadcast when the distinct-src side turns out
+    * small, shuffle-hash otherwise.
     * Reference: add_PCHiC_types, network_generator_lib.R:465-473. */
   def addTypes(edgesDf: DataFrame): DataFrame = {
     val baits = edgesDf.select(col("src").as("bait")).distinct()
+      .withColumn("__isbait", lit(true))
     edgesDf
-      .join(broadcast(baits).withColumn("__isbait", lit(true)),
-        edgesDf("dst") === col("bait"), "left")
+      .join(baits, edgesDf("dst") === baits("bait"), "left")
       .withColumn("type", when(col("__isbait"), lit("P-P")).otherwise(lit("P-O")))
       .drop("bait", "__isbait")
   }

@@ -108,19 +108,56 @@ object Dedup {
     size(filter(zip_with(split(a, ""), split(b, ""),
       (x, y) => x =!= y), d => d))
 
-  /** Embedding-cosine near-dup pairs: brute force within LSH-ish
-    * coarse buckets (sign of the first two components quantized) to
-    * avoid the full cross join; exact cosine verification on candidates. */
+  /** Deterministic ±1 hyperplane coefficient for (band, bit, dim): the
+    * first hex nibble of md5("b:j:d") < 8 → +1 else -1. Computed
+    * driver-side once and embedded as literal arrays — zero per-row
+    * hash cost — and reproducible verbatim in the DuckDB oracle via the
+    * same strpos-on-md5-hex construction. */
+  private[ext] def hyperCoef(b: Int, j: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$b:$j:$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+  }
+
+  /** Banded random-hyperplane sign-LSH keys over an array<double>
+    * column: one bit-string key per band (bit j = sign of the
+    * hyperplane-(b,j) dot product). A pair is a candidate if ANY band
+    * key matches — recall 1-(1-p^bits)^bands for per-bit agreement
+    * p = 1 - θ/π. Bucket count is 2^bits per band and — unlike sign
+    * quantization of raw components — `bits` is free to grow (16+ at
+    * 100 TB), so bucket population scales with data, not O(n²/2^dim). */
+  def signBandKeys(v: Column, bands: Int, bits: Int, dim: Int): Column =
+    array((0 until bands).map { b =>
+      concat((0 until bits).map { j =>
+        val coefs = array((0 until dim).map(d => lit(hyperCoef(b, j, d))): _*)
+        val dot = aggregate(zip_with(v, coefs, (x, c) => x * c),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    }: _*)
+
+  /** Embedding-cosine near-dup pairs: banded hyperplane-LSH blocking
+    * (candidates = pairs sharing ≥1 band key), exact cosine
+    * verification on candidates only. */
   def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        threshold: Double = 0.95): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"),
-      Similarity.signBucket(col(vecCol), 8).as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+                        threshold: Double = 0.95,
+                        bands: Int = 8, bitsPerBand: Int = 4,
+                        dim: Int = 64): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val keyed = emb.select(col(idCol).as("id"),
+      posexplode(signBandKeys(v, bands, bitsPerBand, dim)).as(Seq("band", "key")))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("vid"), v.as("vv"))
+    pairs
+      .join(vecs.as("va"), col("id_a") === col("va.vid"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.vid"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va.vv"), col("vb.vv")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -54,16 +54,26 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF index build: centroids = the vectors of every `stride`-th id
-    * (deterministic coarse codebook; real pipelines run k-means — the
-    * assignment plan below is identical either way). Returns the corpus
-    * with a `centroid_id` column. */
-  def ivfAssign(corpus: DataFrame, stride: Int = 97,
+  /** IVF coarse codebook: a FIXED-size (k rows, independent of corpus
+    * cardinality) deterministic sample — corpus vectors ranked by
+    * md5(id), first k. A real deployment swaps this for sampled k-means
+    * centroids; the assignment/probe plans below are identical either
+    * way, and the broadcast is bounded by k at any corpus scale. */
+  def codebook(corpus: DataFrame, k: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("centroid_id"),
+        col(vecCol).cast("array<double>").as("centv"))
+      .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
+      .limit(k)
+
+  /** IVF index build: assign every corpus vector to its nearest codebook
+    * centroid — one linear scan against a k-row broadcast. Returns the
+    * corpus with a `centroid_id` column. */
+  def ivfAssign(corpus: DataFrame, nCentroids: Int = 16,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val centroids = corpus.filter(col(idCol) % stride === 0)
-      .select(col(idCol).as("centroid_id"),
-        col(vecCol).cast("array<double>").as("centv"))
+    val centroids = codebook(corpus, nCentroids, idCol, vecCol)
     val c = corpus.select(col(idCol), col(vecCol),
       col(vecCol).cast("array<double>").as("__v"))
     val w = Window.partitionBy(col(idCol))
@@ -80,12 +90,10 @@ object Similarity {
     * corpus is partitioned/bucketed BY centroid_id on disk so a probe
     * touches only its buckets' files. */
   def ivfTopK(assigned: DataFrame, probes: DataFrame, k: Int,
-              nProbe: Int = 2, stride: Int = 97,
+              nProbe: Int = 2, nCentroids: Int = 16,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val centroids = assigned.filter(col(idCol) % stride === 0)
-      .select(col(idCol).as("centroid_id"),
-        col(vecCol).cast("array<double>").as("centv"))
+    val centroids = codebook(assigned, nCentroids, idCol, vecCol)
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val wp = Window.partitionBy(col("probe_id"))

@@ -20,10 +20,17 @@ object TextOps {
   /** BPE-ish subword-boundary token count: splits on whitespace AND
     * letter/digit/punct transitions — a cheap proxy for tokenizer cost
     * estimation (true BPE needs the merges table; this is the standard
-    * pre-tokenization regex shape). */
-  def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+|(?<=[a-zA-Z])(?=\\d)|(?<=\\d)(?=[a-zA-Z])|(?=[^\\sa-zA-Z0-9])"),
-      t => t =!= ""))
+    * pre-tokenization regex shape). Implemented as boundary-marking
+    * regexp_replace passes rather than lookaround splits so the same
+    * construction runs verbatim under RE2 engines (the DuckDB oracle). */
+  def bpeishTokenCount(text: Column): Column = {
+    val marked = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "([a-zA-Z])(\\d)", "$1 $2"),
+        "(\\d)([a-zA-Z])", "$1 $2"),
+      "([^\\sa-zA-Z0-9])", " $1")
+    size(filter(split(marked, "\\s+"), t => t =!= ""))
+  }
 
   /** Quality score in [0,1]: blend of signals every filtering pipeline
     * uses — mean word length sanity, stopword ratio, alpha ratio,

@@ -17,11 +17,12 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
-  /** Tumbling-window aggregation — works identically on a streaming or
-    * batch `events` DataFrame. */
-  def windowedCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
+  /** Tumbling-window aggregation — the same plan runs on a streaming or
+    * batch `events` DataFrame (pass watermark=None for batch, where
+    * late-data bounds are meaningless). */
+  def windowedCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: Option[String] = Some("10 minutes")): DataFrame =
+    watermark.fold(events)(w => events.withWatermark("ts", w))
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -33,9 +34,11 @@ object EventStreams {
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val gap = unix_timestamp(col("ts")) -
-      unix_timestamp(lag(col("ts"), 1).over(byUser))
-    val news = when(gap.isNull || gap > gapMinutes * 60L, 1L).otherwise(0L)
+    // microsecond precision: second-truncated gaps would misclassify
+    // boundaries within 1s of the cutoff (event timestamps carry µs).
+    val gap = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(byUser))
+    val news = when(gap.isNull || gap > gapMinutes * 60000000L, 1L).otherwise(0L)
     events
       .withColumn("__new", news)
       .withColumn("session_seq", sum(col("__new"))

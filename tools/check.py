@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness compare: for every query in
+the Verify output dir, run its DuckDB oracle SQL over the same parquet
+tables and diff the row multisets (columns sorted by name, rows sorted,
+floats rounded to 9 significant decimals). Usage:
+  python3 tools/check.py /tmp/v1 /root/testdata/sf0.01 [only_query ...]
+"""
+import duckdb, json, sys, math
+import pandas as pd
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/v1"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+status = json.load(open(f"{out}/status.json"))
+
+
+def vnorm(x):
+    if x is None:
+        return "NULL"
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "NULL"
+        return repr(round(x, 9))
+    return str(x)
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return sorted(tuple(vnorm(None if pd.isna(x) else x) for x in row)
+                  for row in df.itertuples(index=False))
+
+
+fails, oks, rowsonly = [], [], []
+for name in sorted(status):
+    if only and name not in only:
+        continue
+    if status[name] != "ok":
+        fails.append((name, f"SPARK ERR: {status[name][:200]}"))
+        continue
+    try:
+        sdf = pd.read_parquet(f"{out}/{name}")
+    except Exception as e:
+        fails.append((name, f"read: {e}"))
+        continue
+    if name not in oracle:
+        rowsonly.append((name, len(sdf)))
+        continue
+    try:
+        odf = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"ORACLE SQL ERR: {str(e)[:300]}"))
+        continue
+    a, b = canon(sdf), canon(odf)
+    if sorted(sdf.columns) != sorted(odf.columns):
+        fails.append((name, f"COLS spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"))
+    elif a == b:
+        oks.append((name, len(a)))
+    else:
+        msg = f"rows spark={len(a)} oracle={len(b)}"
+        sa, sb = set(a), set(b)
+        d1 = list(sa - sb)[:3]
+        d2 = list(sb - sa)[:3]
+        fails.append((name, f"HASH MISMATCH {msg}\n  spark-only: {d1}\n  oracle-only: {d2}"))
+
+for n, r in oks:
+    print(f"OK    {n} ({r} rows)")
+for n, r in rowsonly:
+    print(f"ROWS  {n} ({r} rows, no oracle)")
+for n, m in fails:
+    print(f"FAIL  {n}: {m}")
+print(f"\n{len(oks)} ok, {len(rowsonly)} rows-only, {len(fails)} fail")
+sys.exit(1 if fails else 0)
