@@ -114,25 +114,31 @@ object Chas {
     features.withColumn("value",
       when(col("value") > 0.0, 1.0).otherwise(0.0))
 
-  /** G6 degree-preserving randomization: permute the dst endpoints of
-    * the edge list within (optionally) genomic-distance bins — every
-    * node keeps its exact src-degree and dst-degree; with distMatch the
-    * distance distribution is preserved bin-wise (chaser's dist.match).
-    * Seeded & deterministic: permutation order = xxhash64(edge, seed).
+  /** G6 degree-preserving randomization: seeded birewire-style edge
+    * swapping (the chaser/igraph rewiring family). Starting from the
+    * ORIGINAL edge list (simple by precondition), each round pairs up
+    * edges within (replica, bin) by a seeded hash order and proposes the
+    * classic double-edge swap (s1,d1)+(s2,d2) -> (s1,d2)+(s2,d1); a
+    * proposal is accepted only if it creates no self-loop, no key
+    * already in the current edge set, and no key another accepted swap
+    * in the same round also creates. Simplicity is therefore an
+    * INVARIANT (every intermediate state is a simple graph), degrees are
+    * preserved by construction, and the chain is the standard MCMC
+    * sampler for degree-fixed simple graphs.
     *
-    * All N replicates are generated in ONE plan — `replica` is a
-    * dimension column (explode over 0..n-1), so the whole envelope is a
-    * single shuffle rather than N sequential jobs (SURVEY §7.4.2).
-    *
-    * edges must carry src/dst; with distMatch they must carry numeric
-    * start coordinates parseable from the fragment id (chr_start_end).
+    * All N replicates are generated in ONE plan - `replica` is a
+    * dimension column (explode over 0..n-1), so the whole envelope runs
+    * in a constant number of shuffles x `rounds`, not N sequential jobs
+    * (SURVEY SS7.4.2). With distMatch, swaps stay within log-distance
+    * bins (chaser's dist.match approximation); edges must then carry
+    * coordinates parseable from the fragment id (chr_start_end).
     */
   def randomize(edges: DataFrame, nReplicates: Int, seed: Long,
-                distMatch: Boolean = false, maxRepair: Int = 20): DataFrame = {
+                distMatch: Boolean = false, rounds: Int = 10): DataFrame = {
     val binCol =
       if (distMatch) {
         // log-scale genomic distance bin; inter-chromosomal edges form
-        // their own bin (distance undefined) — chaser bins similarly.
+        // their own bin (distance undefined) - chaser bins similarly.
         val sChr = split(col("src"), "_").getItem(0)
         val dChr = split(col("dst"), "_").getItem(0)
         val sStart = split(col("src"), "_").getItem(1).cast("long")
@@ -142,68 +148,89 @@ object Chas {
             .cast("string"))
           .otherwise(lit("inter"))
       } else lit("all")
-    val replicated = edges.select(col("src"), col("dst"))
+    var cand = edges.select(col("src"), col("dst"))
       .withColumn("__bin", binCol)
       .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
+      .localCheckpoint(eager = true)
 
-    // Within each (replica, bin): permute dst among the edges of the bin
-    // by pairing the i-th src (ordered by one hash) with the i-th dst
-    // (ordered by another hash). Both orderings are seeded and
-    // deterministic; ties broken by the full key.
-    def pair(rows: DataFrame, salt: Long): DataFrame = {
-      val hSrc = xxhash64(col("src"), col("dst"), col("replica"), lit(seed + salt))
-      val hDst = xxhash64(col("dst"), col("src"), col("replica"), lit(seed + salt + 1))
-      val wSrc = Window.partitionBy(col("replica"), col("__bin"))
-        .orderBy(hSrc, col("src"), col("dst"))
-      val wDst = Window.partitionBy(col("replica"), col("__bin"))
-        .orderBy(hDst, col("dst"), col("src"))
-      val srcSide = rows
-        .withColumn("__i", row_number().over(wSrc))
-        .select(col("replica"), col("__bin"), col("__i"), col("src"))
-      val dstSide = rows
-        .withColumn("__i", row_number().over(wDst))
+    var r = 0
+    while (r < rounds) {
+      // 1. seeded random pairing of edges within (replica, bin)
+      val h = xxhash64(col("src"), col("dst"), col("replica"),
+        lit(seed + 1000003L * r))
+      val w = Window.partitionBy(col("replica"), col("__bin"))
+        .orderBy(h, col("src"), col("dst"))
+      val idx = cand.withColumn("__i", row_number().over(w))
+      val left = idx.filter(col("__i") % 2 === 1)
+        .select(col("replica"), col("__bin"),
+          ((col("__i") + 1) / 2).cast("long").as("__p"),
+          col("src").as("ls"), col("dst").as("ld"))
+      val right = idx.filter(col("__i") % 2 === 0)
         .select(col("replica").as("__r2"), col("__bin").as("__b2"),
-          col("__i").as("__i2"), col("dst"))
-      srcSide.join(dstSide,
-          col("replica") === col("__r2") && col("__bin") === col("__b2") &&
-          col("__i") === col("__i2"))
-        .select(col("replica"), col("__bin"), col("src"), col("dst"))
-    }
+          (col("__i") / 2).cast("long").as("__p2"),
+          col("src").as("rs"), col("dst").as("rd"))
+      // left join: an odd leftover edge has no partner and passes through
+      val paired = left.join(right,
+        col("replica") === col("__r2") && col("__bin") === col("__b2") &&
+        col("__p") === col("__p2"), "left")
 
-    // igraph/chaser rewiring (birewire-style) forbids self-loops and
-    // duplicate edges; a raw permutation emits both. Repair loop: keep
-    // the simple edges, re-permute the violators (iteration-salted hash,
-    // still seeded/deterministic) within their (replica, bin) — the
-    // endpoint multiset is preserved, so degrees are exact; violations
-    // shrink geometrically and the loop is a no-op once empty.
-    var cand = pair(replicated, 0L).localCheckpoint(eager = true)
-    var it = 0
-    var badCount = 1L
-    while (it < maxRepair && badCount > 0) {
-      val w = Window
-        .partitionBy(col("replica"),
-          least(col("src"), col("dst")), greatest(col("src"), col("dst")))
-        .orderBy(col("src"), col("dst"))
-      val marked = cand.withColumn("__rn", row_number().over(w))
-        .withColumn("__bad", col("src") === col("dst") || col("__rn") > 1)
+      // 2. validity against the CURRENT key set (per replica)
+      val eKeys = cand.select(col("replica").as("__kr"),
+        least(col("src"), col("dst")).as("__ku"),
+        greatest(col("src"), col("dst")).as("__kv"))
+      val n1u = least(col("ls"), col("rd")); val n1v = greatest(col("ls"), col("rd"))
+      val n2u = least(col("rs"), col("ld")); val n2v = greatest(col("rs"), col("ld"))
+      val checked = paired
+        .join(eKeys.as("k1"),
+          col("replica") === col("k1.__kr") &&
+          n1u === col("k1.__ku") && n1v === col("k1.__kv"), "left")
+        .join(eKeys.as("k2"),
+          col("replica") === col("k2.__kr") &&
+          n2u === col("k2.__ku") && n2v === col("k2.__kv"), "left")
+        .withColumn("__pre",
+          col("rs").isNotNull &&
+          col("ls") =!= col("rd") && col("rs") =!= col("ld") &&
+          col("k1.__ku").isNull && col("k2.__ku").isNull &&
+          !(n1u === n2u && n1v === n2v))
+        .select(col("replica"), col("__bin"), col("__p"),
+          col("ls"), col("ld"), col("rs"), col("rd"), col("__pre"))
+
+      // 3. cross-pair collision check: two accepted swaps in the same
+      // round must not mint the same new key
+      val minted = checked.filter(col("__pre"))
+        .select(col("replica"), col("__p"), n1u.as("u"), n1v.as("v"))
+        .unionAll(checked.filter(col("__pre"))
+          .select(col("replica"), col("__p"), n2u.as("u"), n2v.as("v")))
+      val collided = minted
+        .groupBy(col("replica").as("__cr"), col("u"), col("v"))
+        .agg(count(lit(1)).as("__n"), first(col("__p")).as("__anyp"))
+        .filter(col("__n") > 1)
+      val collidedPairs = minted
+        .join(collided,
+          minted("replica") === col("__cr") &&
+          minted("u") === collided("u") && minted("v") === collided("v"))
+        .select(minted("replica").as("__xr"), minted("__p").as("__xp"))
+        .distinct()
+      val finalChecked = checked
+        .join(collidedPairs,
+          col("replica") === col("__xr") && col("__p") === col("__xp"),
+          "left")
+        .withColumn("__accept", col("__pre") && col("__xr").isNull)
+
+      // 4. emit: swapped pair, original pair, or the odd passthrough row
+      cand = finalChecked.select(col("replica"), col("__bin"), explode(
+          when(col("rs").isNull,
+            array(struct(col("ls").as("src"), col("ld").as("dst"))))
+          .when(col("__accept"),
+            array(struct(col("ls").as("src"), col("rd").as("dst")),
+                  struct(col("rs").as("src"), col("ld").as("dst"))))
+          .otherwise(
+            array(struct(col("ls").as("src"), col("ld").as("dst")),
+                  struct(col("rs").as("src"), col("rd").as("dst"))))).as("e"))
+        .select(col("replica"), col("e.src").as("src"),
+          col("e.dst").as("dst"), col("__bin"))
         .localCheckpoint(eager = true)
-      badCount = marked.filter(col("__bad")).limit(1).count()
-      if (badCount > 0) {
-        // Re-permute the violators TOGETHER WITH a deterministic ~25%
-        // sample of good rows — a lone violator in a bin would otherwise
-        // re-pair with itself (identity) and never converge.
-        val coin = pmod(xxhash64(col("src"), col("dst"), col("replica"),
-          lit(seed + 31L * it)), lit(4)) === 0
-        val good = marked.filter(!col("__bad"))
-          .select("replica", "__bin", "src", "dst")
-        val repaired = pair(
-          marked.filter(col("__bad")).select("replica", "__bin", "src", "dst")
-            .unionAll(good.filter(coin)),
-          (it + 1) * 7919L)
-        cand = good.filter(!coin).unionAll(repaired)
-          .localCheckpoint(eager = true)
-      }
-      it += 1
+      r += 1
     }
     cand.select(col("replica"), col("src"), col("dst"))
   }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Chas, GraphOps}
+
+/** A11-A16 chaser statistics + G6 randomization properties. */
+class ChasSpec extends SparkSpec {
+
+  test("A11 ChAs: hand-computed edge-end correlation") {
+    // path a-b-c with f(a)=1, f(b)=0, f(c)=1: symmetrized endpoint
+    // samples x=[1,0,0,1], y=[0,1,1,0] -> Pearson r = -1
+    val edges = edgesOf(Seq("a" -> "b", "b" -> "c"))
+    val feats = featuresOf(Seq(("a", "f", 1.0), ("b", "f", 0.0), ("c", "f", 1.0)))
+    val r = Chas.chas(edges, feats).collect()(0)
+    assert(r.getString(0) == "f")
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-9)
+  }
+
+  test("A12 abundance is the feature mean over nodes") {
+    val feats = featuresOf(Seq(("a", "f", 1.0), ("b", "f", 0.0), ("c", "f", 1.0)))
+    assert(math.abs(Chas.abundance(feats).collect()(0).getDouble(1) - 2.0 / 3) < 1e-12)
+  }
+
+  test("A13 mean degree of feature-positive nodes") {
+    val edges = edgesOf(Seq("a" -> "b", "b" -> "c"))
+    val feats = featuresOf(Seq(("a", "f", 1.0), ("b", "f", 0.0), ("c", "f", 1.0)))
+    val m = Chas.meanDegreeOfPositives(feats, GraphOps.degrees(edges))
+      .collect()(0).getDouble(1)
+    assert(m == 1.0) // a and c both degree 1; b excluded (value 0)
+  }
+
+  test("A15 aggregation onto fragments: mean/max/proportion + missing fill") {
+    import spark.implicits._
+    val fragments = Seq(
+      ("a", "1", 100L, 199L), ("b", "1", 300L, 399L), ("c", "2", 100L, 199L))
+      .toDF("fragment", "chr", "start", "end")
+    val intervals = Seq(
+      ("1", 150L, 349L, "f1", 2.0),
+      ("1", 360L, 380L, "f1", 4.0),
+      ("2", 500L, 599L, "f1", 8.0))
+      .toDF("chr", "start", "end", "feature", "value")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // small bucket width so intervals straddle buckets (dedup predicate)
+    val mean = asMap(Chas.aggregateOntoFragments(fragments, intervals,
+      "mean", bucketWidth = 100L))
+    assert(mean == Map("a" -> 2.0, "b" -> 3.0, "c" -> 0.0))
+    val max = asMap(Chas.aggregateOntoFragments(fragments, intervals,
+      "max", bucketWidth = 100L))
+    assert(max == Map("a" -> 2.0, "b" -> 4.0, "c" -> 0.0))
+    val prop = asMap(Chas.aggregateOntoFragments(fragments, intervals,
+      proportion = true, bucketWidth = 100L))
+    assert(prop == Map("a" -> 0.5, "b" -> 0.71, "c" -> 0.0))
+  }
+
+  test("A16 binarize maps positives to 1.0, rest to 0.0") {
+    val out = Chas.binarize(featuresOf(Seq(
+        ("a", "f", 3.5), ("b", "f", 0.0), ("c", "f", -2.0))))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out == Map("a" -> 1.0, "b" -> 0.0, "c" -> 0.0))
+  }
+
+  private def cycleEdges = edgesOf(Seq(
+    "a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a", "a" -> "c"))
+
+  test("G6 randomize preserves per-side degree multisets") {
+    val out = Chas.randomize(cycleEdges, nReplicates = 4, seed = 7L)
+    val orig = cycleEdges
+    val srcCounts = orig.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dstCounts = orig.groupBy("dst").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 4).foreach { rep =>
+      val repDf = out.filter(col("replica") === rep)
+      val s = repDf.groupBy("src").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val d = repDf.groupBy("dst").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(s == srcCounts, s"replica $rep src degrees")
+      assert(d == dstCounts, s"replica $rep dst degrees")
+    }
+  }
+
+  test("G6 randomize emits simple graphs: no self-loops, no dup edges") {
+    val out = Chas.randomize(cycleEdges, nReplicates = 8, seed = 3L).collect()
+    assert(out.forall(r => r.getString(1) != r.getString(2)), "self-loop")
+    val byRep = out.groupBy(_.getInt(0).toLong)
+    byRep.foreach { case (_, rows) =>
+      val undirected = rows.map(r =>
+        Set(r.getString(1), r.getString(2))).toSeq
+      assert(undirected.distinct.size == undirected.size, "duplicate edge")
+    }
+  }
+
+  test("G6 randomize is deterministic for a fixed seed") {
+    def run(seed: Long) = Chas.randomize(cycleEdges, 2, seed).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_.toString)
+    assert(run(11L).sameElements(run(11L)))
+  }
+
+  test("A14 envelope: min <= max, values inside [-1, 1]") {
+    val feats = featuresOf(Seq(
+      ("a", "f", 1.0), ("b", "f", 0.0), ("c", "f", 1.0), ("d", "f", 0.0)))
+    val env = Chas.randomChasEnvelope(cycleEdges, feats, nReplicates = 5,
+      seed = 5L).collect()
+    env.foreach { r =>
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      assert(lo <= hi)
+      assert(lo >= -1.0 - 1e-9 && hi <= 1.0 + 1e-9)
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Batch sessionization golden + the stateful streaming twin driven
+  * through a MemoryStream with an advancing watermark. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def eventsDf = Seq(
+    (1L, ts(0), 10L, "view", 1.0),
+    (2L, ts(10), 10L, "view", 2.0),
+    (3L, ts(55), 10L, "buy", 3.0),   // 45-min gap: new session
+    (4L, ts(5), 20L, "view", 4.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("batch sessionization splits on the inactivity gap") {
+    val out = EventStreams.sessionizeBatch(eventsDf, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("session_seq"))) ->
+        r.getLong(r.fieldIndex("n_events"))).toMap
+    assert(out == Map((10L, 1L) -> 2L, (10L, 2L) -> 1L, (20L, 1L) -> 1L))
+  }
+
+  test("a gap of exactly the cutoff does NOT split (strictly greater)") {
+    val df = Seq(
+      (1L, ts(0), 1L, "a", 0.0), (2L, ts(30), 1L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventStreams.sessionizeBatch(df, 30).count() == 1)
+  }
+
+  test("windowed counts bucket into tumbling windows") {
+    val out = EventStreams.windowedCounts(eventsDf, "1 hour", watermark = None)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "buy" -> 1L))
+  }
+
+  test("streaming sessionization emits a session after the gap times out") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1L, ts(0), 10L, "view", 1.0),
+        EventStreams.Event(2L, ts(10), 10L, "view", 2.0))
+      query.processAllAvailable()
+      // advance event time far past the gap: watermark passes session end
+      input.addData(EventStreams.Event(9L,
+        Timestamp.valueOf("2024-01-01 12:00:00"), 99L, "view", 0.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(10L,
+        Timestamp.valueOf("2024-01-01 13:00:00"), 99L, "view", 0.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .filter(col("user_id") === 10L).collect()
+      assert(out.length == 1)
+      assert(out(0).getLong(out(0).fieldIndex("n_events")) == 2L)
+      assert(out(0).getDouble(out(0).fieldIndex("value")) == 3.0)
+    } finally query.stop()
+  }
+}

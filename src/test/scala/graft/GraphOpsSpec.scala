@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.GraphOps
+
+/** A4 degree, J10/J11 ego/induced, A6 components, A7 diameter (exact
+  * on the fixture shapes), A8 transitivity, A5 metadata. */
+class GraphOpsSpec extends SparkSpec {
+
+  private def pathGraph = edgesOf(Seq(
+    "a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))
+
+  private def twoComponents = edgesOf(Seq(
+    "a" -> "b", "b" -> "c", "a" -> "c", // triangle
+    "x" -> "y"))                        // separate pair
+
+  test("A4 degrees counts both endpoints") {
+    val d = GraphOps.degrees(pathGraph).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 1L))
+  }
+
+  test("J10 ego edges: 1-hop closure induced subgraph") {
+    import spark.implicits._
+    val ego = GraphOps.egoEdges(pathGraph, Seq("b").toDF("id")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // b's neighborhood = {a, b, c}; induced edges = a-b, b-c
+    assert(ego == Set("a" -> "b", "b" -> "c"))
+  }
+
+  test("J11 induced subgraph needs BOTH endpoints in the set") {
+    import spark.implicits._
+    val ind = GraphOps.induced(pathGraph, Seq("a", "b", "d").toDF("id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ind == Set("a" -> "b"))
+  }
+
+  test("A6 connected components: min-label per component") {
+    val cc = GraphOps.connectedComponents(twoComponents).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("A6 component stats formats the largest-share percentage") {
+    val row = GraphOps.componentStats(twoComponents).collect()(0)
+    assert(row.getLong(0) == 2L)
+    assert(row.getString(1) == "60.00%")
+  }
+
+  test("A7 diameter: exact on a path (double-sweep tight on trees)") {
+    assert(GraphOps.diameter(pathGraph) == 4L)
+  }
+
+  test("A7 diameter: triangle = 1, star = 2") {
+    assert(GraphOps.diameter(edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c"))) == 1L)
+    assert(GraphOps.diameter(edgesOf(Seq("c" -> "a", "c" -> "b", "c" -> "d"))) == 2L)
+  }
+
+  test("A8 transitivity: triangle + pendant = 3*1/5") {
+    val g = edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d"))
+    val row = GraphOps.transitivity(g).collect()(0)
+    assert(row.getLong(0) == 1L)      // triangles
+    assert(row.getLong(1) == 5L)      // triads: 1+1+3+0
+    assert(row.getDouble(2) == 0.6)
+  }
+
+  test("G5 subsetPP / subsetPO partition edges by bait membership") {
+    import spark.implicits._
+    val e = edgesOf(Seq("p1" -> "p2", "p1" -> "o1", "p2" -> "o2"))
+      .withColumn("score", lit(1.0))
+    val baits = Seq("p1", "p2").toDF("id")
+    val pp = GraphOps.subsetPP(e, baits).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val po = GraphOps.subsetPO(e, baits)
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pp == Set("p1" -> "p2"))
+    assert(po == Set("p1" -> "o1", "p2" -> "o2"))
+  }
+
+  test("A5 graphMetadata aggregates node/edge/type counts") {
+    import spark.implicits._
+    val nodes = Seq(("1_1_2", "P"), ("1_5_6", "O"), ("2_1_2", "O"))
+      .toDF("fragment", "type")
+    val edges = Seq(("1_1_2", "1_5_6", "P-O"), ("1_1_2", "2_1_2", "P-O"))
+      .toDF("src", "dst", "type")
+    val m = GraphOps.graphMetadata(nodes, edges).collect()(0)
+    val byName = m.schema.fieldNames.zipWithIndex.toMap
+    assert(m.getLong(byName("nodes")) == 3L)
+    assert(m.getLong(byName("promoters")) == 1L)
+    assert(m.getLong(byName("other_ends")) == 2L)
+    assert(m.getLong(byName("edges")) == 2L)
+    assert(m.getLong(byName("po_edges")) == 2L)
+    assert(m.getLong(byName("interchromosomal")) == 1L)
+    assert(m.getDouble(byName("mean_degree")) == 1.33)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.Readers
+
+/** S1-S8 readers against temp TSV fixtures: schema binding, format
+  * sniff, the Hi-C stale-header drop, feature-format canonicalization. */
+class ReadersSpec extends SparkSpec {
+
+  private def tmpTsv(lines: String*): String = {
+    val f = Files.createTempFile("graft", ".tsv")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("S3 sniff: 6 columns means Hi-C") {
+    val hic = tmpTsv("a\tb\tc\td\te\tf", "x\t1\t2\ty\t3\t4")
+    val pchic = tmpTsv((1 to 13).map("c" + _).mkString("\t"))
+    assert(Readers.isHiC(spark, hic))
+    assert(!Readers.isHiC(spark, pchic))
+  }
+
+  test("S1 PCHiC scan binds the dynamic score tail, chr stays string") {
+    val p = tmpTsv(
+      "baitChr\tbaitStart\tbaitEnd\tbaitID\tbaitName\toeChr\toeStart\toeEnd\toeID\toeName\tdist\tMon\tMac",
+      "X\t100\t199\t1\tG1\t1\t500\t599\t2\tP2\t400\t5.5\t6.5",
+      "1\t100\t199\t1\tG1\tY\t500\t599\t2\tP2\t400\t1.5\t2.5")
+    val df = Readers.loadPCHiC(spark, p)
+    assert(df.columns.takeRight(2).sameElements(Array("Mon", "Mac")))
+    assert(df.schema("baitChr").dataType.typeName == "string")
+    val x = df.filter(df("baitChr") === "X").collect()
+    assert(x.length == 1 && x(0).getDouble(11) == 5.5)
+  }
+
+  test("S2 Hi-C scan drops the stale duplicated header row") {
+    val p = tmpTsv(
+      "chr1\tx1\tx2\tchr2\ty1\ty2",   // real header (consumed)
+      "chr1\tx1\tx2\tchr2\ty1\ty2",   // stale header repeated as data
+      "1\t100\t199\t2\t500\t599")
+    val df = Readers.loadHiC(spark, p)
+    assert(df.count() == 1)
+    assert(df.columns.sameElements(Array("baitChr", "baitStart", "baitEnd",
+      "oeChr", "oeStart", "oeEnd")))
+  }
+
+  test("S4 features_on_nodes strips the chr prefix from fragment keys") {
+    val p = tmpTsv("frag\tH3K4\tH3K27", "chr1_100_199\t1.0\t0.0")
+    val df = Readers.loadFeaturesOnNodes(spark, p).collect()(0)
+    assert(df.getString(0) == "1_100_199")
+    assert(df.getDouble(1) == 1.0)
+  }
+
+  test("S8 bed3/bed6/macs2 normalize to the canonical feature table") {
+    val b3 = tmpTsv("1\t100\t199\t2.5")
+    val out3 = Readers.loadBed3(spark, b3, "mark").collect()(0)
+    assert(out3.getString(3) == "mark" && out3.getDouble(4) == 2.5)
+    val b6 = tmpTsv("1\t100\t199\tn\t7.5\t+")
+    assert(Readers.loadBed6(spark, b6, "m").collect()(0).getDouble(4) == 7.5)
+    val m2 = tmpTsv("1\t100\t199\tpeak1\t900\t.\t12.5\t1\t1\t150")
+    assert(Readers.loadMacs2(spark, m2, "m").collect()(0).getDouble(4) == 12.5)
+  }
+
+  test("S8 chromhmm emits long-form 0/1 per state") {
+    val p = tmpTsv("1\t100\t199\tE1", "1\t200\t299\tE2")
+    val rows = Readers.loadChromhmm(spark, p).collect()
+    assert(rows.map(_.getString(3)).toSet == Set("E1", "E2"))
+    assert(rows.forall(_.getDouble(4) == 1.0))
+  }
+
+  test("S8 features_table unpivots named value columns") {
+    val p = tmpTsv("chr\tstart\tend\tm1\tm2", "1\t100\t199\t1.5\t2.5")
+    val rows = Readers.loadFeaturesTable(spark, p).collect()
+    assert(rows.map(r => r.getString(3) -> r.getDouble(4)).toMap ==
+      Map("m1" -> 1.5, "m2" -> 2.5))
+  }
+
+  test("S9 parquet snapshot round-trips") {
+    val dir = Files.createTempDirectory("graftsnap").toString + "/t"
+    Readers.snapshot(pchicFixture, dir)
+    assert(Readers.loadSnapshot(spark, dir).count() == pchicFixture.count())
+  }
+}

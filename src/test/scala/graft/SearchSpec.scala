@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Search
+
+/** Q1-Q6 dispatcher semantics, mirroring the reference's EZH2-style
+  * end-to-end search tests (tests/test_network_generator.R:87-135):
+  * seed resolution per query form, ego vs induced expansion, `searched`
+  * flags, per-subnet degree recompute. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // star around EZH2 bait + a detached edge
+  private def nodes = Seq(
+    ("1_100_199", "EZH2", "1", 100L, 199L, "P"),
+    ("1_500_599", "TP53 EZH2L", "1", 500L, 599L, "O"),
+    ("1_900_999", "", "1", 900L, 999L, "O"),
+    ("2_100_199", "KRAS", "2", 100L, 199L, "P"),
+    ("2_500_599", "BRAF", "2", 500L, 599L, "O"))
+    .toDF("fragment", "gene_names", "chr", "start", "end", "type")
+
+  private def edges = Seq(
+    ("1_100_199", "1_500_599", 6.0), ("1_100_199", "1_900_999", 7.0),
+    ("2_100_199", "2_500_599", 8.0))
+    .toDF("src", "dst", "score")
+
+  test("Q1 fragment-id lookup is exact and case-insensitive") {
+    assert(Search.byFragmentId(nodes, "1_100_199").count() == 1)
+    assert(Search.byFragmentId(nodes, "x_1_2").count() == 0)
+  }
+
+  test("Q2 gene search is word-boundary: EZH2 does not match EZH2L") {
+    val ids = Search.byGeneName(nodes, "EZH2").collect().map(_.getString(0))
+    assert(ids.toSet == Set("1_100_199"))
+    assert(Search.byGeneName(nodes, "ezh").count() == 0)
+  }
+
+  test("Q3 ensembl search translates then name-searches") {
+    val e2n = Seq(("ensg00000106462", "EZH2")).toDF("ensembl_id", "gene_name")
+    val ids = Search.byEnsemblId(nodes, e2n, "ENSG00000106462")
+      .collect().map(_.getString(0))
+    assert(ids.toSet == Set("1_100_199"))
+    assert(Search.byEnsemblId(nodes, e2n, "ENSG00000000000").count() == 0)
+  }
+
+  test("Q4 gene-list search unions matches in one scan") {
+    val ids = Search.byGeneList(nodes, Seq("KRAS", "TP53"))
+      .collect().map(_.getString(0))
+    assert(ids.toSet == Set("1_500_599", "2_100_199"))
+  }
+
+  test("Q5 range search overlaps without ego expansion; nearest fallback") {
+    val hit = Search.byRange(nodes, "1:150-550", expand = 0, nearest = false)
+    assert(hit.collect().map(_.getString(0)).toSet ==
+      Set("1_100_199", "1_500_599"))
+    // no overlap -> nearest single fragment
+    val near = Search.byRange(nodes, "1:700-750", expand = 0, nearest = false)
+    assert(near.collect().map(_.getString(0)).toSet == Set("1_500_599"))
+  }
+
+  test("full dispatcher: gene search expands ego, flags seeds, degrees") {
+    val sub = Search.search(nodes, edges, None, "EZH2")
+    val n = sub.nodes.collect().map(r => r.getString(0) ->
+      (r.getBoolean(r.fieldIndex("searched")),
+       r.getLong(r.fieldIndex("degree")))).toMap
+    // EZH2's ego: the star of 1_100_199 — chromosome-2 edge excluded
+    assert(n.keySet == Set("1_100_199", "1_500_599", "1_900_999"))
+    assert(n("1_100_199") == ((true, 2L)))
+    assert(n("1_500_599") == ((false, 1L)))
+    assert(sub.edges.count() == 2)
+  }
+
+  test("range dispatch: induced subgraph only (no ego), degree recomputed") {
+    val sub = Search.search(nodes, edges, None, "1:150-550")
+    // induced on {1_100_199, 1_500_599}: single edge between them
+    assert(sub.edges.count() == 1)
+    val deg = sub.nodes.collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("degree"))).toMap
+    assert(deg == Map("1_100_199" -> 1L, "1_500_599" -> 1L))
+  }
+
+  test("miss returns an empty subnet, not an error") {
+    val sub = Search.search(nodes, edges, None, "NOSUCHGENE")
+    assert(sub.nodes.count() == 0 && sub.edges.count() == 0)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Multimodal, Similarity}
+
+/** Similarity search + multimodal plumbing. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val r = spark.range(1).select(
+      Similarity.cosine(array(lit(1.0), lit(0.0)), array(lit(0.0), lit(1.0))).as("o"),
+      Similarity.cosine(array(lit(1.0), lit(2.0)), array(lit(1.0), lit(2.0))).as("i"),
+      Similarity.cosine(array(lit(1.0), lit(0.0)), array(lit(-1.0), lit(0.0))).as("n"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine desc, excludes self") {
+    val probes = emb.filter(col("vec_id") === 0L)
+    val out = Similarity.bruteForceTopK(emb, probes, k = 2).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    // rank 1 = the near-parallel vector
+    assert(out(0).getInt(1) == 1 && out(0).getLong(2) == 1L)
+  }
+
+  test("IVF: assignment is total, probe recall covers the near bucket") {
+    val assigned = Similarity.ivfAssign(emb, nCentroids = 2)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("centroid_id").distinct().count() <= 2)
+    val out = Similarity.ivfTopK(assigned, emb.filter(col("vec_id") === 0L),
+      k = 2, nProbe = 2, nCentroids = 2).collect()
+    assert(out.nonEmpty && out(0).getLong(2) == 1L)
+  }
+
+  test("multimodal decode stub: deterministic metadata, image has no duration") {
+    val media = Multimodal.synthesize(
+      Seq((0L, "hello"), (1L, "world"), (2L, "again")).toDF("id", "t"), "id", "t")
+    val dec = Multimodal.decodeStub(media).select("media_id", "kind", "meta.*")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.isNullAt(4), r.get(4))).toMap
+    assert(dec(0L)._1 == "image" && dec(0L)._2)          // image: null duration
+    assert(dec(1L)._1 == "audio" && dec(1L)._3 == 1500L) // 5 bytes *100+1000
+    // deterministic: same payload -> same meta
+    val again = Multimodal.decodeStub(media).select("meta.width").collect()
+    val again2 = Multimodal.decodeStub(media).select("meta.width").collect()
+    assert(again.map(_.getInt(0)).sameElements(again2.map(_.getInt(0))))
+  }
+
+  test("resize stub preserves aspect and caps at the box") {
+    val media = Multimodal.synthesize(
+      Seq((1L, "x" * 50)).toDF("id", "t"), "id", "t")
+    val dec = Multimodal.resizeStub(Multimodal.decodeStub(media), 64, 48)
+      .select("meta.width", "meta.height").collect()(0)
+    assert(dec.getInt(0) <= 64 && dec.getInt(1) <= 48)
+  }
+
+  test("frame sampling explodes audio/video only, stride respected") {
+    val media = Multimodal.synthesize(
+      Seq((0L, "img"), (1L, "audio-payload")).toDF("id", "t"), "id", "t")
+    val frames = Multimodal.frameSample(Multimodal.decodeStub(media), 1000L)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byId.contains(0L)) // image skipped
+    // audio: 13 bytes -> 2300ms -> frames at 0,1000,2000
+    assert(byId(1L) == 3L)
+  }
+
+  test("feature extraction stub emits fixed-dim float arrays in [-1,1]") {
+    val media = Multimodal.synthesize(
+      Seq((1L, "abc")).toDF("id", "t"), "id", "t")
+    val f = Multimodal.featureExtractStub(media, 8).select("features")
+      .collect()(0).getSeq[Float](0)
+    assert(f.length == 8)
+    assert(f.forall(v => v >= -1.0f && v <= 1.0f))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
+
+/** Dedup + text-analysis extension operators. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (4L, "completely different words entirely unrelated here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, min id canonical") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("minhash LSH finds near + exact dup candidates with jaccard") {
+    val cands = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands.contains((1L, 3L)) && cands((1L, 3L)) == 1.0)
+    // near-dup shares most 3-shingles; jaccard in (0, 1)
+    cands.get((1L, 2L)).foreach(j => assert(j > 0.4 && j < 1.0))
+    assert(!cands.keySet.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
+  }
+
+  test("ngram jaccard: identical 1.0, disjoint 0.0") {
+    val out = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 1L && col("b.doc_id") === 3L)
+      .select(Dedup.ngramJaccard(col("a.text"), col("b.text"))).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    val dis = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 1L && col("b.doc_id") === 4L)
+      .select(Dedup.ngramJaccard(col("a.text"), col("b.text"))).collect()
+    assert(dis(0).getDouble(0) == 0.0)
+  }
+
+  test("simhash: equal texts equal prints, near texts small hamming") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text"), 32).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L).length == 32 && fp(1L).forall(c => c == '0' || c == '1'))
+    val ham = docs.limit(0).sparkSession.range(1).select(
+      Dedup.hammingDist(lit(fp(1L)), lit(fp(2L))).as("d"),
+      Dedup.hammingDist(lit(fp(1L)), lit(fp(4L))).as("far")).collect()(0)
+    assert(ham.getInt(0) < ham.getInt(1))
+  }
+
+  test("embedding near-dups finds planted duplicate vectors") {
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => 0.1f * i + 0.1f)),
+      (2L, Array.tabulate(8)(i => 0.1f * i + 0.1f)),       // identical
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(vecs, threshold = 0.95,
+        bands = 4, bitsPerBand = 4, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(1L -> 2L))
+  }
+
+  test("token counting: whitespace and bpe-ish boundaries") {
+    val r = spark.range(1).select(
+      TextOps.tokenCount(lit(" a  b\tc ")).as("n"),
+      TextOps.bpeishTokenCount(lit("abc123 def, x")).as("b")).collect()(0)
+    assert(r.getInt(0) == 3)
+    // abc|123, def|,| x -> abc,123,def,",",x = 5
+    assert(r.getInt(1) == 5)
+  }
+
+  test("quality score stays in [0,1]; english beats noise") {
+    val out = docs.select(TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    val noise = spark.range(1).select(
+      TextOps.qualityScore(lit("$$$$ #### !!!! 1234")).as("q")).collect()(0)
+    assert(out.head > noise.getDouble(0))
+  }
+
+  test("lang id picks the dominant stopword language, und on none") {
+    val r = Seq(
+      "the cat is on the mat and it is happy",
+      "der Hund ist nicht das Problem und das ist gut",
+      "zzz qqq xxx").toDF("t")
+      .select(TextOps.langId(col("t")).as("l")).collect().map(_.getString(0))
+    assert(r.sameElements(Array("en", "de", "und")))
+  }
+
+  test("fingerprints: whitespace-insensitive; rolling survives suffix edits") {
+    val fp = Seq("a  b   c", "a b c").toDF("t")
+      .select(TextOps.fingerprint(col("t"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+    val long = (1 to 20).map("w" + _).mkString(" ")
+    val rolled = Seq(long, long + " tail extra").toDF("t")
+      .select(TextOps.rollingFingerprint(col("t"), 8)).collect()
+      .map(_.getString(0))
+    // min-over-windows usually unchanged by a suffix append
+    assert(rolled(0) == rolled(1))
+  }
+}
