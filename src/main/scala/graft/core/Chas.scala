@@ -155,70 +155,63 @@ object Chas {
 
     var r = 0
     while (r < rounds) {
-      // 1. seeded random pairing of edges within (replica, bin)
+      // 1. seeded random pairing within (replica, bin): row_number +
+      // lead over ONE window - odd rows carry their partner inline, no
+      // self-join. The odd leftover row (lead null) passes through.
       val h = xxhash64(col("src"), col("dst"), col("replica"),
         lit(seed + 1000003L * r))
       val w = Window.partitionBy(col("replica"), col("__bin"))
         .orderBy(h, col("src"), col("dst"))
-      val idx = cand.withColumn("__i", row_number().over(w))
-      val left = idx.filter(col("__i") % 2 === 1)
+      val pairs = cand
+        .withColumn("__i", row_number().over(w))
+        .withColumn("__ps", lead(col("src"), 1).over(w))
+        .withColumn("__pd", lead(col("dst"), 1).over(w))
+        .filter(col("__i") % 2 === 1)
         .select(col("replica"), col("__bin"),
           ((col("__i") + 1) / 2).cast("long").as("__p"),
-          col("src").as("ls"), col("dst").as("ld"))
-      val right = idx.filter(col("__i") % 2 === 0)
-        .select(col("replica").as("__r2"), col("__bin").as("__b2"),
-          (col("__i") / 2).cast("long").as("__p2"),
-          col("src").as("rs"), col("dst").as("rd"))
-      // left join: an odd leftover edge has no partner and passes through
-      val paired = left.join(right,
-        col("replica") === col("__r2") && col("__bin") === col("__b2") &&
-        col("__p") === col("__p2"), "left")
+          col("src").as("ls"), col("dst").as("ld"),
+          col("__ps").as("rs"), col("__pd").as("rd"))
 
-      // 2. validity against the CURRENT key set (per replica)
-      val eKeys = cand.select(col("replica").as("__kr"),
-        least(col("src"), col("dst")).as("__ku"),
-        greatest(col("src"), col("dst")).as("__kv"))
       val n1u = least(col("ls"), col("rd")); val n1v = greatest(col("ls"), col("rd"))
       val n2u = least(col("rs"), col("ld")); val n2v = greatest(col("rs"), col("ld"))
-      val checked = paired
-        .join(eKeys.as("k1"),
-          col("replica") === col("k1.__kr") &&
-          n1u === col("k1.__ku") && n1v === col("k1.__kv"), "left")
-        .join(eKeys.as("k2"),
-          col("replica") === col("k2.__kr") &&
-          n2u === col("k2.__ku") && n2v === col("k2.__kv"), "left")
-        .withColumn("__pre",
-          col("rs").isNotNull &&
-          col("ls") =!= col("rd") && col("rs") =!= col("ld") &&
-          col("k1.__ku").isNull && col("k2.__ku").isNull &&
-          !(n1u === n2u && n1v === n2v))
+      val pre = col("rs").isNotNull &&
+        col("ls") =!= col("rd") && col("rs") =!= col("ld") &&
+        !(n1u === n2u && n1v === n2v)
+
+      // 2. one fused key audit: a proposed key is invalid if it already
+      // exists in the CURRENT edge set or if two proposals mint it in
+      // the same round. Union (minted keys + existing keys), one
+      // groupBy, one join back - instead of two membership joins plus a
+      // separate collision pass.
+      val proposed = pairs.filter(pre)
+      val minted = proposed
         .select(col("replica"), col("__bin"), col("__p"),
-          col("ls"), col("ld"), col("rs"), col("rd"), col("__pre"))
-
-      // 3. cross-pair collision check: two accepted swaps in the same
-      // round must not mint the same new key
-      val minted = checked.filter(col("__pre"))
-        .select(col("replica"), col("__p"), n1u.as("u"), n1v.as("v"))
-        .unionAll(checked.filter(col("__pre"))
-          .select(col("replica"), col("__p"), n2u.as("u"), n2v.as("v")))
-      val collided = minted
-        .groupBy(col("replica").as("__cr"), col("u"), col("v"))
-        .agg(count(lit(1)).as("__n"), first(col("__p")).as("__anyp"))
-        .filter(col("__n") > 1)
-      val collidedPairs = minted
-        .join(collided,
-          minted("replica") === col("__cr") &&
-          minted("u") === collided("u") && minted("v") === collided("v"))
-        .select(minted("replica").as("__xr"), minted("__p").as("__xp"))
+          n1u.as("u"), n1v.as("v"))
+        .unionAll(proposed.select(col("replica"), col("__bin"), col("__p"),
+          n2u.as("u"), n2v.as("v")))
+      val existing = cand.select(col("replica"),
+          lit(null).cast("string").as("__bin"), lit(null).cast("long").as("__p"),
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+      val badKeys = minted.unionAll(existing)
+        .groupBy(col("replica"), col("u"), col("v"))
+        .agg(sum(when(col("__p").isNull, 1).otherwise(0)).as("__inE"),
+          sum(when(col("__p").isNull, 0).otherwise(1)).as("__mint"))
+        .filter(col("__inE") > 0 || col("__mint") > 1)
+        .select(col("replica").as("__br"), col("u"), col("v"))
+      val badPairs = minted
+        .join(badKeys, minted("replica") === col("__br") &&
+          minted("u") === badKeys("u") && minted("v") === badKeys("v"))
+        .select(minted("replica").as("__xr"), minted("__bin").as("__xb"),
+          minted("__p").as("__xp"))
         .distinct()
-      val finalChecked = checked
-        .join(collidedPairs,
-          col("replica") === col("__xr") && col("__p") === col("__xp"),
-          "left")
-        .withColumn("__accept", col("__pre") && col("__xr").isNull)
 
-      // 4. emit: swapped pair, original pair, or the odd passthrough row
-      cand = finalChecked.select(col("replica"), col("__bin"), explode(
+      // 3. emit: accepted pairs swap, rejected keep, odd row passthrough
+      val flagged = pairs.join(badPairs,
+          col("replica") === col("__xr") && col("__bin") === col("__xb") &&
+          col("__p") === col("__xp"), "left")
+        .withColumn("__accept", pre && col("__xr").isNull)
+      val next = flagged.select(col("replica"), col("__bin"), explode(
           when(col("rs").isNull,
             array(struct(col("ls").as("src"), col("ld").as("dst"))))
           .when(col("__accept"),
@@ -229,7 +222,10 @@ object Chas {
                   struct(col("rs").as("src"), col("rd").as("dst"))))).as("e"))
         .select(col("replica"), col("e.src").as("src"),
           col("e.dst").as("dst"), col("__bin"))
-        .localCheckpoint(eager = true)
+      // lineage cut every other round (plans stay small; one fewer
+      // materialization pass per two rounds)
+      cand = if (r % 2 == 1 || r == rounds - 1) next.localCheckpoint(eager = true)
+             else next
       r += 1
     }
     cand.select(col("replica"), col("src"), col("dst"))

@@ -40,21 +40,36 @@ object Dedup {
       j => array_min(transform(shingles(text, k),
         s => md5(concat(s, lit(":"), j.cast("string"))))))
 
-  /** LSH banding: docs → (doc, band, bandHash) long form. bands × rowsPerBand
-    * must equal the signature length. */
+  /** LSH banding: docs -> (doc, band, band_hash) long form, computed
+    * RELATIONALLY: explode distinct shingles once, hash per (shingle,
+    * slot), min per slot, re-band. The naive nested-array expression
+    * (transform over slots of array_min over shingles) gets its shingle
+    * array inlined once per slot AND per band slice by CollapseProject
+    * - a 64x recomputation of the tokenize+slice work; the explode
+    * shape computes each shingle string exactly once and scales as
+    * rows, not expression copies. Min over DISTINCT shingles equals min
+    * over all (duplicates cannot change a minimum). */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignature(col(textCol), k, bands * rowsPerBand)
-    docs.select(col(idCol).as("doc"), sig.as("__sig"))
-      .select(col("doc"), explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          md5(concat_ws("|", slice(col("__sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand)))).as("band_hash")))).as("bh"))
-      .select(col("doc"), col("bh.band"), col("bh.band_hash"))
+    val n = bands * rowsPerBand
+    val sh = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(shingles(col(textCol), k))).as("__s"))
+    val mh = sh
+      .withColumn("__j", explode(sequence(lit(0), lit(n - 1))))
+      .select(col("doc"), col("__j"),
+        md5(concat(col("__s"), lit(":"), col("__j").cast("string"))).as("__h"))
+      .groupBy(col("doc"), col("__j"))
+      .agg(min(col("__h")).as("__mh"))
+    mh.withColumn("band", (col("__j") / rowsPerBand).cast("int"))
+      .groupBy(col("doc"), col("band"))
+      .agg(md5(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("__j"), col("__mh")))),
+          x => x.getField("__mh")))).as("band_hash"))
   }
 
-  /** MinHash-LSH candidate pairs: docs sharing ≥1 band bucket, with the
-    * estimated Jaccard = fraction of equal signature positions. */
+  /** MinHash-LSH candidate pairs: docs sharing >=1 band bucket, with
+    * the exact k-shingle Jaccard computed on the candidate pairs only
+    * (verification is O(candidates), not O(n^2)). */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", k: Int = 3,
                         bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
