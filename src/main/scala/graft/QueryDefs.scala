@@ -70,8 +70,8 @@ object QueryDefs {
           round(col("value"), 6).as("value"))),
     "a16_binarize" -> ((s, d) => Chas.binarize(features(s, d))),
     "a17_features_metadata" -> ((s, d) =>
-      Chas.featuresMetadata(simplified(s, d), features(s, d),
-        GraphOps.degrees(simplified(s, d)), nReplicates = 3, seed = 42L)),
+      Chas.featuresMetadataSubnets(typed(s, d), features(s, d),
+        nReplicates = 3, seed = 42L)),
     "j1_join_features" -> ((s, d) =>
       Annotate.joinFeatures(verts(s, d), features(s, d))),
     "j2_bait_names" -> ((s, d) =>

@@ -89,24 +89,40 @@ object Annotate {
     * join the alias table on gene name, re-collapse ensembl ids +
     * aliases per fragment (A3). Returns vertices with added
     * `ensembl_ids` and `alias` columns.
+    *
+    * organism = "mus_musculus" adds the reference's mouse-specific
+    * variants: the `MGI:` prefix is stripped from alias/xref values
+    * (network_generator_lib.R:777,831) and promoter gene_names are
+    * re-cased to sentence case for display after the upper-cased join
+    * (str_to_sentence, :821).
     * Reference: homo network_generator_lib.R:675-726 / mus :782-836. */
-  def annotatePromoters(vertices: DataFrame, alias: DataFrame): DataFrame = {
+  def annotatePromoters(vertices: DataFrame, alias: DataFrame,
+                        organism: String = "homo_sapiens"): DataFrame = {
+    val mouse = organism == "mus_musculus"
     val promoters = vertices.filter(col("type") === "P")
       .select(col("fragment"),
         explode(split(
           regexp_replace(upper(trim(col("gene_names"))), "-\\d+\\b", ""),
           "[;, ]+")).as("__name"))
       .filter(col("__name") =!= "")
+    val aliasVal =
+      if (mouse) regexp_replace(col("alias"), "^MGI:", "") else col("alias")
     val aliasNorm = alias.select(
       upper(col("gene_name")).as("__name"),
-      col("ensembl_gene_id"), col("alias"))
+      col("ensembl_gene_id"), aliasVal.as("alias"))
     val hits = promoters.join(broadcast(aliasNorm), Seq("__name"), "left")
       .groupBy(col("fragment"))
       .agg(collapse("ensembl_gene_id").as("ensembl_ids"),
            collapse("alias").as("alias"))
-    vertices.join(hits, Seq("fragment"), "left")
+    val joined = vertices.join(hits, Seq("fragment"), "left")
       .withColumn("ensembl_ids", coalesce(col("ensembl_ids"), lit("")))
       .withColumn("alias", coalesce(col("alias"), lit("")))
+    if (!mouse) joined
+    else joined.withColumn("gene_names",
+      when(col("type") === "P" && length(col("gene_names")) > 0,
+        concat(upper(substring(col("gene_names"), 1, 1)),
+          lower(substring(col("gene_names"), 2, 1000000))))
+        .otherwise(col("gene_names")))
   }
 
   /** J6 intronic regions → vertices: semi interval join → boolean flag,

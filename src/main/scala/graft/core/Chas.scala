@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   * every statistic below is one shuffle per groupBy("feature").
   */
 object Chas {
+
+  /** Null-safe Pearson correlation: NULL when either side has zero
+    * variance (R's cor/igraph yield NA there; Spark 4 ANSI corr throws
+    * DIVIDE_BY_ZERO). covar_samp/(sx*sy) equals corr exactly - the
+    * sample-vs-population factors cancel in the ratio. Returns the agg
+    * columns to compute plus the finisher expression. */
+  private def safeCorrAggs(x: Column, y: Column): (Column, Seq[Column]) =
+    (covar_samp(x, y).as("__cov"),
+     Seq(stddev_samp(x).as("__sx"), stddev_samp(y).as("__sy")))
+
+  private val safeCorrValue: Column =
+    when(col("__sx") > 0 && col("__sy") > 0,
+      col("__cov") / (col("__sx") * col("__sy")))
+
 
   /** A11 ChAs: per feature, the Pearson correlation of feature values
     * across the two endpoints of every edge (continuous assortativity,
@@ -41,7 +55,9 @@ object Chas {
       .join(f1, sym("src") === f1("__f1"))
       .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
       .groupBy(col("feature"))
-      .agg(corr(col("__v1"), col("__v2")).as("chas"))
+      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
+        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
+      .select(col("feature"), safeCorrValue.as("chas"))
   }
 
   /** A12 feature abundance: mean feature value over nodes (na.rm).
@@ -134,8 +150,19 @@ object Chas {
     * coordinates parseable from the fragment id (chr_start_end).
     */
   def randomize(edges: DataFrame, nReplicates: Int, seed: Long,
-                distMatch: Boolean = false, rounds: Int = 10): DataFrame = {
-    val binCol =
+                distMatch: Boolean = false, rounds: Int = 10): DataFrame =
+    randomizeTagged(edges.withColumn("__tag", lit("all")), "__tag",
+      nReplicates, seed, distMatch, rounds).drop("__tag")
+
+  /** Tagged variant: edges carry a group column (e.g. a subnet tag) and
+    * swaps stay WITHIN each group - all groups randomize in the same
+    * plan (the group is just more bin key). Returns
+    * (replica, <groupCol>, src, dst). */
+  def randomizeTagged(edges: DataFrame, groupCol: String,
+                      nReplicates: Int, seed: Long,
+                      distMatch: Boolean = false,
+                      rounds: Int = 10): DataFrame = {
+    val distBin =
       if (distMatch) {
         // log-scale genomic distance bin; inter-chromosomal edges form
         // their own bin (distance undefined) - chaser bins similarly.
@@ -148,8 +175,9 @@ object Chas {
             .cast("string"))
           .otherwise(lit("inter"))
       } else lit("all")
-    var cand = edges.select(col("src"), col("dst"))
-      .withColumn("__bin", binCol)
+    // the group tag rides inside the bin key (split back out at the end)
+    var cand = edges.select(col("src"), col("dst"),
+        concat_ws("|", col(groupCol), distBin).as("__bin"))
       .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
       .localCheckpoint(eager = true)
 
@@ -228,7 +256,9 @@ object Chas {
              else next
       r += 1
     }
-    cand.select(col("replica"), col("src"), col("dst"))
+    cand.select(col("replica"),
+      split(col("__bin"), "\\|").getItem(0).as(groupCol),
+      col("src"), col("dst"))
   }
 
   /** A14 random-ChAs envelope: ChAs per feature per randomized replicate,
@@ -252,9 +282,85 @@ object Chas {
       .join(f1, sym("src") === f1("__f1"))
       .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
       .groupBy(col("feature"), col("replica"))
-      .agg(corr(col("__v1"), col("__v2")).as("chas"))
+      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
+        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
+      .select(col("feature"), col("replica"), safeCorrValue.as("chas"))
       .groupBy(col("feature"))
       .agg(min(col("chas")).as("chas_min"), max(col("chas")).as("chas_max"))
+  }
+
+  /** features_metadata for ALL THREE subnets (net / pp / po) in ONE
+    * pass: every typed edge contributes to "net" plus its own type's
+    * subnet via an exploded tag column, so each statistic - ChAs,
+    * abundance, mean degree, and the randomized envelope (swaps stay
+    * within subnet via randomizeTagged) - is a single aggregation
+    * grouped by (subnet, feature). The reference materializes the cross
+    * three times sequentially (network_generator.R:255-266); at 100 TB
+    * the tag column turns that into one shuffle per statistic.
+    * typedEdges: DF(src, dst, ..., type in {P-P, P-O}). */
+  def featuresMetadataSubnets(typedEdges: DataFrame, features: DataFrame,
+                              nReplicates: Int, seed: Long,
+                              distMatch: Boolean = false): DataFrame = {
+    val tagged = typedEdges.select(col("src"), col("dst"),
+      explode(array(lit("net"),
+        when(col("type") === "P-P", lit("pp")).otherwise(lit("po"))))
+        .as("subnet"))
+
+    // observed ChAs per (subnet, feature)
+    val sym = tagged.select(col("subnet"), col("src"), col("dst"))
+      .unionAll(tagged.select(col("subnet"), col("dst").as("src"),
+        col("src").as("dst")))
+    val f1 = features.select(col("fragment").as("__f1"), col("feature"),
+      col("value").as("__v1"))
+    val f2 = features.select(col("fragment").as("__f2"),
+      col("feature").as("__feat2"), col("value").as("__v2"))
+    val obs = sym
+      .join(f1, sym("src") === f1("__f1"))
+      .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
+      .groupBy(col("subnet"), col("feature"))
+      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
+        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
+      .select(col("subnet"), col("feature"), safeCorrValue.as("chas"))
+
+    // per-subnet degree and node set
+    val deg = sym.groupBy(col("subnet"), col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    val nodes = deg.select(col("subnet"), col("id"))
+    val abund = features
+      .join(nodes, features("fragment") === nodes("id"))
+      .groupBy(col("subnet"), col("feature"))
+      .agg(avg(col("value")).as("abundance"))
+    val mdeg = features.filter(col("value") =!= 0.0)
+      .join(deg, features("fragment") === deg("id"))
+      .groupBy(col("subnet"), col("feature"))
+      .agg(avg(col("degree")).as("mean_degree"))
+
+    // envelope: all replicas x all subnets in one randomized plan
+    val rand = randomizeTagged(tagged, "subnet", nReplicates, seed, distMatch)
+    val rsym = rand.select(col("replica"), col("subnet"), col("src"), col("dst"))
+      .unionAll(rand.select(col("replica"), col("subnet"),
+        col("dst").as("src"), col("src").as("dst")))
+    val env = rsym
+      .join(f1, rsym("src") === f1("__f1"))
+      .join(f2, rsym("dst") === f2("__f2") && col("feature") === col("__feat2"))
+      .groupBy(col("subnet"), col("feature"), col("replica"))
+      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
+        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
+      .select(col("subnet"), col("feature"), col("replica"),
+        safeCorrValue.as("chas"))
+      .groupBy(col("subnet"), col("feature"))
+      .agg(min(col("chas")).as("chas_min"), max(col("chas")).as("chas_max"))
+
+    obs
+      .join(abund, Seq("subnet", "feature"), "outer")
+      .join(mdeg, Seq("subnet", "feature"), "outer")
+      .join(env, Seq("subnet", "feature"), "outer")
+      .select(col("subnet"), col("feature"),
+        round(col("abundance"), 2).as("abundance"),
+        round(col("chas"), 3).as("chas"),
+        format_string("%.3f,%.3f", col("chas_min"), col("chas_max"))
+          .as("random_chas_interval"),
+        round(col("mean_degree"), 2).as("mean_degree"))
   }
 
   /** features_metadata assembly: {Abundance, ChAs, RandomChAs envelope,

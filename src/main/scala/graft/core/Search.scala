@@ -72,8 +72,11 @@ object Search {
     val chr = parts(0).toUpperCase
     val start = parts(1).toLong
     val end = if (parts.length > 2) parts(2).toLong else start
+    // seed sets are tiny: materialize once (localCheckpoint) so the
+    // emptiness probe and the returned plan don't re-run the scan
     val overlap = Intervals.probeOverlap(vertices, chr, start, end, expand)
       .select(col("fragment").as("id"))
+      .localCheckpoint(true)
     if (nearest || overlap.isEmpty)
       Intervals.probeNearest(vertices, chr, start, end)
         .select(col("fragment").as("id"))
