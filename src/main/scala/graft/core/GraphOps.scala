@@ -76,14 +76,17 @@ object GraphOps {
       .drop("id", "__b")
   }
 
-  /** A6 connected components via alternating large-star / small-star
-    * (Kiveris et al. 2014) — converges in O(log² n) rounds, each round
-    * two shuffles, scale-proof (no driver-side graph). Returns
-    * DF(id, component) where component = min node id reachable.
+  /** A6 connected components: min-label propagation WITH pointer
+    * jumping. Each round (a) lowers every node's label to the minimum
+    * label in its closed neighborhood and (b) path-halves by replacing
+    * label(v) with label(label(v)) - the Kiveris-style shortcut that
+    * turns O(graph diameter) convergence into O(log diameter) rounds
+    * (a chain of 10^6 nodes converges in ~20 rounds, not 10^6). Each
+    * round is two shuffles; lineage is cut per round.
+    * Returns DF(id, comp) where comp = min node id reachable.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    // initial parent = min(self, min neighbor)
+    // initial label = min(self, neighbors)
     var cc = symmetrize(edges)
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("comp"))
@@ -93,16 +96,23 @@ object GraphOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // propagate: comp(id) <- min(comp(id), min over neighbors of comp(nb))
+      // (a) neighborhood min
       val viaNeighbors = edgeList
         .join(cc.withColumnRenamed("id", "dst2"),
           edgeList("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = cc.join(viaNeighbors, Seq("id"), "left")
+      val lowered = cc.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(eager = true)
+      // (b) pointer jump: comp <- comp(comp). comp ids are node ids, so
+      // the lookup is a self-join on the same frame.
+      val jumped = lowered.as("a")
+        .join(lowered.select(col("id").as("jid"), col("comp").as("jcomp")),
+          col("a.comp") === col("jid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("jcomp"), col("a.comp")).as("comp"))
+      val next = jumped.localCheckpoint(eager = true)
       val changed = next.join(cc.withColumnRenamed("comp", "oldc"), Seq("id"))
         .filter(col("comp") =!= col("oldc")).limit(1).count()
       cc.unpersist()

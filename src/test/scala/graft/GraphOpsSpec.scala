@@ -95,4 +95,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(m.getLong(byName("interchromosomal")) == 1L)
     assert(m.getDouble(byName("mean_degree")) == 1.33)
   }
+
+  test("A6 CC converges fast on a long chain (pointer jumping)") {
+    // 200-node path: naive min-label needs ~200 rounds; pointer
+    // jumping must finish well inside maxIter=12
+    val chain = edgesOf((0 until 199).map(i => f"n$i%03d" -> f"n${i + 1}%03d"))
+    val cc = GraphOps.connectedComponents(chain, maxIter = 12).collect()
+    assert(cc.length == 200)
+    assert(cc.forall(_.getString(1) == "n000"))
+  }
 }
