@@ -221,15 +221,20 @@ object Chas {
           lit(null).cast("string").as("__bin"), lit(null).cast("long").as("__p"),
           least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
+      // NB badKeys derives FROM minted: columns must be renamed before
+      // the join back or Spark resolves both sides to the same
+      // expression id (a trivially-true predicate that would degrade
+      // the join to replica-only and over-reject every proposal).
       val badKeys = minted.unionAll(existing)
         .groupBy(col("replica"), col("u"), col("v"))
         .agg(sum(when(col("__p").isNull, 1).otherwise(0)).as("__inE"),
           sum(when(col("__p").isNull, 0).otherwise(1)).as("__mint"))
         .filter(col("__inE") > 0 || col("__mint") > 1)
-        .select(col("replica").as("__br"), col("u"), col("v"))
+        .select(col("replica").as("__br"), col("u").as("__bu"),
+          col("v").as("__bv"))
       val badPairs = minted
         .join(badKeys, minted("replica") === col("__br") &&
-          minted("u") === badKeys("u") && minted("v") === badKeys("v"))
+          minted("u") === col("__bu") && minted("v") === col("__bv"))
         .select(minted("replica").as("__xr"), minted("__bin").as("__xb"),
           minted("__p").as("__xp"))
         .distinct()

@@ -109,4 +109,22 @@ class ChasSpec extends SparkSpec {
       assert(lo >= -1.0 - 1e-9 && hi <= 1.0 + 1e-9)
     }
   }
+
+  test("G6 randomize actually mixes: most edges differ from the original") {
+    // 80-bait/240-edge random graph: after 10 swap rounds each replica
+    // must replace a substantial share of undirected keys (a no-op
+    // randomizer - e.g. an over-rejecting audit - fails this)
+    val rnd = new scala.util.Random(13)
+    val raw = (0 until 240).map { _ =>
+      (s"b${rnd.nextInt(80)}", s"o${80 + rnd.nextInt(200)}") }.distinct
+    val g = edgesOf(raw)
+    val orig = raw.map { case (a, b) => Set(a, b) }.toSet
+    val out = Chas.randomize(g, nReplicates = 2, seed = 99L).collect()
+    (0 until 2).foreach { rep =>
+      val keys = out.filter(_.getInt(0) == rep)
+        .map(r => Set(r.getString(1), r.getString(2))).toSet
+      val changed = keys.diff(orig).size.toDouble / keys.size
+      assert(changed > 0.3, s"replica $rep only ${changed * 100}%% changed")
+    }
+  }
 }

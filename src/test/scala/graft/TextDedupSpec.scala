@@ -101,4 +101,24 @@ class TextDedupSpec extends SparkSpec {
     // min-over-windows usually unchanged by a suffix append
     assert(rolled(0) == rolled(1))
   }
+
+  test("embedding LSH recall >= 0.9 on planted near-dups (cos ~0.99)") {
+    // 150 random vectors + 20 planted near-duplicate pairs; default
+    // banding (8 x 4 over dim 64) is parameterized for near-dup
+    // thresholds: recall = 1-(1-p^bits)^bands with p = 1 - theta/pi
+    // (~0.96 at cos 0.9). The earlier sf-corpus probe at threshold 0.3
+    // sits far off the design point by construction.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 150).map(i => (i.toLong, vec()))
+    val planted = (0 until 20).map { i =>
+      val (id, v) = base(i)
+      (1000L + id, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDups(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0 until 20).count(i => found.contains((i.toLong, 1000L + i)))
+    assert(hits >= 18, s"recall ${hits / 20.0} below 0.9")
+  }
 }
