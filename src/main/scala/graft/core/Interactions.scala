@@ -160,4 +160,12 @@ object Interactions {
   def scrubNonAscii(df: DataFrame, arrayCol: String): DataFrame =
     df.withColumn(arrayCol,
       filter(col(arrayCol), x => x.rlike("^[\\x00-\\x7F]*$")))
+
+  /** F7 over the collapsed space-separated string form that
+    * Annotate.annotatePromoters emits (the two compose directly):
+    * split -> drop non-ASCII tokens -> re-collapse. */
+  def scrubNonAsciiString(df: DataFrame, stringCol: String): DataFrame =
+    df.withColumn(stringCol,
+      concat_ws(" ", filter(split(col(stringCol), " "),
+        x => x.rlike("^[\\x00-\\x7F]*$"))))
 }

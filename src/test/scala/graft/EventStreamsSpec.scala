@@ -67,4 +67,22 @@ class EventStreamsSpec extends SparkSpec {
       assert(out(0).getDouble(out(0).fieldIndex("value")) == 3.0)
     } finally query.stop()
   }
+
+  test("windowedCounts runs as a real file-source readStream with watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    eventsDf.write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream
+      .schema(eventsDf.schema)
+      .parquet(dir + "/in")
+    val q = EventStreams.windowedCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; the aggregation
+      // state must exist and the query must run without error
+      assert(q.isActive)
+      assert(q.lastProgress == null || q.exception.isEmpty)
+    } finally q.stop()
+  }
 }

@@ -99,4 +99,12 @@ class InteractionsSpec extends SparkSpec {
       .collect()(0).getSeq[String](1)
     assert(out == Seq("ok", "fine"))
   }
+
+  test("F7 string form composes with annotatePromoters' collapsed alias") {
+    import spark.implicits._
+    val df = Seq((1, "ok café fine")).toDF("id", "alias")
+    val out = Interactions.scrubNonAsciiString(df, "alias")
+      .collect()(0).getString(1)
+    assert(out == "ok fine")
+  }
 }
