@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core.{Interactions, Intervals}
+
+/** ScalaCheck-generated properties (SURVEY §5): bucketed interval join
+  * ≡ brute force, normalizeNames idempotent, simplify emits unique
+  * loop-free undirected keys — each checked over several seeded random
+  * frames (raw Gen + fixed seeds; the scalatestplus bridge is not in
+  * the offline artifact cache). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(params, Seed(seed))
+
+  private val ivGen: Gen[(String, Long, Long)] = for {
+    chr <- Gen.oneOf("1", "2", "X")
+    start <- Gen.choose(0L, 5000L)
+    len <- Gen.choose(0L, 3000L)
+  } yield (chr, start, start + len)
+
+  test("property: overlapJoin equals brute force on random intervals") {
+    (1 to 5).foreach { it =>
+      val ls = sample(Gen.listOfN(12, ivGen), it * 2L)
+      val rs = sample(Gen.listOfN(12, ivGen), it * 2L + 1)
+      val left = ls.zipWithIndex
+        .map { case ((c, s, e), i) => (s"l$i", c, s, e) }
+        .toDF("id", "chr", "start", "end")
+      val right = rs.zipWithIndex
+        .map { case ((c, s, e), i) => (c, s, e, s"r$i") }
+        .toDF("chr", "start", "end", "name")
+      val bucketed = Intervals.overlapJoin(left, right, rightPrefix = "r_",
+          bucketWidth = 1000L)
+        .select("id", "r_name").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val brute = left.as("l").join(right.as("r"),
+          col("l.chr") === col("r.chr") &&
+          col("l.start") <= col("r.end") && col("l.end") >= col("r.start"))
+        .select(col("l.id"), col("r.name")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(bucketed == brute, s"iteration $it")
+    }
+  }
+
+  test("property: normalizeNames is idempotent") {
+    val bagGen = Gen.listOf(Gen.oneOf("Hoxa1", "Hoxa1-1", ".", "B2", "x-9"))
+      .map(_.mkString(" "))
+    (1 to 5).foreach { it =>
+      val bags = sample(Gen.listOfN(8, bagGen), 100L + it)
+      val df = bags.toDF("bag")
+      val once = df.select(Interactions.normalizeNames(col("bag")).as("n"))
+      val twice = once.select(Interactions.normalizeNames(col("n")).as("n"))
+      assert(once.collect().map(_.getString(0))
+        .sameElements(twice.collect().map(_.getString(0))), s"iteration $it")
+    }
+  }
+
+  test("property: simplify output has unique undirected keys, no loops") {
+    val edgeGen = for {
+      a <- Gen.choose(0, 8); b <- Gen.choose(0, 8)
+    } yield (s"n$a", s"n$b", (a * 31 + b).toDouble)
+    (1 to 5).foreach { it =>
+      val es = sample(Gen.listOfN(25, edgeGen), 200L + it)
+      val df = es.toDF("src", "dst", "score")
+      val out = Interactions.simplifyBy(df,
+        Seq(col("score"), col("src"), col("dst"))).collect()
+      assert(out.forall(r => r.getString(0) != r.getString(1)))
+      val keys = out.map(r => Set(r.getString(0), r.getString(1)))
+      assert(keys.distinct.length == keys.length, s"iteration $it")
+    }
+  }
+}
