@@ -175,10 +175,12 @@ FROM (SELECT count(*) AS triangles FROM tedges e1
     "a9_suggestions" -> gq(raw"""
 SELECT DISTINCT s AS suggestion FROM (
   SELECT unnest(string_split_regex(gene_names, '[;, ]+')) AS s FROM verts) t
-WHERE s <> ''"""),
+WHERE s <> '' ORDER BY suggestion"""),
     "a10_chromosomes" -> gq(raw"""
 SELECT chr FROM (SELECT DISTINCT chr FROM verts WHERE chr NOT LIKE '%MT%'
-                 UNION ALL SELECT 'PP') t"""),
+                 UNION ALL SELECT 'PP') t
+ORDER BY CASE WHEN regexp_matches(chr, '^\d+$$')
+              THEN '0'||lpad(chr, 2, '0') ELSE '1'||chr END"""),
     "a11_chas" -> gq(raw"""
 SELECT f1.feature, round(corr(f1.value, f2.value), 6) AS chas
 FROM (SELECT src, dst FROM simplified

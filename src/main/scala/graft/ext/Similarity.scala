@@ -116,4 +116,17 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("corpus_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+
+  /** Persist an IVF-assigned corpus partitioned BY centroid: the disk
+    * layout that makes ivfTopK's bucket pruning physical — a probe with
+    * nProbe buckets reads only those buckets' files (partition pruning
+    * at the parquet source), so query cost scales with k/nCentroids of
+    * the corpus instead of the corpus. */
+  def writeIvfIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
 }

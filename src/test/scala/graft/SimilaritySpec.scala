@@ -85,4 +85,29 @@ class SimilaritySpec extends SparkSpec {
     assert(f.length == 8)
     assert(f.forall(v => v >= -1.0f && v <= 1.0f))
   }
+
+  test("IVF disk index: probes prune to their centroid partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    val assigned = Similarity.ivfAssign(emb, nCentroids = 2)
+    Similarity.writeIvfIndex(assigned, dir)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    // partition layout on disk: one dir per centroid
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(dirs.length >= 1 && dirs.length <= 2)
+    // a bucket-filtered scan shows the partition filter at the source
+    val someCentroid = assigned.select("centroid_id").distinct()
+      .collect()(0).getLong(0)
+    val plan = idx.filter(col("centroid_id") === someCentroid)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"), plan.take(500))
+    // and topK over the disk index matches topK over the in-memory one
+    val probes = emb.filter(col("vec_id") === 0L)
+    val fromDisk = Similarity.ivfTopK(idx, probes, k = 2, nProbe = 2,
+      nCentroids = 2).collect().map(_.getLong(2)).toSeq
+    val fromMem = Similarity.ivfTopK(assigned, probes, k = 2, nProbe = 2,
+      nCentroids = 2).collect().map(_.getLong(2)).toSeq
+    assert(fromDisk == fromMem)
+  }
 }
