@@ -199,6 +199,10 @@ object Chas {
           ((col("__i") + 1) / 2).cast("long").as("__p"),
           col("src").as("ls"), col("dst").as("ld"),
           col("__ps").as("rs"), col("__pd").as("rd"))
+        // materialize once: the pairing is referenced three times below
+        // (minted x2, final join) and the window sort would otherwise
+        // recompute per reference
+        .localCheckpoint(eager = true)
 
       val n1u = least(col("ls"), col("rd")); val n1v = greatest(col("ls"), col("rd"))
       val n2u = least(col("rs"), col("ld")); val n2v = greatest(col("rs"), col("ld"))
