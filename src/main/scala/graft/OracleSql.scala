@@ -131,6 +131,118 @@ CROSS JOIN (SELECT DISTINCT feature FROM fintervals) ft
 LEFT JOIN cov c ON c.fragment=f.fragment AND c.feature=ft.feature""",
     extra = fintervalsCte.drop(1))
 
+  /** The swap-rounds chain of Chas.randomize/randomizeTagged, mirrored
+    * round by round: given CTE r0(replica, bin, src, dst), emits CTEs
+    * r1..r<rounds> applying the seeded pairing (md5-ordered window +
+    * lead), the validity precheck, the fused minted+existing key audit,
+    * and the accept/reject emission — the same arithmetic the Spark
+    * loop runs, so a14/a17/g6 get full hash oracles instead of
+    * rows-only checks. */
+  private def swapRoundsSql(rounds: Int, seed: Long): String =
+    (0 until rounds).map { r =>
+      val salt = seed + 1000003L * r
+      raw"""
+p$r AS MATERIALIZED (SELECT replica, bin, src, dst,
+  row_number() OVER w$r AS i, lead(src) OVER w$r AS ps, lead(dst) OVER w$r AS pd
+  FROM r$r
+  WINDOW w$r AS (PARTITION BY replica, bin
+    ORDER BY md5(src||'|'||dst||'|'||replica||'|'||'$salt'), src, dst)),
+pair$r AS (SELECT replica, bin, (i+1)//2 AS p, src AS ls, dst AS ld,
+  ps AS rs, pd AS rd FROM p$r WHERE i % 2 = 1),
+chk$r AS MATERIALIZED (SELECT *, (rs IS NOT NULL AND ls <> rd AND rs <> ld
+  AND NOT (least(ls,rd) = least(rs,ld) AND greatest(ls,rd) = greatest(rs,ld)))
+  AS pre FROM pair$r),
+mint$r AS MATERIALIZED (SELECT replica, bin, p, least(ls,rd) AS u, greatest(ls,rd) AS v
+  FROM chk$r WHERE pre
+  UNION ALL
+  SELECT replica, bin, p, least(rs,ld), greatest(rs,ld) FROM chk$r WHERE pre),
+bad$r AS (SELECT replica, u, v FROM (
+    SELECT replica, u, v,
+      sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS ine,
+      sum(CASE WHEN p IS NULL THEN 0 ELSE 1 END) AS mnt
+    FROM (SELECT replica, bin, p, u, v FROM mint$r
+          UNION ALL
+          SELECT replica, NULL, NULL, least(src,dst), greatest(src,dst)
+          FROM r$r) t
+    GROUP BY replica, u, v) g WHERE ine > 0 OR mnt > 1),
+badp$r AS (SELECT DISTINCT m.replica, m.bin, m.p FROM mint$r m
+  JOIN bad$r b ON m.replica = b.replica AND m.u = b.u AND m.v = b.v),
+flag$r AS (SELECT c.*, coalesce(c.pre AND bp.p IS NOT NULL, FALSE) AS hit,
+  (c.pre AND bp.p IS NULL) AS acc
+  FROM chk$r c LEFT JOIN badp$r bp
+  ON c.replica = bp.replica AND c.bin = bp.bin AND c.p = bp.p),
+r${r + 1} AS MATERIALIZED (
+  SELECT replica, bin, ls AS src,
+         CASE WHEN acc THEN rd ELSE ld END AS dst FROM flag$r
+  UNION ALL
+  SELECT replica, bin, rs, CASE WHEN acc THEN ld ELSE rd END
+  FROM flag$r WHERE rs IS NOT NULL)"""
+    }.mkString(",")
+
+  /** r0 for the plain (untagged) randomizer over `simplified`. */
+  private def plainR0(nReplicates: Int): String =
+    s"""r0 AS MATERIALIZED (SELECT t.replica, 'all|all' AS bin, src, dst
+  FROM simplified, (SELECT unnest(generate_series(0, ${nReplicates - 1}))
+  AS replica) t)"""
+
+  val randomizeOracles: Map[String, String] = Map(
+    "g6_randomize" -> gq("SELECT replica, src, dst FROM r10",
+      extra = plainR0(2) + "," + swapRoundsSql(10, 42L)),
+    "a14_random_chas_envelope" -> gq(raw"""
+SELECT feature, round(min(chas), 6) AS chas_min,
+       round(max(chas), 6) AS chas_max FROM (
+  SELECT f1.feature, e.replica, corr(f1.value, f2.value) AS chas FROM
+    (SELECT replica, src, dst FROM r10
+     UNION ALL SELECT replica, dst, src FROM r10) e
+  JOIN features f1 ON e.src = f1.fragment
+  JOIN features f2 ON e.dst = f2.fragment AND f1.feature = f2.feature
+  GROUP BY f1.feature, e.replica) t GROUP BY feature""",
+      extra = plainR0(3) + "," + swapRoundsSql(10, 42L)),
+    "a17_features_metadata" -> gq(raw"""
+SELECT a.subnet, a.feature,
+       round(a.abundance, 2) AS abundance,
+       round(o.chas, 3) AS chas,
+       printf('%.3f,%.3f', e.cmin, e.cmax) AS random_chas_interval,
+       round(m.mean_degree, 2) AS mean_degree
+FROM (SELECT tn.subnet, f.feature, avg(f.value) AS abundance
+      FROM features f JOIN (SELECT DISTINCT subnet, id FROM
+        (SELECT subnet, src AS id FROM tagged
+         UNION ALL SELECT subnet, dst FROM tagged) u) tn
+      ON f.fragment = tn.id GROUP BY tn.subnet, f.feature) a
+LEFT JOIN (SELECT tsym.subnet, f1.feature, corr(f1.value, f2.value) AS chas
+      FROM (SELECT subnet, src, dst FROM tagged
+            UNION ALL SELECT subnet, dst, src FROM tagged) tsym
+      JOIN features f1 ON tsym.src = f1.fragment
+      JOIN features f2 ON tsym.dst = f2.fragment AND f1.feature = f2.feature
+      GROUP BY tsym.subnet, f1.feature) o
+  ON o.subnet = a.subnet AND o.feature = a.feature
+LEFT JOIN (SELECT sd.subnet, f.feature, avg(sd.degree) AS mean_degree
+      FROM features f JOIN (SELECT subnet, id, count(*) AS degree FROM
+        (SELECT subnet, src AS id FROM tagged
+         UNION ALL SELECT subnet, dst FROM tagged) x GROUP BY subnet, id) sd
+      ON f.fragment = sd.id WHERE f.value <> 0
+      GROUP BY sd.subnet, f.feature) m
+  ON m.subnet = a.subnet AND m.feature = a.feature
+LEFT JOIN (SELECT subnet, feature, min(chas) AS cmin, max(chas) AS cmax FROM (
+      SELECT rsym.subnet, f1.feature, rsym.replica,
+             corr(f1.value, f2.value) AS chas
+      FROM (SELECT replica, string_split(bin, '|')[1] AS subnet, src, dst
+            FROM r10
+            UNION ALL
+            SELECT replica, string_split(bin, '|')[1], dst, src FROM r10) rsym
+      JOIN features f1 ON rsym.src = f1.fragment
+      JOIN features f2 ON rsym.dst = f2.fragment AND f1.feature = f2.feature
+      GROUP BY rsym.subnet, f1.feature, rsym.replica) q
+      GROUP BY subnet, feature) e
+  ON e.subnet = a.subnet AND e.feature = a.feature""",
+      extra = raw"""
+tagged AS MATERIALIZED (SELECT src, dst, 'net' AS subnet FROM typed
+  UNION ALL SELECT src, dst,
+    CASE WHEN type = 'P-P' THEN 'pp' ELSE 'po' END FROM typed),
+r0 AS MATERIALIZED (SELECT t.replica, subnet||'|all' AS bin, src, dst
+  FROM tagged, (SELECT unnest(generate_series(0, 2)) AS replica) t),""".drop(1)
+        + swapRoundsSql(10, 42L)))
+
   // ------------------------------------------------------- graph oracles
   val graph: Map[String, String] = Map(
     "f1_threshold_filter" -> gq("SELECT * FROM filtered"),
@@ -155,6 +267,18 @@ FROM (SELECT count(*) AS nodes,
                       THEN 1 ELSE 0 END) AS BIGINT) AS interchromosomal
       FROM typed) e"""),
     "a6_components" -> gq("SELECT * FROM comps", extra = thinCtes.drop(1)),
+    "a7_diameter_exact" -> gq(raw"""
+SELECT CAST(coalesce(max(md), 0) AS BIGINT) AS diameter FROM (
+  SELECT s, n, min(d) AS md FROM bfs GROUP BY s, n) t""",
+      extra = thinCtes.drop(1) + raw""",
+ppthin AS MATERIALIZED (SELECT src, dst FROM thin
+  WHERE dst IN (SELECT src FROM thin)),
+psym AS MATERIALIZED (SELECT src, dst FROM ppthin
+  UNION ALL SELECT dst, src FROM ppthin),
+bfs AS (SELECT src AS s, src AS n, 0 AS d FROM psym
+  UNION
+  SELECT bfs.s, e.dst, bfs.d + 1 FROM bfs JOIN psym e ON bfs.n = e.src
+  WHERE bfs.d < 40)"""),
     "a6_component_stats" -> gq(raw"""
 SELECT CAST(count(*) AS BIGINT) AS components,
        printf('%.2f%%', max(cnt)*100.0/sum(cnt)) AS max_component_pct
@@ -583,5 +707,5 @@ SELECT media_id, kind,
 FROM dec WHERE kind IN ('video', 'audio')"""),
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql")
 
-  val all: Map[String, String] = graph ++ docs ++ embeddings ++ misc
+  val all: Map[String, String] = graph ++ docs ++ embeddings ++ misc ++ randomizeOracles
 }

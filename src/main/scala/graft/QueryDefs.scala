@@ -37,6 +37,12 @@ object QueryDefs {
       val diam = GraphOps.diameter(thin(s, d))
       s.range(1).select(lit(diam).as("diameter"))
     }),
+    "a7_diameter_exact" -> ((s, d) => {
+      // exact variant on the bounded P-P slice of the thin graph
+      val t = thin(s, d)
+      val pp = GraphOps.subsetPP(t, t.select(col("src").as("id")))
+      s.range(1).select(lit(GraphOps.diameterExact(pp)).as("diameter"))
+    }),
     "a8_transitivity" -> ((s, d) => GraphOps.transitivity(thin(s, d))),
     "a9_suggestions" -> ((s, d) => Metadata.suggestions(verts(s, d))),
     "a10_chromosomes" -> ((s, d) => Metadata.chromosomes(verts(s, d))),
@@ -50,6 +56,10 @@ object QueryDefs {
       Chas.meanDegreeOfPositives(features(s, d),
           GraphOps.degrees(simplified(s, d)))
         .select(col("feature"), round(col("mean_degree"), 6).as("mean_degree"))),
+    "g6_randomize" -> ((s, d) =>
+      Chas.randomize(simplified(s, d), nReplicates = 2, seed = 42L)
+        .select(col("replica").cast("long").as("replica"),
+          col("src"), col("dst"))),
     "a14_random_chas_envelope" -> ((s, d) =>
       Chas.randomChasEnvelope(simplified(s, d), features(s, d),
           nReplicates = 3, seed = 42L)

@@ -186,8 +186,10 @@ object Chas {
       // 1. seeded random pairing within (replica, bin): row_number +
       // lead over ONE window - odd rows carry their partner inline, no
       // self-join. The odd leftover row (lead null) passes through.
-      val h = xxhash64(col("src"), col("dst"), col("replica"),
-        lit(seed + 1000003L * r))
+      // md5 over a delimited string, not xxhash64: byte-identical in
+      // DuckDB, so the ENTIRE swap chain is oracle-reproducible SQL
+      val h = md5(concat_ws("|", col("src"), col("dst"), col("replica"),
+        lit(seed + 1000003L * r)))
       val w = Window.partitionBy(col("replica"), col("__bin"))
         .orderBy(h, col("src"), col("dst"))
       val pairs = cand

@@ -196,6 +196,41 @@ object GraphOps {
     best
   }
 
+  /** Exact diameter = max FINITE pairwise distance, via simultaneous
+    * all-sources BFS over (source, node) pairs. O(V·E) work — correct
+    * and intended ONLY for bounded subgraphs (a chromosome slice, a
+    * P-P subnet); the scale path for whole networks is the double-sweep
+    * `diameter` above. Matches igraph's diameter on disconnected
+    * graphs (max over per-component diameters). */
+  def diameterExact(edges: DataFrame, maxIter: Int = 64): Long = {
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    if (sym.isEmpty) { sym.unpersist(); return 0L }
+    var frontier = sym.select(col("src").as("source"), col("src").as("node"))
+      .distinct().localCheckpoint(eager = true)
+    var visited = frontier
+    var dist = 0L
+    var done = false
+    while (!done && dist < maxIter) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("src"))
+        .select(frontier("source").as("source"), sym("dst").as("node"))
+        .distinct()
+        .join(visited.withColumnRenamed("source", "vs")
+                     .withColumnRenamed("node", "vn"),
+          col("source") === col("vs") && col("node") === col("vn"),
+          "left_anti")
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        dist += 1
+        visited = visited.unionAll(next).localCheckpoint(eager = true)
+        frontier = next
+      }
+    }
+    sym.unpersist()
+    dist
+  }
+
   /** A8 global clustering coefficient (transitivity):
     * 3·triangles / triads. Triangles via ordered-id edge self-joins
     * (each triangle counted once); triads = Σ d(d-1)/2.

@@ -104,4 +104,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc.length == 200)
     assert(cc.forall(_.getString(1) == "n000"))
   }
+
+  test("A7 diameterExact: path and disconnected graphs") {
+    val path = edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))
+    assert(GraphOps.diameterExact(path) == 4L)
+    // two components: triangle (diam 1) + path of 3 (diam 2) -> 2
+    val dis = edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c",
+      "x" -> "y", "y" -> "z"))
+    assert(GraphOps.diameterExact(dis) == 2L)
+  }
 }
