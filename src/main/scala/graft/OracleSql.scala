@@ -690,6 +690,27 @@ FROM (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     PARTITION BY user_id ORDER BY ts, event_id) AS prev
                   FROM events) t1) t2) t3
 GROUP BY user_id, session_seq""",
+    "e3_stream_sessionize" -> raw"""
+WITH bs AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         CAST(min(ts) AS TIMESTAMP) AS session_start,
+         CAST(max(ts) AS TIMESTAMP) AS session_end,
+         round(sum(value), 4) AS value
+  FROM (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM (SELECT *, CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS news
+              FROM (SELECT *, lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                    FROM events) t1) t2) t3
+  GROUP BY user_id, session_seq),
+mxv AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+ls AS (SELECT user_id, max(session_seq) AS lseq FROM bs GROUP BY user_id)
+SELECT b.user_id, b.session_start, b.session_end, b.n_events, b.value
+FROM bs b JOIN ls ON b.user_id = ls.user_id, mxv
+WHERE b.session_seq < ls.lseq
+   OR (epoch_us(b.session_end) + 1800000999)//1000 <= mx//1000 - 1800000""",
     "e2_windowed_counts" -> raw"""
 SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
        event_type, count(*) AS n, round(sum(value), 4) AS total_value

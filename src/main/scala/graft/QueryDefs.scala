@@ -183,6 +183,13 @@ object QueryDefs {
       EventStreams.sessionizeBatch(events(s, d))
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("session_start"), col("session_end"), col("session_value"))),
+    "e3_stream_sessionize" -> ((s, d) => {
+      val raw = table(s, d, "events").schema
+      EventStreams.sessionizeStreamFromParquet(s, s"$d/events.parquet", raw,
+          queryName = "e3_sessions_" + math.abs(d.hashCode).toString)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("value"), 4).as("value"))
+    }),
     "e2_windowed_counts" -> ((s, d) =>
       EventStreams.windowedCounts(events(s, d), "1 hour",
         watermark = None)),

@@ -56,13 +56,57 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long, value: Double)
 
+  /** Run the stateful sessionizer over a parquet path as a REAL
+    * streaming query (file source -> flatMapGroupsWithState -> memory
+    * sink, Trigger.AvailableNow) and return the emitted sessions.
+    * Emission semantics: a session is emitted once the event-time
+    * watermark (max ts - gap) passes its timeout (last event + gap) —
+    * sessions still open at end-of-stream stay in state, exactly the
+    * streaming contract. `rawSchema` is the parquet file schema (ts may
+    * be an epoch-nanos long under nanosAsLong). */
+  def sessionizeStreamFromParquet(spark: SparkSession, path: String,
+                                  rawSchema: org.apache.spark.sql.types.StructType,
+                                  gapMinutes: Int = 30,
+                                  queryName: String = "e3_sessions"): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    // file streaming sources require a directory: stream the parent dir
+    // with a glob pinned to the one file
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val withTs =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val events = withTs
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("e3ckpt").toString
+    val q = sessionizeStream(events, gapMinutes)
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState: emits a
     * session when the gap timeout fires. State is one small struct per
     * active user — bounded by active-user cardinality, not event volume. */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30)
                       (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    // microsecond arithmetic end to end: Timestamp.getTime is ms and
+    // would misclassify gaps within 1 ms of the cutoff vs the batch twin
+    val gapUs = gapMinutes * 60000000L
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def toTs(u: Long): Timestamp = Timestamp.from(
+      java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
@@ -72,20 +116,20 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.value))
+            Iterator(SessionOut(userId, toTs(s.start), toTs(s.last),
+              s.n, s.value))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
             var cur = state.getOption
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = us(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
                 case Some(s) =>
-                  out += SessionOut(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.value)
+                  out += SessionOut(userId, toTs(s.start), toTs(s.last),
+                    s.n, s.value)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -93,7 +137,9 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // timeout API is ms-based; round UP so the timeout never
+              // fires before last + gap has truly passed
+              state.setTimeoutTimestamp((s.last + gapUs + 999L) / 1000L)
             }
             out.result().iterator
           }
