@@ -426,6 +426,52 @@ WHERE regexp_matches(lower(gene_names || ' '), '\b(s5|s6|alt5)\b')"""),
     "q5_range_search" -> gq(raw"""
 SELECT fragment AS id FROM verts
 WHERE chr = '7' AND "start" <= 60000 AND "end" >= 30000"""),
+    "q5_range_nearest" -> gq(raw"""
+SELECT fragment AS id FROM (
+  SELECT fragment, row_number() OVER (ORDER BY
+    greatest("start" - 700100, 700000 - "end", 0), "start", "end") AS rn
+  FROM verts WHERE chr = '7') t WHERE rn = 1"""),
+    "f7_scrub_aliases" -> gq(raw"""
+, aliasn AS (SELECT upper('S'||s_suppkey) AS name,
+    'ENSG'||lpad(CAST(s_suppkey AS VARCHAR), 11, '0') AS ensembl_gene_id,
+    'AL'||s_suppkey AS alias FROM supplier),
+prom AS (SELECT fragment, t AS name FROM (
+  SELECT fragment, unnest(string_split_regex(
+    regexp_replace(upper(trim(gene_names)), '-\d+\b', '', 'g'),
+    '[;, ]+')) AS t
+  FROM verts WHERE type='P') p WHERE t <> ''),
+phits AS (SELECT p.fragment,
+    array_to_string(list_sort(list_distinct(list(coalesce(a.alias,'NA')))), ' ')
+      AS alias
+  FROM prom p LEFT JOIN aliasn a ON p.name = a.name GROUP BY p.fragment)
+SELECT v.fragment,
+  coalesce(array_to_string(list_filter(
+    string_split(coalesce(h.alias, ''), ' '),
+    x -> regexp_matches(x, '^[\x00-\x7F]*$$')), ' '), '') AS alias
+FROM verts v LEFT JOIN phits h ON v.fragment = h.fragment"""),
+    "s10_cytoscape_nodes" -> gq(raw"""
+, seeds AS (SELECT fragment AS id FROM verts
+    WHERE regexp_matches(lower(gene_names || ' '), '\bs7\b')),
+esym AS (SELECT src, dst FROM simplified UNION ALL SELECT dst, src FROM simplified),
+ehop AS (SELECT DISTINCT id FROM (
+  SELECT e.dst AS id FROM esym e JOIN seeds s ON e.src = s.id
+  UNION ALL SELECT id FROM seeds) u),
+sedges AS (SELECT e.src, e.dst FROM simplified e
+  JOIN ehop h1 ON e.src = h1.id JOIN ehop h2 ON e.dst = h2.id),
+nodeids AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM sedges UNION ALL SELECT dst FROM sedges
+  UNION ALL SELECT id FROM seeds) u),
+sdeg AS (SELECT id, count(*) AS degree FROM (
+  SELECT src AS id FROM sedges UNION ALL SELECT dst FROM sedges) u GROUP BY id)
+SELECT '{"data":{"id":"'||v.fragment||'","names":"'||v.gene_names
+  ||'","chr":"'||v.chr||'","start":'||v."start"||',"end":'||v."end"
+  ||',"type":"'||v.type||'","searched":"'
+  ||CASE WHEN s.id IS NOT NULL THEN 'true' ELSE 'false' END
+  ||'","degree":'||coalesce(d.degree, 0)||'},"group":"nodes"}' AS element
+FROM verts v
+JOIN nodeids n ON v.fragment = n.id
+LEFT JOIN (SELECT DISTINCT id FROM seeds) s ON v.fragment = s.id
+LEFT JOIN sdeg d ON v.fragment = d.id"""),
     "q6_search_subnet" -> gq(raw"""
 , seeds AS (SELECT fragment AS id FROM verts
     WHERE regexp_matches(lower(gene_names || ' '), '\bs7\b')),

@@ -127,6 +127,19 @@ object QueryDefs {
     "q5_range_search" -> ((s, d) =>
       Search.byRange(verts(s, d), "7:30000-60000", expand = 0L,
         nearest = false)),
+    "q5_range_nearest" -> ((s, d) =>
+      Search.byRange(verts(s, d), "7:700000-700100", expand = 0L,
+        nearest = true)),
+    "f7_scrub_aliases" -> ((s, d) =>
+      Interactions.scrubNonAsciiString(
+          Annotate.annotatePromoters(verts(s, d), aliasTable(s, d)), "alias")
+        .select(col("fragment"), col("alias"))),
+    "s10_cytoscape_nodes" -> ((s, d) => {
+      val v = verts(s, d)
+      val seeds = Search.byGeneName(v, "S7")
+      graft.io.CytoscapeJson.nodeElements(
+        Search.subnetFromSeeds(v, simplified(s, d), seeds, ego = true).nodes)
+    }),
     "q6_search_subnet" -> ((s, d) => {
       val v = verts(s, d)
       val seeds = Search.byGeneName(v, "S7")
