@@ -366,6 +366,29 @@ SELECT v.fragment, v.gene_names, v.chr, v."start", v."end", v.type,
        coalesce(h.ensembl_ids, '') AS ensembl_ids,
        coalesce(h.alias, '') AS alias
 FROM verts v LEFT JOIN phits h ON v.fragment = h.fragment"""),
+    "j4_annotate_promoters_mus" -> gq(raw"""
+, aliasn AS (SELECT upper('S'||s_suppkey) AS name,
+    'ENSG'||lpad(CAST(s_suppkey AS VARCHAR), 11, '0') AS ensembl_gene_id,
+    regexp_replace('MGI:'||'AL'||s_suppkey, '^MGI:', '') AS alias
+  FROM supplier),
+prom AS (SELECT fragment, t AS name FROM (
+  SELECT fragment, unnest(string_split_regex(
+    regexp_replace(upper(trim(gene_names)), '-\d+\b', '', 'g'),
+    '[;, ]+')) AS t
+  FROM verts WHERE type='P') p WHERE t <> ''),
+phits AS (SELECT p.fragment,
+    ${collapseSql("a.ensembl_gene_id")} AS ensembl_ids,
+    ${collapseSql("a.alias")} AS alias
+  FROM prom p LEFT JOIN aliasn a ON p.name = a.name GROUP BY p.fragment)
+SELECT v.fragment,
+       CASE WHEN v.type = 'P' AND length(v.gene_names) > 0
+            THEN upper(substr(v.gene_names, 1, 1))
+                 || lower(substr(v.gene_names, 2))
+            ELSE v.gene_names END AS gene_names,
+       v.chr, v."start", v."end", v.type,
+       coalesce(h.ensembl_ids, '') AS ensembl_ids,
+       coalesce(h.alias, '') AS alias
+FROM verts v LEFT JOIN phits h ON v.fragment = h.fragment"""),
     "j6_intronic_flag" -> gq(raw"""
 , intr AS (SELECT ${chrSql("nk")} AS chr, (n%5)*100000 AS "start",
     (n%5)*100000+150000 AS "end" FROM (

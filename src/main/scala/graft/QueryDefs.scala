@@ -90,6 +90,11 @@ object QueryDefs {
       Annotate.annotateOtherEnds(verts(s, d), aliasRanges(s, d))),
     "j4_annotate_promoters" -> ((s, d) =>
       Annotate.annotatePromoters(verts(s, d), aliasTable(s, d))),
+    "j4_annotate_promoters_mus" -> ((s, d) =>
+      Annotate.annotatePromoters(verts(s, d),
+        aliasTable(s, d)
+          .withColumn("alias", concat(lit("MGI:"), col("alias"))),
+        organism = "mus_musculus")),
     "j6_intronic_flag" -> ((s, d) =>
       Annotate.flagIntronic(verts(s, d), intronicRegions(s, d))),
     "j8_nearest_join" -> ((s, d) =>
