@@ -157,8 +157,7 @@ object QueryDefs {
     "d2_minhash_lsh" -> ((s, d) =>
       Dedup.minhashCandidates(table(s, d, "documents"))),
     "d3_simhash" -> ((s, d) =>
-      table(s, d, "documents").select(col("doc_id"),
-        Dedup.simhash(col("text"), 16).as("simhash"))),
+      Dedup.simhashDF(table(s, d, "documents"), "doc_id", "text", 16)),
     "d4_ngram_jaccard" -> ((s, d) => {
       val doc = table(s, d, "documents")
       doc.as("a").join(doc.as("b"),

@@ -103,7 +103,12 @@ object Dedup {
   /** SimHash (nBits ≤ 32): bit j of the fingerprint = majority vote of
     * bit j over md5(token) for all tokens. Bit j of an md5 is extracted
     * from its hex char j/4 via strpos on a hex alphabet — portable to
-    * SQL verbatim. Returns the fingerprint as a bit-string column. */
+    * SQL verbatim. Returns the fingerprint as a bit-string column.
+    *
+    * NOTE: expression form — each of the nBits bit-expressions hashes
+    * every token again (CollapseProject inlines the lambda), so cost is
+    * nBits × tokens md5 calls. Fine for ad-hoc use / tests; the batch
+    * path is [[simhashDF]], which hashes each token exactly once. */
   def simhash(text: Column, nBits: Int = 32): Column = {
     val toks = TextOps.tokens(lower(text))
     val bits = (0 until nBits).map { j =>
@@ -116,6 +121,37 @@ object Dedup {
       when(votes * 2 >= size(toks), lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
+  }
+
+  /** SimHash, relational form (the scale path — same restructure as
+    * [[lshBands]]): explode tokens, ONE md5 per token, extract all
+    * nBits/4 hex nibbles from that digest, sum per-bit votes in a single
+    * groupBy, left-join back so token-less docs keep the all-ones print
+    * (votes 0, count 0 ⇒ 0*2 >= 0 ⇒ '1'; identical to the expression
+    * form's semantics). Arithmetic is bit-identical to [[simhash]], so
+    * the same DuckDB oracle verifies both. */
+  def simhashDF(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", nBits: Int = 32,
+                outCol: String = "simhash"): DataFrame = {
+    require(nBits % 4 == 0 && nBits <= 32, "nBits must be ≤32, multiple of 4")
+    val base = docs.select(col(idCol),
+      TextOps.tokens(lower(col(textCol))).as("__toks"))
+    // one digest per token occurrence (majority vote counts duplicates)
+    val nibbled = base
+      .select(col(idCol), explode(col("__toks")).as("__t"))
+      .select(col(idCol), md5(col("__t")).as("__d"))
+      .select(col(idCol) +: (0 until nBits / 4).map(p =>
+        (instr(lit("0123456789abcdef"), substring(col("__d"), p + 1, 1)) - 1)
+          .cast("int").as(s"__nib$p")): _*)
+    val voteAggs = (0 until nBits).map(j =>
+      sum(shiftright(col(s"__nib${j / 4}"), 3 - (j % 4)) % 2).as(s"__v$j"))
+    val votes = nibbled.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), voteAggs: _*)
+    val bitStr = concat((0 until nBits).map(j =>
+      when(coalesce(col(s"__v$j"), lit(0L)) * 2 >= coalesce(col("__n"), lit(0L)),
+        lit("1")).otherwise(lit("0"))): _*)
+    base.select(col(idCol)).join(votes, Seq(idCol), "left")
+      .select(col(idCol), bitStr.as(outCol))
   }
 
   /** Hamming distance between two same-length bit-strings. */

@@ -51,6 +51,17 @@ class TextDedupSpec extends SparkSpec {
     assert(ham.getInt(0) < ham.getInt(1))
   }
 
+  test("simhashDF matches the expression form bit-for-bit (incl. empty text)") {
+    val withEmpty = docs.unionByName(Seq((5L, "")).toDF("doc_id", "text"))
+    val expr = withEmpty.select(col("doc_id"),
+        Dedup.simhash(col("text"), 32).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rel = Dedup.simhashDF(withEmpty, nBits = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rel == expr)
+    assert(rel(5L) == "1" * 32) // token-less doc keeps the all-ones print
+  }
+
   test("embedding near-dups finds planted duplicate vectors") {
     val vecs = Seq(
       (1L, Array.tabulate(8)(i => 0.1f * i + 0.1f)),
