@@ -797,5 +797,88 @@ SELECT media_id, kind,
 FROM dec WHERE kind IN ('video', 'audio')"""),
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql")
 
-  val all: Map[String, String] = graph ++ docs ++ embeddings ++ misc ++ randomizeOracles
+  // ------------------------------------------------- S1-S9 file readers
+  // Each oracle reads the SAME fixture file the Spark query just wrote
+  // (ReaderHarness) with DuckDB read_csv/read_parquet under the same
+  // declared schema — verifying the reader's PARSE, not the fixture's
+  // derivation. Paths are the fixed ReaderHarness.fixtureRoot layout.
+  private val fxRoot = "/tmp/graft_fixtures"
+
+  val readers: Map[String, String] = Map(
+    "s1_read_pchic" -> raw"""
+SELECT * FROM read_csv('$fxRoot/s1_pchic/*.csv', delim=chr(9), header=true,
+  columns={'baitChr':'VARCHAR','baitStart':'BIGINT','baitEnd':'BIGINT',
+           'baitID':'BIGINT','baitName':'VARCHAR','oeChr':'VARCHAR',
+           'oeStart':'BIGINT','oeEnd':'BIGINT','oeID':'BIGINT',
+           'oeName':'VARCHAR','dist':'DOUBLE','Mon':'DOUBLE','Mac':'DOUBLE'})""",
+    // the stale repeated-header row fails the coordinate casts -> dropped,
+    // mirroring loadHiC's null-coordinate filter (HiC[-1,])
+    "s2_read_hic" -> raw"""
+SELECT baitChr, TRY_CAST(baitStart AS BIGINT) AS baitStart,
+       TRY_CAST(baitEnd AS BIGINT) AS baitEnd, oeChr,
+       TRY_CAST(oeStart AS BIGINT) AS oeStart,
+       TRY_CAST(oeEnd AS BIGINT) AS oeEnd
+FROM read_csv('$fxRoot/s2_hic/*.txt', delim=chr(9), header=true,
+              all_varchar=true)
+WHERE TRY_CAST(baitStart AS BIGINT) IS NOT NULL
+  AND TRY_CAST(oeStart AS BIGINT) IS NOT NULL""",
+    "s3_format_sniff" -> raw"""
+SELECT 'pchic' AS src, CAST(len(string_split(
+  string_split(content, chr(10))[1], chr(9))) = 6 AS BOOLEAN) AS is_hic
+FROM read_text('$fxRoot/s3_sniff/pchic/*.txt')
+UNION ALL
+SELECT 'hic', CAST(len(string_split(
+  string_split(content, chr(10))[1], chr(9))) = 6 AS BOOLEAN)
+FROM read_text('$fxRoot/s3_sniff/hic/*.txt')""",
+    "s4_read_features_on_nodes" -> raw"""
+SELECT regexp_replace(frag_key, '^chr', '') AS fragment, f1, f2
+FROM read_csv('$fxRoot/s4_features_on_nodes/*.csv', delim=chr(9), header=true,
+  columns={'frag_key':'VARCHAR','f1':'DOUBLE','f2':'DOUBLE'})""",
+    "s5_read_alias" -> raw"""
+SELECT * FROM read_csv('$fxRoot/s5_alias/*.csv', delim=chr(9), header=true,
+  columns={'chr':'VARCHAR','start':'BIGINT','end':'BIGINT',
+           'ensembl_gene_id':'VARCHAR','gene_name':'VARCHAR',
+           'gene_type':'VARCHAR','alias':'VARCHAR','xref_id':'VARCHAR'})""",
+    "s6_read_intronic" -> raw"""
+SELECT * FROM read_csv('$fxRoot/s6_intronic/*.csv.gz', delim=chr(9),
+  header=true,
+  columns={'chr':'VARCHAR','start':'BIGINT','end':'BIGINT'})""",
+    "s7_read_bait_names" -> raw"""
+SELECT * FROM read_csv('$fxRoot/s7_bait_names/*.csv', delim=chr(9),
+  header=true,
+  columns={'Chr':'VARCHAR','Start':'BIGINT','End':'BIGINT',
+           'gene_id':'VARCHAR','ensembl_id':'VARCHAR','region':'VARCHAR'})""",
+    "s8_read_bed3" -> raw"""
+SELECT chr, "start", "end", 'pk' AS feature, value
+FROM read_csv('$fxRoot/s8_bed3/*.csv', delim=chr(9), header=false,
+  columns={'chr':'VARCHAR','start':'BIGINT','end':'BIGINT','value':'DOUBLE'})""",
+    "s8_read_bed6" -> raw"""
+SELECT chr, "start", "end", 'cons' AS feature, score AS value
+FROM read_csv('$fxRoot/s8_bed6/*.csv', delim=chr(9), header=false,
+  columns={'chr':'VARCHAR','start':'BIGINT','end':'BIGINT','name':'VARCHAR',
+           'score':'DOUBLE','strand':'VARCHAR'})""",
+    "s8_read_macs2" -> raw"""
+SELECT chr, "start", "end", 'atac' AS feature, signalValue AS value
+FROM read_csv('$fxRoot/s8_macs2/*.csv', delim=chr(9), header=false,
+  columns={'chr':'VARCHAR','start':'BIGINT','end':'BIGINT','name':'VARCHAR',
+           'score':'DOUBLE','strand':'VARCHAR','signalValue':'DOUBLE',
+           'pValue':'DOUBLE','qValue':'DOUBLE','peak':'BIGINT'})""",
+    "s8_read_chromhmm" -> raw"""
+SELECT chr, "start", "end", state AS feature, CAST(1.0 AS DOUBLE) AS value
+FROM read_csv('$fxRoot/s8_chromhmm/*.csv', delim=chr(9), header=false,
+  columns={'chr':'VARCHAR','start':'BIGINT','end':'BIGINT','state':'VARCHAR'})""",
+    "s8_read_features_table" -> raw"""
+WITH ft AS (SELECT * FROM read_csv('$fxRoot/s8_features_table/*.csv',
+  delim=chr(9), header=true,
+  columns={'chr':'VARCHAR','start':'BIGINT','end':'BIGINT',
+           'm1':'DOUBLE','m2':'DOUBLE'}))
+SELECT chr, "start", "end", 'm1' AS feature, m1 AS value FROM ft
+UNION ALL
+SELECT chr, "start", "end", 'm2', m2 FROM ft""",
+    "s9_snapshot_roundtrip" -> raw"""
+SELECT fragment, gene_names, chr, "start", "end", type
+FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
+
+  val all: Map[String, String] =
+    graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers
 }

@@ -237,7 +237,7 @@ object QueryDefs {
         .select(col("media_id"), col("dim_i").cast("long").as("dim_i"),
           col("val").cast("double").as("val"))))
 
-  val all: Map[String, Q] = graphQueries ++ extQueries
+  val all: Map[String, Q] = graphQueries ++ extQueries ++ ReaderHarness.queries
 
   /** Headline subset for graft.Bench — representative of every operator
     * family without re-running all ~56 correctness entries. */

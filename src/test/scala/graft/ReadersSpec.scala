@@ -74,6 +74,30 @@ class ReadersSpec extends SparkSpec {
       Map("m1" -> 1.5, "m2" -> 2.5))
   }
 
+  test("S5 alias DB scan binds 8 fixed columns, xref last") {
+    val p = tmpTsv(
+      "chr\tstart\tend\tensembl_gene_id\tgene_name\tgene_type\talias\txref_id",
+      "X\t100\t900\tENSG00000000007\tS7\tprotein_coding\tAL7\tHGNC:7")
+    val r = Readers.loadAlias(spark, p).collect()(0)
+    assert(r.getString(0) == "X" && r.getLong(1) == 100L)
+    assert(r.getString(4) == "S7" && r.getString(7) == "HGNC:7")
+  }
+
+  test("S6 intronic scan: chr string, long coordinates") {
+    val p = tmpTsv("chr\tstart\tend", "Y\t1000\t151000", "7\t0\t150000")
+    val rows = Readers.loadIntronic(spark, p).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("Y", "7"))
+    assert(rows.map(_.getLong(2)).toSet == Set(151000L, 150000L))
+  }
+
+  test("S7 bait-names scan binds the HindIII annotation columns") {
+    val p = tmpTsv("Chr\tStart\tEnd\tgene_id\tensembl_id\tregion",
+      "7\t7000\t7999\tBN7\tENSG00000000007\tr1")
+    val r = Readers.loadBaitNames(spark, p).collect()(0)
+    assert(r.getString(0) == "7" && r.getLong(1) == 7000L)
+    assert(r.getString(3) == "BN7" && r.getString(5) == "r1")
+  }
+
   test("S9 parquet snapshot round-trips") {
     val dir = Files.createTempDirectory("graftsnap").toString + "/t"
     Readers.snapshot(pchicFixture, dir)
