@@ -784,6 +784,15 @@ WHERE b.session_seq < ls.lseq
 SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
        event_type, count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2""",
+    // batch twin + append-mode cutoff: emitted windows are those whose
+    // end (ms) the final watermark (max ts ms - 10 min) has passed
+    "e2_stream_windowed" -> raw"""
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+HAVING (epoch_us(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))
+        + 3600000000)//1000
+       <= (SELECT max(epoch_us(ts))//1000 - 600000 FROM events)""",
     "m1_decode_meta" -> (s"WITH $mmCtes\n" +
       "SELECT media_id, kind, width, height, duration_ms, codec FROM dec"),
     "m2_resize_meta" -> (s"WITH $mmCtes\n" + raw"""

@@ -210,6 +210,11 @@ object QueryDefs {
     "e2_windowed_counts" -> ((s, d) =>
       EventStreams.windowedCounts(events(s, d), "1 hour",
         watermark = None)),
+    "e2_stream_windowed" -> ((s, d) => {
+      val raw = table(s, d, "events").schema
+      EventStreams.windowedCountsStreamFromParquet(s, s"$d/events.parquet",
+        raw, queryName = "e2_windows_" + math.abs(d.hashCode).toString)
+    }),
     "m1_decode_meta" -> ((s, d) =>
       Multimodal.decodeStub(
           Multimodal.synthesize(table(s, d, "documents"), "doc_id", "text"))

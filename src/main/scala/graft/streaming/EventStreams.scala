@@ -94,6 +94,38 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Run the watermarked windowed aggregation over a parquet path as a
+    * REAL streaming query (file source -> windowedCounts -> memory sink,
+    * Trigger.AvailableNow) and return the emitted windows. Append-mode
+    * emission: a window is emitted once the event-time watermark
+    * (max ts - delay, ms precision) passes its end — windows the
+    * watermark hasn't closed stay in state, exactly the streaming
+    * contract (the DuckDB oracle applies the same cutoff to the batch
+    * twin). State is bounded by open windows × event types. */
+  def windowedCountsStreamFromParquet(spark: SparkSession, path: String,
+                                      rawSchema: org.apache.spark.sql.types.StructType,
+                                      width: String = "1 hour",
+                                      delay: String = "10 minutes",
+                                      queryName: String = "e2_windows"): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val withTs =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val ckpt = java.nio.file.Files.createTempDirectory("e2ckpt").toString
+    val q = windowedCounts(withTs, width, watermark = Some(delay))
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState: emits a
     * session when the gap timeout fires. State is one small struct per
     * active user — bounded by active-user cardinality, not event volume. */

@@ -68,21 +68,19 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("windowedCounts runs as a real file-source readStream with watermark") {
+  test("windowedCounts streams from a file source and emits closed windows") {
+    // max ts 11:20 -> watermark 11:10 -> the 10:00 window (end 11:00) is
+    // emitted; the open 11:00 window stays in state
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
-    eventsDf.write.mode("overwrite").parquet(dir + "/in")
-    val stream = spark.readStream
-      .schema(eventsDf.schema)
-      .parquet(dir + "/in")
-    val q = EventStreams.windowedCounts(stream, "1 hour")
-      .writeStream.format("memory").queryName("win_out")
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      // append mode emits only watermark-closed windows; the aggregation
-      // state must exist and the query must run without error
-      assert(q.isActive)
-      assert(q.lastProgress == null || q.exception.isEmpty)
-    } finally q.stop()
+    val withLate = eventsDf.unionByName(
+      Seq((5L, Timestamp.valueOf("2024-01-01 11:20:00"), 20L, "view", 5.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    withLate.coalesce(1).write.mode("overwrite").parquet(dir + "/in")
+    val f = new java.io.File(dir + "/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val out = EventStreams.windowedCountsStreamFromParquet(spark,
+        f.getAbsolutePath, withLate.schema, queryName = "e2_spec_windows")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "buy" -> 1L))
   }
 }
