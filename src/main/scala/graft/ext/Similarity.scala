@@ -67,33 +67,37 @@ object Similarity {
       .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
       .limit(k)
 
-  /** IVF index build: assign every corpus vector to its nearest codebook
-    * centroid — one linear scan against a k-row broadcast. Returns the
-    * corpus with a `centroid_id` column. */
-  def ivfAssign(corpus: DataFrame, nCentroids: Int = 16,
+  /** IVF index build: assign every corpus vector to its nearest centroid
+    * of the given codebook — one linear scan against a k-row broadcast.
+    * The codebook is an EXPLICIT parameter shared between assign and
+    * probe (build it once with [[codebook]], persist it next to the
+    * index): re-deriving it per call would rescan the corpus and —
+    * worse — silently disagree with the index if the corpus drifted.
+    * Returns the corpus with a `centroid_id` column. */
+  def ivfAssign(corpus: DataFrame, cb: DataFrame,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val centroids = codebook(corpus, nCentroids, idCol, vecCol)
     val c = corpus.select(col(idCol), col(vecCol),
       col(vecCol).cast("array<double>").as("__v"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("centroid_id"))
-    c.crossJoin(broadcast(centroids))
+    c.crossJoin(broadcast(cb))
       .withColumn("__sim", cosine(col("__v"), col("centv")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__sim", "centv", "__v")
   }
 
-  /** IVF top-k: probe only the nProbe nearest centroid buckets. The
-    * bucket-pruned scan replaces the full linear scan — at 100 TB the
-    * corpus is partitioned/bucketed BY centroid_id on disk so a probe
-    * touches only its buckets' files. */
-  def ivfTopK(assigned: DataFrame, probes: DataFrame, k: Int,
-              nProbe: Int = 2, nCentroids: Int = 16,
+  /** IVF top-k: probe only the nProbe nearest centroid buckets of the
+    * SAME codebook the index was assigned with. The bucket-pruned scan
+    * replaces the full linear scan — at 100 TB the corpus is
+    * partitioned/bucketed BY centroid_id on disk so a probe touches
+    * only its buckets' files. */
+  def ivfTopK(assigned: DataFrame, cb: DataFrame, probes: DataFrame,
+              k: Int, nProbe: Int = 2,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val centroids = codebook(assigned, nCentroids, idCol, vecCol)
+    val centroids = cb
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val wp = Window.partitionBy(col("probe_id"))
@@ -118,15 +122,50 @@ object Similarity {
   }
 
 
+  /** Recall@k of ivfTopK against bruteForceTopK over the same probes —
+    * the ANN quality certificate, computed as ONE DataFrame so the
+    * driver's oracle gate can verify the number (and the target) rather
+    * than trust it. Returns a single row (n_matched, n_total, recall,
+    * meets_target). Note: on embeddings with no cluster structure
+    * (isotropic vectors — the synthetic testdata), IVF recall is bounded
+    * by the scanned corpus fraction ≈ nProbe/nCentroids regardless of
+    * codebook quality; recall targets are met by tuning nProbe, exactly
+    * the recall-vs-scan trade IVF deployments tune in production. */
+  def ivfRecall(corpus: DataFrame, cb: DataFrame, probes: DataFrame,
+                k: Int, nProbe: Int, target: Double = 0.9,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, cb, idCol, vecCol)
+    val ivf = ivfTopK(assigned, cb, probes, k, nProbe, idCol, vecCol)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("__hit"))
+    val bf = bruteForceTopK(corpus, probes, k, idCol, vecCol)
+    bf.join(ivf, Seq("probe_id", "corpus_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_matched"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_matched"), col("n_total"),
+        round(col("n_matched") / col("n_total"), 6).as("recall"),
+        (col("n_matched") / col("n_total") >= target).as("meets_target"))
+  }
+
   /** Persist an IVF-assigned corpus partitioned BY centroid: the disk
     * layout that makes ivfTopK's bucket pruning physical — a probe with
     * nProbe buckets reads only those buckets' files (partition pruning
     * at the parquet source), so query cost scales with k/nCentroids of
-    * the corpus instead of the corpus. */
+    * the corpus instead of the corpus. Persist the codebook NEXT TO the
+    * index with [[writeCodebook]] — assign and probe must share it. */
   def writeIvfIndex(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The codebook travels with the index it assigned (k rows — one
+    * file). */
+  def writeCodebook(cb: DataFrame, path: String): Unit =
+    cb.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame =
     spark.read.parquet(path)
 }

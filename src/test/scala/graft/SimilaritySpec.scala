@@ -36,12 +36,21 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF: assignment is total, probe recall covers the near bucket") {
-    val assigned = Similarity.ivfAssign(emb, nCentroids = 2)
+    val cb = Similarity.codebook(emb, 2)
+    val assigned = Similarity.ivfAssign(emb, cb)
     assert(assigned.count() == emb.count())
     assert(assigned.select("centroid_id").distinct().count() <= 2)
-    val out = Similarity.ivfTopK(assigned, emb.filter(col("vec_id") === 0L),
-      k = 2, nProbe = 2, nCentroids = 2).collect()
+    val out = Similarity.ivfTopK(assigned, cb,
+      emb.filter(col("vec_id") === 0L), k = 2, nProbe = 2).collect()
     assert(out.nonEmpty && out(0).getLong(2) == 1L)
+  }
+
+  test("IVF recall certificate: full probe = exact recall 1.0") {
+    val cb = Similarity.codebook(emb, 2)
+    val r = Similarity.ivfRecall(emb, cb, emb.filter(col("vec_id") < 2),
+      k = 2, nProbe = 2).collect()(0)
+    assert(r.getLong(1) == 4L)                 // 2 probes x k=2
+    assert(r.getDouble(2) == 1.0 && r.getBoolean(3))
   }
 
   test("multimodal decode stub: deterministic metadata, image has no duration") {
@@ -88,9 +97,12 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF disk index: probes prune to their centroid partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
-    val assigned = Similarity.ivfAssign(emb, nCentroids = 2)
+    val cb = Similarity.codebook(emb, 2)
+    val assigned = Similarity.ivfAssign(emb, cb)
     Similarity.writeIvfIndex(assigned, dir)
+    Similarity.writeCodebook(cb, dir + "_codebook")
     val idx = Similarity.readIvfIndex(spark, dir)
+    val cbDisk = Similarity.readCodebook(spark, dir + "_codebook")
     // partition layout on disk: one dir per centroid
     val dirs = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
@@ -104,10 +116,10 @@ class SimilaritySpec extends SparkSpec {
       plan.contains("centroid_id"), plan.take(500))
     // and topK over the disk index matches topK over the in-memory one
     val probes = emb.filter(col("vec_id") === 0L)
-    val fromDisk = Similarity.ivfTopK(idx, probes, k = 2, nProbe = 2,
-      nCentroids = 2).collect().map(_.getLong(2)).toSeq
-    val fromMem = Similarity.ivfTopK(assigned, probes, k = 2, nProbe = 2,
-      nCentroids = 2).collect().map(_.getLong(2)).toSeq
+    val fromDisk = Similarity.ivfTopK(idx, cbDisk, probes, k = 2,
+      nProbe = 2).collect().map(_.getLong(2)).toSeq
+    val fromMem = Similarity.ivfTopK(assigned, cb, probes, k = 2,
+      nProbe = 2).collect().map(_.getLong(2)).toSeq
     assert(fromDisk == fromMem)
   }
 }
