@@ -120,15 +120,42 @@ fintervals AS (SELECT ${chrSql("k")} AS chr,
   FROM (SELECT o_orderkey, o_orderkey%2000 AS k, o_totalprice FROM orders) o
   WHERE k%3 <> 0)"""
 
+  private val a15Tail: String = raw"""
+SELECT f.fragment, ft.feature, round(coalesce(c.value, 0.0), 6) AS value
+FROM (SELECT fragment FROM verts) f
+CROSS JOIN (SELECT DISTINCT feature FROM fintervals) ft
+LEFT JOIN cov c ON c.fragment=f.fragment AND c.feature=ft.feature"""
+
   private def a15Sql(agg: String): String = gq(raw"""
 , cov AS (SELECT f.fragment, i.feature, $agg AS value
   FROM verts f JOIN fintervals i
   ON f.chr=i.chr AND f."start"<=i."end" AND f."end">=i."start"
   GROUP BY f.fragment, i.feature)
-SELECT f.fragment, ft.feature, round(coalesce(c.value, 0.0), 6) AS value
-FROM (SELECT fragment FROM verts) f
-CROSS JOIN (SELECT DISTINCT feature FROM fintervals) ft
-LEFT JOIN cov c ON c.fragment=f.fragment AND c.feature=ft.feature""",
+$a15Tail""",
+    extra = fintervalsCte.drop(1))
+
+  /** Covered-proportion a15: running-max interval union per (fragment,
+    * feature) before the sum — mirrors Chas.aggregateOntoFragments's
+    * proportion branch exactly. */
+  private val a15PropSql: String = gq(raw"""
+, segs AS (SELECT f.fragment, i.feature,
+    greatest(f."start", i."start") AS ss, least(f."end", i."end") AS se,
+    f."end" - f."start" + 1 AS flen
+  FROM verts f JOIN fintervals i
+  ON f.chr=i.chr AND f."start"<=i."end" AND f."end">=i."start"),
+sgrp AS (SELECT *, sum(CASE WHEN pm IS NULL OR ss > pm THEN 1 ELSE 0 END)
+    OVER (PARTITION BY fragment, feature ORDER BY ss, se
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM (SELECT *, max(se) OVER (PARTITION BY fragment, feature
+          ORDER BY ss, se
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM segs) t),
+mrg AS (SELECT fragment, feature, grp, max(se) - min(ss) + 1 AS clen,
+    min(flen) AS flen FROM sgrp GROUP BY fragment, feature, grp),
+cov AS (SELECT fragment, feature,
+    CAST(sum(clen)/min(flen) AS DOUBLE) AS value
+  FROM mrg GROUP BY fragment, feature)
+$a15Tail""",
     extra = fintervalsCte.drop(1))
 
   /** The swap-rounds chain of Chas.randomize/randomizeTagged, mirrored
@@ -320,9 +347,7 @@ FROM features f JOIN degs d ON f.fragment = d.id
 WHERE f.value <> 0 GROUP BY f.feature"""),
     "a15_feature_agg_mean" -> a15Sql("avg(i.value)"),
     "a15_feature_agg_max" -> a15Sql("max(i.value)"),
-    "a15_feature_agg_proportion" -> a15Sql(
-      raw"""CAST(sum(least(f."end", i."end") - greatest(f."start", i."start") + 1)
-           / (min(f."end") - min(f."start") + 1) AS DOUBLE)"""),
+    "a15_feature_agg_proportion" -> a15PropSql,
     "a16_binarize" -> gq(raw"""
 SELECT fragment, feature,
        CASE WHEN value > 0.0 THEN 1.0 ELSE 0.0 END AS value FROM features"""),

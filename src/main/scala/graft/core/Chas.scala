@@ -96,12 +96,30 @@ object Chas {
       bucketWidth = bucketWidth)
     val agged =
       if (proportion) {
-        val overlapLen =
-          least(col("end"), col("f_end")) -
-          greatest(col("start"), col("f_start")) + lit(1L)
-        joined.groupBy(col("fragment"), col("f_feature").as("feature"))
-          .agg((sum(overlapLen) /
-            (first(col("end")) - first(col("start")) + lit(1L)))
+        // COVERED proportion (chaser's proportion_on_nodes,
+        // tests/test_network_generator.R:399-481): overlapping feature
+        // intervals are unioned per (fragment, feature) before summing —
+        // running-max segment merge — so the value is <= 1 by
+        // construction (a raw sum(overlap) double-counts overlaps and
+        // can exceed the fragment length).
+        val segs = joined.select(col("fragment"),
+          col("f_feature").as("feature"),
+          greatest(col("start"), col("f_start")).as("__ss"),
+          least(col("end"), col("f_end")).as("__se"),
+          (col("end") - col("start") + lit(1L)).as("__flen"))
+        val w = Window.partitionBy(col("fragment"), col("feature"))
+          .orderBy(col("__ss"), col("__se"))
+        val prevMax = max(col("__se"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val grp = sum(when(prevMax.isNull || col("__ss") > prevMax, 1L)
+            .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        segs.withColumn("__grp", grp)
+          .groupBy(col("fragment"), col("feature"), col("__grp"))
+          .agg((max(col("__se")) - min(col("__ss")) + lit(1L)).as("__clen"),
+            min(col("__flen")).as("__flen"))
+          .groupBy(col("fragment"), col("feature"))
+          .agg((sum(col("__clen")) / min(col("__flen")))
             .cast("double").as("value"))
       } else {
         val aggExpr = auxfun match {

@@ -53,6 +53,30 @@ class ChasSpec extends SparkSpec {
     assert(prop == Map("a" -> 0.5, "b" -> 0.71, "c" -> 0.0))
   }
 
+  test("A15 proportion is COVERED proportion: overlapping peaks <= 1.0") {
+    import spark.implicits._
+    val fragments = Seq(("a", "1", 100L, 199L))
+      .toDF("fragment", "chr", "start", "end")
+    // three overlapping peaks; raw sum of overlaps = 60+60+20 = 140 > 100
+    // but the union covers [110,179] = 70 positions -> 0.7
+    val intervals = Seq(
+      ("1", 110L, 169L, "f1", 1.0),
+      ("1", 120L, 179L, "f1", 1.0),
+      ("1", 130L, 149L, "f1", 1.0))
+      .toDF("chr", "start", "end", "feature", "value")
+    val prop = Chas.aggregateOntoFragments(fragments, intervals,
+      proportion = true, bucketWidth = 100L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(prop == Map("a" -> 0.7))
+    // disjoint-but-adjacent segments still sum exactly
+    val adj = Seq(("1", 100L, 149L, "f1", 1.0), ("1", 150L, 199L, "f1", 1.0))
+      .toDF("chr", "start", "end", "feature", "value")
+    val full = Chas.aggregateOntoFragments(fragments, adj,
+      proportion = true, bucketWidth = 100L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(full == Map("a" -> 1.0))
+  }
+
   test("A16 binarize maps positives to 1.0, rest to 0.0") {
     val out = Chas.binarize(featuresOf(Seq(
         ("a", "f", 3.5), ("b", "f", 0.0), ("c", "f", -2.0))))
