@@ -112,6 +112,38 @@ comps AS (SELECT id, min(reach) AS comp FROM closure GROUP BY id)"""
   private def gq(body: String, extra: String = ""): String =
     s"WITH RECURSIVE $baseCtes${if (extra.nonEmpty) "," + extra else ""}\n$body"
 
+  /** a7_diameter oracle: TRUE diameter of the whole thin graph via a
+    * manually unrolled semi-naive BFS — per-level delta CTEs, each
+    * deduped and materialized, so the work is real BFS (frontier ×
+    * degree per level), not the walk-enumeration blow-up a recursive
+    * (s,n,d) CTE suffers. Levels are capped at [[A7Cap]]; if the deepest
+    * delta is still non-empty the oracle poisons the value (-1), turning
+    * an under-capped compare into a visible mismatch instead of a silent
+    * agreement. The TRUE literal in `exact` pins the Spark side's
+    * certification: a lower-bound-only result fails the hash gate. */
+  private val A7Cap = 16
+  private val a7CertSql: String = {
+    val deltas = (1 to A7Cap).flatMap { k => Seq(
+      s"""d$k AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.dst AS n FROM d${k - 1} p JOIN tsym e ON p.n = e.src
+  WHERE NOT EXISTS (SELECT 1 FROM r${k - 1} r WHERE r.s = p.s AND r.n = e.dst))""",
+      s"r$k AS MATERIALIZED (SELECT s, n FROM r${k - 1} UNION ALL SELECT s, n FROM d$k)")
+    }
+    val lvls = (0 to A7Cap)
+      .map(k => s"SELECT $k AS k, count(*) AS c FROM d$k")
+      .mkString(" UNION ALL ")
+    gq(s"""
+SELECT CAST(CASE WHEN max(CASE WHEN c > 0 THEN k END) >= $A7Cap THEN -1
+            ELSE max(CASE WHEN c > 0 THEN k END) END AS BIGINT) AS diameter,
+       TRUE AS exact
+FROM lvls""",
+      extra = thinCtes.drop(1) + s""",
+d0 AS MATERIALIZED (SELECT src AS s, src AS n FROM tsym GROUP BY 1, 2),
+r0 AS MATERIALIZED (SELECT s, n FROM d0),
+${deltas.mkString(",\n")},
+lvls AS ($lvls)""")
+  }
+
   private val fintervalsCte: String = raw"""
 fintervals AS (SELECT ${chrSql("k")} AS chr,
   k*1000 + o_orderkey%1500 AS "start",
@@ -138,7 +170,7 @@ $a15Tail""",
     * feature) before the sum — mirrors Chas.aggregateOntoFragments's
     * proportion branch exactly. */
   private val a15PropSql: String = gq(raw"""
-, segs AS (SELECT f.fragment, i.feature,
+, segs AS (SELECT DISTINCT f.fragment, i.feature,
     greatest(f."start", i."start") AS ss, least(f."end", i."end") AS se,
     f."end" - f."start" + 1 AS flen
   FROM verts f JOIN fintervals i
@@ -294,6 +326,7 @@ FROM (SELECT count(*) AS nodes,
                       THEN 1 ELSE 0 END) AS BIGINT) AS interchromosomal
       FROM typed) e"""),
     "a6_components" -> gq("SELECT * FROM comps", extra = thinCtes.drop(1)),
+    "a7_diameter" -> a7CertSql,
     "a7_diameter_exact" -> gq(raw"""
 SELECT CAST(coalesce(max(md), 0) AS BIGINT) AS diameter FROM (
   SELECT s, n, min(d) AS md FROM bfs GROUP BY s, n) t""",

@@ -33,10 +33,7 @@ object QueryDefs {
       GraphOps.graphMetadata(verts(s, d), typed(s, d))),
     "a6_components" -> ((s, d) => GraphOps.connectedComponents(thin(s, d))),
     "a6_component_stats" -> ((s, d) => GraphOps.componentStats(thin(s, d))),
-    "a7_diameter" -> ((s, d) => {
-      val diam = GraphOps.diameter(thin(s, d))
-      s.range(1).select(lit(diam).as("diameter"))
-    }),
+    "a7_diameter" -> ((s, d) => GraphOps.diameterCertified(thin(s, d))),
     "a7_diameter_exact" -> ((s, d) => {
       // exact variant on the bounded P-P slice of the thin graph
       val t = thin(s, d)

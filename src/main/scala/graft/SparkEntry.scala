@@ -6,10 +6,10 @@ import graft.io.CytoscapeJson
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` holds one entry per implemented operator (QueryDefs);
-  * `oracleSql` the matching DuckDB SQL (OracleSql). Keys missing from
-  * oracleSql (a7_diameter, a14_random_chas_envelope,
-  * a17_features_metadata) are seeded-randomization / heuristic-BFS
-  * operators with no SQL twin — the driver records rows-only checks. */
+  * `oracleSql` the matching DuckDB SQL (OracleSql). Every entry carries
+  * an oracle — including the seeded randomization chain (replayed as
+  * SQL CTEs), the streaming queries (batch twin + watermark cutoff),
+  * and the certified diameter (unrolled semi-naive BFS). */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks

@@ -102,11 +102,16 @@ object Chas {
         // running-max segment merge — so the value is <= 1 by
         // construction (a raw sum(overlap) double-counts overlaps and
         // can exceed the fragment length).
+        // DISTINCT: duplicate intervals cannot change coverage, and
+        // deduping makes the (ss, se) window order total — tied rows
+        // would otherwise be free to straddle the two window passes
+        // in either order and mint phantom merge groups
         val segs = joined.select(col("fragment"),
           col("f_feature").as("feature"),
           greatest(col("start"), col("f_start")).as("__ss"),
           least(col("end"), col("f_end")).as("__se"),
           (col("end") - col("start") + lit(1L)).as("__flen"))
+          .distinct()
         val w = Window.partitionBy(col("fragment"), col("feature"))
           .orderBy(col("__ss"), col("__se"))
         val prevMax = max(col("__se"))

@@ -136,12 +136,15 @@ object GraphOps {
   }
 
   /** Single-source BFS eccentricity: (eccentricity, farthest node with
-    * min id). One frontier DataFrame, O(ecc) rounds each touching the
-    * edge list once — the scale-safe BFS shape (no per-source fan-out). */
-  private def bfsEccentricity(sym: DataFrame, source: String): (Long, String) = {
+    * min id, nodes reached). One frontier DataFrame, O(ecc) rounds each
+    * touching the edge list once — the scale-safe BFS shape (no
+    * per-source fan-out). */
+  private def bfsEccentricity(sym: DataFrame,
+                              source: String): (Long, String, Long) = {
     var frontier = sym.sparkSession.range(1)
       .select(lit(source).as("node")).localCheckpoint(eager = true)
     var visited = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+    var nVisited = 1L
     var last = frontier
     var dist = 0L
     var done = false
@@ -157,7 +160,7 @@ object GraphOps {
         dist += 1
         last = next
         val nv = visited.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
-        nv.count()
+        nVisited = nv.count()
         visited.unpersist()
         visited = nv
         frontier = next
@@ -165,7 +168,7 @@ object GraphOps {
     }
     val far = last.agg(min(col("node"))).collect()(0).getString(0)
     visited.unpersist()
-    (dist, far)
+    (dist, far, nVisited)
   }
 
   /** A7 diameter: iterated double-sweep — BFS from a max-degree pivot,
@@ -187,7 +190,7 @@ object GraphOps {
     var i = 0
     while (i < sweeps && !seen.contains(cur)) {
       seen += cur
-      val (ecc, far) = bfsEccentricity(sym, cur)
+      val (ecc, far, _) = bfsEccentricity(sym, cur)
       if (ecc > best) best = ecc
       cur = far
       i += 1
@@ -196,15 +199,67 @@ object GraphOps {
     best
   }
 
+  /** A7 CERTIFIED diameter, 1-row DF (diameter, exact). Cheap path:
+    * double-sweep lower bound + the 2·ecc(v) upper bound (triangle
+    * inequality) over the swept pivots — when the graph is one
+    * component and the bounds close (even-diameter graphs where a sweep
+    * lands near the center), the heuristic value is PROVED exact with
+    * O(sweeps) BFS. Otherwise escalate to the exact simultaneous BFS
+    * (bounded by maxIter rounds; per-pair state — intended for the
+    * bounded graphs this entry runs on; at whole-network scale the
+    * caller keeps the [[diameter]] heuristic and its documented
+    * lower-bound contract). exact=false only if maxIter was exhausted —
+    * the value is then still the best lower bound found.
+    * Reference: diameter(net), network_generator_lib.R:418. */
+  def diameterCertified(edges: DataFrame, sweeps: Int = 4,
+                        maxIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    def res(d: Long, exact: Boolean) = spark.range(1)
+      .select(lit(d).as("diameter"), lit(exact).as("exact"))
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    if (sym.isEmpty) { sym.unpersist(); return res(0L, exact = true) }
+    val nNodes = sym.select("src").distinct().count()
+    val start = degrees(edges)
+      .orderBy(col("degree").desc, col("id"))
+      .limit(1).collect()(0).getString(0)
+    var eccs = List.empty[Long]
+    var covered = 0L
+    var cur = start
+    val seen = scala.collection.mutable.Set[String]()
+    var i = 0
+    while (i < sweeps && !seen.contains(cur)) {
+      seen += cur
+      val (ecc, far, nVis) = bfsEccentricity(sym, cur)
+      eccs ::= ecc
+      covered = nVis
+      cur = far
+      i += 1
+    }
+    sym.unpersist()
+    val lb = eccs.max
+    val ub = 2 * eccs.min
+    if (covered == nNodes && lb == ub) res(lb, exact = true)
+    else {
+      val (d, completed) = exactBfs(edges, maxIter)
+      res(math.max(lb, d), completed)
+    }
+  }
+
   /** Exact diameter = max FINITE pairwise distance, via simultaneous
     * all-sources BFS over (source, node) pairs. O(V·E) work — correct
     * and intended ONLY for bounded subgraphs (a chromosome slice, a
     * P-P subnet); the scale path for whole networks is the double-sweep
     * `diameter` above. Matches igraph's diameter on disconnected
     * graphs (max over per-component diameters). */
-  def diameterExact(edges: DataFrame, maxIter: Int = 64): Long = {
+  def diameterExact(edges: DataFrame, maxIter: Int = 64): Long =
+    exactBfs(edges, maxIter)._1
+
+  /** Simultaneous all-sources BFS: (max finite distance, completed).
+    * completed=false means maxIter rounds were exhausted with a
+    * non-empty frontier — the value is then only a lower bound. */
+  private def exactBfs(edges: DataFrame, maxIter: Int): (Long, Boolean) = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    if (sym.isEmpty) { sym.unpersist(); return 0L }
+    if (sym.isEmpty) { sym.unpersist(); return (0L, true) }
     var frontier = sym.select(col("src").as("source"), col("src").as("node"))
       .distinct().localCheckpoint(eager = true)
     var visited = frontier
@@ -228,7 +283,7 @@ object GraphOps {
       }
     }
     sym.unpersist()
-    dist
+    (dist, done)
   }
 
   /** A8 global clustering coefficient (transitivity):

@@ -113,4 +113,29 @@ class GraphOpsSpec extends SparkSpec {
       "x" -> "y", "y" -> "z"))
     assert(GraphOps.diameterExact(dis) == 2L)
   }
+
+  test("A7 diameterCertified: exact on even/odd diameters + disconnected") {
+    def cert(e: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+      val r = GraphOps.diameterCertified(e).collect()(0)
+      (r.getLong(0), r.getBoolean(1))
+    }
+    // star: radius 1 found by the sweep, 2*ecc bound certifies cheaply
+    val star = edgesOf(Seq("c" -> "a", "c" -> "b", "c" -> "d"))
+    assert(cert(star) == (2L, true))
+    // even-diameter path: sweeps find D but not the radius -> escalate
+    val p5 = edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))
+    assert(cert(p5) == (4L, true))
+    // odd diameter: bounds cannot close -> escalation still exact
+    val p4 = edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d"))
+    assert(cert(p4) == (3L, true))
+    // disconnected: sweep only sees the pivot's component -> escalate
+    val dis = edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c",
+      "x" -> "y", "y" -> "z"))
+    assert(cert(dis) == (2L, true))
+    // maxIter exhaustion is reported, value stays a lower bound
+    val long = edgesOf((0 until 9).map(i => s"n$i" -> s"n${i + 1}"))
+    val r = GraphOps.diameterCertified(long, sweeps = 1, maxIter = 3)
+      .collect()(0)
+    assert(!r.getBoolean(1) && r.getLong(0) >= 3L)
+  }
 }
