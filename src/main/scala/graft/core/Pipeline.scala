@@ -85,6 +85,65 @@ object Pipeline {
       chromosomes = Metadata.chromosomes(nodes))
   }
 
+  /** S10/S11 end-to-end output tree — the per-dataset layout the
+    * reference's pipeline materializes (pipeline.sh:109-124,
+    * network_generator.R:181-284):
+    *
+    * {{{
+    * outDir/
+    *   metadata.json            A5-A8 graph summary
+    *   suggestions.json         A9 search suggestions
+    *   chromosomes.json         A10 chromosome list
+    *   features_metadata.json   A17 per-subnet feature stats (if features)
+    *   chromosomes/chr<N>.json  S10 per-chromosome Cytoscape documents
+    * }}}
+    *
+    * Per-chromosome documents keep every edge TOUCHING the chromosome
+    * plus both endpoints (the F2 slice semantics) and are written with
+    * elements sorted by id, so the tree is byte-deterministic under any
+    * partitioning. The per-chr fan-out is a driver loop over bounded
+    * documents (interactive payloads, same contract as
+    * CytoscapeJson.render); `chromosomesToWrite` bounds it explicitly.
+    */
+  def writeDatasetTree(ds: BuiltDataset, outDir: String,
+                       features: Option[DataFrame] = None,
+                       nReplicates: Int = 3, seed: Long = 42L,
+                       chromosomesToWrite: Option[Seq[String]] = None): Unit = {
+    import graft.io.{CytoscapeJson, MetadataJson}
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$outDir/chromosomes"))
+    val cs = GraphOps.componentStats(ds.edges).collect()(0)
+    val dRow = GraphOps.diameterCertified(ds.edges).collect()(0)
+    val tRow = GraphOps.transitivity(ds.edges).collect()(0)
+    MetadataJson.write(s"$outDir/metadata.json",
+      MetadataJson.metadataJson(ds.graphMetadata,
+        components = cs.getLong(0), maxComponentPct = cs.getString(1),
+        diameter = dRow.getLong(0),
+        transitivity = tRow.getDouble(tRow.fieldIndex("transitivity"))))
+    MetadataJson.write(s"$outDir/suggestions.json",
+      MetadataJson.stringArrayJson(ds.suggestions))
+    MetadataJson.write(s"$outDir/chromosomes.json",
+      MetadataJson.stringArrayJson(ds.chromosomes))
+    features.foreach { f =>
+      MetadataJson.write(s"$outDir/features_metadata.json",
+        MetadataJson.featuresMetadataJson(
+          Chas.featuresMetadataSubnets(ds.edges, f, nReplicates, seed)))
+    }
+    val chrs = chromosomesToWrite.getOrElse(
+      ds.chromosomes.collect().map(_.getString(0)).toSeq)
+    chrs.foreach { c =>
+      val touching = ds.edges.filter(
+        split(col("src"), "_").getItem(0) === c ||
+        split(col("dst"), "_").getItem(0) === c)
+      val endpoints = touching.select(col("src").as("fragment"))
+        .unionAll(touching.select(col("dst").as("fragment"))).distinct()
+      val nodes = ds.nodes.join(endpoints, Seq("fragment"), "left_semi")
+      MetadataJson.write(s"$outDir/chromosomes/chr$c.json",
+        CytoscapeJson.render(nodes.orderBy("fragment"),
+          touching.orderBy("src", "dst")))
+    }
+  }
+
   /** Interactive-search entry (reference §3.1): search the built
     * dataset, return the subnet nodes+edges ready for the JSON sink. */
   def searchDataset(ds: BuiltDataset, query: String,
