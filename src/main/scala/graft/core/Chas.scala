@@ -224,10 +224,13 @@ object Chas {
           ((col("__i") + 1) / 2).cast("long").as("__p"),
           col("src").as("ls"), col("dst").as("ld"),
           col("__ps").as("rs"), col("__pd").as("rd"))
-        // materialize once: the pairing is referenced three times below
-        // (minted x2, final join) and the window sort would otherwise
-        // recompute per reference
-        .localCheckpoint(eager = true)
+        // LAZY persist, not an eager checkpoint: the pairing is
+        // referenced three times below (minted x2, final join), and a
+        // lazy cache lets the round run as ONE job that computes the
+        // window sort once and reuses it — an eager checkpoint here
+        // would add a second synchronous job per round (measured ~25%
+        // of the envelope's wall time at sf0.1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val n1u = least(col("ls"), col("rd")); val n1v = greatest(col("ls"), col("rd"))
       val n2u = least(col("rs"), col("ld")); val n2v = greatest(col("rs"), col("ld"))
@@ -250,22 +253,22 @@ object Chas {
           lit(null).cast("string").as("__bin"), lit(null).cast("long").as("__p"),
           least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
-      // NB badKeys derives FROM minted: columns must be renamed before
-      // the join back or Spark resolves both sides to the same
-      // expression id (a trivially-true predicate that would degrade
-      // the join to replica-only and over-reject every proposal).
-      val badKeys = minted.unionAll(existing)
+      // The minters of each key ride through the audit aggregate as a
+      // collect_list (collect_list drops the nulls the existing-edge
+      // rows contribute), so bad keys explode straight back into the
+      // (bin, pair) ids to reject — no second pass over `minted`, no
+      // key-join back. badPairs is small (rejections), so the flagged
+      // join below broadcasts under AQE.
+      val badPairs = minted.unionAll(existing)
         .groupBy(col("replica"), col("u"), col("v"))
         .agg(sum(when(col("__p").isNull, 1).otherwise(0)).as("__inE"),
-          sum(when(col("__p").isNull, 0).otherwise(1)).as("__mint"))
+          sum(when(col("__p").isNull, 0).otherwise(1)).as("__mint"),
+          collect_list(when(col("__p").isNotNull,
+            struct(col("__bin"), col("__p")))).as("__minters"))
         .filter(col("__inE") > 0 || col("__mint") > 1)
-        .select(col("replica").as("__br"), col("u").as("__bu"),
-          col("v").as("__bv"))
-      val badPairs = minted
-        .join(badKeys, minted("replica") === col("__br") &&
-          minted("u") === col("__bu") && minted("v") === col("__bv"))
-        .select(minted("replica").as("__xr"), minted("__bin").as("__xb"),
-          minted("__p").as("__xp"))
+        .select(col("replica"), explode(col("__minters")).as("__m"))
+        .select(col("replica").as("__xr"), col("__m.__bin").as("__xb"),
+          col("__m.__p").as("__xp"))
         .distinct()
 
       // 3. emit: accepted pairs swap, rejected keep, odd row passthrough
@@ -284,10 +287,12 @@ object Chas {
                   struct(col("rs").as("src"), col("rd").as("dst"))))).as("e"))
         .select(col("replica"), col("e.src").as("src"),
           col("e.dst").as("dst"), col("__bin"))
-      // lineage cut every other round (plans stay small; one fewer
-      // materialization pass per two rounds)
-      cand = if (r % 2 == 1 || r == rounds - 1) next.localCheckpoint(eager = true)
-             else next
+      // lineage cut every round: with `pairs` only lazily cached, the
+      // round's whole DAG must not stack across rounds (Catalyst
+      // analysis is super-linear in plan size); the eager checkpoint
+      // here is the round's single materialization job
+      cand = next.localCheckpoint(eager = true)
+      pairs.unpersist(blocking = false)
       r += 1
     }
     cand.select(col("replica"),
