@@ -636,8 +636,14 @@ SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
 SELECT c.doc_a, c.doc_b, $jaccardSql AS jaccard
 FROM cands c JOIN dsh a ON c.doc_a = a.doc_id JOIN dsh b ON c.doc_b = b.doc_id""",
       extra = raw"""
+hsh AS (SELECT doc_id,
+  list_transform(sh, s -> CAST('0x'||substr(md5(s||':a'),1,15) AS BIGINT)) AS n1s,
+  list_transform(sh, s -> CAST('0x'||substr(md5(s||':b'),1,15) AS BIGINT)
+                          % 140737488355327) AS n2s
+  FROM sh),
 sig AS (SELECT doc_id, list_transform(generate_series(0,15),
-  j -> list_min(list_transform(sh, s -> md5(s||':'||j)))) AS sig FROM sh),
+  j -> list_min(list_transform(generate_series(1, len(n1s)),
+         i -> n1s[i] + j*n2s[i]))) AS sig FROM hsh),
 bands AS (SELECT doc_id, t.b AS band,
   md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
   FROM sig, (SELECT unnest([0,1,2,3]) AS b) t),

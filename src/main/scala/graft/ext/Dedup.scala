@@ -40,31 +40,43 @@ object Dedup {
       j => array_min(transform(shingles(text, k),
         s => md5(concat(s, lit(":"), j.cast("string"))))))
 
+  /** Kirsch-Mitzenmacher modulus: slot values are n1 + j*(n2 % KmMod);
+    * with n1 < 2^60 (15 hex digits), n2 % (2^47-1) and j < 16 the sum
+    * stays under 2^62 — overflow-free identical arithmetic in Spark
+    * longs and DuckDB BIGINTs. */
+  private[ext] val KmMod = 140737488355327L // 2^47 - 1
+
   /** LSH banding: docs -> (doc, band, band_hash) long form, computed
-    * RELATIONALLY: explode distinct shingles once, hash per (shingle,
-    * slot), min per slot, re-band. The naive nested-array expression
-    * (transform over slots of array_min over shingles) gets its shingle
-    * array inlined once per slot AND per band slice by CollapseProject
-    * - a 64x recomputation of the tokenize+slice work; the explode
-    * shape computes each shingle string exactly once and scales as
-    * rows, not expression copies. Min over DISTINCT shingles equals min
-    * over all (duplicates cannot change a minimum). */
+    * RELATIONALLY: explode distinct shingles once, TWO md5s per shingle
+    * (Kirsch-Mitzenmacher double hashing: slot j's hash value is
+    * n1 + j*n2, which preserves the min-wise independence LSH banding
+    * needs), then all n slot minima in ONE groupBy as n aggregate
+    * expressions over the un-exploded shingle rows. vs the r2 shape
+    * (md5 per (shingle, slot) + a slot explode) this is 8x fewer md5
+    * calls AND n-times fewer shuffled rows. The naive nested-array
+    * expression form stays banned: CollapseProject would inline the
+    * shingle array once per slot (the 64x blowup d2 started from).
+    * Min over DISTINCT shingles equals min over all (duplicates cannot
+    * change a minimum). */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val n = bands * rowsPerBand
     val sh = docs.select(col(idCol).as("doc"),
       explode(array_distinct(shingles(col(textCol), k))).as("__s"))
-    val mh = sh
-      .withColumn("__j", explode(sequence(lit(0), lit(n - 1))))
-      .select(col("doc"), col("__j"),
-        md5(concat(col("__s"), lit(":"), col("__j").cast("string"))).as("__h"))
-      .groupBy(col("doc"), col("__j"))
-      .agg(min(col("__h")).as("__mh"))
-    mh.withColumn("band", (col("__j") / rowsPerBand).cast("int"))
-      .groupBy(col("doc"), col("band"))
-      .agg(md5(concat_ws("|",
-        transform(array_sort(collect_list(struct(col("__j"), col("__mh")))),
-          x => x.getField("__mh")))).as("band_hash"))
+    val h = sh.select(col("doc"),
+      conv(substring(md5(concat(col("__s"), lit(":a"))), 1, 15), 16, 10)
+        .cast("long").as("__n1"),
+      (conv(substring(md5(concat(col("__s"), lit(":b"))), 1, 15), 16, 10)
+        .cast("long") % KmMod).as("__n2"))
+    val minAggs = (0 until n).map(j =>
+      min(col("__n1") + lit(j.toLong) * col("__n2")).as(s"__m$j"))
+    val mins = h.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand)
+        .map(i => col(s"__m${b * rowsPerBand + i}")): _*))
+    }
+    mins.select(col("doc"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
   }
 
   /** MinHash-LSH candidate pairs: docs sharing >=1 band bucket, with
