@@ -96,14 +96,16 @@ object GraphOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // (a) neighborhood min
+      // (a) neighborhood min; the pre-lowering label rides along as
+      // __oldc so convergence is read off the checkpointed round output
+      // (a cached-block scan) instead of a per-round join-back probe
       val viaNeighbors = edgeList
         .join(cc.withColumnRenamed("id", "dst2"),
           edgeList("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
       val lowered = cc.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__oldc"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // (b) pointer jump: comp <- comp(comp). comp ids are node ids, so
       // the lookup is a self-join on the same frame.
@@ -111,12 +113,17 @@ object GraphOps {
         .join(lowered.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("a.comp") === col("jid"), "left")
         .select(col("a.id").as("id"),
-          coalesce(col("jcomp"), col("a.comp")).as("comp"))
-      val next = jumped.localCheckpoint(eager = true)
-      val changed = next.join(cc.withColumnRenamed("comp", "oldc"), Seq("id"))
-        .filter(col("comp") =!= col("oldc")).limit(1).count()
+          coalesce(col("jcomp"), col("a.comp")).as("comp"),
+          col("a.__oldc").as("__oldc"))
+      // the eager checkpoint is the round's one materialization: it cuts
+      // lineage AND stores the blocks the next round (and the probe)
+      // read — a persist on top would store them twice
+      val next = jumped
+        .select(col("id"), col("comp"), (col("comp") =!= col("__oldc")).as("__chg"))
+        .localCheckpoint(eager = true)
+      val changed = next.filter(col("__chg")).limit(1).count()
       cc.unpersist()
-      cc = next.persist(StorageLevel.MEMORY_AND_DISK)
+      cc = next.drop("__chg")
       converged = changed == 0
       iter += 1
     }
