@@ -34,7 +34,13 @@ object Verify {
       case c => c.toString
     } + "\""
 
-    val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration knob: SPARK_GRAFT_VERIFY_ONLY=a11_chas,q6_x dumps
+    // a subset; unset (the driver) dumps everything
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").toSet)
+    val status = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
