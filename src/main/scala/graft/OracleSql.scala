@@ -202,12 +202,16 @@ $a15Tail""",
       val salt = seed + 1000003L * r
       raw"""
 p$r AS MATERIALIZED (SELECT replica, bin, src, dst,
+  CAST(strpos('0123456789abcdef',
+    substr(md5(src||'|'||dst||'|'||replica||'|'||'$salt'), 1, 1)) - 1
+    AS BIGINT) AS sb,
   row_number() OVER w$r AS i, lead(src) OVER w$r AS ps, lead(dst) OVER w$r AS pd
   FROM r$r
-  WINDOW w$r AS (PARTITION BY replica, bin
+  WINDOW w$r AS (PARTITION BY replica, bin,
+    substr(md5(src||'|'||dst||'|'||replica||'|'||'$salt'), 1, 1)
     ORDER BY md5(src||'|'||dst||'|'||replica||'|'||'$salt'), src, dst)),
-pair$r AS (SELECT replica, bin, (i+1)//2 AS p, src AS ls, dst AS ld,
-  ps AS rs, pd AS rd FROM p$r WHERE i % 2 = 1),
+pair$r AS (SELECT replica, bin, sb*1000000000 + (i+1)//2 AS p,
+  src AS ls, dst AS ld, ps AS rs, pd AS rd FROM p$r WHERE i % 2 = 1),
 chk$r AS MATERIALIZED (SELECT *, (rs IS NOT NULL AND ls <> rd AND rs <> ld
   AND NOT (least(ls,rd) = least(rs,ld) AND greatest(ls,rd) = greatest(rs,ld)))
   AS pre FROM pair$r),

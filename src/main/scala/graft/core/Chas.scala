@@ -213,7 +213,17 @@ object Chas {
       // DuckDB, so the ENTIRE swap chain is oracle-reproducible SQL
       val h = md5(concat_ws("|", col("src"), col("dst"), col("replica"),
         lit(seed + 1000003L * r)))
-      val w = Window.partitionBy(col("replica"), col("__bin"))
+      // 16-way salted pairing: rows pair up within (replica, bin, first
+      // hex char of the seeded hash). The bucket assignment is itself
+      // hash-random, so the pairing stays a uniform random matching —
+      // but the window sort gets 16x the sort groups (the unsalted
+      // window had ONE group per (replica, bin): 3 tasks did all the
+      // sorting at nReplicates=3). The salt bucket folds into the pair
+      // id arithmetically so the audit's (replica, bin, p) key stays
+      // unique across buckets.
+      val saltChar = substring(h, 1, 1)
+      val saltB = (instr(lit("0123456789abcdef"), saltChar) - 1).cast("long")
+      val w = Window.partitionBy(col("replica"), col("__bin"), saltChar)
         .orderBy(h, col("src"), col("dst"))
       val pairs = cand
         .withColumn("__i", row_number().over(w))
@@ -221,7 +231,8 @@ object Chas {
         .withColumn("__pd", lead(col("dst"), 1).over(w))
         .filter(col("__i") % 2 === 1)
         .select(col("replica"), col("__bin"),
-          ((col("__i") + 1) / 2).cast("long").as("__p"),
+          (saltB * 1000000000L + ((col("__i") + 1) / 2).cast("long"))
+            .as("__p"),
           col("src").as("ls"), col("dst").as("ld"),
           col("__ps").as("rs"), col("__pd").as("rd"))
         // LAZY persist, not an eager checkpoint: the pairing is
