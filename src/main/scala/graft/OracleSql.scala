@@ -499,6 +499,18 @@ WHERE dst NOT IN (SELECT src FROM simplified)"""),
     "q2_gene_search" -> gq(raw"""
 SELECT fragment AS id FROM verts
 WHERE regexp_matches(lower(gene_names || ' '), '\bs7\b')"""),
+    // the inverted-index variants must return the SAME rows as the
+    // regex scans — token equality == \b-bounded match for word terms
+    "q2_gene_search_indexed" -> gq(raw"""
+SELECT DISTINCT fragment AS id FROM (
+  SELECT fragment, unnest(list_filter(string_split_regex(
+    lower(gene_names || ' '), '\W+'), t -> t <> '')) AS token
+  FROM verts) t WHERE token = 's7'"""),
+    "q4_gene_list_search_indexed" -> gq(raw"""
+SELECT DISTINCT fragment AS id FROM (
+  SELECT fragment, unnest(list_filter(string_split_regex(
+    lower(gene_names || ' '), '\W+'), t -> t <> '')) AS token
+  FROM verts) t WHERE token IN ('s5', 's6', 'alt5')"""),
     "q3_ensembl_search" -> gq(raw"""
 SELECT fragment AS id FROM verts
 WHERE regexp_matches(lower(gene_names || ' '),

@@ -121,6 +121,15 @@ object QueryDefs {
     "q1_fragment_lookup" -> ((s, d) =>
       Search.byFragmentId(verts(s, d), "7_7000_7999")),
     "q2_gene_search" -> ((s, d) => Search.byGeneName(verts(s, d), "S7")),
+    "q2_gene_search_indexed" -> ((s, d) => {
+      val v = verts(s, d)
+      Search.byGeneNameIndexed(Search.buildNameIndex(v), v, "S7")
+    }),
+    "q4_gene_list_search_indexed" -> ((s, d) => {
+      val v = verts(s, d)
+      Search.byGeneListIndexed(Search.buildNameIndex(v), v,
+        Seq("S5", "S6", "ALT5"))
+    }),
     "q3_ensembl_search" -> ((s, d) =>
       Search.byEnsemblId(verts(s, d), Annotate.ensembl2name(aliasTable(s, d)),
         "ENSG00000000007")),

@@ -38,6 +38,41 @@ object Search {
       .select(col("fragment").as("id"))
   }
 
+  /** Token inverted index over gene_names ⧺ alias: DF(token, fragment),
+    * distinct. Build once per dataset snapshot (persist it — or bucket
+    * by token at 100x node counts) and serve Q2/Q4 as equi-joins
+    * instead of full regex scans of the vertex table. Tokens split on
+    * non-word runs, which makes token equality EXACTLY the \b-bounded
+    * regex semantics of [[byGeneName]] for word-only terms; terms
+    * containing non-word characters take the regex path. */
+  def buildNameIndex(vertices: DataFrame): DataFrame = {
+    val hay = lower(concat_ws(" ", col("gene_names"),
+      if (vertices.columns.contains("alias")) col("alias") else lit("")))
+    vertices.select(col("fragment"), explode(split(hay, "\\W+")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+  }
+
+  /** Q2 via the inverted index: one equi-lookup. Falls back to the
+    * regex scan for terms token-splitting can't express. */
+  def byGeneNameIndexed(index: DataFrame, vertices: DataFrame,
+                        term: String): DataFrame =
+    if (!term.toLowerCase.matches("\\w+")) byGeneName(vertices, term)
+    else index.filter(col("token") === lit(term.toLowerCase))
+      .select(col("fragment").as("id")).distinct()
+
+  /** Q4 via the inverted index: one IN-lookup over all terms. */
+  def byGeneListIndexed(index: DataFrame, vertices: DataFrame,
+                        terms: Seq[String]): DataFrame = {
+    val (simple, complex) = terms.filter(_.nonEmpty)
+      .map(_.toLowerCase).partition(_.matches("\\w+"))
+    val viaIndex = index.filter(col("token").isin(simple: _*))
+      .select(col("fragment").as("id"))
+    val all = if (complex.isEmpty) viaIndex
+      else viaIndex.unionAll(byGeneList(vertices, complex))
+    all.distinct()
+  }
+
   /** Q3 Ensembl-id search: translate through ensembl2name then Q2.
     * The map is dimension-sized → collected & inlined (one driver value),
     * matching the reference's broadcast-lookup shape. */

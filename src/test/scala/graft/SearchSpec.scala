@@ -49,6 +49,22 @@ class SearchSpec extends SparkSpec {
     assert(ids.toSet == Set("1_500_599", "2_100_199"))
   }
 
+  test("Q2/Q4 inverted index returns exactly the regex-scan rows") {
+    val idx = Search.buildNameIndex(nodes)
+    for (term <- Seq("EZH2", "ezh", "TP53", "nope")) {
+      val regex = Search.byGeneName(nodes, term)
+        .collect().map(_.getString(0)).toSet
+      val viaIdx = Search.byGeneNameIndexed(idx, nodes, term)
+        .collect().map(_.getString(0)).toSet
+      assert(viaIdx == regex, s"term=$term")
+    }
+    val listRegex = Search.byGeneList(nodes, Seq("KRAS", "TP53"))
+      .collect().map(_.getString(0)).toSet
+    val listIdx = Search.byGeneListIndexed(idx, nodes, Seq("KRAS", "TP53"))
+      .collect().map(_.getString(0)).toSet
+    assert(listIdx == listRegex)
+  }
+
   test("Q5 range search overlaps without ego expansion; nearest fallback") {
     val hit = Search.byRange(nodes, "1:150-550", expand = 0, nearest = false)
     assert(hit.collect().map(_.getString(0)).toSet ==
