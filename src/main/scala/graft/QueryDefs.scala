@@ -264,7 +264,7 @@ object QueryDefs {
   val all: Map[String, Q] = graphQueries ++ extQueries ++ ReaderHarness.queries
 
   /** Headline subset for graft.Bench — representative of every operator
-    * family without re-running all ~56 correctness entries. */
+    * family without re-running all 80 correctness entries. */
   val benchNames: Seq[String] = Seq(
     "a1_vertices", "g2_simplify", "j9_edge_types", "a4_degree",
     "a5_graph_metadata", "a6_components", "a8_transitivity", "a11_chas",
