@@ -248,19 +248,22 @@ r${r + 1} AS MATERIALIZED (
   FROM simplified, (SELECT unnest(generate_series(0, ${nReplicates - 1}))
   AS replica) t)"""
 
+  /** Final CTE of the swap chain — tied to the engine's round count. */
+  private val rN = s"r${graft.core.Chas.DefaultRounds}"
+
   val randomizeOracles: Map[String, String] = Map(
-    "g6_randomize" -> gq("SELECT replica, src, dst FROM r10",
-      extra = plainR0(2) + "," + swapRoundsSql(10, 42L)),
+    "g6_randomize" -> gq(s"SELECT replica, src, dst FROM $rN",
+      extra = plainR0(2) + "," + swapRoundsSql(graft.core.Chas.DefaultRounds, 42L)),
     "a14_random_chas_envelope" -> gq(raw"""
 SELECT feature, round(min(chas), 6) AS chas_min,
        round(max(chas), 6) AS chas_max FROM (
   SELECT f1.feature, e.replica, corr(f1.value, f2.value) AS chas FROM
-    (SELECT replica, src, dst FROM r10
-     UNION ALL SELECT replica, dst, src FROM r10) e
+    (SELECT replica, src, dst FROM $rN
+     UNION ALL SELECT replica, dst, src FROM $rN) e
   JOIN features f1 ON e.src = f1.fragment
   JOIN features f2 ON e.dst = f2.fragment AND f1.feature = f2.feature
   GROUP BY f1.feature, e.replica) t GROUP BY feature""",
-      extra = plainR0(3) + "," + swapRoundsSql(10, 42L)),
+      extra = plainR0(3) + "," + swapRoundsSql(graft.core.Chas.DefaultRounds, 42L)),
     "a17_features_metadata" -> gq(raw"""
 SELECT a.subnet, a.feature,
        round(a.abundance, 2) AS abundance,
@@ -290,9 +293,9 @@ LEFT JOIN (SELECT subnet, feature, min(chas) AS cmin, max(chas) AS cmax FROM (
       SELECT rsym.subnet, f1.feature, rsym.replica,
              corr(f1.value, f2.value) AS chas
       FROM (SELECT replica, string_split(bin, '|')[1] AS subnet, src, dst
-            FROM r10
+            FROM $rN
             UNION ALL
-            SELECT replica, string_split(bin, '|')[1], dst, src FROM r10) rsym
+            SELECT replica, string_split(bin, '|')[1], dst, src FROM $rN) rsym
       JOIN features f1 ON rsym.src = f1.fragment
       JOIN features f2 ON rsym.dst = f2.fragment AND f1.feature = f2.feature
       GROUP BY rsym.subnet, f1.feature, rsym.replica) q
@@ -304,7 +307,7 @@ tagged AS MATERIALIZED (SELECT src, dst, 'net' AS subnet FROM typed
     CASE WHEN type = 'P-P' THEN 'pp' ELSE 'po' END FROM typed),
 r0 AS MATERIALIZED (SELECT t.replica, subnet||'|all' AS bin, src, dst
   FROM tagged, (SELECT unnest(generate_series(0, 2)) AS replica) t),""".drop(1)
-        + swapRoundsSql(10, 42L)))
+        + swapRoundsSql(graft.core.Chas.DefaultRounds, 42L)))
 
   // ------------------------------------------------------- graph oracles
   val graph: Map[String, String] = Map(

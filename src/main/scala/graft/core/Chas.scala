@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Chas {
 
+  /** Swap rounds per randomization (birewire-style mixing depth). One
+    * constant shared with the oracle generator (OracleSql replays
+    * exactly this many rounds as SQL CTEs) so engine and oracle cannot
+    * drift. Cost is linear in rounds (one window sort + one key audit
+    * each); 10 matches the chaser/birewire-style mixing budget the
+    * reference family uses. */
+  val DefaultRounds = 10
+
   /** Null-safe Pearson correlation: NULL when either side has zero
     * variance (R's cor/igraph yield NA there; Spark 4 ANSI corr throws
     * DIVIDE_BY_ZERO). covar_samp/(sx*sy) equals corr exactly - the
@@ -173,7 +181,8 @@ object Chas {
     * coordinates parseable from the fragment id (chr_start_end).
     */
   def randomize(edges: DataFrame, nReplicates: Int, seed: Long,
-                distMatch: Boolean = false, rounds: Int = 10): DataFrame =
+                distMatch: Boolean = false,
+                rounds: Int = DefaultRounds): DataFrame =
     randomizeTagged(edges.withColumn("__tag", lit("all")), "__tag",
       nReplicates, seed, distMatch, rounds).drop("__tag")
 
@@ -184,7 +193,7 @@ object Chas {
   def randomizeTagged(edges: DataFrame, groupCol: String,
                       nReplicates: Int, seed: Long,
                       distMatch: Boolean = false,
-                      rounds: Int = 10): DataFrame = {
+                      rounds: Int = DefaultRounds): DataFrame = {
     val distBin =
       if (distMatch) {
         // log-scale genomic distance bin; inter-chromosomal edges form

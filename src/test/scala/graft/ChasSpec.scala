@@ -134,6 +134,37 @@ class ChasSpec extends SparkSpec {
     }
   }
 
+  test("G6 distMatch: swaps confined to distance bins, invariants hold") {
+    // coordinate-bearing fragment ids; two well-separated log-distance
+    // bins (1-2kb vs ~1Mb) plus an inter-chromosomal edge in its own bin
+    val near = (0 until 6).map(i =>
+      (s"1_${i * 10000}_${i * 10000 + 999}",
+       s"1_${i * 10000 + 2000}_${i * 10000 + 2999}"))
+    val far = (0 until 6).map(i =>
+      (s"2_${i * 10000}_${i * 10000 + 999}",
+       s"2_${i * 10000 + 1000000}_${i * 10000 + 1000999}"))
+    val inter = Seq(("3_0_999", "4_0_999"))
+    val g = edgesOf(near ++ far ++ inter)
+    val out = Chas.randomize(g, nReplicates = 3, seed = 21L,
+      distMatch = true).collect()
+    // count + per-side degree multiset preserved per replica; simple
+    (0 until 3).foreach { rep =>
+      val rows = out.filter(_.getInt(0) == rep)
+      assert(rows.length == near.size + far.size + inter.size)
+      assert(rows.forall(r => r.getString(1) != r.getString(2)))
+      val keys = rows.map(r => Set(r.getString(1), r.getString(2))).toSeq
+      assert(keys.distinct.size == keys.size)
+      // bin confinement: swaps only pair edges in the same bin, so no
+      // output edge can mix a chr1-near source with a chr2-far dest
+      rows.foreach { r =>
+        val sChr = r.getString(1).split("_")(0)
+        val dChr = r.getString(2).split("_")(0)
+        assert(Set(sChr, dChr) != Set("1", "2"),
+          s"cross-bin swap leaked: ${r.getString(1)} -> ${r.getString(2)}")
+      }
+    }
+  }
+
   test("G6 randomize actually mixes: most edges differ from the original") {
     // 80-bait/240-edge random graph: after 10 swap rounds each replica
     // must replace a substantial share of undirected keys (a no-op
