@@ -966,6 +966,41 @@ FROM read_csv('$fxRoot/s2_hic/*.txt', delim=chr(9), header=true,
               all_varchar=true)
 WHERE TRY_CAST(baitStart AS BIGINT) IS NOT NULL
   AND TRY_CAST(oeStart AS BIGINT) IS NOT NULL""",
+    // Hi-C-mode pipeline over the same fixture: stale-row drop + MT
+    // drop, then all-"O" vertices / first-wins-simplified "O-O" edges
+    "g1_hic_vertices" -> raw"""
+WITH h AS (SELECT baitChr, TRY_CAST(baitStart AS BIGINT) AS baitStart,
+    TRY_CAST(baitEnd AS BIGINT) AS baitEnd, oeChr,
+    TRY_CAST(oeStart AS BIGINT) AS oeStart,
+    TRY_CAST(oeEnd AS BIGINT) AS oeEnd
+  FROM read_csv('$fxRoot/s2_hic/*.txt', delim=chr(9), header=true,
+                all_varchar=true)
+  WHERE TRY_CAST(baitStart AS BIGINT) IS NOT NULL
+    AND TRY_CAST(oeStart AS BIGINT) IS NOT NULL
+    AND baitChr NOT LIKE '%MT%' AND oeChr NOT LIKE '%MT%')
+SELECT DISTINCT fragment, '' AS gene_names, chr, "start", "end",
+       'O' AS type FROM (
+  SELECT baitChr||'_'||baitStart||'_'||baitEnd AS fragment, baitChr AS chr,
+         baitStart AS "start", baitEnd AS "end" FROM h
+  UNION ALL
+  SELECT oeChr||'_'||oeStart||'_'||oeEnd, oeChr, oeStart, oeEnd FROM h) u""",
+    "g1_hic_edges" -> raw"""
+WITH h AS (SELECT baitChr, TRY_CAST(baitStart AS BIGINT) AS baitStart,
+    TRY_CAST(baitEnd AS BIGINT) AS baitEnd, oeChr,
+    TRY_CAST(oeStart AS BIGINT) AS oeStart,
+    TRY_CAST(oeEnd AS BIGINT) AS oeEnd
+  FROM read_csv('$fxRoot/s2_hic/*.txt', delim=chr(9), header=true,
+                all_varchar=true)
+  WHERE TRY_CAST(baitStart AS BIGINT) IS NOT NULL
+    AND TRY_CAST(oeStart AS BIGINT) IS NOT NULL
+    AND baitChr NOT LIKE '%MT%' AND oeChr NOT LIKE '%MT%'),
+e AS (SELECT baitChr||'_'||baitStart||'_'||baitEnd AS src,
+             oeChr||'_'||oeStart||'_'||oeEnd AS dst FROM h)
+SELECT src, dst, 'O-O' AS type FROM (
+  SELECT src, dst, row_number() OVER (
+      PARTITION BY least(src,dst), greatest(src,dst)
+      ORDER BY src, dst) AS rn
+  FROM e WHERE src <> dst) t WHERE rn = 1""",
     "s3_format_sniff" -> raw"""
 SELECT 'pchic' AS src, CAST(len(string_split(
   string_split(content, chr(10))[1], chr(9))) = 6 AS BOOLEAN) AS is_hic

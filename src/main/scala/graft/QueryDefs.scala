@@ -118,6 +118,18 @@ object QueryDefs {
       GraphOps.subsetPO(e, e.select(col("src").as("id")))
         .select("src", "dst", "score")
     }),
+    // Hi-C-mode pipeline (6-col input, file -> loadHiC -> buildHiC):
+    // all-"O" vertices with empty names; unweighted "O-O" edges
+    "g1_hic_vertices" -> ((s, d) => {
+      val ds = Pipeline.buildHiC(
+        graft.io.Readers.loadHiC(s, ReaderHarness.hicFixture(s, d)))
+      ds.nodes
+    }),
+    "g1_hic_edges" -> ((s, d) => {
+      val ds = Pipeline.buildHiC(
+        graft.io.Readers.loadHiC(s, ReaderHarness.hicFixture(s, d)))
+      ds.edges.select(col("src"), col("dst"), col("type"))
+    }),
     "q1_fragment_lookup" -> ((s, d) =>
       Search.byFragmentId(verts(s, d), "7_7000_7999")),
     "q2_gene_search" -> ((s, d) => Search.byGeneName(verts(s, d), "S7")),

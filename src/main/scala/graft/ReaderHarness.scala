@@ -68,8 +68,9 @@ object ReaderHarness {
       s"$fixtureRoot/s1_pchic", header = true)
 
   /** S2: 6-col Hi-C with the header repeated as the first DATA row —
-    * the stale-header artifact loadHiC must drop (HiC[-1,]). */
-  private def hicFixture(s: SparkSession, d: String): String = {
+    * the stale-header artifact loadHiC must drop (HiC[-1,]). Also the
+    * input of the Hi-C-mode pipeline entries (g1_hic_*). */
+  def hicFixture(s: SparkSession, d: String): String = {
     import s.implicits._
     val hdr = Seq((hicHeader, 0), (hicHeader, 1)).toDF("line", "k")
     val data = interactions(s, d).select(concat_ws("\t",

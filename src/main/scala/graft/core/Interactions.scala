@@ -47,6 +47,19 @@ object Interactions {
       split(regexp_replace(coalesce(bag, lit("")), "-\\d+\\b", ""), "\\s+"),
       t => t =!= "" && t =!= "."))))
 
+  /** Hi-C-mode adaptation (reference network_generator.R:52-62): the
+    * sniffed 6-column table has no ids, names, or CHiCAGO scores —
+    * pad to the 12-column shape with null ids/names and a unit score
+    * (chaser's make_chromnet is unweighted in this mode; every edge is
+    * later typed "O-O", every vertex "O"). */
+  def fromHiC(hic: DataFrame): DataFrame = hic.select(
+    col("baitChr"), col("baitStart"), col("baitEnd"),
+    lit(null).cast("long").as("baitID"), lit(null).cast("string").as("baitName"),
+    col("oeChr"), col("oeStart"), col("oeEnd"),
+    lit(null).cast("long").as("oeID"), lit(null).cast("string").as("oeName"),
+    abs(col("oeStart") - col("baitStart")).cast("double").as("dist"),
+    lit(1.0).as("score"))
+
   /** A1 vertex derivation: stack bait + oe halves, tag type P/O, dedup.
     * A fragment that appears as both bait and oe is a promoter ("P" wins
     * — the reference's bait set defines promoters; J9 below), and its
@@ -54,16 +67,19 @@ object Interactions {
     * take precedence; oe names are annotation-derived later via J3).
     * Reference: generate_vertex, network_generator_lib.R:323-362.
     *
-    * For Hi-C inputs (no names), pass hasNames=false: gene_names = "".
-    */
-  def vertices(interactions: DataFrame, hasNames: Boolean = true): DataFrame = {
+    * For Hi-C inputs (no names, no baits) pass hasNames=false and
+    * hicMode=true: gene_names = "" and every vertex is type "O"
+    * (reference: generate_vertex's HiC_mode branch + the "O-O" edge
+    * typing at network_generator.R:59). */
+  def vertices(interactions: DataFrame, hasNames: Boolean = true,
+               hicMode: Boolean = false): DataFrame = {
     val baitNames = if (hasNames) col("baitName") else lit("")
     val oeNames = if (hasNames) col("oeName") else lit("")
     val baits = interactions.select(
       fragmentId(col("baitChr"), col("baitStart"), col("baitEnd")).as("fragment"),
       coalesce(baitNames, lit("")).as("gene_names"),
       col("baitChr").as("chr"), col("baitStart").as("start"),
-      col("baitEnd").as("end"), lit("P").as("type"))
+      col("baitEnd").as("end"), lit(if (hicMode) "O" else "P").as("type"))
     val oes = interactions.select(
       fragmentId(col("oeChr"), col("oeStart"), col("oeEnd")).as("fragment"),
       coalesce(oeNames, lit("")).as("gene_names"),

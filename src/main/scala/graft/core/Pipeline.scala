@@ -85,6 +85,40 @@ object Pipeline {
       chromosomes = Metadata.chromosomes(nodes))
   }
 
+  /** Hi-C-mode dataset build (reference network_generator.R:52-62, 95):
+    * the 6-column input has no scores, names, or baits — no threshold
+    * filter, every edge typed "O-O", every vertex "O" with empty
+    * names; the name-dependent annotations (J2/J4) don't apply. The
+    * graph metadata still emits promoter/P-P counts (they are zero) —
+    * the reference omits them in this mode, a presentation difference
+    * only. */
+  def buildHiC(raw6: DataFrame,
+               chromosome: Option[String] = None): BuiltDataset = {
+    val inter = Interactions.fromHiC(raw6)
+    val working0 = Interactions.dropMT(inter)
+    val working = chromosome match {
+      case Some(c) => Interactions.filterByChromosome(working0, c)
+      case None    => working0
+    }
+    // unweighted: simplify's first-wins order falls back to the
+    // undirected key itself — deterministic without a score
+    val simplified = Interactions.simplifyBy(
+      Interactions.edges(working).select(col("src"), col("dst")),
+      Seq(col("src"), col("dst")))
+    val typed = simplified
+      .withColumn("score", lit(1.0)).withColumn("type", lit("O-O"))
+    val nodes = Interactions.vertices(working, hasNames = false,
+      hicMode = true)
+    BuiltDataset(
+      interactions = working,
+      nodes = nodes,
+      edges = typed,
+      degrees = GraphOps.degrees(typed),
+      graphMetadata = GraphOps.graphMetadata(nodes, typed),
+      suggestions = Metadata.suggestions(nodes),
+      chromosomes = Metadata.chromosomes(nodes))
+  }
+
   /** S10/S11 end-to-end output tree — the per-dataset layout the
     * reference's pipeline materializes (pipeline.sh:109-124,
     * network_generator.R:181-284):

@@ -21,6 +21,25 @@ class PipelineSpec extends SparkSpec {
     assert(deg("1_1000_1999") == 2L)
   }
 
+  test("buildHiC: all-O vertices, empty names, unweighted O-O edges") {
+    val hic = Seq(
+      ("1", 100L, 199L, "1", 500L, 599L),
+      ("1", 500L, 599L, "2", 100L, 199L),
+      ("1", 100L, 199L, "1", 500L, 599L),   // dup -> simplified away
+      ("MT", 0L, 99L, "1", 100L, 199L))     // MT -> dropped
+      .toDF("baitChr", "baitStart", "baitEnd", "oeChr", "oeStart", "oeEnd")
+    val ds = Pipeline.buildHiC(hic)
+    val nodes = ds.nodes.collect()
+    assert(nodes.length == 3)
+    assert(nodes.forall(r => r.getString(5) == "O" && r.getString(1) == ""))
+    val edges = ds.edges.collect()
+    assert(edges.length == 2)
+    assert(edges.forall(_.getString(edges.head.fieldIndex("type")) == "O-O"))
+    val meta = ds.graphMetadata.collect()(0)
+    assert(meta.getLong(meta.fieldIndex("promoters")) == 0L)
+    assert(meta.getLong(meta.fieldIndex("pp_edges")) == 0L)
+  }
+
   test("chromosome slice keeps inter-chromosomal edges touching it") {
     val ds = Pipeline.build(pchicFixture, 5.0, chromosome = Some("2"))
     // rows touching chr2: bait2-oe1(8.0), bait1-oe2(7.0 + 5.5), self-loop
