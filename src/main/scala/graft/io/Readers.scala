@@ -132,6 +132,31 @@ object Readers {
       expr(s"stack(${valueCols.length}, $stackExpr) as (feature, value)"))
   }
 
+  /** S8 upload-format dispatch, mirroring the reference's
+    * option + sniffed-column-count table (backend.py:181-195):
+    * match_nodes → bed6 (6 cols) else features_table;
+    * proportion_on_nodes → bed3 (4 cols) else macs2;
+    * chromHMM → chromhmm; features_table → features_on_nodes (the
+    * fragment-keyed matrix — note its output is fragment-keyed, not
+    * interval-keyed like the others). */
+  def loadFeatureFile(spark: SparkSession, path: String,
+                      formatOption: String,
+                      featureName: String = "feature"): DataFrame = {
+    val nCols = sniffHeader(spark, path).length
+    formatOption match {
+      case "match_nodes" =>
+        if (nCols == 6) loadBed6(spark, path, featureName)
+        else loadFeaturesTable(spark, path)
+      case "proportion_on_nodes" =>
+        if (nCols == 4) loadBed3(spark, path, featureName)
+        else loadMacs2(spark, path, featureName)
+      case "chromHMM" => loadChromhmm(spark, path)
+      case "features_table" => loadFeaturesOnNodes(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"unknown feature format option: $other")
+    }
+  }
+
   /** S9 parquet snapshot store/load — replaces the reference's Rdata
     * caches (network_generator.R:282-284, search_query.R:14) with
     * columnar, partition-prunable parquet. */

@@ -98,6 +98,27 @@ class ReadersSpec extends SparkSpec {
     assert(r.getString(3) == "BN7" && r.getString(5) == "r1")
   }
 
+  test("S8 dispatch selects the reader from option + column count") {
+    val b6 = tmpTsv("1\t100\t199\tn\t7.5\t+")
+    assert(Readers.loadFeatureFile(spark, b6, "match_nodes", "m")
+      .collect()(0).getDouble(4) == 7.5)
+    val b3 = tmpTsv("1\t100\t199\t2.5")
+    assert(Readers.loadFeatureFile(spark, b3, "proportion_on_nodes", "m")
+      .collect()(0).getDouble(4) == 2.5)
+    val m2 = tmpTsv("1\t100\t199\tpk\t900\t.\t12.5\t1\t1\t150")
+    assert(Readers.loadFeatureFile(spark, m2, "proportion_on_nodes", "m")
+      .collect()(0).getDouble(4) == 12.5)
+    val hmm = tmpTsv("1\t100\t199\tE1")
+    assert(Readers.loadFeatureFile(spark, hmm, "chromHMM")
+      .collect()(0).getString(3) == "E1")
+    val fon = tmpTsv("frag\tH3K4", "chr1_100_199\t1.0")
+    assert(Readers.loadFeatureFile(spark, fon, "features_table")
+      .columns.head == "fragment")
+    intercept[IllegalArgumentException] {
+      Readers.loadFeatureFile(spark, b3, "nope")
+    }
+  }
+
   test("S9 parquet snapshot round-trips") {
     val dir = Files.createTempDirectory("graftsnap").toString + "/t"
     Readers.snapshot(pchicFixture, dir)
