@@ -86,13 +86,16 @@ object GraphOps {
     * Returns DF(id, comp) where comp = min node id reachable.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    // initial label = min(self, neighbors)
-    var cc = symmetrize(edges)
+    // persist the symmetrized edges FIRST and derive the initial labels
+    // (min of closed neighborhood) from them: one pass over the input
+    // lineage fills both caches (computing the labels from a second
+    // symmetrize() would re-run the upstream simplify/scan chain)
+    val edgeList = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var cc = edgeList
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cc.count()
-    val edgeList = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -188,7 +191,10 @@ object GraphOps {
   def diameter(edges: DataFrame, sweeps: Int = 4): Long = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     if (sym.isEmpty) { sym.unpersist(); return 0L }
-    val start = degrees(edges)
+    // degree from the cached symmetrized frame (one row per direction)
+    // — not degrees(edges), which would re-run the input lineage
+    val start = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
       .orderBy(col("degree").desc, col("id"))
       .limit(1).collect()(0).getString(0)
     var best = 0L
@@ -226,7 +232,8 @@ object GraphOps {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     if (sym.isEmpty) { sym.unpersist(); return res(0L, exact = true) }
     val nNodes = sym.select("src").distinct().count()
-    val start = degrees(edges)
+    val start = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
       .orderBy(col("degree").desc, col("id"))
       .limit(1).collect()(0).getString(0)
     var eccs = List.empty[Long]
