@@ -249,14 +249,17 @@ object GraphOps {
       cur = far
       i += 1
     }
-    sym.unpersist()
     val lb = eccs.max
     val ub = 2 * eccs.min
-    if (covered == nNodes && lb == ub) res(lb, exact = true)
-    else {
-      val (d, completed) = exactBfs(edges, maxIter)
-      res(math.max(lb, d), completed)
-    }
+    val out =
+      if (covered == nNodes && lb == ub) res(lb, exact = true)
+      else {
+        // escalation reuses the frame the sweeps already cached
+        val (d, completed) = exactBfsSym(sym, maxIter)
+        res(math.max(lb, d), completed)
+      }
+    sym.unpersist()
+    out
   }
 
   /** Exact diameter = max FINITE pairwise distance, via simultaneous
@@ -265,15 +268,19 @@ object GraphOps {
     * P-P subnet); the scale path for whole networks is the double-sweep
     * `diameter` above. Matches igraph's diameter on disconnected
     * graphs (max over per-component diameters). */
-  def diameterExact(edges: DataFrame, maxIter: Int = 64): Long =
-    exactBfs(edges, maxIter)._1
-
-  /** Simultaneous all-sources BFS: (max finite distance, completed).
-    * completed=false means maxIter rounds were exhausted with a
-    * non-empty frontier — the value is then only a lower bound. */
-  private def exactBfs(edges: DataFrame, maxIter: Int): (Long, Boolean) = {
+  def diameterExact(edges: DataFrame, maxIter: Int = 64): Long = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    if (sym.isEmpty) { sym.unpersist(); return (0L, true) }
+    val r = exactBfsSym(sym, maxIter)._1
+    sym.unpersist()
+    r
+  }
+
+  /** Simultaneous all-sources BFS over an ALREADY-persisted symmetrized
+    * frame: (max finite distance, completed). completed=false means
+    * maxIter rounds were exhausted with a non-empty frontier — the
+    * value is then only a lower bound. Caller owns sym's lifecycle. */
+  private def exactBfsSym(sym: DataFrame, maxIter: Int): (Long, Boolean) = {
+    if (sym.isEmpty) { return (0L, true) }
     var frontier = sym.select(col("src").as("source"), col("src").as("node"))
       .distinct().localCheckpoint(eager = true)
     var visited = frontier
@@ -296,7 +303,6 @@ object GraphOps {
         frontier = next
       }
     }
-    sym.unpersist()
     (dist, done)
   }
 
