@@ -23,10 +23,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    // local iteration knob: SPARK_GRAFT_BENCH_ONLY=a14_x,q6_y runs a
-    // subset; unset (the driver) runs the full headline list
+    // local iteration knob: SPARK_GRAFT_BENCH_ONLY=a14_x,q6_y times any
+    // registered queries; unset (the driver) runs the headline list
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSeq.filter(QueryDefs.benchNames.contains))
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(QueryDefs.benchNames)
     // a failed query records -1 (NOT its elapsed time — a broken query
     // must not masquerade as a fast one) plus an entry in "errors"
