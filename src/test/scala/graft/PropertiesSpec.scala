@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.core.{Interactions, Intervals}
+import graft.core.{Chas, Interactions, Intervals}
 
 /** ScalaCheck-generated properties (SURVEY §5): bucketed interval join
   * ≡ brute force, normalizeNames idempotent, simplify emits unique
@@ -43,6 +43,32 @@ class PropertiesSpec extends SparkSpec {
         .select(col("l.id"), col("r.name")).collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(bucketed == brute, s"iteration $it")
+    }
+  }
+
+  test("property: covered proportion equals brute-force position count") {
+    // one fragment [0, 999]; random (possibly overlapping, duplicate)
+    // feature intervals; the engine's interval-union proportion must
+    // equal |union of covered positions| / 1000 exactly, and stay <= 1
+    val segGen = for {
+      start <- Gen.choose(-200L, 1100L)
+      len <- Gen.choose(0L, 500L)
+    } yield (start, start + len)
+    (1 to 5).foreach { it =>
+      val segs = sample(Gen.listOfN(10, segGen), 300L + it)
+      val fragments = Seq(("f", "1", 0L, 999L))
+        .toDF("fragment", "chr", "start", "end")
+      val intervals = segs
+        .map { case (s, e) => ("1", s, e, "ft", 1.0) }
+        .toDF("chr", "start", "end", "feature", "value")
+      val got = Chas.aggregateOntoFragments(fragments, intervals,
+          proportion = true, bucketWidth = 500L)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val covered = segs.flatMap { case (s, e) =>
+        (math.max(s, 0L) to math.min(e, 999L)) }.distinct.size
+      assert(math.abs(got("f") - covered / 1000.0) < 1e-9,
+        s"iteration $it: got ${got("f")}, brute ${covered / 1000.0}")
+      assert(got("f") <= 1.0 + 1e-9)
     }
   }
 
