@@ -879,6 +879,8 @@ dec AS (SELECT media_id, kind, text, h,
   }.mkString("\nUNION ALL\n")
 
   val misc: Map[String, String] = Map(
+    // F6: a miss-search must render the literal empty-document guard
+    "f6_empty_guard" -> "SELECT '{}' AS doc",
     "e1_sessionize" -> raw"""
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,

@@ -157,6 +157,17 @@ object QueryDefs {
       Interactions.scrubNonAsciiString(
           Annotate.annotatePromoters(verts(s, d), aliasTable(s, d)), "alias")
         .select(col("fragment"), col("alias"))),
+    // F6 empty-result guard (reference network_generator.R:88-92,
+    // search_query.R:29-30): a guaranteed-miss search renders the
+    // literal "{}" document instead of an empty element array
+    "f6_empty_guard" -> ((s, d) => {
+      val v = verts(s, d)
+      val subnet = Search.subnetFromSeeds(v, simplified(s, d),
+        Search.byGeneName(v, "NO_SUCH_GENE_XYZZY"), ego = true)
+      s.range(1).select(
+        lit(graft.io.CytoscapeJson.render(subnet.nodes, subnet.edges))
+          .as("doc"))
+    }),
     "s10_cytoscape_nodes" -> ((s, d) => {
       val v = verts(s, d)
       val seeds = Search.byGeneName(v, "S7")

@@ -221,11 +221,16 @@ object GraphOps {
     * (bounded by maxIter rounds; per-pair state — intended for the
     * bounded graphs this entry runs on; at whole-network scale the
     * caller keeps the [[diameter]] heuristic and its documented
-    * lower-bound contract). exact=false only if maxIter was exhausted —
-    * the value is then still the best lower bound found.
+    * lower-bound contract). exact=false if maxIter was exhausted OR the
+    * node count exceeds `exactMaxNodes` — the O(V·E) pair-state of the
+    * exact escalation would not survive a large component, so above the
+    * threshold the double-sweep lower bound is returned un-escalated
+    * (the guard is structural, not a caller convention). The value is
+    * then still the best lower bound found.
     * Reference: diameter(net), network_generator_lib.R:418. */
   def diameterCertified(edges: DataFrame, sweeps: Int = 4,
-                        maxIter: Int = 64): DataFrame = {
+                        maxIter: Int = 64,
+                        exactMaxNodes: Long = 10000L): DataFrame = {
     val spark = edges.sparkSession
     def res(d: Long, exact: Boolean) = spark.range(1)
       .select(lit(d).as("diameter"), lit(exact).as("exact"))
@@ -253,6 +258,10 @@ object GraphOps {
     val ub = 2 * eccs.min
     val out =
       if (covered == nNodes && lb == ub) res(lb, exact = true)
+      else if (nNodes > exactMaxNodes)
+        // the exact escalation holds O(V·E) pair state — refuse it
+        // above the size bound and return the sweep lower bound
+        res(lb, exact = false)
       else {
         // escalation reuses the frame the sweeps already cached
         val (d, completed) = exactBfsSym(sym, maxIter)

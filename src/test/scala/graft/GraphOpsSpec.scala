@@ -138,4 +138,27 @@ class GraphOpsSpec extends SparkSpec {
       .collect()(0)
     assert(!r.getBoolean(1) && r.getLong(0) >= 3L)
   }
+
+  test("A7 diameterCertified refuses exact escalation above the size guard") {
+    // double star: two hubs joined by an edge, n leaves each — diameter
+    // 3, but the sweep bounds never close (lb=3, ub=4), so an unguarded
+    // certify would attempt the O(V·E) exact BFS over 12k nodes. The
+    // guard must return the sweep lower bound with exact=false instead.
+    val n = 6000
+    val hub1 = spark.range(n).select(lit("hub1").as("src"),
+      concat(lit("l1_"), lpad(col("id").cast("string"), 5, "0")).as("dst"))
+    val hub2 = spark.range(n).select(lit("hub2").as("src"),
+      concat(lit("l2_"), lpad(col("id").cast("string"), 5, "0")).as("dst"))
+    val bridge = spark.range(1).select(lit("hub1").as("src"),
+      lit("hub2").as("dst"))
+    val g = hub1.unionAll(hub2).unionAll(bridge)
+    val r = GraphOps.diameterCertified(g).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(!r.getBoolean(1)) // guarded: bound reported, not certified
+    // the same shape under the threshold still escalates and certifies
+    val small = edgesOf(Seq("hub1" -> "a", "hub1" -> "b",
+      "hub2" -> "c", "hub2" -> "d", "hub1" -> "hub2"))
+    val rs = GraphOps.diameterCertified(small).collect()(0)
+    assert(rs.getLong(0) == 3L && rs.getBoolean(1))
+  }
 }
