@@ -135,9 +135,11 @@ object Pipeline {
     * Per-chromosome documents keep every edge TOUCHING the chromosome
     * plus both endpoints (the F2 slice semantics) and are written with
     * elements sorted by id, so the tree is byte-deterministic under any
-    * partitioning. The per-chr fan-out is a driver loop over bounded
-    * documents (interactive payloads, same contract as
-    * CytoscapeJson.render); `chromosomesToWrite` bounds it explicitly.
+    * partitioning. Documents are STREAMED (CytoscapeJson.writeDocument):
+    * elements render and sort distributedly, the driver pipes them
+    * partition-at-a-time to the file — document size never bounds
+    * driver memory, only the file grows. `chromosomesToWrite` bounds
+    * the per-chr fan-out explicitly.
     */
   def writeDatasetTree(ds: BuiltDataset, outDir: String,
                        features: Option[DataFrame] = None,
@@ -172,9 +174,8 @@ object Pipeline {
       val endpoints = touching.select(col("src").as("fragment"))
         .unionAll(touching.select(col("dst").as("fragment"))).distinct()
       val nodes = ds.nodes.join(endpoints, Seq("fragment"), "left_semi")
-      MetadataJson.write(s"$outDir/chromosomes/chr$c.json",
-        CytoscapeJson.render(nodes.orderBy("fragment"),
-          touching.orderBy("src", "dst")))
+      CytoscapeJson.writeDocument(nodes, touching,
+        s"$outDir/chromosomes/chr$c.json")
     }
   }
 

@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** S10 Cytoscape.js JSON sink: nodes + edges nested under `data` with a
@@ -12,9 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object CytoscapeJson {
 
-  /** Node elements: one JSON string per node. Extra columns (features,
-    * degree, …) are carried into `data` automatically. */
-  def nodeElements(nodes: DataFrame): DataFrame = {
+  /** The node `data` struct (shared by every sink form). Extra columns
+    * (features, degree, …) are carried into `data` automatically. */
+  private def nodeStruct(nodes: DataFrame): Column = {
     val base = Seq("fragment", "gene_names", "chr", "start", "end", "type")
     val extras = nodes.columns.filterNot(base.contains)
     val searched =
@@ -28,28 +29,43 @@ object CytoscapeJson {
         coalesce(col("gene_names"), lit("")).as("names"),
         col("chr"), col("start"), col("end"), col("type")) ++
       searched ++ extraCols: _*)
-    nodes.select(to_json(struct(data.as("data"), lit("nodes").as("group")))
-      .as("element"))
+    struct(data.as("data"), lit("nodes").as("group"))
   }
 
-  /** Edge elements: id = "source~target". */
-  def edgeElements(edges: DataFrame): DataFrame = {
+  /** The edge `data` struct; id = "source~target". */
+  private def edgeStruct(edges: DataFrame): Column = {
     val typeCol =
       if (edges.columns.contains("type")) Seq(col("type").as("type")) else Nil
     val data = struct(
       Seq(col("src").as("source"), col("dst").as("target")) ++ typeCol ++
       Seq(concat_ws("~", col("src"), col("dst")).as("id")): _*)
-    edges.select(to_json(struct(data.as("data"), lit("edges").as("group")))
-      .as("element"))
+    struct(data.as("data"), lit("edges").as("group"))
   }
+
+  /** Node elements: one JSON string per node. */
+  def nodeElements(nodes: DataFrame): DataFrame =
+    nodes.select(to_json(nodeStruct(nodes)).as("element"))
+
+  /** Edge elements: id = "source~target". */
+  def edgeElements(edges: DataFrame): DataFrame =
+    edges.select(to_json(edgeStruct(edges)).as("element"))
+
+  /** All document elements with their document-order sort key
+    * (nodes by fragment, then edges by (src, dst)) — the distributed
+    * building block behind [[writeDocument]] / [[writeDocumentLines]]. */
+  def documentElements(nodes: DataFrame, edges: DataFrame): DataFrame =
+    nodes.select(lit(0).as("__g"), col("fragment").as("__k1"),
+        lit("").as("__k2"), to_json(nodeStruct(nodes)).as("element"))
+      .unionAll(edges.select(lit(1).as("__g"), col("src").as("__k1"),
+        col("dst").as("__k2"), to_json(edgeStruct(edges)).as("element")))
 
   /** Full document: "[" ++ elements ++ "]" — or the literal "{}" for an
     * empty / single-node subnet (reference empty-result guard,
     * network_generator.R:88-92; search_query.R:29-30).
-    * Collects to the driver: the output is a per-query visualization
-    * payload (bounded by the subnet size), not a data-plane artifact —
-    * large exports should use `nodeElements`/`edgeElements` with
-    * DataFrameWriter.text instead. */
+    * Collects to the driver: for INTERACTIVE payloads only (bounded by
+    * the subnet size). Dataset-tree and bulk exports use
+    * [[writeDocument]] / [[writeDocumentLines]], which never hold the
+    * document in driver memory. */
   def render(nodes: DataFrame, edges: DataFrame): String = {
     val nodeEls = nodeElements(nodes).collect().map(_.getString(0))
     if (nodeEls.length <= 1) "{}"
@@ -57,5 +73,63 @@ object CytoscapeJson {
       val edgeEls = edgeElements(edges).collect().map(_.getString(0))
       (nodeEls ++ edgeEls).mkString("[", ",", "]")
     }
+  }
+
+  /** Streamed document writer — byte-identical output to [[render]]
+    * (nodes sorted by fragment, then edges by (src, dst); "{}" guard
+    * for ≤1 node), but the document never materializes on the driver:
+    * elements are rendered and range-sorted distributedly, then
+    * `toLocalIterator` streams them partition-at-a-time straight into
+    * the file. Peak driver memory is one shuffle partition (bounded by
+    * `spark.sql.shuffle.partitions` sizing), not the document — the
+    * scale path for the per-chromosome tree documents, whose size grows
+    * with the dataset. */
+  def writeDocument(nodes: DataFrame, edges: DataFrame, path: String): Unit = {
+    val out = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(path))
+    try {
+      val nIt = nodeElements(nodes.orderBy("fragment")).toLocalIterator()
+      if (!nIt.hasNext) { out.write("{}"); return }
+      val first = nIt.next().getString(0)
+      if (!nIt.hasNext) { out.write("{}"); return } // single node → guard
+      out.write("[")
+      out.write(first)
+      while (nIt.hasNext) { out.write(","); out.write(nIt.next().getString(0)) }
+      val eIt = edgeElements(edges.orderBy("src", "dst")).toLocalIterator()
+      while (eIt.hasNext) { out.write(","); out.write(eIt.next().getString(0)) }
+      out.write("]")
+    } finally out.close()
+  }
+
+  /** Fully-distributed document writer: the same sorted elements as ONE
+    * text file of newline-separated rows — "[" prefixes the first
+    * element, "," every later one, "]" terminates the last row. JSON
+    * ignores whitespace between tokens, so the file PARSES identically
+    * to [[render]]'s output (and concatenating its lines reproduces it
+    * byte-for-byte — asserted in CytoscapeJsonSpec). Element rendering
+    * stays distributed; the single-partition external sort + streaming
+    * text write on one executor is the standard single-file export
+    * shape (no driver involvement at all). Use for bulk/data-plane
+    * exports; the byte-exact tree format keeps [[writeDocument]]. */
+  def writeDocumentLines(nodes: DataFrame, edges: DataFrame,
+                         path: String): Unit = {
+    import nodes.sparkSession.implicits._
+    if (nodes.limit(2).count() <= 1L) {
+      Seq("{}").toDF("line").coalesce(1)
+        .write.mode("overwrite").text(path)
+      return
+    }
+    val sorted = documentElements(nodes, edges)
+      .repartition(1).sortWithinPartitions("__g", "__k1", "__k2")
+    // single partition by construction → the global window is safe
+    val w = Window.orderBy("__g", "__k1", "__k2")
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    sorted.select(concat(
+        when(row_number().over(w) === 1, lit("[")).otherwise(lit(",")),
+        col("element"),
+        when(row_number().over(w) === count(lit(1)).over(wAll), lit("]"))
+          .otherwise(lit(""))).as("line"))
+      .write.mode("overwrite").text(path)
   }
 }

@@ -41,4 +41,52 @@ class CytoscapeJsonSpec extends SparkSpec {
     assert(CytoscapeJson.render(nodes.limit(0), edges.limit(0)) == "{}")
     assert(CytoscapeJson.render(nodes, edges).startsWith("["))
   }
+
+  // a wider document than the inline fixture: a real chromosome slice
+  // of the sf0.001 pipeline, multiple shuffle partitions in the sort
+  private def chrDoc = {
+    val d = "/root/testdata/sf0.001"
+    val v = TestMapping.verts(spark, d)
+    val e = TestMapping.simplified(spark, d)
+    val touching = e.filter(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("src"), "_").getItem(0) === "7" ||
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("dst"), "_").getItem(0) === "7")
+    val endpoints = touching.select($"src".as("fragment"))
+      .unionAll(touching.select($"dst".as("fragment"))).distinct()
+    (v.join(endpoints, Seq("fragment"), "left_semi"), touching)
+  }
+
+  test("streamed writeDocument matches render byte-for-byte") {
+    val (n, e) = chrDoc
+    val expected = CytoscapeJson.render(n.orderBy("fragment"),
+      e.orderBy("src", "dst"))
+    assert(expected.length > 10000) // a real multi-element document
+    val f = java.nio.file.Files.createTempFile("graftdoc", ".json")
+    CytoscapeJson.writeDocument(n, e, f.toString)
+    assert(java.nio.file.Files.readString(f) == expected)
+    // guard parity on the trivial documents
+    val f2 = java.nio.file.Files.createTempFile("graftdoc", ".json")
+    CytoscapeJson.writeDocument(nodes.limit(1), edges.limit(0), f2.toString)
+    assert(java.nio.file.Files.readString(f2) == "{}")
+    CytoscapeJson.writeDocument(nodes.limit(0), edges.limit(0), f2.toString)
+    assert(java.nio.file.Files.readString(f2) == "{}")
+  }
+
+  test("distributed writeDocumentLines concatenates to the render bytes") {
+    val (n, e) = chrDoc
+    val expected = CytoscapeJson.render(n.orderBy("fragment"),
+      e.orderBy("src", "dst"))
+    val dir = java.nio.file.Files.createTempDirectory("graftdoclines")
+    val out = dir.resolve("doc")
+    CytoscapeJson.writeDocumentLines(n, e, out.toString)
+    val part = java.nio.file.Files.list(out).iterator()
+    val files = scala.jdk.CollectionConverters.IteratorHasAsScala(part)
+      .asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(files.size == 1) // one text file, one partition
+    val lines = java.nio.file.Files.readAllLines(files.head)
+    assert(scala.jdk.CollectionConverters.ListHasAsScala(lines)
+      .asScala.mkString("") == expected)
+  }
 }
