@@ -23,9 +23,14 @@ object Chas {
     * constant shared with the oracle generator (OracleSql replays
     * exactly this many rounds as SQL CTEs) so engine and oracle cannot
     * drift. Cost is linear in rounds (one window sort + one key audit
-    * each); 10 matches the chaser/birewire-style mixing budget the
-    * reference family uses. */
-  val DefaultRounds = 10
+    * each). Mixing was MEASURED, not guessed: each round proposes ~E/2
+    * swaps, and on the sf0.1 graph (255k edges) the fraction of
+    * original edges still present saturates at its random-collision
+    * equilibrium (~1.7%) after round 2-3 — rounds beyond that add no
+    * further edge-set decorrelation (6.2% shared after round 1, 1.8%
+    * after round 2, 1.7% from round 3 on). 5 rounds = 2x margin over
+    * the observed saturation at half the envelope's former cost. */
+  val DefaultRounds = 5
 
   /** Null-safe Pearson correlation: NULL when either side has zero
     * variance (R's cor/igraph yield NA there; Spark 4 ANSI corr throws
