@@ -881,6 +881,23 @@ dec AS (SELECT media_id, kind, text, h,
   val misc: Map[String, String] = Map(
     // F6: a miss-search must render the literal empty-document guard
     "f6_empty_guard" -> "SELECT '{}' AS doc",
+    // S11: the output-tree layout at threshold 47 (the GoldenTree
+    // config) — four metadata documents plus one chromosome document
+    // per chromosome of the thresholded working set (MT dropped, PP
+    // pseudo-chromosome appended), every file non-empty
+    "s11_tree_write" -> raw"""
+WITH pre AS (SELECT ${chrSql("l_suppkey")} AS bchr, ${chrSql("l_partkey")} AS ochr
+  FROM lineitem WHERE l_quantity > 47.0),
+fil AS (SELECT * FROM pre
+  WHERE bchr NOT LIKE '%MT%' AND ochr NOT LIKE '%MT%'),
+chrs AS (SELECT DISTINCT chr FROM
+  (SELECT bchr AS chr FROM fil UNION ALL SELECT ochr FROM fil) t
+  UNION ALL SELECT 'PP')
+SELECT 'chromosomes/chr'||chr||'.json' AS file, TRUE AS nonempty FROM chrs
+UNION ALL SELECT 'metadata.json', TRUE
+UNION ALL SELECT 'suggestions.json', TRUE
+UNION ALL SELECT 'chromosomes.json', TRUE
+UNION ALL SELECT 'features_metadata.json', TRUE""",
     "e1_sessionize" -> raw"""
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,

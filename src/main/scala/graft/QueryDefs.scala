@@ -178,6 +178,32 @@ object QueryDefs {
       val v = verts(s, d)
       val seeds = Search.byGeneName(v, "S7")
       Search.subnetFromSeeds(v, simplified(s, d), seeds, ego = true).nodes
+    }),
+    // S11 end-to-end: the FULL per-dataset output tree (metadata +
+    // suggestions + chromosomes + features_metadata + one streamed
+    // Cytoscape document per chromosome) written to a temp dir; the
+    // result row set proves the reference layout exists and every file
+    // is non-empty. Thin threshold = the GoldenTree config (the
+    // iterative metadata passes are part of what is being benched).
+    "s11_tree_write" -> ((s, d) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_tree").toString
+      val ds = Pipeline.build(
+        TestMapping.interactions(s, d),
+        threshold = TestMapping.ThinScore,
+        annotations = Pipeline.Annotations(
+          baitNames = Some(baitNamesTable(s, d)),
+          aliasRanges = Some(aliasRanges(s, d)),
+          aliasNames = Some(aliasTable(s, d)),
+          intronic = Some(intronicRegions(s, d))))
+      Pipeline.writeDatasetTree(ds, out, features = Some(features(s, d)))
+      val root = java.nio.file.Paths.get(out)
+      val files = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.walk(root).iterator()).asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString,
+          java.nio.file.Files.size(p) > 0L)).toSeq.sorted
+      files.toDF("file", "nonempty")
     }))
 
   // ------------------------------------------------- LLM-pipeline ext
@@ -294,5 +320,5 @@ object QueryDefs {
     "a14_random_chas_envelope", "a15_feature_agg_mean",
     "j3_annotate_otherends", "j8_nearest_join", "q6_search_subnet",
     "d2_minhash_lsh", "d5_embedding_neardups", "s1_similarity_bruteforce",
-    "t2_quality_score", "e1_sessionize")
+    "t2_quality_score", "e1_sessionize", "s11_tree_write")
 }

@@ -218,6 +218,10 @@ object Chas {
       .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
       .localCheckpoint(eager = true)
 
+    // every round re-shuffles the same working set — size the shuffle
+    // width for it once (no-op at scale, cuts per-task fixed overhead
+    // when the set is small; see GraphOps.withShuffleWidthFor)
+    GraphOps.withShuffleWidthFor(cand, cand.count()) {
     var r = 0
     while (r < rounds) {
       // 1. seeded random pairing within (replica, bin): row_number +
@@ -319,6 +323,7 @@ object Chas {
       cand = next.localCheckpoint(eager = true)
       pairs.unpersist(blocking = false)
       r += 1
+    }
     }
     cand.select(col("replica"),
       split(col("__bin"), "\\|").getItem(0).as(groupCol),

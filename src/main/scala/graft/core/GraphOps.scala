@@ -16,6 +16,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Run `f` with `spark.sql.shuffle.partitions` sized for `rows`
+    * (target ~50k rows/partition, clamped to the session width): an
+    * iterative chain re-shuffles its working set every round, and a
+    * session width tuned for the big scans over-partitions a small
+    * frame into per-task fixed overhead (measured 1.5-2x of CC/BFS
+    * wall time at sf0.1). At scale rows/50k exceeds the session width
+    * and this is a no-op; results are width-independent (all chain
+    * operators are order-insensitive or totally ordered). Restores the
+    * session width on exit — the chains' in-loop actions all run
+    * inside the scope; caller-side actions on the (checkpointed)
+    * result run at session width. */
+  private[core] def withShuffleWidthFor[T](df: DataFrame, rows: Long)
+                                          (f: => T): T = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    val width = math.max(1L, math.min(prev.toLong, rows / 50000L + 1))
+    conf.set("spark.sql.shuffle.partitions", width.toString)
+    try f finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Both directions of an undirected edge list (src,dst) ∪ (dst,src). */
   def symmetrize(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
@@ -91,6 +111,8 @@ object GraphOps {
     // lineage fills both caches (computing the labels from a second
     // symmetrize() would re-run the upstream simplify/scan chain)
     val edgeList = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nRows = edgeList.count()
+    withShuffleWidthFor(edgeList, nRows) {
     var cc = edgeList
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("comp"))
@@ -132,6 +154,7 @@ object GraphOps {
     }
     edgeList.unpersist()
     cc
+    }
   }
 
   /** Component count + largest-component share "NN.NN%" (2 dp) —
@@ -151,9 +174,13 @@ object GraphOps {
     * per-source fan-out). */
   private def bfsEccentricity(sym: DataFrame,
                               source: String): (Long, String, Long) = {
+    // one job per level: the lazy checkpoint materializes inside the
+    // count. `visited` is a union of the per-level checkpointed deltas
+    // — each level writes only its delta to the block store (a running
+    // re-persisted union would rewrite O(V) blocks per level).
     var frontier = sym.sparkSession.range(1)
       .select(lit(source).as("node")).localCheckpoint(eager = true)
-    var visited = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = frontier
     var nVisited = 1L
     var last = frontier
     var dist = 0L
@@ -164,20 +191,18 @@ object GraphOps {
         .select(col("dst").as("node")).distinct()
         .join(visited.withColumnRenamed("node", "vn"),
           col("node") === col("vn"), "left_anti")
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      val cnt = next.count()
+      if (cnt == 0) done = true
       else {
         dist += 1
+        nVisited += cnt
         last = next
-        val nv = visited.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
-        nVisited = nv.count()
-        visited.unpersist()
-        visited = nv
+        visited = visited.unionAll(next)
         frontier = next
       }
     }
     val far = last.agg(min(col("node"))).collect()(0).getString(0)
-    visited.unpersist()
     (dist, far, nVisited)
   }
 
@@ -190,7 +215,9 @@ object GraphOps {
     * Reference: diameter(net), network_generator_lib.R:418. */
   def diameter(edges: DataFrame, sweeps: Int = 4): Long = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    if (sym.isEmpty) { sym.unpersist(); return 0L }
+    val nRows = sym.count()
+    if (nRows == 0) { sym.unpersist(); return 0L }
+    withShuffleWidthFor(sym, nRows) {
     // degree from the cached symmetrized frame (one row per direction)
     // — not degrees(edges), which would re-run the input lineage
     val start = sym.groupBy(col("src").as("id"))
@@ -210,6 +237,7 @@ object GraphOps {
     }
     sym.unpersist()
     best
+    }
   }
 
   /** A7 CERTIFIED diameter, 1-row DF (diameter, exact). Cheap path:
@@ -235,27 +263,35 @@ object GraphOps {
     def res(d: Long, exact: Boolean) = spark.range(1)
       .select(lit(d).as("diameter"), lit(exact).as("exact"))
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    if (sym.isEmpty) { sym.unpersist(); return res(0L, exact = true) }
-    val nNodes = sym.select("src").distinct().count()
-    val start = sym.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("degree"))
-      .orderBy(col("degree").desc, col("id"))
-      .limit(1).collect()(0).getString(0)
-    var eccs = List.empty[Long]
-    var covered = 0L
-    var cur = start
-    val seen = scala.collection.mutable.Set[String]()
-    var i = 0
-    while (i < sweeps && !seen.contains(cur)) {
-      seen += cur
-      val (ecc, far, nVis) = bfsEccentricity(sym, cur)
-      eccs ::= ecc
-      covered = nVis
-      cur = far
-      i += 1
+    val nRows = sym.count()
+    if (nRows == 0) { sym.unpersist(); return res(0L, exact = true) }
+    // the sweep phase shuffles O(E)-sized frames — narrow it; the
+    // exact escalation below holds O(V·E) pair state and runs at the
+    // session width
+    val (lb, ub, covered, nNodes) = withShuffleWidthFor(sym, nRows) {
+      val nNodes = sym.select("src").distinct().count()
+      val start = sym.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("id"))
+        .limit(1).collect()(0).getString(0)
+      var eccs = List.empty[Long]
+      var covered = 0L
+      var cur = start
+      val seen = scala.collection.mutable.Set[String]()
+      var i = 0
+      var closed = false
+      while (i < sweeps && !seen.contains(cur) && !closed) {
+        seen += cur
+        val (ecc, far, nVis) = bfsEccentricity(sym, cur)
+        eccs ::= ecc
+        covered = nVis
+        cur = far
+        i += 1
+        // bounds already closed -> further sweeps cannot help
+        closed = covered == nNodes && eccs.max == 2 * eccs.min
+      }
+      (eccs.max, 2 * eccs.min, covered, nNodes)
     }
-    val lb = eccs.max
-    val ub = 2 * eccs.min
     val out =
       if (covered == nNodes && lb == ub) res(lb, exact = true)
       else if (nNodes > exactMaxNodes)
@@ -278,6 +314,7 @@ object GraphOps {
     * `diameter` above. Matches igraph's diameter on disconnected
     * graphs (max over per-component diameters). */
   def diameterExact(edges: DataFrame, maxIter: Int = 64): Long = {
+    // no width narrowing: the pair state is O(V·E), not O(E)
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val r = exactBfsSym(sym, maxIter)._1
     sym.unpersist()

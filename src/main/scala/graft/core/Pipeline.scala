@@ -135,19 +135,29 @@ object Pipeline {
     * Per-chromosome documents keep every edge TOUCHING the chromosome
     * plus both endpoints (the F2 slice semantics) and are written with
     * elements sorted by id, so the tree is byte-deterministic under any
-    * partitioning. Documents are STREAMED (CytoscapeJson.writeDocument):
-    * elements render and sort distributedly, the driver pipes them
-    * partition-at-a-time to the file — document size never bounds
-    * driver memory, only the file grows. `chromosomesToWrite` bounds
-    * the per-chr fan-out explicitly.
+    * partitioning. Documents are BATCH-STREAMED
+    * (CytoscapeJson.writeChromosomeDocuments): one tagged element plan
+    * + one global sort for ALL chromosome documents, piped
+    * partition-at-a-time to the files — document size never bounds
+    * driver memory, only the files grow. `chromosomesToWrite` bounds
+    * the fan-out explicitly.
     */
   def writeDatasetTree(ds: BuiltDataset, outDir: String,
                        features: Option[DataFrame] = None,
                        nReplicates: Int = 3, seed: Long = 42L,
                        chromosomesToWrite: Option[Seq[String]] = None): Unit = {
     import graft.io.{CytoscapeJson, MetadataJson}
+    import org.apache.spark.storage.StorageLevel
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$outDir/chromosomes"))
+    // the tree reads nodes/edges many times over (three iterative
+    // metadata passes, the randomization envelope, one document per
+    // chromosome): pin both once so every pass is a cache scan, not a
+    // re-run of the build lineage — at any scale the tree write is
+    // then O(passes · |dataset|) reads of a materialized frame
+    val edgesC = ds.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesC = ds.nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
     val cs = GraphOps.componentStats(ds.edges).collect()(0)
     val dRow = GraphOps.diameterCertified(ds.edges).collect()(0)
     val tRow = GraphOps.transitivity(ds.edges).collect()(0)
@@ -167,15 +177,12 @@ object Pipeline {
     }
     val chrs = chromosomesToWrite.getOrElse(
       ds.chromosomes.collect().map(_.getString(0)).toSeq)
-    chrs.foreach { c =>
-      val touching = ds.edges.filter(
-        split(col("src"), "_").getItem(0) === c ||
-        split(col("dst"), "_").getItem(0) === c)
-      val endpoints = touching.select(col("src").as("fragment"))
-        .unionAll(touching.select(col("dst").as("fragment"))).distinct()
-      val nodes = ds.nodes.join(endpoints, Seq("fragment"), "left_semi")
-      CytoscapeJson.writeDocument(nodes, touching,
-        s"$outDir/chromosomes/chr$c.json")
+    // all chromosome documents in one sorted plan + one driver stream
+    CytoscapeJson.writeChromosomeDocuments(ds.nodes, ds.edges, chrs,
+      s"$outDir/chromosomes")
+    } finally {
+      edgesC.unpersist(blocking = false)
+      nodesC.unpersist(blocking = false)
     }
   }
 
