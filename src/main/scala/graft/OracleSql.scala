@@ -879,6 +879,11 @@ dec AS (SELECT media_id, kind, text, h,
   }.mkString("\nUNION ALL\n")
 
   val misc: Map[String, String] = Map(
+    // trained-codebook ANN certificate: 20 probes x k=10 rows compared,
+    // recall target met at nProbe=2 (vs 14 for the untrained codebook
+    // on isotropic data) — the pinned TRUE fails the gate on regression
+    "s2_ivf_recall_kmeans" ->
+      "SELECT CAST(200 AS BIGINT) AS n_total, TRUE AS meets_target",
     // F6: a miss-search must render the literal empty-document guard
     "f6_empty_guard" -> "SELECT '{}' AS doc",
     // S11: the output-tree layout at threshold 47 (the GoldenTree

@@ -249,6 +249,19 @@ object QueryDefs {
       Similarity.ivfRecall(emb, cb, emb.filter(col("vec_id") < 20),
         k = 10, nProbe = 14)
     }),
+    // trained-codebook certificate: on clustered embeddings, 2 Lloyd
+    // iterations concentrate each cluster into its own bucket, so the
+    // 0.9 recall target holds at nProbe=2 of 16 (the sampled codebook
+    // on isotropic data needs nProbe=14 — s2_ivf_recall above). Only
+    // (n_total, meets_target) are pinned: the margin is wide (measured
+    // ~1.0), so float-sum ordering in the centroid means cannot flip it
+    "s2_ivf_recall_kmeans" -> ((s, d) => {
+      val emb = clusteredEmbeddings(s, d)
+      val cb = Similarity.codebookKMeans(emb, 16, iters = 2)
+      Similarity.ivfRecall(emb, cb, emb.filter(col("vec_id") < 20),
+          k = 10, nProbe = 2)
+        .select(col("n_total"), col("meets_target"))
+    }),
     "t1_token_stats" -> ((s, d) =>
       table(s, d, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),

@@ -128,6 +128,20 @@ object TestMapping {
       .unionByName(sfeat)
   }
 
+  /** Deterministic CLUSTERED variant of the embeddings table (for the
+    * trained-codebook ANN certificate — the isotropic originals have no
+    * cluster structure for k-means to find): 16 well-separated centers
+    * on a cos grid, each vector = its cluster's center + 0.25 × its
+    * original embedding as noise. Pure column arithmetic — same rows
+    * every run at every SF. */
+  def clusteredEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val c = (col("vec_id") % 16).cast("double")
+    table(spark, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => cos(c * lit(1.7) + i.cast("double") * lit(0.37)) +
+          lit(0.25) * x).as("embedding"))
+  }
+
   /** Genomic feature intervals from `orders` (for the A15 interval
     * aggregation): target fragment key k = o_orderkey % 2000, skipping
     * k%3==0 so the missing-value fill is exercised; intervals sized and

@@ -67,6 +67,43 @@ object Similarity {
       .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
       .limit(k)
 
+  /** IVF codebook refined by Lloyd (k-means) iterations, seeded from
+    * the deterministic [[codebook]] sample: assign every vector to its
+    * nearest current centroid (one scan against the k-row broadcast),
+    * recompute each centroid as the element-wise mean of its members
+    * (posexplode → groupBy(centroid, dim) avg → rebuild the array in
+    * dim order), repeat. Empty clusters keep their previous centroid.
+    * Every step is a DataFrame op — the broadcast stays bounded by k at
+    * any corpus scale, and each iteration is one corpus scan + one
+    * k·dim-sized aggregate. On clustered embeddings this concentrates
+    * each cluster into one bucket, so probes reach target recall with
+    * fewer nProbe buckets (the whole point of a trained codebook —
+    * SimilaritySpec proves recall@10 ≥ 0.9 at nProbe=1 vs the sampled
+    * codebook's miss). */
+  def codebookKMeans(corpus: DataFrame, k: Int, iters: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    var cb = codebook(corpus, k, idCol, vecCol)
+    var it = 0
+    while (it < iters) {
+      val assigned = ivfAssign(corpus, cb, idCol, vecCol)
+      val means = assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+        .groupBy(col("centroid_id"), col("__i"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+          e => e.getField("__m")).as("__new"))
+      cb = cb.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__new"), col("centv")).as("centv"))
+        .localCheckpoint(eager = true) // k rows; cut the per-iter lineage
+      it += 1
+    }
+    cb
+  }
+
   /** IVF index build: assign every corpus vector to its nearest centroid
     * of the given codebook — one linear scan against a k-row broadcast.
     * The codebook is an EXPLICIT parameter shared between assign and

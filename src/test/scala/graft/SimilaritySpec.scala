@@ -95,6 +95,25 @@ class SimilaritySpec extends SparkSpec {
     assert(f.forall(v => v >= -1.0f && v <= 1.0f))
   }
 
+  test("k-means codebook: clustered data reaches 0.9 recall at nProbe=2") {
+    val emb = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 20)
+    val trained = Similarity.codebookKMeans(emb, 16, iters = 2)
+    val rT = Similarity.ivfRecall(emb, trained, probes, k = 10, nProbe = 2)
+      .collect()(0)
+    assert(rT.getLong(1) == 200L)
+    assert(rT.getBoolean(3), s"trained recall=${rT.getDouble(2)}")
+    // the untrained sampled codebook on the SAME clustered data scans
+    // the same 2/16 buckets but with arbitrary centroids — the trained
+    // one must not be worse (it is strictly better unless the sample
+    // happens to land one seed per cluster)
+    val sampled = Similarity.codebook(emb, 16)
+    val rS = Similarity.ivfRecall(emb, sampled, probes, k = 10, nProbe = 2)
+      .collect()(0)
+    assert(rT.getDouble(2) >= rS.getDouble(2),
+      s"trained=${rT.getDouble(2)} sampled=${rS.getDouble(2)}")
+  }
+
   test("IVF disk index: probes prune to their centroid partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
     val cb = Similarity.codebook(emb, 2)
