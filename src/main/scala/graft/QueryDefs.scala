@@ -221,9 +221,17 @@ object QueryDefs {
           round(Dedup.ngramJaccard(col("a.text"), col("b.text")), 4)
             .as("jaccard"))
     }),
-    "d5_embedding_neardups" -> ((s, d) =>
-      Dedup.embeddingNearDups(table(s, d, "embeddings"), threshold = 0.3,
-        bands = 4, bitsPerBand = 4, dim = 64)),
+    "d5_embedding_neardups" -> ((s, d) => {
+      // bits grow with corpus size (target ~125 vectors/bucket/band):
+      // fixed bits make in-bucket pair counts quadratic in the corpus.
+      // max(4, …) keeps the gate SFs (≤2k vectors) on exactly the
+      // 4-bit layout the DuckDB oracle replicates.
+      val emb = table(s, d, "embeddings")
+      val bits = math.max(4,
+        math.ceil(math.log(emb.count() / 125.0) / math.log(2)).toInt)
+      Dedup.embeddingNearDups(emb, threshold = 0.3,
+        bands = 4, bitsPerBand = bits, dim = 64)
+    }),
     "s1_similarity_bruteforce" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
