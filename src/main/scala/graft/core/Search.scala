@@ -146,9 +146,14 @@ object Search {
     * flag marks the seeds; degree recomputed on the subnet edges. */
   def subnetFromSeeds(vertices: DataFrame, edgesDf: DataFrame,
                       seeds: DataFrame, ego: Boolean): Subnet = {
-    val sEdges =
+    // the subnet is SMALL (bounded by the ego expansion of a search
+    // result) but referenced three times below (degrees, node ids, the
+    // returned edges) — materialize it once so the full edge lineage
+    // runs once, not per consumer
+    val sEdges = (
       if (ego) GraphOps.egoEdges(edgesDf, seeds)
       else GraphOps.induced(edgesDf, seeds)
+    ).localCheckpoint(eager = true)
     val nodeIds = sEdges.select(col("src").as("id"))
       .unionAll(sEdges.select(col("dst").as("id")))
       .unionAll(seeds.select(col("id")))   // isolated seeds stay visible
