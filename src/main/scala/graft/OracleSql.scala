@@ -752,7 +752,7 @@ cpairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
 SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
        round(cosine, 6) AS cosine
 FROM (SELECT *, row_number() OVER (
-        PARTITION BY probe_id ORDER BY cosine DESC, corpus_id) AS rank
+        PARTITION BY probe_id ORDER BY round(cosine, 6) DESC, corpus_id) AS rank
       FROM (SELECT dd.probe_id, dd.corpus_id,
               dd.dot/(na.nrm*nb.nrm) AS cosine
             FROM (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
@@ -767,7 +767,7 @@ WHERE rank <= 10"""),
 SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
        round(cosine, 6) AS cosine
 FROM (SELECT *, row_number() OVER (
-        PARTITION BY probe_id ORDER BY cosine DESC, corpus_id) AS rank
+        PARTITION BY probe_id ORDER BY round(cosine, 6) DESC, corpus_id) AS rank
       FROM scored2) r
 WHERE rank <= 10""",
       extra = raw"""
@@ -783,11 +783,11 @@ csim AS (SELECT cdot.vec_id, cdot.centroid_id,
   JOIN norms nc ON nc.vec_id = cdot.centroid_id),
 assigned AS (SELECT vec_id, centroid_id FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM csim) t
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn FROM csim) t
   WHERE rn = 1),
 pbuckets AS (SELECT vec_id AS probe_id, centroid_id FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
   FROM csim WHERE vec_id < 5) t WHERE rn <= 2),
 cand AS (SELECT pb.probe_id, a.vec_id AS corpus_id
   FROM pbuckets pb JOIN assigned a ON a.centroid_id = pb.centroid_id
@@ -822,11 +822,11 @@ csim AS (SELECT cdot.vec_id, cdot.centroid_id,
   JOIN norms nc ON nc.vec_id = cdot.centroid_id),
 assigned AS (SELECT vec_id, centroid_id FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM csim) t
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn FROM csim) t
   WHERE rn = 1),
 pbuckets AS (SELECT vec_id AS probe_id, centroid_id FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
   FROM csim WHERE vec_id < 20) t WHERE rn <= 14),
 cand AS (SELECT pb.probe_id, a.vec_id AS corpus_id
   FROM pbuckets pb JOIN assigned a ON a.centroid_id = pb.centroid_id
@@ -834,7 +834,7 @@ cand AS (SELECT pb.probe_id, a.vec_id AS corpus_id
 ivf AS (SELECT probe_id, corpus_id FROM (
   SELECT c.probe_id, c.corpus_id, row_number() OVER (
       PARTITION BY c.probe_id
-      ORDER BY c.dot/(na.nrm*nb.nrm) DESC, c.corpus_id) AS rank
+      ORDER BY round(c.dot/(na.nrm*nb.nrm), 6) DESC, c.corpus_id) AS rank
   FROM (SELECT cd.probe_id, cd.corpus_id, sum(pa.x*pb.x) AS dot
         FROM cand cd JOIN vexp pa ON pa.vec_id = cd.probe_id
         JOIN vexp pb ON pb.vec_id = cd.corpus_id AND pb.i = pa.i
@@ -844,7 +844,7 @@ ivf AS (SELECT probe_id, corpus_id FROM (
 bf AS (SELECT probe_id, corpus_id FROM (
   SELECT dd.probe_id, dd.corpus_id, row_number() OVER (
       PARTITION BY dd.probe_id
-      ORDER BY dd.dot/(na.nrm*nb.nrm) DESC, dd.corpus_id) AS rank
+      ORDER BY round(dd.dot/(na.nrm*nb.nrm), 6) DESC, dd.corpus_id) AS rank
   FROM (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
           sum(a.x*b.x) AS dot
         FROM vexp a JOIN vexp b ON a.i = b.i

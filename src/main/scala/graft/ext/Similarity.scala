@@ -33,8 +33,12 @@ object Similarity {
 
   /** Brute-force cosine top-k: for every probe (small DF), the k most
     * similar corpus vectors. Probes broadcast; corpus scanned once; the
-    * per-probe top-k is a window (rank ties broken by corpus id —
-    * deterministic). */
+    * per-probe top-k is a window. Ranking uses the 6-dp-ROUNDED cosine
+    * (the displayed precision) with the corpus id as tiebreak: raw
+    * doubles differ across engines/summation orders in the last bits,
+    * so ranking raw values makes near-ties engine-dependent — observed
+    * as a rank-10 flip at 20k vectors. Rounded-key + id ordering is a
+    * total order both engines reproduce. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -47,7 +51,7 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"),
         cosine(col("pv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("corpus_id"),
@@ -116,8 +120,9 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),
       col(vecCol).cast("array<double>").as("__v"))
+    // rounded-sim ordering: see bruteForceTopK — engine-stable ties
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("centroid_id"))
+      .orderBy(round(col("__sim"), 6).desc, col("centroid_id"))
     c.crossJoin(broadcast(cb))
       .withColumn("__sim", cosine(col("__v"), col("centv")))
       .withColumn("__rn", row_number().over(w))
@@ -138,7 +143,7 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val wp = Window.partitionBy(col("probe_id"))
-      .orderBy(col("__sim").desc, col("centroid_id"))
+      .orderBy(round(col("__sim"), 6).desc, col("centroid_id"))
     val probeBuckets = p.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col("pv"), col("centv")))
       .withColumn("__rn", row_number().over(wp))
@@ -147,7 +152,7 @@ object Similarity {
     val c = assigned.select(col("centroid_id"), col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("corpus_id"))
     probeBuckets.join(c, Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .select(col("probe_id"), col("corpus_id"),
