@@ -51,11 +51,11 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"),
         cosine(col("pv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("corpus_id"))
+      .orderBy(Num.roundLike(col("cosine"), 6).desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("corpus_id"),
-        round(col("cosine"), 6).as("cosine"))
+        Num.roundLike(col("cosine"), 6).as("cosine"))
   }
 
   /** IVF coarse codebook: a FIXED-size (k rows, independent of corpus
@@ -122,7 +122,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("__v"))
     // rounded-sim ordering: see bruteForceTopK — engine-stable ties
     val w = Window.partitionBy(col(idCol))
-      .orderBy(round(col("__sim"), 6).desc, col("centroid_id"))
+      .orderBy(Num.roundLike(col("__sim"), 6).desc, col("centroid_id"))
     c.crossJoin(broadcast(cb))
       .withColumn("__sim", cosine(col("__v"), col("centv")))
       .withColumn("__rn", row_number().over(w))
@@ -143,7 +143,7 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val wp = Window.partitionBy(col("probe_id"))
-      .orderBy(round(col("__sim"), 6).desc, col("centroid_id"))
+      .orderBy(Num.roundLike(col("__sim"), 6).desc, col("centroid_id"))
     val probeBuckets = p.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col("pv"), col("centv")))
       .withColumn("__rn", row_number().over(wp))
@@ -152,7 +152,7 @@ object Similarity {
     val c = assigned.select(col("centroid_id"), col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val w = Window.partitionBy(col("probe_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("corpus_id"))
+      .orderBy(Num.roundLike(col("cosine"), 6).desc, col("corpus_id"))
     probeBuckets.join(c, Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .select(col("probe_id"), col("corpus_id"),
@@ -160,7 +160,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("corpus_id"),
-        round(col("cosine"), 6).as("cosine"))
+        Num.roundLike(col("cosine"), 6).as("cosine"))
   }
 
 
@@ -185,7 +185,7 @@ object Similarity {
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_matched"),
         count(lit(1)).as("n_total"))
       .select(col("n_matched"), col("n_total"),
-        round(col("n_matched") / col("n_total"), 6).as("recall"),
+        Num.roundLike(col("n_matched") / col("n_total"), 6).as("recall"),
         (col("n_matched") / col("n_total") >= target).as("meets_target"))
   }
 

@@ -48,8 +48,11 @@ object TextOps {
       (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
         greatest(length(text), lit(1)).cast("double"))
     val distinctRatio = size(array_distinct(toks)).cast("double") / n
-    round(lit(0.25) * lenOk + lit(0.25) * least(stopRatio * 10.0, lit(1.0)) +
-      lit(0.25) * alphaRatio + lit(0.25) * distinctRatio, 4)
+    // Num.roundLike, not round(): 6 of 50k sf1 docs land exactly on a
+    // 4-dp display boundary and Spark's rendering-based round diverges
+    // from the oracle's scaled-product round there
+    Num.roundLike(lit(0.25) * lenOk + lit(0.25) * least(stopRatio * 10.0,
+      lit(1.0)) + lit(0.25) * alphaRatio + lit(0.25) * distinctRatio, 4)
   }
 
   /** Language-ID heuristic: stopword-hit ratio per language over a tiny
