@@ -45,14 +45,14 @@ object QueryDefs {
     "a10_chromosomes" -> ((s, d) => Metadata.chromosomes(verts(s, d))),
     "a11_chas" -> ((s, d) =>
       Chas.chas(simplified(s, d), features(s, d))
-        .select(col("feature"), round(col("chas"), 6).as("chas"))),
+        .select(col("feature"), Num.roundLike(col("chas"), 6).as("chas"))),
     "a12_abundance" -> ((s, d) =>
       Chas.abundance(features(s, d))
-        .select(col("feature"), round(col("abundance"), 6).as("abundance"))),
+        .select(col("feature"), Num.roundLike(col("abundance"), 6).as("abundance"))),
     "a13_mean_degree_positives" -> ((s, d) =>
       Chas.meanDegreeOfPositives(features(s, d),
           GraphOps.degrees(simplified(s, d)))
-        .select(col("feature"), round(col("mean_degree"), 6).as("mean_degree"))),
+        .select(col("feature"), Num.roundLike(col("mean_degree"), 6).as("mean_degree"))),
     "g6_randomize" -> ((s, d) =>
       Chas.randomize(simplified(s, d), nReplicates = 2, seed = 42L)
         .select(col("replica").cast("long").as("replica"),
@@ -60,21 +60,21 @@ object QueryDefs {
     "a14_random_chas_envelope" -> ((s, d) =>
       Chas.randomChasEnvelope(simplified(s, d), features(s, d),
           nReplicates = 3, seed = 42L)
-        .select(col("feature"), round(col("chas_min"), 6).as("chas_min"),
-          round(col("chas_max"), 6).as("chas_max"))),
+        .select(col("feature"), Num.roundLike(col("chas_min"), 6).as("chas_min"),
+          Num.roundLike(col("chas_max"), 6).as("chas_max"))),
     "a15_feature_agg_mean" -> ((s, d) =>
       Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d), "mean")
         .select(col("fragment"), col("feature"),
-          round(col("value"), 6).as("value"))),
+          Num.roundLike(col("value"), 6).as("value"))),
     "a15_feature_agg_max" -> ((s, d) =>
       Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d), "max")
         .select(col("fragment"), col("feature"),
-          round(col("value"), 6).as("value"))),
+          Num.roundLike(col("value"), 6).as("value"))),
     "a15_feature_agg_proportion" -> ((s, d) =>
       Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d),
           proportion = true)
         .select(col("fragment"), col("feature"),
-          round(col("value"), 6).as("value"))),
+          Num.roundLike(col("value"), 6).as("value"))),
     "a16_binarize" -> ((s, d) => Chas.binarize(features(s, d))),
     "a17_features_metadata" -> ((s, d) =>
       Chas.featuresMetadataSubnets(typed(s, d), features(s, d),
@@ -218,7 +218,7 @@ object QueryDefs {
       doc.as("a").join(doc.as("b"),
           col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(Dedup.ngramJaccard(col("a.text"), col("b.text")), 4)
+          Num.roundLike(Dedup.ngramJaccard(col("a.text"), col("b.text")), 4)
             .as("jaccard"))
     }),
     "d5_embedding_neardups" -> ((s, d) => {
@@ -294,7 +294,7 @@ object QueryDefs {
       EventStreams.sessionizeStreamFromParquet(s, s"$d/events.parquet", raw,
           queryName = "e3_sessions_" + math.abs(d.hashCode).toString)
         .select(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), round(col("value"), 4).as("value"))
+          col("n_events"), Num.roundLike(col("value"), 4).as("value"))
     }),
     "e2_windowed_counts" -> ((s, d) =>
       EventStreams.windowedCounts(events(s, d), "1 hour",

@@ -425,11 +425,11 @@ object Chas {
       .join(mdeg, Seq("subnet", "feature"), "outer")
       .join(env, Seq("subnet", "feature"), "outer")
       .select(col("subnet"), col("feature"),
-        round(col("abundance"), 2).as("abundance"),
-        round(col("chas"), 3).as("chas"),
+        graft.ext.Num.roundLike(col("abundance"), 2).as("abundance"),
+        graft.ext.Num.roundLike(col("chas"), 3).as("chas"),
         format_string("%.3f,%.3f", col("chas_min"), col("chas_max"))
           .as("random_chas_interval"),
-        round(col("mean_degree"), 2).as("mean_degree"))
+        graft.ext.Num.roundLike(col("mean_degree"), 2).as("mean_degree"))
   }
 
   /** features_metadata assembly: {Abundance, ChAs, RandomChAs envelope,
@@ -447,10 +447,10 @@ object Chas {
       .join(randomChasEnvelope(edges, features, nReplicates, seed),
         Seq("feature"), "outer")
       .select(col("feature"),
-        round(col("abundance"), 2).as("abundance"),
-        round(col("chas"), 3).as("chas"),
+        graft.ext.Num.roundLike(col("abundance"), 2).as("abundance"),
+        graft.ext.Num.roundLike(col("chas"), 3).as("chas"),
         format_string("%.3f,%.3f", col("chas_min"), col("chas_max"))
           .as("random_chas_interval"),
-        round(col("mean_degree"), 2).as("mean_degree"))
+        graft.ext.Num.roundLike(col("mean_degree"), 2).as("mean_degree"))
   }
 }

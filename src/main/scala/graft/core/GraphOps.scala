@@ -374,7 +374,7 @@ object GraphOps {
         col("triangles"),
         col("triads").cast("long").as("triads"),
         when(col("triads") === 0, lit(0.0))
-          .otherwise(round(lit(3.0) * col("triangles") / col("triads"), 2))
+          .otherwise(graft.ext.Num.roundLike(lit(3.0) * col("triangles") / col("triads"), 2))
           .as("transitivity"))
   }
 
@@ -395,6 +395,6 @@ object GraphOps {
                split(col("dst"), "_").getItem(0), 1L).otherwise(0L))
         .as("interchromosomal"))
     n.crossJoin(e).withColumn("mean_degree",
-      round(lit(2.0) * col("edges") / col("nodes"), 2))
+      graft.ext.Num.roundLike(lit(2.0) * col("edges") / col("nodes"), 2))
   }
 }

@@ -99,7 +99,7 @@ object Dedup {
       .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+        Num.roundLike(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
           size(array_union(col("sa.sh"), col("sb.sh"))).cast("double"), 4)
           .as("jaccard"))
   }
@@ -220,7 +220,7 @@ object Dedup {
       .join(vecs.as("va"), col("id_a") === col("va.vid"))
       .join(vecs.as("vb"), col("id_b") === col("vb.vid"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("va.vv"), col("vb.vv")), 6).as("cosine"))
+        Num.roundLike(Similarity.cosine(col("va.vv"), col("vb.vv")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

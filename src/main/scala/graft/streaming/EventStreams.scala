@@ -24,7 +24,7 @@ object EventStreams {
                      watermark: Option[String] = Some("10 minutes")): DataFrame =
     watermark.fold(events)(w => events.withWatermark("ts", w))
       .groupBy(window(col("ts"), width), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.ext.Num.roundLike(sum(col("value")), 4).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -47,7 +47,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")), 4).as("session_value"))
+        graft.ext.Num.roundLike(sum(col("value")), 4).as("session_value"))
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
