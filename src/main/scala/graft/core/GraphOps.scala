@@ -27,15 +27,29 @@ object GraphOps {
     * session width on exit — the chains' in-loop actions all run
     * inside the scope; caller-side actions on the (checkpointed)
     * result run at session width. */
-  private[core] def withShuffleWidthFor[T](df: DataFrame, rows: Long)
+  private[core] def withShuffleWidthFor[T](df: DataFrame, rows: Long,
+                                           staticPlan: Boolean = false)
                                           (f: => T): T = {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     // 50k rows/partition sits on the measured flat optimum for the
     // randomize chain at sf0.1 (25k equal, 100k+ 35% slower)
     val width = math.max(1L, math.min(prev.toLong, rows / 50000L + 1))
+    // staticPlan: additionally skip AQE's per-stage re-planning — but
+    // ONLY in the narrowed regime (width below the session's), where
+    // the whole working set is a handful of partitions and a skewed
+    // key is bounded by the (small) data itself. At scale the clamp
+    // leaves AQE on: skew-join splitting on hub nodes is real
+    // protection for the frontier/label joins there. Measured on the
+    // sf0.1 thin graph: CC 3.5 → 2.3 s, diameter 8.1 → 6.7 s.
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val dropAqe = staticPlan && width < prev.toLong && prevAqe == "true"
     conf.set("spark.sql.shuffle.partitions", width.toString)
-    try f finally conf.set("spark.sql.shuffle.partitions", prev)
+    if (dropAqe) conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally {
+      conf.set("spark.sql.shuffle.partitions", prev)
+      if (dropAqe) conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Both directions of an undirected edge list (src,dst) ∪ (dst,src). */
@@ -114,7 +128,7 @@ object GraphOps {
     // symmetrize() would re-run the upstream simplify/scan chain)
     val edgeList = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val nRows = edgeList.count()
-    withShuffleWidthFor(edgeList, nRows) {
+    withShuffleWidthFor(edgeList, nRows, staticPlan = true) {
     var cc = edgeList
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("comp"))
@@ -219,7 +233,7 @@ object GraphOps {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val nRows = sym.count()
     if (nRows == 0) { sym.unpersist(); return 0L }
-    withShuffleWidthFor(sym, nRows) {
+    withShuffleWidthFor(sym, nRows, staticPlan = true) {
     // degree from the cached symmetrized frame (one row per direction)
     // — not degrees(edges), which would re-run the input lineage
     val start = sym.groupBy(col("src").as("id"))
@@ -270,7 +284,8 @@ object GraphOps {
     // the sweep phase shuffles O(E)-sized frames — narrow it; the
     // exact escalation below holds O(V·E) pair state and runs at the
     // session width
-    val (lb, ub, covered, nNodes) = withShuffleWidthFor(sym, nRows) {
+    val (lb, ub, covered, nNodes) = withShuffleWidthFor(sym, nRows,
+        staticPlan = true) {
       val nNodes = sym.select("src").distinct().count()
       val start = sym.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("degree"))
