@@ -23,7 +23,7 @@ object Bench {
     // kill the whole bench before a single query ran.
     Seq("lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up $t skipped: ${e.getMessage}") }
     }
     // local iteration knob: SPARK_GRAFT_BENCH_ONLY=a14_x,q6_y times any
@@ -37,7 +37,10 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/LinkageError must crash the bench (the
+        // driver records rc!=0) instead of timing later queries in a
+        // possibly-corrupted JVM
+        case scala.util.control.NonFatal(e) =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       }
       val sec = (System.nanoTime() - t0) / 1e9

@@ -32,9 +32,17 @@ object GraphOps {
                                           (f: => T): T = {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
+    // session widths can be non-numeric ("auto" on some platforms) —
+    // then narrowing is a no-op rather than a crash. NOTE: conf.set
+    // mutates SESSION-global state for the duration of f; callers are
+    // single-threaded per session (Verify/Bench/tree write). Concurrent
+    // queries on a shared session should clone it (session.newSession()
+    // isolates SQLConf) before entering an iterative chain.
+    val prevWidth = prev.toLongOption
+    if (prevWidth.isEmpty) return f
     // 50k rows/partition sits on the measured flat optimum for the
     // randomize chain at sf0.1 (25k equal, 100k+ 35% slower)
-    val width = math.max(1L, math.min(prev.toLong, rows / 50000L + 1))
+    val width = math.max(1L, math.min(prevWidth.get, rows / 50000L + 1))
     // staticPlan: additionally skip AQE's per-stage re-planning — but
     // ONLY in the narrowed regime (width below the session's), where
     // the whole working set is a handful of partitions and a skewed
@@ -43,7 +51,7 @@ object GraphOps {
     // protection for the frontier/label joins there. Measured on the
     // sf0.1 thin graph: CC 3.5 → 2.3 s, diameter 8.1 → 6.7 s.
     val prevAqe = conf.get("spark.sql.adaptive.enabled")
-    val dropAqe = staticPlan && width < prev.toLong && prevAqe == "true"
+    val dropAqe = staticPlan && width < prevWidth.get && prevAqe == "true"
     conf.set("spark.sql.shuffle.partitions", width.toString)
     if (dropAqe) conf.set("spark.sql.adaptive.enabled", "false")
     try f finally {

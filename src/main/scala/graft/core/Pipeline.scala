@@ -157,29 +157,52 @@ object Pipeline {
     // then O(passes · |dataset|) reads of a materialized frame
     val edgesC = ds.edges.persist(StorageLevel.MEMORY_AND_DISK)
     val nodesC = ds.nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    // SPARK_GRAFT_TIMING=1: per-phase wall-clock to stderr (diagnostic)
+    val t0 = System.nanoTime()
+    var tPrev = t0
+    def lap(phase: String): Unit = if (sys.env.contains("SPARK_GRAFT_TIMING")) {
+      val now = System.nanoTime()
+      System.err.println(f"[graft-tree] $phase%-22s ${(now - tPrev) / 1e9}%8.2fs" +
+        f"  (total ${(now - t0) / 1e9}%8.2fs)")
+      tPrev = now
+    }
     try {
     val cs = GraphOps.componentStats(ds.edges).collect()(0)
+    lap("componentStats")
     val dRow = GraphOps.diameterCertified(ds.edges).collect()(0)
+    lap("diameterCertified")
+    // past exactMaxNodes the certified path returns a double-sweep
+    // LOWER BOUND (exact=false) — surface that rather than silently
+    // embedding it where the reference's igraph diameter is exact
+    if (!dRow.getBoolean(dRow.fieldIndex("exact")))
+      System.err.println(s"[graft] writeDatasetTree($outDir): diameter " +
+        s"${dRow.getLong(0)} is an UNCERTIFIED lower bound (graph over " +
+        "the exact-BFS escalation cap); metadata.json carries it as-is")
     val tRow = GraphOps.transitivity(ds.edges).collect()(0)
+    lap("transitivity")
     MetadataJson.write(s"$outDir/metadata.json",
       MetadataJson.metadataJson(ds.graphMetadata,
         components = cs.getLong(0), maxComponentPct = cs.getString(1),
         diameter = dRow.getLong(0),
         transitivity = tRow.getDouble(tRow.fieldIndex("transitivity"))))
+    lap("graphMetadata")
     MetadataJson.write(s"$outDir/suggestions.json",
       MetadataJson.stringArrayJson(ds.suggestions))
     MetadataJson.write(s"$outDir/chromosomes.json",
       MetadataJson.stringArrayJson(ds.chromosomes))
+    lap("suggestions+chrs")
     features.foreach { f =>
       MetadataJson.write(s"$outDir/features_metadata.json",
         MetadataJson.featuresMetadataJson(
           Chas.featuresMetadataSubnets(ds.edges, f, nReplicates, seed)))
     }
+    lap("featuresMetadata")
     val chrs = chromosomesToWrite.getOrElse(
       ds.chromosomes.collect().map(_.getString(0)).toSeq)
     // all chromosome documents in one sorted plan + one driver stream
     CytoscapeJson.writeChromosomeDocuments(ds.nodes, ds.edges, chrs,
       s"$outDir/chromosomes")
+    lap("chromosomeDocs")
     } finally {
       edgesC.unpersist(blocking = false)
       nodesC.unpersist(blocking = false)

@@ -111,7 +111,8 @@ object CytoscapeJson {
     * instead of 25 small plans (measured 7x faster on the sf0.1 tree).
     * Documents listed in `chrs` that no edge touches (e.g. the PP
     * pseudo-chromosome) are written as the "{}" guard, as is any
-    * single-element document. */
+    * document with fewer than two node elements ([[render]]'s
+    * contract — a lone node plus self-loop edges still guards). */
   def writeChromosomeDocuments(nodes: DataFrame, edges: DataFrame,
                                chrs: Seq[String], dir: String): Unit = {
     val eTag = edges.withColumn("__doc", explode(array_distinct(array(
@@ -142,6 +143,7 @@ object CytoscapeJson {
     chrs.foreach(c => java.nio.file.Files.writeString(path(c), "{}"))
     var cur: String = null
     var held: String = null // first element of the current document
+    var skipDoc = false     // <=1 node -> leave the "{}" guard in place
     var out: java.io.Writer = null
     def closeDoc(): Unit = {
       if (out != null) { out.write("]"); out.close(); out = null }
@@ -151,12 +153,23 @@ object CytoscapeJson {
     try {
       while (it.hasNext) {
         val r = it.next()
-        val (doc, el) = (r.getString(0), r.getString(4))
-        if (doc != cur) { closeDoc(); cur = doc; held = el }
+        val (doc, isNode, el) = (r.getString(0), r.getInt(1) == 0,
+          r.getString(4))
+        if (doc != cur) {
+          // render's contract: a document needs >=2 NODES. Nodes sort
+          // first (__g=0), so the first two elements decide: anything
+          // else (lone node + self-loop edges, or edges with no node
+          // rows) keeps the pre-written "{}" guard and swallows the
+          // rest of the document.
+          closeDoc(); cur = doc
+          skipDoc = !isNode; held = if (isNode) el else null
+        } else if (skipDoc) ()
         else if (held != null) {
-          out = java.nio.file.Files.newBufferedWriter(path(cur))
-          out.write("["); out.write(held); out.write(","); out.write(el)
-          held = null
+          if (isNode) {
+            out = java.nio.file.Files.newBufferedWriter(path(cur))
+            out.write("["); out.write(held); out.write(","); out.write(el)
+            held = null
+          } else { held = null; skipDoc = true }
         } else { out.write(","); out.write(el) }
       }
       closeDoc()

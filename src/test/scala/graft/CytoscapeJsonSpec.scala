@@ -74,6 +74,28 @@ class CytoscapeJsonSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(f2) == "{}")
   }
 
+  test("batched chromosome writer guards a lone node with a self-loop") {
+    // render's contract is <=1 NODE -> "{}"; a self-loop edge makes the
+    // document 2 ELEMENTS, which must still guard (and a chromosome
+    // whose node rows are missing entirely must too)
+    val n1 = nodes.limit(1) // the single chr-1 node
+    val loop = Seq(("1_100_199", "1_100_199", "P-P"))
+      .toDF("src", "dst", "type")
+    val dir = java.nio.file.Files.createTempDirectory("graftchrguard")
+    CytoscapeJson.writeChromosomeDocuments(n1, loop, Seq("1"), dir.toString)
+    assert(java.nio.file.Files.readString(dir.resolve("chr1.json")) == "{}")
+    // edges whose endpoints have no node rows: also guarded
+    val orphan = Seq(("9_1_2", "9_3_4", "O-O")).toDF("src", "dst", "type")
+    CytoscapeJson.writeChromosomeDocuments(nodes.limit(0), orphan,
+      Seq("9"), dir.toString)
+    assert(java.nio.file.Files.readString(dir.resolve("chr9.json")) == "{}")
+    // and a real two-node document still renders through the same path
+    CytoscapeJson.writeChromosomeDocuments(nodes, edges, Seq("1"),
+      dir.toString)
+    assert(java.nio.file.Files.readString(dir.resolve("chr1.json")) ==
+      CytoscapeJson.render(nodes, edges))
+  }
+
   test("distributed writeDocumentLines concatenates to the render bytes") {
     val (n, e) = chrDoc
     val expected = CytoscapeJson.render(n.orderBy("fragment"),

@@ -10,8 +10,11 @@ near-dup rate instead of 10 planted copies of every row.
   consistent with lineitem's foreign keys
 - documents: per-copy alphabet rotation (translate) rewrites most
   shingles -> copies are NOT near-duplicates of each other
-- embeddings: per-copy Rademacher sign mask keyed by (dim*31+copy*17)
-  decorrelates copies (cosine ~0 between copies of the same vector)
+- embeddings: per-copy Rademacher sign mask from a splitmix64-style
+  avalanche hash of (dim, copy) decorrelates copies (max pairwise
+  |cosine| ~0.31, asserted below; a plain linear parity like
+  (d*31+i*17)%2 collapses to (d+i)%2 — only 2 distinct masks, giving
+  byte-identical / exactly-negated copies)
 - nation/region stay single-copy (dimensions)
 """
 import sys
@@ -87,9 +90,29 @@ doc_text = ("CASE i " + " ".join(
     for i in range(N)) + " END AS text")
 # translate is 1:1 — n_chars stays valid
 gen("documents", [f"doc_id + i*{D} AS doc_id", doc_text])
-# embeddings: per-copy deterministic sign mask over the 64 dims
-masks = {i: [1 - 2 * ((d * 31 + i * 17) % 2) for d in range(64)]
+# embeddings: per-copy deterministic sign mask over the 64 dims.
+# splitmix64-style finalizer: the mask bit must avalanche in BOTH d
+# and i, or copies collapse onto a handful of masks
+M64 = (1 << 64) - 1
+
+
+def _maskbit(d, i):
+    x = (d * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & M64
+    x ^= x >> 31
+    return x & 1
+
+
+masks = {i: [1 - 2 * _maskbit(d, i) for d in range(64)]
          for i in range(N)}
+# decorrelation certificate: all copies distinct, near-orthogonal
+assert len({tuple(m) for m in masks.values()}) == N, "mask collision"
+_dots = [sum(a * b for a, b in zip(masks[i], masks[j]))
+         for i in range(N) for j in range(i + 1, N)]
+assert max(abs(x) for x in _dots) <= 24, f"masks correlated: {_dots}"
 emb = ("CASE i " + " ".join(
     "WHEN {0} THEN CAST(list_transform(list_zip(embedding, {1}), "
     "z -> z[1] * z[2]) AS FLOAT[])".format(i, masks[i])
