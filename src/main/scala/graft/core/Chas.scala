@@ -23,14 +23,16 @@ object Chas {
     * constant shared with the oracle generator (OracleSql replays
     * exactly this many rounds as SQL CTEs) so engine and oracle cannot
     * drift. Cost is linear in rounds (one window sort + one key audit
-    * each). Mixing was MEASURED, not guessed: each round proposes ~E/2
-    * swaps, and on the sf0.1 graph (255k edges) the fraction of
-    * original edges still present saturates at its random-collision
-    * equilibrium (~1.7%) after round 2-3 — rounds beyond that add no
-    * further edge-set decorrelation (6.2% shared after round 1, 1.8%
-    * after round 2, 1.7% from round 3 on). 5 rounds = 2x margin over
-    * the observed saturation at half the envelope's former cost. */
-  val DefaultRounds = 5
+    * each). Mixing was MEASURED, not guessed (graft.MixingProbe): each
+    * round proposes ~E/2 swaps, and on the sf0.1 graph (274k edges) the
+    * fraction of original edges still present saturates at its
+    * random-collision equilibrium after round 3 — 6.2% shared after
+    * round 1, 1.8% after 2, 1.68% after 3, 1.67% flat through round 6 —
+    * and the embedded ChAs envelope is already stable to <0.001 (under
+    * the replicate spread) from round 2 on. Rounds past 3 buy no
+    * decorrelation and no envelope movement; they only scale the
+    * chain's wall-clock. */
+  val DefaultRounds = 3
 
   /** Null-safe Pearson correlation: NULL when either side has zero
     * variance (R's cor/igraph yield NA there; Spark 4 ANSI corr throws
@@ -336,8 +338,9 @@ object Chas {
     * network_generator_lib.R:533-576. */
   def randomChasEnvelope(edges: DataFrame, features: DataFrame,
                          nReplicates: Int, seed: Long,
-                         distMatch: Boolean = false): DataFrame = {
-    val rand = randomize(edges, nReplicates, seed, distMatch)
+                         distMatch: Boolean = false,
+                         rounds: Int = DefaultRounds): DataFrame = {
+    val rand = randomize(edges, nReplicates, seed, distMatch, rounds)
     // ChAs per (feature, replica) in one aggregation: replica rides along
     // as a grouping key.
     val sym = rand.select(col("replica"), col("src"), col("dst"))

@@ -27,17 +27,28 @@ object GraphOps {
     * session width on exit — the chains' in-loop actions all run
     * inside the scope; caller-side actions on the (checkpointed)
     * result run at session width. */
+  /** Session-conf marker: "true" disables the per-chain shuffle-width
+    * narrowing below (set by concurrent regions that pinned a width for
+    * all lanes — a per-chain set/restore would race across threads). */
+  private[graft] val WidthPinKey = "spark.graft.shuffleWidth.pinned"
+
   private[core] def withShuffleWidthFor[T](df: DataFrame, rows: Long,
                                            staticPlan: Boolean = false)
                                           (f: => T): T = {
     val conf = df.sparkSession.conf
+    // concurrent regions (Pipeline.writeDatasetTree fans independent
+    // metadata passes onto threads) PIN one width for the whole region:
+    // the per-chain narrowing here would race on the session conf, so
+    // under the pin it is a declared no-op
+    if (conf.getOption(WidthPinKey).contains("true")) return f
     val prev = conf.get("spark.sql.shuffle.partitions")
     // session widths can be non-numeric ("auto" on some platforms) —
     // then narrowing is a no-op rather than a crash. NOTE: conf.set
     // mutates SESSION-global state for the duration of f; callers are
     // single-threaded per session (Verify/Bench/tree write). Concurrent
-    // queries on a shared session should clone it (session.newSession()
-    // isolates SQLConf) before entering an iterative chain.
+    // queries on a shared session must pin (see WidthPinKey) or clone
+    // the session (session.newSession() isolates SQLConf) before
+    // entering an iterative chain.
     val prevWidth = prev.toLongOption
     if (prevWidth.isEmpty) return f
     // 50k rows/partition sits on the measured flat optimum for the
@@ -136,6 +147,17 @@ object GraphOps {
     // symmetrize() would re-run the upstream simplify/scan chain)
     val edgeList = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val nRows = edgeList.count()
+    try connectedComponentsSym(edgeList, nRows, maxIter)
+    finally edgeList.unpersist()
+  }
+
+  /** [[connectedComponents]] over an ALREADY-persisted symmetrized
+    * frame — the caller owns sym's lifecycle, so several passes can
+    * share one cached frame (Pipeline.writeDatasetTree runs this
+    * concurrently with the diameter sweeps on the same sym). */
+  private[graft] def connectedComponentsSym(edgeList: DataFrame,
+                                            nRows: Long,
+                                            maxIter: Int = 50): DataFrame = {
     withShuffleWidthFor(edgeList, nRows, staticPlan = true) {
     var cc = edgeList
       .groupBy(col("src").as("id"))
@@ -176,7 +198,6 @@ object GraphOps {
       converged = changed == 0
       iter += 1
     }
-    edgeList.unpersist()
     cc
     }
   }
@@ -184,7 +205,18 @@ object GraphOps {
   /** Component count + largest-component share "NN.NN%" (2 dp) —
     * reference metadata fields (network_generator_lib.R:415-417). */
   def componentStats(edges: DataFrame): DataFrame = {
-    val cc = connectedComponents(edges)
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try componentStatsSym(sym, sym.count())
+    finally sym.unpersist()
+  }
+
+  /** [[componentStats]] over a caller-owned persisted symmetrized
+    * frame. Returns an eagerly-computed 1-row result (the CC labels are
+    * checkpointed blocks that must be read before the caller tears sym
+    * down). */
+  private[graft] def componentStatsSym(sym: DataFrame,
+                                       nRows: Long): DataFrame = {
+    val cc = connectedComponentsSym(sym, nRows)
     val sizes = cc.groupBy("comp").agg(count(lit(1)).as("size"))
     sizes.agg(
       count(lit(1)).as("components"),
@@ -283,12 +315,21 @@ object GraphOps {
   def diameterCertified(edges: DataFrame, sweeps: Int = 4,
                         maxIter: Int = 64,
                         exactMaxNodes: Long = 10000L): DataFrame = {
-    val spark = edges.sparkSession
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try diameterCertifiedSym(sym, sym.count(), sweeps, maxIter, exactMaxNodes)
+    finally sym.unpersist()
+  }
+
+  /** [[diameterCertified]] over a caller-owned persisted symmetrized
+    * frame (see [[connectedComponentsSym]] for the sharing contract). */
+  private[graft] def diameterCertifiedSym(sym: DataFrame, nRows: Long,
+                                          sweeps: Int = 4, maxIter: Int = 64,
+                                          exactMaxNodes: Long = 10000L)
+      : DataFrame = {
+    val spark = sym.sparkSession
     def res(d: Long, exact: Boolean) = spark.range(1)
       .select(lit(d).as("diameter"), lit(exact).as("exact"))
-    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val nRows = sym.count()
-    if (nRows == 0) { sym.unpersist(); return res(0L, exact = true) }
+    if (nRows == 0) { return res(0L, exact = true) }
     // the sweep phase shuffles O(E)-sized frames — narrow it; the
     // exact escalation below holds O(V·E) pair state and runs at the
     // session width
@@ -328,7 +369,6 @@ object GraphOps {
         val (d, completed) = exactBfsSym(sym, maxIter)
         res(math.max(lb, d), completed)
       }
-    sym.unpersist()
     out
   }
 

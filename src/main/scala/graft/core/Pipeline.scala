@@ -148,62 +148,119 @@ object Pipeline {
                        chromosomesToWrite: Option[Seq[String]] = None): Unit = {
     import graft.io.{CytoscapeJson, MetadataJson}
     import org.apache.spark.storage.StorageLevel
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$outDir/chromosomes"))
+    val spark = ds.edges.sparkSession
     // the tree reads nodes/edges many times over (three iterative
     // metadata passes, the randomization envelope, one document per
     // chromosome): pin both once so every pass is a cache scan, not a
     // re-run of the build lineage — at any scale the tree write is
-    // then O(passes · |dataset|) reads of a materialized frame
+    // then O(passes · |dataset|) reads of a materialized frame. The
+    // symmetrized edge list is ALSO shared (CC + diameter both consume
+    // it), persisted here so the concurrent lanes below never race an
+    // unpersist against each other's scans.
     val edgesC = ds.edges.persist(StorageLevel.MEMORY_AND_DISK)
     val nodesC = ds.nodes.persist(StorageLevel.MEMORY_AND_DISK)
-    // SPARK_GRAFT_TIMING=1: per-phase wall-clock to stderr (diagnostic)
+    val sym = GraphOps.symmetrize(edgesC).persist(StorageLevel.MEMORY_AND_DISK)
+    // SPARK_GRAFT_TIMING=1: per-lane wall-clock to stderr (diagnostic)
     val t0 = System.nanoTime()
-    var tPrev = t0
-    def lap(phase: String): Unit = if (sys.env.contains("SPARK_GRAFT_TIMING")) {
-      val now = System.nanoTime()
-      System.err.println(f"[graft-tree] $phase%-22s ${(now - tPrev) / 1e9}%8.2fs" +
-        f"  (total ${(now - t0) / 1e9}%8.2fs)")
-      tPrev = now
+    def timed[T](lane: String)(f: => T): T = {
+      val s = System.nanoTime(); val r = f
+      if (sys.env.contains("SPARK_GRAFT_TIMING")) {
+        val now = System.nanoTime()
+        System.err.println(f"[graft-tree] $lane%-18s ${(now - s) / 1e9}%8.2fs" +
+          f"  (ended at ${(now - t0) / 1e9}%8.2fs)")
+      }
+      r
     }
+    // the passes are independent until the final JSON assembly — run
+    // them as concurrent job lanes on the shared session. Iterative
+    // lanes (CC, BFS sweeps, the swap chain) leave most cores idle
+    // between their narrow stages; overlapping them fills the gaps, so
+    // the tree costs ~max(lane) instead of Σ(lane). On a cluster the
+    // same shape overlaps scheduler round-trips.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val conf = spark.conf
+    val prevWidth = conf.get("spark.sql.shuffle.partitions")
+    var pinned = false
     try {
-    val cs = GraphOps.componentStats(ds.edges).collect()(0)
-    lap("componentStats")
-    val dRow = GraphOps.diameterCertified(ds.edges).collect()(0)
-    lap("diameterCertified")
-    // past exactMaxNodes the certified path returns a double-sweep
-    // LOWER BOUND (exact=false) — surface that rather than silently
-    // embedding it where the reference's igraph diameter is exact
-    if (!dRow.getBoolean(dRow.fieldIndex("exact")))
-      System.err.println(s"[graft] writeDatasetTree($outDir): diameter " +
-        s"${dRow.getLong(0)} is an UNCERTIFIED lower bound (graph over " +
-        "the exact-BFS escalation cap); metadata.json carries it as-is")
-    val tRow = GraphOps.transitivity(ds.edges).collect()(0)
-    lap("transitivity")
-    MetadataJson.write(s"$outDir/metadata.json",
-      MetadataJson.metadataJson(ds.graphMetadata,
-        components = cs.getLong(0), maxComponentPct = cs.getString(1),
-        diameter = dRow.getLong(0),
-        transitivity = tRow.getDouble(tRow.fieldIndex("transitivity"))))
-    lap("graphMetadata")
-    MetadataJson.write(s"$outDir/suggestions.json",
-      MetadataJson.stringArrayJson(ds.suggestions))
-    MetadataJson.write(s"$outDir/chromosomes.json",
-      MetadataJson.stringArrayJson(ds.chromosomes))
-    lap("suggestions+chrs")
-    features.foreach { f =>
-      MetadataJson.write(s"$outDir/features_metadata.json",
+      // materialize the EDGE cache once before the fan-out (its row
+      // count sizes the pinned width; it also underlies sym and most
+      // lanes) and pin one shuffle width for the whole region, sized
+      // for the largest lane working set — the randomization chain at
+      // 2 subnet tags × nReplicates × |E|. Per-chain narrowing
+      // (GraphOps.withShuffleWidthFor) is a declared no-op under the
+      // pin: lanes would otherwise race set/restore on the session
+      // conf. The nodes and sym caches materialize INSIDE the lanes
+      // that first touch them (concurrent first readers of one cached
+      // partition block on the computing thread, they don't recompute).
+      val nEdges = edgesC.count()
+      prevWidth.toLongOption.foreach { pw =>
+        val width = math.max(1L,
+          math.min(pw, 2L * nReplicates * nEdges / 50000L + 1))
+        if (width < pw) {
+          conf.set("spark.sql.shuffle.partitions", width.toString)
+          conf.set(GraphOps.WidthPinKey, "true")
+          pinned = true
+        }
+      }
+      val fSym = Future(timed("symmetrize") { sym.count() })
+      val fCs = fSym.map(nSym => timed("componentStats") {
+        GraphOps.componentStatsSym(sym, nSym).collect()(0) })
+      val fD = fSym.map(nSym => timed("diameter") {
+        GraphOps.diameterCertifiedSym(sym, nSym).collect()(0) })
+      val fT = Future(timed("transitivity") {
+        GraphOps.transitivity(edgesC).collect()(0) })
+      val fGm = Future(timed("graphMetadata") {
+        ds.graphMetadata.collect()(0) })
+      val fSugg = Future(timed("suggestions") {
+        MetadataJson.stringArrayJson(ds.suggestions) })
+      val fChrs = Future(timed("chromosomes") {
+        ds.chromosomes.collect().map(_.getString(0)).toSeq })
+      val fFeat = features.map(f => Future(timed("featuresMetadata") {
         MetadataJson.featuresMetadataJson(
-          Chas.featuresMetadataSubnets(ds.edges, f, nReplicates, seed)))
-    }
-    lap("featuresMetadata")
-    val chrs = chromosomesToWrite.getOrElse(
-      ds.chromosomes.collect().map(_.getString(0)).toSeq)
-    // all chromosome documents in one sorted plan + one driver stream
-    CytoscapeJson.writeChromosomeDocuments(ds.nodes, ds.edges, chrs,
-      s"$outDir/chromosomes")
-    lap("chromosomeDocs")
+          Chas.featuresMetadataSubnets(edgesC, f, nReplicates, seed)) }))
+      // documents wait only on the chromosome list, not the other lanes
+      val fDocs = fChrs.map { all =>
+        timed("chromosomeDocs") {
+          val chrs = chromosomesToWrite.getOrElse(all)
+          CytoscapeJson.writeChromosomeDocuments(nodesC, edgesC, chrs,
+            s"$outDir/chromosomes")
+        }
+      }
+
+      val cs = Await.result(fCs, Duration.Inf)
+      val dRow = Await.result(fD, Duration.Inf)
+      // past exactMaxNodes the certified path returns a double-sweep
+      // LOWER BOUND (exact=false) — surface that rather than silently
+      // embedding it where the reference's igraph diameter is exact
+      if (!dRow.getBoolean(dRow.fieldIndex("exact")))
+        System.err.println(s"[graft] writeDatasetTree($outDir): diameter " +
+          s"${dRow.getLong(0)} is an UNCERTIFIED lower bound (graph over " +
+          "the exact-BFS escalation cap); metadata.json carries it as-is")
+      val tRow = Await.result(fT, Duration.Inf)
+      MetadataJson.write(s"$outDir/metadata.json",
+        MetadataJson.metadataJson(Await.result(fGm, Duration.Inf),
+          components = cs.getLong(0), maxComponentPct = cs.getString(1),
+          diameter = dRow.getLong(0),
+          transitivity = tRow.getDouble(tRow.fieldIndex("transitivity"))))
+      MetadataJson.write(s"$outDir/suggestions.json",
+        Await.result(fSugg, Duration.Inf))
+      MetadataJson.write(s"$outDir/chromosomes.json",
+        MetadataJson.stringArrayJson(Await.result(fChrs, Duration.Inf)))
+      fFeat.foreach(f => MetadataJson.write(s"$outDir/features_metadata.json",
+        Await.result(f, Duration.Inf)))
+      Await.result(fDocs, Duration.Inf)
     } finally {
+      pool.shutdown()
+      if (pinned) {
+        conf.set("spark.sql.shuffle.partitions", prevWidth)
+        conf.unset(GraphOps.WidthPinKey)
+      }
+      sym.unpersist(blocking = false)
       edgesC.unpersist(blocking = false)
       nodesC.unpersist(blocking = false)
     }

@@ -39,8 +39,16 @@ object MetadataJson {
     * the caller (iterative algorithms, computed once). */
   def metadataJson(graphMeta: DataFrame, components: Long,
                    maxComponentPct: String, diameter: Long,
+                   transitivity: Double): String =
+    metadataJson(graphMeta.collect()(0), components, maxComponentPct,
+      diameter, transitivity)
+
+  /** Row overload: callers that collected the A5 aggregate on their own
+    * schedule (e.g. a concurrent tree-write lane) assemble the document
+    * without a second Spark action. */
+  def metadataJson(m: org.apache.spark.sql.Row, components: Long,
+                   maxComponentPct: String, diameter: Long,
                    transitivity: Double): String = {
-    val m = graphMeta.collect()(0)
     def g(n: String): Any = m.get(m.fieldIndex(n))
     s"""{"nodes":${num(g("nodes"))},"edges":${num(g("edges"))},""" +
     s""""mean_degree":${num(g("mean_degree"))},""" +
@@ -54,7 +62,12 @@ object MetadataJson {
   /** suggestions.json / chromosomes.json: JSON string arrays (order
     * preserved from the input DataFrame). */
   def stringArrayJson(df: DataFrame): String =
-    df.collect().map(r => esc(r.getString(0))).mkString("[", ",", "]")
+    stringArrayJson(df.collect().map(_.getString(0)).toSeq)
+
+  /** Pre-collected overload (one Spark action can feed both this and a
+    * caller that needs the values themselves). */
+  def stringArrayJson(values: Seq[String]): String =
+    values.map(esc).mkString("[", ",", "]")
 
   /** features.json (driver-side variant for interactive payloads):
     * { fragment: { feature: value } } with 2-dp display rounding (A17).
