@@ -215,10 +215,14 @@ object Chas {
           .otherwise(lit("inter"))
       } else lit("all")
     // the group tag rides inside the bin key (split back out at the end)
+    val tChain = System.nanoTime()
+    def lap(phase: String): Unit = if (sys.env.contains("SPARK_GRAFT_TIMING"))
+      System.err.println(f"[graft-rand] $phase%-12s at ${(System.nanoTime() - tChain) / 1e9}%7.2fs")
     var cand = edges.select(col("src"), col("dst"),
         concat_ws("|", col(groupCol), distBin).as("__bin"))
       .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
       .localCheckpoint(eager = true)
+    lap("init")
 
     // every round re-shuffles the same working set — size the shuffle
     // width for it once (no-op at scale, cuts per-task fixed overhead
@@ -324,6 +328,7 @@ object Chas {
       // branch — measured 1.5x slower than checkpointing each round
       cand = next.localCheckpoint(eager = true)
       pairs.unpersist(blocking = false)
+      lap(s"round $r")
       r += 1
     }
     }

@@ -201,11 +201,14 @@ object Pipeline {
       prevWidth.toLongOption.foreach { pw =>
         val width = math.max(1L,
           math.min(pw, 2L * nReplicates * nEdges / 50000L + 1))
-        if (width < pw) {
+        if (width < pw)
           conf.set("spark.sql.shuffle.partitions", width.toString)
-          conf.set(GraphOps.WidthPinKey, "true")
-          pinned = true
-        }
+        // the pin engages even when no narrowing applies: without it
+        // the lanes would each run their own set/restore and race —
+        // an interleaved restore can leave the session narrowed (or
+        // AQE off) AFTER the tree write
+        conf.set(GraphOps.WidthPinKey, "true")
+        pinned = true
       }
       val fSym = Future(timed("symmetrize") { sym.count() })
       val fCs = fSym.map(nSym => timed("componentStats") {
