@@ -7,17 +7,29 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (Array[Float]).
   *
   * Baseline: brute-force cosine top-k — one broadcast of the (small)
-  * probe set against a linear scan of the corpus; fully codegen'd
-  * (`zip_with`/`aggregate`, no UDF). Scale path: IVF coarse
+  * probe set against a linear scan of the corpus; the scoring loop is
+  * a fused native Catalyst expression inside whole-stage codegen
+  * ([[graft.ext.expr.CosineSimExpr]], no UDF). Scale path: IVF coarse
   * quantization — assign every vector to its nearest centroid once
   * (linear scan), then probe only matching buckets; the probe-side join
   * becomes an equi-join on centroid id.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns (codegen'd;
-    * accumulates in double — cast float arrays first for determinism). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array<double> columns — the fused native
+    * expression ([[graft.ext.expr.CosineSimExpr]]): one pass, three
+    * scalar accumulators, no per-row allocation, inside whole-stage
+    * codegen. Bit-identical to [[cosineComposed]] (CosineExprSpec), so
+    * every oracle-pinned consumer keeps its hashes. Cast float arrays
+    * to array<double> first for determinism. */
+  def cosine(a: Column, b: Column): Column =
+    graft.ext.expr.CosineSimExpr(a, b)
+
+  /** The builtin-composed form cosine replaced: `zip_with` product +
+    * three `aggregate` folds — four array walks and a zipped-array
+    * allocation per row. Kept as the independently-derived semantic
+    * reference the fused expression is proven against. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))

@@ -1,11 +1,13 @@
 package graft.ext.expr
 
+import org.apache.spark.QueryContext
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, SupportQueryContext}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnShim
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Fused cosine similarity over two `array<double>` columns as a native
   * Catalyst expression with whole-stage codegen.
@@ -23,20 +25,27 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `dot / (sqrt(na) * sqrt(nb))` in the same operation order — so
   * swapping it into an oracle-pinned query changes no hashes.
   * Null/length edge cases mirror the composed form: a null element or
-  * a length mismatch (where `zip_with` pads with null) yields NULL;
-  * empty or zero-norm inputs yield NaN via double division, same as
-  * the composed `0/0`.
+  * a length mismatch (where `zip_with` pads with null) yields NULL.
+  * Division mirrors Spark's `Divide` exactly, including ANSI mode: a
+  * zero divisor (empty or zero-norm input) throws DIVIDE_BY_ZERO under
+  * ANSI (`failOnError`, captured at construction like `Divide`'s) and
+  * returns NULL otherwise (SQL semantics, not IEEE NaN).
   */
-case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+case class CosineSimExpr(left: Expression, right: Expression,
+                         failOnError: Boolean = SQLConf.get.ansiEnabled)
+    extends BinaryExpression with ExpectsInputTypes with SupportQueryContext {
 
-  override def inputTypes: Seq[AbstractDataType] =
+  // AbstractDataType is private[sql]; the inferred Seq[ArrayType] conforms
+  override def inputTypes =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   // a length mismatch / null element returns NULL even for non-null inputs
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
+
+  override def initQueryContext(): Option[QueryContext] =
+    if (failOnError) Some(origin.context) else None
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
@@ -51,7 +60,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+    val div = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)
+    if (div == 0.0) {
+      if (failOnError) throw ColumnShim.divideByZeroError(getContextOrNull())
+      return null
+    }
+    dot / div
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,6 +77,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val div = ctx.freshName("div")
+      val errCtx = getContextOrNullCode(ctx, failOnError)
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -76,7 +92,15 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    final double $div = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($div == 0.0D) {
+         |      if ($failOnError) {
+         |        throw org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError($errCtx);
+         |      }
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $div;
+         |    }
          |  }
          |}
        """.stripMargin

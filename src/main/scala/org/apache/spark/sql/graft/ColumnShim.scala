@@ -16,4 +16,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `QueryExecutionErrors` is private[sql] to scalac (bytecode-public,
+    * so GENERATED Java calls it directly); interpreted eval paths of
+    * graft's native expressions raise ANSI errors through here. */
+  def divideByZeroError(context: org.apache.spark.QueryContext): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(context)
 }
