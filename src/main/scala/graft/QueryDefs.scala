@@ -214,11 +214,19 @@ object QueryDefs {
     "d3_simhash" -> ((s, d) =>
       Dedup.simhashDF(table(s, d, "documents"), "doc_id", "text", 16)),
     "d4_ngram_jaccard" -> ((s, d) => {
-      val doc = table(s, d, "documents")
-      doc.as("a").join(doc.as("b"),
+      // shingle sets bound per doc BEFORE the pair join (tokenize once
+      // per doc, not once per shingle — see Dedup.shinglesOfTokens)
+      val sh = table(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ext.TextOps.tokens(lower(col("text"))).as("__toks"))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shinglesOfTokens(col("__toks"))).as("__sh"))
+      sh.as("a").join(sh.as("b"),
           col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          Num.roundLike(Dedup.ngramJaccard(col("a.text"), col("b.text")), 4)
+          Num.roundLike(
+            size(array_intersect(col("a.__sh"), col("b.__sh"))).cast("double") /
+              size(array_union(col("a.__sh"), col("b.__sh"))).cast("double"), 4)
             .as("jaccard"))
     }),
     "d5_embedding_neardups" -> ((s, d) => {

@@ -23,13 +23,26 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** k-word shingles of the normalized text. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextOps.tokens(lower(text))
+  /** k-word shingles from a PRE-BOUND token-array column. Callers that
+    * shingle a whole table must tokenize into a real column first (one
+    * `select` producing `tokens(...)`, a second one shingling it):
+    * higher-order lambdas re-evaluate their body per output element, so
+    * a tokenizer expression inlined into the per-shingle lambda would
+    * re-run the regex split once PER SHINGLE — measured as 75% of d2's
+    * wall-clock before the split. CollapseProject keeps the two selects
+    * apart (the token column is referenced more than once, so it is not
+    * re-inlined). */
+  def shinglesOfTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+
+  /** k-word shingles of the normalized text — single-expression form
+    * for ad-hoc / per-pair use (d4). O(shingles × tokens) per row by
+    * the lambda-inlining effect above; batch paths go through
+    * [[shinglesOfTokens]]. */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOfTokens(TextOps.tokens(lower(text)), k)
 
   /** MinHash signature: element j = min over shingles of
     * md5(shingle ++ ":" ++ j). Lexicographic min over fixed-width hex =
@@ -61,8 +74,11 @@ object Dedup {
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val n = bands * rowsPerBand
-    val sh = docs.select(col(idCol).as("doc"),
-      explode(array_distinct(shingles(col(textCol), k))).as("__s"))
+    val sh = docs
+      .select(col(idCol).as("doc"),
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc"),
+        explode(array_distinct(shinglesOfTokens(col("__toks"), k))).as("__s"))
     val h = sh.select(col("doc"),
       conv(substring(md5(concat(col("__s"), lit(":a"))), 1, 15), 16, 10)
         .cast("long").as("__n1"),
@@ -93,8 +109,11 @@ object Dedup {
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
     // verify: exact n-gram Jaccard on the candidate pairs only
-    val sh = docs.select(col(idCol).as("doc"),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("doc"),
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc"),
+        array_distinct(shinglesOfTokens(col("__toks"), k)).as("sh"))
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc"))
