@@ -10,9 +10,13 @@ import org.apache.spark.storage.StorageLevel
   * edge directions; storage keeps one row per undirected edge
   * (normalized via Interactions.simplify).
   *
-  * Iterative algorithms (CC, diameter) are driver-loops of DataFrame
-  * self-joins with localCheckpoint every iteration to cut lineage —
-  * the standard Spark shape for fixpoint computations (SURVEY §7.4.3).
+  * Iterative algorithms (CC, diameter) split by regime: a graph whose
+  * symmetrized edge list fits one task (≤ [[LocalMaxEdges]] rows) runs
+  * exactly in a single [[LocalGraph]] partition — per-round scheduling
+  * overhead is the entire cost of a driver-loop at that size. Above the
+  * cutoff they are driver-loops of DataFrame self-joins with
+  * localCheckpoint every iteration to cut lineage — the standard Spark
+  * shape for fixpoint computations (SURVEY §7.4.3).
   */
 object GraphOps {
 
@@ -75,6 +79,26 @@ object GraphOps {
   def symmetrize(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Bounded-regime cutoff for the iterative graph passes, in
+    * SYMMETRIZED rows: at or below this, CC and the diameter run as ONE
+    * task over an int-indexed CSR ([[LocalGraph]]) — exact, and free of
+    * the per-round scheduling overhead that dominates driver-loop
+    * chains on graphs this size. 5M rows ≈ 2.5M undirected edges ≈
+    * ~100 MB of CSR + id strings in the executor: comfortably one-task
+    * even on modest executors, far past the reference's largest dataset
+    * (171k edges). Above it, the distributed chains take over. */
+  private[graft] val LocalMaxEdges = 5000000L
+
+  /** The symmetrized pairs of a bounded graph as a 1-partition Dataset:
+    * the upstream scan/cache stays distributed; only the final
+    * coalesced read runs in the single algorithm task. */
+  private def localPairs(sym: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, String)] = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.select(col("src"), col("dst")).as[(String, String)].coalesce(1)
+  }
 
   /** A4 degree: per-vertex incident-edge count (self-loops removed
     * upstream by simplify). Reference: network_generator.R:151,235. */
@@ -140,24 +164,40 @@ object GraphOps {
     * round is two shuffles; lineage is cut per round.
     * Returns DF(id, comp) where comp = min node id reachable.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     // persist the symmetrized edges FIRST and derive the initial labels
     // (min of closed neighborhood) from them: one pass over the input
     // lineage fills both caches (computing the labels from a second
     // symmetrize() would re-run the upstream simplify/scan chain)
     val edgeList = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val nRows = edgeList.count()
-    try connectedComponentsSym(edgeList, nRows, maxIter)
+    try connectedComponentsSym(edgeList, nRows, maxIter, localMaxEdges)
     finally edgeList.unpersist()
   }
 
   /** [[connectedComponents]] over an ALREADY-persisted symmetrized
     * frame — the caller owns sym's lifecycle, so several passes can
     * share one cached frame (Pipeline.writeDatasetTree runs this
-    * concurrently with the diameter sweeps on the same sym). */
+    * concurrently with the diameter sweeps on the same sym). Bounded
+    * graphs (≤ localMaxEdges sym rows) run as one [[LocalGraph]] task;
+    * labels are bit-identical to the propagation rounds (component-min
+    * id under UTF8String order) and come back checkpointed, so the
+    * result outlives the caller's sym teardown either way. */
   private[graft] def connectedComponentsSym(edgeList: DataFrame,
                                             nRows: Long,
-                                            maxIter: Int = 50): DataFrame = {
+                                            maxIter: Int = 50,
+                                            localMaxEdges: Long = LocalMaxEdges)
+      : DataFrame = {
+    if (nRows <= localMaxEdges) {
+      return localPairs(edgeList)
+        .mapPartitions(it => LocalGraph.componentLabels(LocalGraph.build(it)))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.STRING))
+        .toDF("id", "comp")
+        .localCheckpoint(eager = true)
+    }
     withShuffleWidthFor(edgeList, nRows, staticPlan = true) {
     var cc = edgeList
       .groupBy(col("src").as("id"))
@@ -314,22 +354,38 @@ object GraphOps {
     * Reference: diameter(net), network_generator_lib.R:418. */
   def diameterCertified(edges: DataFrame, sweeps: Int = 4,
                         maxIter: Int = 64,
-                        exactMaxNodes: Long = 10000L): DataFrame = {
+                        exactMaxNodes: Long = 10000L,
+                        localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    try diameterCertifiedSym(sym, sym.count(), sweeps, maxIter, exactMaxNodes)
+    try diameterCertifiedSym(sym, sym.count(), sweeps, maxIter,
+      exactMaxNodes, localMaxEdges)
     finally sym.unpersist()
   }
 
   /** [[diameterCertified]] over a caller-owned persisted symmetrized
-    * frame (see [[connectedComponentsSym]] for the sharing contract). */
+    * frame (see [[connectedComponentsSym]] for the sharing contract).
+    * Bounded graphs (≤ localMaxEdges sym rows) skip the sweep/escalate
+    * machinery entirely: one [[LocalGraph]] task runs iFUB and the
+    * result is EXACT — the regime where the reference's igraph always
+    * ran. The distributed sweeps + guarded escalation remain the
+    * giant-component path. */
   private[graft] def diameterCertifiedSym(sym: DataFrame, nRows: Long,
                                           sweeps: Int = 4, maxIter: Int = 64,
-                                          exactMaxNodes: Long = 10000L)
+                                          exactMaxNodes: Long = 10000L,
+                                          localMaxEdges: Long = LocalMaxEdges)
       : DataFrame = {
     val spark = sym.sparkSession
     def res(d: Long, exact: Boolean) = spark.range(1)
       .select(lit(d).as("diameter"), lit(exact).as("exact"))
     if (nRows == 0) { return res(0L, exact = true) }
+    if (nRows <= localMaxEdges) {
+      val d = localPairs(sym)
+        .mapPartitions(it =>
+          Iterator.single(LocalGraph.diameterExact(LocalGraph.build(it))))(
+          org.apache.spark.sql.Encoders.scalaLong)
+        .collect()(0)
+      return res(d, exact = true)
+    }
     // the sweep phase shuffles O(E)-sized frames — narrow it; the
     // exact escalation below holds O(V·E) pair state and runs at the
     // session width
@@ -378,12 +434,18 @@ object GraphOps {
     * P-P subnet); the scale path for whole networks is the double-sweep
     * `diameter` above. Matches igraph's diameter on disconnected
     * graphs (max over per-component diameters). */
-  def diameterExact(edges: DataFrame, maxIter: Int = 64): Long = {
+  def diameterExact(edges: DataFrame, maxIter: Int = 64,
+                    localMaxEdges: Long = LocalMaxEdges): Long = {
     // no width narrowing: the pair state is O(V·E), not O(E)
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val r = exactBfsSym(sym, maxIter)._1
-    sym.unpersist()
-    r
+    try {
+      if (sym.count() <= localMaxEdges)
+        localPairs(sym).mapPartitions(it =>
+          Iterator.single(LocalGraph.diameterExact(LocalGraph.build(it))))(
+          org.apache.spark.sql.Encoders.scalaLong)
+          .collect().headOption.getOrElse(0L)
+      else exactBfsSym(sym, maxIter)._1
+    } finally sym.unpersist()
   }
 
   /** Simultaneous all-sources BFS over an ALREADY-persisted symmetrized

@@ -1,0 +1,221 @@
+package graft.core
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exact in-task graph algorithms for the BOUNDED regime.
+  *
+  * The metadata graph passes (A6 components, A7 diameter) are iterative
+  * DataFrame chains — the right shape for a giant component at 100 TB,
+  * but at dataset scale (a chromosome network: 10⁴–10⁶ edges) every
+  * BFS level / label round is a near-empty distributed stage whose cost
+  * is pure scheduling overhead, and the exact-diameter escalation is
+  * refused entirely above 10⁴ nodes because its O(V·E) pair state
+  * explodes. The scale-correct alternative for a graph that FITS IN ONE
+  * TASK is per-partition imperative logic: ship the symmetrized edge
+  * list to a single executor task, build an int-indexed CSR adjacency,
+  * and run the textbook algorithms there — exact, allocation-tight, and
+  * a few ms where the driver-loop shape took tens of seconds. GraphOps
+  * routes to this below `LocalMaxEdges` symmetrized rows and keeps the
+  * distributed chains above it (the regime split is structural, same as
+  * the exact-BFS node guard).
+  *
+  * Determinism: component labels are the component-minimum node id
+  * under UTF8String binary ordering — the ordering Spark's `min`/
+  * `least` use — so labels are bit-identical to the distributed
+  * min-label propagation. The diameter is order-independent (a max of
+  * distances).
+  *
+  * Diameter is iFUB (Crescenzi et al., "On computing the diameter of
+  * real-world undirected graphs"): BFS from a max-degree root, then
+  * BFS the fringe nodes in decreasing depth order, maintaining
+  * lb = max eccentricity seen; any two nodes at depth ≤ i are within
+  * 2i of each other, so once lb ≥ 2i the remaining pairs cannot beat
+  * lb and lb IS the diameter. Worst case O(V) BFS (still exact);
+  * real-world graphs certify in a handful.
+  */
+private[graft] object LocalGraph {
+
+  /** Int-indexed CSR adjacency over string node ids. `adj` holds one
+    * entry per SYMMETRIZED input row, so degrees fall out of src counts
+    * and no reverse pass is needed. */
+  final class Csr(val ids: Array[String], val off: Array[Int],
+                  val adj: Array[Int]) {
+    def n: Int = ids.length
+    def degree(v: Int): Int = off(v + 1) - off(v)
+  }
+
+  /** One pass to index nodes + collect int edges, one counting pass to
+    * lay out CSR. */
+  def build(pairs: Iterator[(String, String)]): Csr = {
+    val index = new java.util.HashMap[String, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[String]()
+    val srcs = new it.IntBuf(); val dsts = new it.IntBuf()
+    def idOf(s: String): Int = {
+      val got = index.get(s)
+      if (got != null) got.intValue()
+      else { val i = ids.length; index.put(s, i); ids += s; i }
+    }
+    while (pairs.hasNext) {
+      val (a, b) = pairs.next()
+      srcs.add(idOf(a)); dsts.add(idOf(b))
+    }
+    val n = ids.length
+    val off = new Array[Int](n + 1)
+    var e = 0
+    while (e < srcs.size) { off(srcs.get(e) + 1) += 1; e += 1 }
+    var v = 0
+    while (v < n) { off(v + 1) += off(v); v += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](srcs.size)
+    e = 0
+    while (e < srcs.size) {
+      val s = srcs.get(e); adj(pos(s)) = dsts.get(e); pos(s) += 1; e += 1
+    }
+    new Csr(ids.toArray, off, adj)
+  }
+
+  /** Growable int array (avoids boxing through ArrayBuffer[Int]). */
+  private object it {
+    final class IntBuf {
+      private var a = new Array[Int](1024)
+      private var len = 0
+      def add(x: Int): Unit = {
+        if (len == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+        a(len) = x; len += 1
+      }
+      def get(i: Int): Int = a(i)
+      def size: Int = len
+    }
+  }
+
+  /** (id, componentLabel) for every node in the edge list, label = the
+    * component's minimum id under UTF8String binary order. */
+  def componentLabels(g: Csr): Iterator[(String, String)] = {
+    val comp = compIds(g)
+    val nComp = if (comp.isEmpty) 0 else comp.max + 1
+    val minId = new Array[String](nComp)
+    var v = 0
+    while (v < g.n) {
+      val c = comp(v)
+      if (minId(c) == null || UTF8String.fromString(g.ids(v))
+            .compareTo(UTF8String.fromString(minId(c))) < 0)
+        minId(c) = g.ids(v)
+      v += 1
+    }
+    (0 until g.n).iterator.map(v => (g.ids(v), minId(comp(v))))
+  }
+
+  /** (componentCount, largestComponentSize, totalNodes). */
+  def componentStats(g: Csr): (Long, Long, Long) = {
+    val comp = compIds(g)
+    val nComp = if (comp.isEmpty) 0 else comp.max + 1
+    val size = new Array[Long](nComp)
+    comp.foreach(c => size(c) += 1)
+    (nComp.toLong, if (nComp == 0) 0L else size.max, g.n.toLong)
+  }
+
+  /** Dense component id per node (BFS labeling). */
+  private def compIds(g: Csr): Array[Int] = {
+    val comp = Array.fill(g.n)(-1)
+    val queue = new Array[Int](g.n)
+    var c = 0
+    var s = 0
+    while (s < g.n) {
+      if (comp(s) < 0) {
+        comp(s) = c
+        queue(0) = s; var head = 0; var tail = 1
+        while (head < tail) {
+          val u = queue(head); head += 1
+          var e = g.off(u)
+          while (e < g.off(u + 1)) {
+            val w = g.adj(e)
+            if (comp(w) < 0) { comp(w) = c; queue(tail) = w; tail += 1 }
+            e += 1
+          }
+        }
+        c += 1
+      }
+      s += 1
+    }
+    comp
+  }
+
+  /** Exact diameter: max over components of the component diameter
+    * (igraph semantics on disconnected graphs — max finite pairwise
+    * distance). 0 for an empty edge list. */
+  def diameterExact(g: Csr): Long = {
+    if (g.n == 0) return 0L
+    val comp = compIds(g)
+    val nComp = comp.max + 1
+    // members grouped per component
+    val sizes = new Array[Int](nComp)
+    comp.foreach(c => sizes(c) += 1)
+    val memberOff = new Array[Int](nComp + 1)
+    var c = 0
+    while (c < nComp) { memberOff(c + 1) = memberOff(c) + sizes(c); c += 1 }
+    val memberPos = java.util.Arrays.copyOf(memberOff, nComp)
+    val members = new Array[Int](g.n)
+    var v = 0
+    while (v < g.n) {
+      val cc = comp(v); members(memberPos(cc)) = v; memberPos(cc) += 1; v += 1
+    }
+    // reusable BFS state: version-stamped dist array (no O(n) clear)
+    val dist = new Array[Int](g.n)
+    val stamp = new Array[Int](g.n)
+    val queue = new Array[Int](g.n)
+    var version = 0
+    /** BFS from s; returns eccentricity; dist/stamp hold the levels. */
+    def bfs(s: Int): Int = {
+      version += 1
+      var ecc = 0
+      dist(s) = 0; stamp(s) = version
+      queue(0) = s; var head = 0; var tail = 1
+      while (head < tail) {
+        val u = queue(head); head += 1
+        val du = dist(u)
+        if (du > ecc) ecc = du
+        var e = g.off(u)
+        while (e < g.off(u + 1)) {
+          val w = g.adj(e)
+          if (stamp(w) != version) {
+            stamp(w) = version; dist(w) = du + 1; queue(tail) = w; tail += 1
+          }
+          e += 1
+        }
+      }
+      ecc
+    }
+    var best = 0L
+    c = 0
+    while (c < nComp) {
+      val lo = memberOff(c); val hi = memberOff(c + 1)
+      if (hi - lo > 1) {
+        // root: max degree (any root is exact; this one converges fast)
+        var root = members(lo); var i = lo + 1
+        while (i < hi) {
+          if (g.degree(members(i)) > g.degree(root)) root = members(i)
+          i += 1
+        }
+        val eccRoot = bfs(root)
+        // fringe lists by depth from the root BFS (its stamps are live)
+        val byDepth = Array.fill(eccRoot + 1)(List.empty[Int])
+        i = lo
+        while (i < hi) {
+          val m = members(i); byDepth(dist(m)) ::= m; i += 1
+        }
+        var lb = eccRoot.toLong
+        var depth = eccRoot
+        while (depth >= 1 && lb < 2L * depth) {
+          for (m <- byDepth(depth)) {
+            val e = bfs(m)
+            if (e > lb) lb = e.toLong
+          }
+          depth -= 1
+        }
+        if (lb > best) best = lb
+      }
+      c += 1
+    }
+    best
+  }
+}

@@ -98,25 +98,43 @@ class GraphOpsSpec extends SparkSpec {
 
   test("A6 CC converges fast on a long chain (pointer jumping)") {
     // 200-node path: naive min-label needs ~200 rounds; pointer
-    // jumping must finish well inside maxIter=12
+    // jumping must finish well inside maxIter=12. localMaxEdges=0
+    // pins the DISTRIBUTED propagation path (the chain would otherwise
+    // route to the one-task LocalGraph regime).
     val chain = edgesOf((0 until 199).map(i => f"n$i%03d" -> f"n${i + 1}%03d"))
-    val cc = GraphOps.connectedComponents(chain, maxIter = 12).collect()
+    val cc = GraphOps.connectedComponents(chain, maxIter = 12,
+      localMaxEdges = 0L).collect()
     assert(cc.length == 200)
     assert(cc.forall(_.getString(1) == "n000"))
   }
 
-  test("A7 diameterExact: path and disconnected graphs") {
+  test("A6 local regime produces the distributed labels bit-for-bit") {
+    for (g <- Seq(pathGraph, twoComponents,
+        edgesOf((0 until 199).map(i => f"n$i%03d" -> f"n${i + 1}%03d")))) {
+      val local = GraphOps.connectedComponents(g).collect()
+        .map(r => r.getString(0) -> r.getString(1)).sorted.toSeq
+      val dist = GraphOps.connectedComponents(g, localMaxEdges = 0L)
+        .collect().map(r => r.getString(0) -> r.getString(1)).sorted.toSeq
+      assert(local == dist)
+    }
+  }
+
+  test("A7 diameterExact: path and disconnected graphs (both regimes)") {
     val path = edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))
     assert(GraphOps.diameterExact(path) == 4L)
+    assert(GraphOps.diameterExact(path, localMaxEdges = 0L) == 4L)
     // two components: triangle (diam 1) + path of 3 (diam 2) -> 2
     val dis = edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c",
       "x" -> "y", "y" -> "z"))
     assert(GraphOps.diameterExact(dis) == 2L)
+    assert(GraphOps.diameterExact(dis, localMaxEdges = 0L) == 2L)
   }
 
   test("A7 diameterCertified: exact on even/odd diameters + disconnected") {
+    // localMaxEdges=0 pins the distributed sweep/escalate machinery;
+    // the local regime is covered by its own tests below
     def cert(e: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
-      val r = GraphOps.diameterCertified(e).collect()(0)
+      val r = GraphOps.diameterCertified(e, localMaxEdges = 0L).collect()(0)
       (r.getLong(0), r.getBoolean(1))
     }
     // star: radius 1 found by the sweep, 2*ecc bound certifies cheaply
@@ -134,9 +152,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(cert(dis) == (2L, true))
     // maxIter exhaustion is reported, value stays a lower bound
     val long = edgesOf((0 until 9).map(i => s"n$i" -> s"n${i + 1}"))
-    val r = GraphOps.diameterCertified(long, sweeps = 1, maxIter = 3)
-      .collect()(0)
+    val r = GraphOps.diameterCertified(long, sweeps = 1, maxIter = 3,
+      localMaxEdges = 0L).collect()(0)
     assert(!r.getBoolean(1) && r.getLong(0) >= 3L)
+  }
+
+  test("A7 local regime (iFUB) is exact and certified on every fixture shape") {
+    def cert(e: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+      val r = GraphOps.diameterCertified(e).collect()(0)
+      (r.getLong(0), r.getBoolean(1))
+    }
+    assert(cert(edgesOf(Seq("c" -> "a", "c" -> "b", "c" -> "d"))) == (2L, true))
+    assert(cert(edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))) == (4L, true))
+    assert(cert(edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d"))) == (3L, true))
+    assert(cert(edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c",
+      "x" -> "y", "y" -> "z"))) == (2L, true))
+    // double star (the shape whose sweep bounds never close): iFUB
+    // certifies it exactly without any escalation refusal
+    assert(cert(edgesOf(Seq("hub1" -> "a", "hub1" -> "b",
+      "hub2" -> "c", "hub2" -> "d", "hub1" -> "hub2"))) == (3L, true))
+    // 100-node even path — fringe descent must not stop early
+    assert(cert(edgesOf((0 until 100).map(i =>
+      f"n$i%03d" -> f"n${i + 1}%03d"))) == (100L, true))
   }
 
   test("A7 diameterCertified refuses exact escalation above the size guard") {
@@ -152,13 +189,18 @@ class GraphOpsSpec extends SparkSpec {
     val bridge = spark.range(1).select(lit("hub1").as("src"),
       lit("hub2").as("dst"))
     val g = hub1.unionAll(hub2).unionAll(bridge)
-    val r = GraphOps.diameterCertified(g).collect()(0)
+    // localMaxEdges=0 forces the distributed path so the node-count
+    // guard (not the local regime) is what this test exercises
+    val r = GraphOps.diameterCertified(g, localMaxEdges = 0L).collect()(0)
     assert(r.getLong(0) == 3L)
     assert(!r.getBoolean(1)) // guarded: bound reported, not certified
+    // the same 12k-node graph in the local regime: iFUB certifies it
+    val rl = GraphOps.diameterCertified(g).collect()(0)
+    assert(rl.getLong(0) == 3L && rl.getBoolean(1))
     // the same shape under the threshold still escalates and certifies
     val small = edgesOf(Seq("hub1" -> "a", "hub1" -> "b",
       "hub2" -> "c", "hub2" -> "d", "hub1" -> "hub2"))
-    val rs = GraphOps.diameterCertified(small).collect()(0)
+    val rs = GraphOps.diameterCertified(small, localMaxEdges = 0L).collect()(0)
     assert(rs.getLong(0) == 3L && rs.getBoolean(1))
   }
 }
