@@ -187,6 +187,15 @@ object Chas {
     * bins (chaser's dist.match approximation); edges must then carry
     * coordinates parseable from the fragment id (chr_start_end).
     */
+  /** Bounded-regime cutoff for the swap chain, in PER-REPLICA edge
+    * rows: at or below this, each replica's whole chain runs in one
+    * task ([[LocalChain]], bit-identical to the distributed rounds —
+    * replicas are independent, so the local route still fans
+    * nReplicates tasks wide). 5M rows of (src, dst, bin) strings is a
+    * few hundred MB of task heap; above it the windowed rounds take
+    * over. */
+  private[graft] val LocalMaxChainRows = 5000000L
+
   def randomize(edges: DataFrame, nReplicates: Int, seed: Long,
                 distMatch: Boolean = false,
                 rounds: Int = DefaultRounds): DataFrame =
@@ -200,7 +209,9 @@ object Chas {
   def randomizeTagged(edges: DataFrame, groupCol: String,
                       nReplicates: Int, seed: Long,
                       distMatch: Boolean = false,
-                      rounds: Int = DefaultRounds): DataFrame = {
+                      rounds: Int = DefaultRounds,
+                      localMaxChainRows: Long = LocalMaxChainRows)
+      : DataFrame = {
     val distBin =
       if (distMatch) {
         // log-scale genomic distance bin; inter-chromosomal edges form
@@ -218,16 +229,47 @@ object Chas {
     val tChain = System.nanoTime()
     def lap(phase: String): Unit = if (sys.env.contains("SPARK_GRAFT_TIMING"))
       System.err.println(f"[graft-rand] $phase%-12s at ${(System.nanoTime() - tChain) / 1e9}%7.2fs")
-    var cand = edges.select(col("src"), col("dst"),
+    val base = edges.select(col("src"), col("dst"),
         concat_ws("|", col(groupCol), distBin).as("__bin"))
+      .localCheckpoint(eager = true)
+    val nBase = base.count() // cheap: checkpointed blocks
+    lap("init")
+
+    if (nBase <= localMaxChainRows) {
+      // bounded regime: one task per replica runs the whole chain in
+      // arrays (LocalChain — bit-identical to the rounds below). The
+      // explode keeps the shuffle tiny (nBase × nReplicates rows) and
+      // groupByKey gives each replica its own task.
+      import org.apache.spark.sql.Encoders
+      val in4 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        Encoders.STRING, Encoders.scalaInt)
+      val out4 = Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
+        Encoders.STRING, Encoders.STRING)
+      val chained = base
+        .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
+        .select(col("src"), col("dst"), col("__bin"), col("replica"))
+        .as[(String, String, String, Int)](in4)
+        .groupByKey(_._4)(Encoders.scalaInt)
+        .flatMapGroups { (rep: Int, it: Iterator[(String, String, String, Int)]) =>
+          LocalChain.runReplica(rep, it.map(t => (t._1, t._2, t._3)),
+            seed, rounds)
+        }(out4)
+        .toDF("replica", "__bin", "src", "dst")
+        .localCheckpoint(eager = true) // consumers branch on the result
+      lap(s"local chain")
+      return chained.select(col("replica"),
+        split(col("__bin"), "\\|").getItem(0).as(groupCol),
+        col("src"), col("dst"))
+    }
+
+    var cand = base
       .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
       .localCheckpoint(eager = true)
-    lap("init")
 
     // every round re-shuffles the same working set — size the shuffle
     // width for it once (no-op at scale, cuts per-task fixed overhead
     // when the set is small; see GraphOps.withShuffleWidthFor)
-    GraphOps.withShuffleWidthFor(cand, cand.count()) {
+    GraphOps.withShuffleWidthFor(cand, nBase * nReplicates) {
     var r = 0
     while (r < rounds) {
       // 1. seeded random pairing within (replica, bin): row_number +

@@ -165,6 +165,32 @@ class ChasSpec extends SparkSpec {
     }
   }
 
+  test("G6 local chain == distributed chain, row for row") {
+    // the bounded-regime LocalChain must replay the windowed rounds
+    // BIT-identically (the oracle replays those rounds in SQL): compare
+    // whole sorted result sets across shapes, tags, seeds and distMatch
+    import org.apache.spark.sql.DataFrame
+    def rows(df: DataFrame): Seq[(Int, String, String, String)] =
+      df.collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getString(3))).sortBy(_.toString).toSeq
+    val rnd = new scala.util.Random(31)
+    val big = edgesOf((0 until 240).map { _ =>
+      (s"1_${rnd.nextInt(80) * 1000}_${rnd.nextInt(80) * 1000 + 999}",
+       s"2_${rnd.nextInt(200) * 1000}_${rnd.nextInt(200) * 1000 + 999}")
+    }.distinct)
+    val tagged = big.withColumn("tag",
+      when(col("src") < col("dst"), lit("pp")).otherwise(lit("po")))
+    val cyc = cycleEdges.withColumn("tag", lit("net"))
+    for ((g, dm) <- Seq((cyc, false), (tagged, false), (tagged, true));
+         seed <- Seq(7L, 99L)) {
+      val local = Chas.randomizeTagged(g, "tag", nReplicates = 3,
+        seed = seed, distMatch = dm)
+      val dist = Chas.randomizeTagged(g, "tag", nReplicates = 3,
+        seed = seed, distMatch = dm, localMaxChainRows = 0L)
+      assert(rows(local) == rows(dist), s"distMatch=$dm seed=$seed")
+    }
+  }
+
   test("G6 randomize actually mixes: most edges differ from the original") {
     // 80-bait/240-edge random graph: after 10 swap rounds each replica
     // must replace a substantial share of undirected keys (a no-op
