@@ -175,7 +175,9 @@ object QueryDefs {
         Search.subnetFromSeeds(v, simplified(s, d), seeds, ego = true).nodes)
     }),
     "q6_search_subnet" -> ((s, d) => {
-      val v = verts(s, d)
+      // the vertex table feeds BOTH the seed scan and the subnet node
+      // join — materialize the build once (same lineage both times)
+      val v = verts(s, d).localCheckpoint(eager = true)
       val seeds = Search.byGeneName(v, "S7")
       Search.subnetFromSeeds(v, simplified(s, d), seeds, ego = true).nodes
     }),

@@ -149,11 +149,17 @@ object Search {
     // the subnet is SMALL (bounded by the ego expansion of a search
     // result) but referenced three times below (degrees, node ids, the
     // returned edges) — materialize it once so the full edge lineage
-    // runs once, not per consumer
-    val sEdges = (
-      if (ego) GraphOps.egoEdges(edgesDf, seeds)
-      else GraphOps.induced(edgesDf, seeds)
-    ).localCheckpoint(eager = true)
+    // runs once, not per consumer. The INPUT edge list is itself read
+    // three times while the subnet materializes (the ego symmetrize
+    // plus two induced semi-joins), so pin it for exactly that window:
+    // one compute + three cache scans instead of three computes.
+    val pinned = edgesDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sEdges =
+      try {
+        (if (ego) GraphOps.egoEdges(pinned, seeds)
+         else GraphOps.induced(pinned, seeds)
+        ).localCheckpoint(eager = true)
+      } finally pinned.unpersist(blocking = false)
     val nodeIds = sEdges.select(col("src").as("id"))
       .unionAll(sEdges.select(col("dst").as("id")))
       .unionAll(seeds.select(col("id")))   // isolated seeds stay visible
