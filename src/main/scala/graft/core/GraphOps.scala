@@ -100,6 +100,68 @@ object GraphOps {
     sym.select(col("src"), col("dst")).as[(String, String)].coalesce(1)
   }
 
+  /** Exact diameter of a bounded graph: iFUB with the fringe descent
+    * fanned out over the cluster. One task builds the int CSR + the
+    * per-component root-BFS layout ([[LocalGraph.diamLayout]]); the
+    * driver broadcasts the CSR arrays (ints only — a few MB per million
+    * edges) and walks fringe depths DESCENDING, running each depth's
+    * still-open candidate sources as one parallel BFS batch. Per
+    * component the processed set is exactly the sequential iFUB's
+    * (process depth i only while lb < 2·i), so the result is identical
+    * and exact — but a near-regular graph whose bounds close slowly
+    * (the degenerate case for sequential iFUB: a large fraction of
+    * nodes BFS'd on one core) now costs descent/cores. Total sources
+    * are bounded by V, so worst case is the textbook exact-diameter
+    * O(V·E) — parallelized — and typical graphs certify in a few
+    * batches. */
+  private[graft] def diameterLocalSym(sym: DataFrame): Long = {
+    val spark = sym.sparkSession
+    val layout = localPairs(sym)
+      .mapPartitions(it =>
+        Iterator.single(LocalGraph.diamLayout(LocalGraph.build(it))))(
+        org.apache.spark.sql.Encoders.kryo[LocalGraph.DiamLayout])
+      .collect()(0)
+    if (layout.n == 0) return 0L
+    val sc = spark.sparkContext
+    val bc = sc.broadcast((layout.off, layout.adj))
+    try {
+      val lb = layout.rootEcc.map(_.toLong)
+      val comp = layout.comp
+      var i = layout.maxDepth
+      while (i >= 1) {
+        val batch = new scala.collection.mutable.ArrayBuffer[Int]()
+        var v = 0
+        while (v < layout.n) {
+          if (layout.depth(v) == i && lb(comp(v)) < 2L * i) batch += v
+          v += 1
+        }
+        if (batch.nonEmpty) {
+          val slices = math.max(1, math.min(batch.length,
+            sc.defaultParallelism * 4))
+          val eccs = sc.parallelize(batch.toSeq, slices)
+            .mapPartitions { sources =>
+              val (off, adj) = bc.value
+              val n = off.length - 1
+              val dist = new Array[Int](n)
+              val stamp = new Array[Int](n)
+              val queue = new Array[Int](n)
+              var version = 0
+              sources.map { s =>
+                version += 1
+                (s, LocalGraph.bfsInto(off, adj, s, dist, stamp, queue, version))
+              }
+            }.collect()
+          for ((s, e) <- eccs) {
+            val c = comp(s)
+            if (e > lb(c)) lb(c) = e.toLong
+          }
+        }
+        i -= 1
+      }
+      lb.max
+    } finally bc.destroy()
+  }
+
   /** A4 degree: per-vertex incident-edge count (self-loops removed
     * upstream by simplify). Reference: network_generator.R:151,235. */
   def degrees(edges: DataFrame): DataFrame =
@@ -379,12 +441,7 @@ object GraphOps {
       .select(lit(d).as("diameter"), lit(exact).as("exact"))
     if (nRows == 0) { return res(0L, exact = true) }
     if (nRows <= localMaxEdges) {
-      val d = localPairs(sym)
-        .mapPartitions(it =>
-          Iterator.single(LocalGraph.diameterExact(LocalGraph.build(it))))(
-          org.apache.spark.sql.Encoders.scalaLong)
-        .collect()(0)
-      return res(d, exact = true)
+      return res(diameterLocalSym(sym), exact = true)
     }
     // the sweep phase shuffles O(E)-sized frames — narrow it; the
     // exact escalation below holds O(V·E) pair state and runs at the
@@ -439,11 +496,7 @@ object GraphOps {
     // no width narrowing: the pair state is O(V·E), not O(E)
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (sym.count() <= localMaxEdges)
-        localPairs(sym).mapPartitions(it =>
-          Iterator.single(LocalGraph.diameterExact(LocalGraph.build(it))))(
-          org.apache.spark.sql.Encoders.scalaLong)
-          .collect().headOption.getOrElse(0L)
+      if (sym.count() <= localMaxEdges) diameterLocalSym(sym)
       else exactBfsSym(sym, maxIter)._1
     } finally sym.unpersist()
   }

@@ -140,9 +140,80 @@ private[graft] object LocalGraph {
     comp
   }
 
+  /** Everything the PARALLEL iFUB descent needs, stripped to ints (no
+    * node strings): the CSR arrays, each node's component and depth
+    * from its component's max-degree root, and the per-component root
+    * eccentricity (the descent's starting lower bound). Built in ONE
+    * task, collected to the driver (≤ a few MB per million nodes),
+    * broadcast back for the batched fringe BFS jobs
+    * (GraphOps.diameterLocalSym). */
+  final case class DiamLayout(off: Array[Int], adj: Array[Int],
+                              comp: Array[Int], depth: Array[Int],
+                              nComp: Int, rootEcc: Array[Int]) {
+    def n: Int = comp.length
+    def maxDepth: Int = if (rootEcc.isEmpty) 0 else rootEcc.max
+  }
+
+  def diamLayout(g: Csr): DiamLayout = {
+    val comp = compIds(g)
+    val nComp = if (comp.isEmpty) 0 else comp.max + 1
+    val depth = new Array[Int](g.n)
+    val rootEcc = new Array[Int](nComp)
+    // max-degree root per component
+    val root = Array.fill(nComp)(-1)
+    var v = 0
+    while (v < g.n) {
+      val c = comp(v)
+      if (root(c) < 0 || g.degree(v) > g.degree(root(c))) root(c) = v
+      v += 1
+    }
+    val dist = new Array[Int](g.n)
+    val stamp = new Array[Int](g.n)
+    val queue = new Array[Int](g.n)
+    var c = 0
+    while (c < nComp) {
+      val e = bfsInto(g.off, g.adj, root(c), dist, stamp, queue, c + 1)
+      rootEcc(c) = e
+      var i = 0
+      while (i < g.n) { // copy this component's levels out
+        if (stamp(i) == c + 1) depth(i) = dist(i)
+        i += 1
+      }
+      c += 1
+    }
+    DiamLayout(g.off, g.adj, comp, depth, nComp, rootEcc)
+  }
+
+  /** Array BFS from `source`; version-stamped state owned by the
+    * caller (reusable across sources). Returns the eccentricity. */
+  def bfsInto(off: Array[Int], adj: Array[Int], source: Int,
+              dist: Array[Int], stamp: Array[Int], queue: Array[Int],
+              version: Int): Int = {
+    var ecc = 0
+    dist(source) = 0; stamp(source) = version
+    queue(0) = source; var head = 0; var tail = 1
+    while (head < tail) {
+      val u = queue(head); head += 1
+      val du = dist(u)
+      if (du > ecc) ecc = du
+      var e = off(u)
+      while (e < off(u + 1)) {
+        val w = adj(e)
+        if (stamp(w) != version) {
+          stamp(w) = version; dist(w) = du + 1; queue(tail) = w; tail += 1
+        }
+        e += 1
+      }
+    }
+    ecc
+  }
+
   /** Exact diameter: max over components of the component diameter
     * (igraph semantics on disconnected graphs — max finite pairwise
-    * distance). 0 for an empty edge list. */
+    * distance). 0 for an empty edge list. SEQUENTIAL one-task form —
+    * the production route is the parallel descent over [[diamLayout]]
+    * (GraphOps.diameterLocalSym); this stays as the independently
+    * written reference the spec checks the parallel form against. */
   def diameterExact(g: Csr): Long = {
     if (g.n == 0) return 0L
     val comp = compIds(g)

@@ -176,6 +176,24 @@ class GraphOpsSpec extends SparkSpec {
       f"n$i%03d" -> f"n${i + 1}%03d"))) == (100L, true))
   }
 
+  test("A7 parallel fringe descent == sequential iFUB == distributed exact") {
+    // random near-regular graphs are iFUB's slow-closing case — the
+    // parallel descent must still visit enough fringe to stay exact
+    val rnd = new scala.util.Random(47)
+    val g = edgesOf((0 until 300).map { _ =>
+      (s"v${rnd.nextInt(120)}", s"v${120 + rnd.nextInt(120)}") }.distinct)
+    val parallel = GraphOps.diameterExact(g)
+    val dist = GraphOps.diameterExact(g, localMaxEdges = 0L)
+    assert(parallel == dist)
+    // sequential one-task iFUB (the independently written reference)
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.core.GraphOps.symmetrize(g)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val seq = graft.core.LocalGraph.diameterExact(
+      graft.core.LocalGraph.build(pairs.iterator))
+    assert(parallel == seq)
+  }
+
   test("A7 diameterCertified refuses exact escalation above the size guard") {
     // double star: two hubs joined by an edge, n leaves each — diameter
     // 3, but the sweep bounds never close (lb=3, ub=4), so an unguarded
