@@ -116,11 +116,15 @@ object GraphOps {
     * batches. */
   private[graft] def diameterLocalSym(sym: DataFrame): Long = {
     val spark = sym.sparkSession
-    val layout = localPairs(sym)
+    val layouts = localPairs(sym)
       .mapPartitions(it =>
         Iterator.single(LocalGraph.diamLayout(LocalGraph.build(it))))(
         org.apache.spark.sql.Encoders.kryo[LocalGraph.DiamLayout])
-      .collect()(0)
+      .collect()
+    // a zero-partition empty input yields NO rows from coalesce(1) —
+    // an empty edge list has diameter 0 either way
+    if (layouts.isEmpty) return 0L
+    val layout = layouts(0)
     if (layout.n == 0) return 0L
     val sc = spark.sparkContext
     val bc = sc.broadcast((layout.off, layout.adj))
@@ -148,7 +152,7 @@ object GraphOps {
               var version = 0
               sources.map { s =>
                 version += 1
-                (s, LocalGraph.bfsInto(off, adj, s, dist, stamp, queue, version))
+                (s, LocalGraph.eccInto(off, adj, s, dist, stamp, queue, version))
               }
             }.collect()
           for ((s, e) <- eccs) {

@@ -172,11 +172,13 @@ private[graft] object LocalGraph {
     val queue = new Array[Int](g.n)
     var c = 0
     while (c < nComp) {
-      val e = bfsInto(g.off, g.adj, root(c), dist, stamp, queue, c + 1)
-      rootEcc(c) = e
+      val visited = bfsInto(g.off, g.adj, root(c), dist, stamp, queue, c + 1)
+      rootEcc(c) = if (visited == 0) 0 else dist(queue(visited - 1))
       var i = 0
-      while (i < g.n) { // copy this component's levels out
-        if (stamp(i) == c + 1) depth(i) = dist(i)
+      while (i < visited) { // copy exactly this component's levels out:
+        // queue[0..visited) IS the component (a full-V scan per
+        // component degrades to O(V·nComp) on fragmented graphs)
+        depth(queue(i)) = dist(queue(i))
         i += 1
       }
       c += 1
@@ -185,17 +187,17 @@ private[graft] object LocalGraph {
   }
 
   /** Array BFS from `source`; version-stamped state owned by the
-    * caller (reusable across sources). Returns the eccentricity. */
+    * caller (reusable across sources). Returns the VISITED COUNT: the
+    * visited set is queue[0..count) in nondecreasing-distance order,
+    * so the eccentricity is dist(queue(count - 1)). */
   def bfsInto(off: Array[Int], adj: Array[Int], source: Int,
               dist: Array[Int], stamp: Array[Int], queue: Array[Int],
               version: Int): Int = {
-    var ecc = 0
     dist(source) = 0; stamp(source) = version
     queue(0) = source; var head = 0; var tail = 1
     while (head < tail) {
       val u = queue(head); head += 1
       val du = dist(u)
-      if (du > ecc) ecc = du
       var e = off(u)
       while (e < off(u + 1)) {
         val w = adj(e)
@@ -205,7 +207,15 @@ private[graft] object LocalGraph {
         e += 1
       }
     }
-    ecc
+    tail
+  }
+
+  /** Eccentricity of `source` via [[bfsInto]] on caller-owned state. */
+  def eccInto(off: Array[Int], adj: Array[Int], source: Int,
+              dist: Array[Int], stamp: Array[Int], queue: Array[Int],
+              version: Int): Int = {
+    val visited = bfsInto(off, adj, source, dist, stamp, queue, version)
+    dist(queue(visited - 1))
   }
 
   /** Exact diameter: max over components of the component diameter

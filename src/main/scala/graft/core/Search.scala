@@ -153,13 +153,21 @@ object Search {
     // three times while the subnet materializes (the ego symmetrize
     // plus two induced semi-joins), so pin it for exactly that window:
     // one compute + three cache scans instead of three computes.
-    val pinned = edgesDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persist/unpersist are PLAN-keyed: only take ownership of the pin
+    // when the caller hasn't already persisted this plan (unpersisting
+    // a caller's cache would silently evict it; re-persisting at a
+    // different level would throw).
+    val ownPin = edgesDf.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val pinned = if (ownPin)
+      edgesDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else edgesDf
     val sEdges =
       try {
         (if (ego) GraphOps.egoEdges(pinned, seeds)
          else GraphOps.induced(pinned, seeds)
         ).localCheckpoint(eager = true)
-      } finally pinned.unpersist(blocking = false)
+      } finally if (ownPin) pinned.unpersist(blocking = false)
     val nodeIds = sEdges.select(col("src").as("id"))
       .unionAll(sEdges.select(col("dst").as("id")))
       .unionAll(seeds.select(col("id")))   // isolated seeds stay visible

@@ -194,6 +194,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(parallel == seq)
   }
 
+  test("A7 diameterExact: empty (even zero-partition) edge list is 0") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("src", StringType),
+      StructField("dst", StringType)))
+    // zero-partition empty frame: coalesce(1) yields NO partitions, so
+    // the local layout collect comes back empty (the advisor's AIOOBE)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(GraphOps.diameterExact(empty) == 0L)
+    assert(GraphOps.diameterCertified(empty).collect()(0).getLong(0) == 0L)
+  }
+
+  test("A7 local layout handles a fragmented graph (many tiny components)") {
+    // 2000 disjoint 2-node components: the per-component depth copy
+    // must walk members (queue), not all of V, per component
+    val frags = edgesOf((0 until 2000).map(i => (f"a$i%04d", f"b$i%04d")))
+    val r = GraphOps.diameterCertified(frags).collect()(0)
+    assert(r.getLong(0) == 1L && r.getBoolean(1))
+  }
+
   test("A7 diameterCertified refuses exact escalation above the size guard") {
     // double star: two hubs joined by an edge, n leaves each — diameter
     // 3, but the sweep bounds never close (lb=3, ub=4), so an unguarded

@@ -99,4 +99,19 @@ class SearchSpec extends SparkSpec {
     val sub = Search.search(nodes, edges, None, "NOSUCHGENE")
     assert(sub.nodes.count() == 0 && sub.edges.count() == 0)
   }
+
+  test("subnetFromSeeds leaves a caller-owned edge cache in place") {
+    import org.apache.spark.storage.StorageLevel
+    // caller persists at a NON-default level: an unconditional persist
+    // inside would throw "cannot change storage level", and an
+    // unconditional unpersist would evict the caller's cache
+    val cached = edges.persist(StorageLevel.MEMORY_ONLY)
+    try {
+      cached.count()
+      val seeds = Search.byGeneName(nodes, "EZH2")
+      val sub = Search.subnetFromSeeds(nodes, cached, seeds, ego = true)
+      assert(sub.edges.count() == 2)
+      assert(cached.storageLevel == StorageLevel.MEMORY_ONLY)
+    } finally cached.unpersist()
+  }
 }
