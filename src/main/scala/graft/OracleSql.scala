@@ -1082,6 +1082,20 @@ SELECT chr, "start", "end", 'm2', m2 FROM ft""",
 SELECT fragment, gene_names, chr, "start", "end", type
 FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
 
+  /** Forced-distributed regime pins: the SAME oracle SQL as the
+    * local-regime entries — the Spark side passes localMaxEdges=0 /
+    * localMaxChainRows=0, so these rows hash-pin the distributed
+    * chains (pointer-jumping CC, sweep+iFUB diameter, windowed swap
+    * rounds) that the bounded-regime routing otherwise hides from the
+    * gate. Bit-identity of the two regimes is the routing contract
+    * (GraphOps/Chas scaladoc) — these entries make the driver prove
+    * it every round instead of trusting the ScalaTest equality specs. */
+  val distRegime: Map[String, String] = Map(
+    "a6_components_dist" -> graph("a6_components"),
+    "a7_diameter_dist" -> graph("a7_diameter"),
+    "g6_randomize_dist" -> randomizeOracles("g6_randomize"))
+
   val all: Map[String, String] =
-    graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers
+    graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++
+      distRegime
 }

@@ -57,6 +57,21 @@ object QueryDefs {
       Chas.randomize(simplified(s, d), nReplicates = 2, seed = 42L)
         .select(col("replica").cast("long").as("replica"),
           col("src"), col("dst"))),
+    // forced-DISTRIBUTED regime pins (localMaxEdges=0 /
+    // localMaxChainRows=0): identical semantics and oracle SQL as the
+    // entries above, but exercising the pointer-jumping CC, the
+    // sweep+iFUB diameter, and the windowed swap rounds — the code
+    // paths that run at 100 TB, which the bounded-regime routing would
+    // otherwise keep out of the driver's hash gate
+    "a6_components_dist" -> ((s, d) =>
+      GraphOps.connectedComponents(thin(s, d), localMaxEdges = 0L)),
+    "a7_diameter_dist" -> ((s, d) =>
+      GraphOps.diameterCertified(thin(s, d), localMaxEdges = 0L)),
+    "g6_randomize_dist" -> ((s, d) =>
+      Chas.randomize(simplified(s, d), nReplicates = 2, seed = 42L,
+          localMaxChainRows = 0L)
+        .select(col("replica").cast("long").as("replica"),
+          col("src"), col("dst"))),
     "a14_random_chas_envelope" -> ((s, d) =>
       Chas.randomChasEnvelope(simplified(s, d), features(s, d),
           nReplicates = 3, seed = 42L)

@@ -198,9 +198,10 @@ object Chas {
 
   def randomize(edges: DataFrame, nReplicates: Int, seed: Long,
                 distMatch: Boolean = false,
-                rounds: Int = DefaultRounds): DataFrame =
+                rounds: Int = DefaultRounds,
+                localMaxChainRows: Long = LocalMaxChainRows): DataFrame =
     randomizeTagged(edges.withColumn("__tag", lit("all")), "__tag",
-      nReplicates, seed, distMatch, rounds).drop("__tag")
+      nReplicates, seed, distMatch, rounds, localMaxChainRows).drop("__tag")
 
   /** Tagged variant: edges carry a group column (e.g. a subnet tag) and
     * swaps stay WITHIN each group - all groups randomize in the same

@@ -407,24 +407,17 @@ object GraphOps {
     * inequality) over the swept pivots — when the graph is one
     * component and the bounds close (even-diameter graphs where a sweep
     * lands near the center), the heuristic value is PROVED exact with
-    * O(sweeps) BFS. Otherwise escalate to the exact simultaneous BFS
-    * (bounded by maxIter rounds; per-pair state — intended for the
-    * bounded graphs this entry runs on; at whole-network scale the
-    * caller keeps the [[diameter]] heuristic and its documented
-    * lower-bound contract). exact=false if maxIter was exhausted OR the
-    * node count exceeds `exactMaxNodes` — the O(V·E) pair-state of the
-    * exact escalation would not survive a large component, so above the
-    * threshold the double-sweep lower bound is returned un-escalated
-    * (the guard is structural, not a caller convention). The value is
-    * then still the best lower bound found.
-    * Reference: diameter(net), network_generator_lib.R:418. */
+    * O(sweeps) BFS. Otherwise escalate to the DISTRIBUTED iFUB descent
+    * ([[diameterIfubSym]]) — multi-source BFS batches over the sym
+    * frame, exact at any size, so the result is certified exact in
+    * EVERY regime (the reference's igraph diameter is always exact,
+    * network_generator_lib.R:418). The former O(V·E) simultaneous-BFS
+    * escalation and its 10k-node refusal are gone; `exact` stays in
+    * the schema as the certification contract. */
   def diameterCertified(edges: DataFrame, sweeps: Int = 4,
-                        maxIter: Int = 64,
-                        exactMaxNodes: Long = 10000L,
                         localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    try diameterCertifiedSym(sym, sym.count(), sweeps, maxIter,
-      exactMaxNodes, localMaxEdges)
+    try diameterCertifiedSym(sym, sym.count(), sweeps, localMaxEdges)
     finally sym.unpersist()
   }
 
@@ -432,12 +425,11 @@ object GraphOps {
     * frame (see [[connectedComponentsSym]] for the sharing contract).
     * Bounded graphs (≤ localMaxEdges sym rows) skip the sweep/escalate
     * machinery entirely: one [[LocalGraph]] task runs iFUB and the
-    * result is EXACT — the regime where the reference's igraph always
-    * ran. The distributed sweeps + guarded escalation remain the
-    * giant-component path. */
+    * result is EXACT. Above the cutoff the cheap double sweeps run
+    * first (they certify most real-world graphs in O(sweeps) BFS) and
+    * the distributed iFUB descent finishes whatever they leave open. */
   private[graft] def diameterCertifiedSym(sym: DataFrame, nRows: Long,
-                                          sweeps: Int = 4, maxIter: Int = 64,
-                                          exactMaxNodes: Long = 10000L,
+                                          sweeps: Int = 4,
                                           localMaxEdges: Long = LocalMaxEdges)
       : DataFrame = {
     val spark = sym.sparkSession
@@ -447,11 +439,8 @@ object GraphOps {
     if (nRows <= localMaxEdges) {
       return res(diameterLocalSym(sym), exact = true)
     }
-    // the sweep phase shuffles O(E)-sized frames — narrow it; the
-    // exact escalation below holds O(V·E) pair state and runs at the
-    // session width
-    val (lb, ub, covered, nNodes) = withShuffleWidthFor(sym, nRows,
-        staticPlan = true) {
+    // every phase shuffles O(E)-or-smaller working sets — narrow once
+    withShuffleWidthFor(sym, nRows, staticPlan = true) {
       val nNodes = sym.select("src").distinct().count()
       val start = sym.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("degree"))
@@ -473,67 +462,149 @@ object GraphOps {
         // bounds already closed -> further sweeps cannot help
         closed = covered == nNodes && eccs.max == 2 * eccs.min
       }
-      (eccs.max, 2 * eccs.min, covered, nNodes)
-    }
-    val out =
+      val (lb, ub) = (eccs.max, 2 * eccs.min)
       if (covered == nNodes && lb == ub) res(lb, exact = true)
-      else if (nNodes > exactMaxNodes)
-        // the exact escalation holds O(V·E) pair state — refuse it
-        // above the size bound and return the sweep lower bound
-        res(lb, exact = false)
-      else {
-        // escalation reuses the frame the sweeps already cached
-        val (d, completed) = exactBfsSym(sym, maxIter)
-        res(math.max(lb, d), completed)
-      }
-    out
+      else res(diameterIfubSym(sym, nRows, lb0 = lb), exact = true)
+    }
   }
 
-  /** Exact diameter = max FINITE pairwise distance, via simultaneous
-    * all-sources BFS over (source, node) pairs. O(V·E) work — correct
-    * and intended ONLY for bounded subgraphs (a chromosome slice, a
-    * P-P subnet); the scale path for whole networks is the double-sweep
-    * `diameter` above. Matches igraph's diameter on disconnected
-    * graphs (max over per-component diameters). */
-  def diameterExact(edges: DataFrame, maxIter: Int = 64,
+  /** Exact diameter = max FINITE pairwise distance. Bounded graphs run
+    * the one-task parallel iFUB ([[diameterLocalSym]]); above the
+    * cutoff the DataFrame iFUB descent ([[diameterIfubSym]]) takes
+    * over — exact in both regimes. Matches igraph's diameter on
+    * disconnected graphs (max over per-component diameters). */
+  def diameterExact(edges: DataFrame,
                     localMaxEdges: Long = LocalMaxEdges): Long = {
-    // no width narrowing: the pair state is O(V·E), not O(E)
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (sym.count() <= localMaxEdges) diameterLocalSym(sym)
-      else exactBfsSym(sym, maxIter)._1
+      val n = sym.count()
+      if (n == 0) 0L
+      else if (n <= localMaxEdges) diameterLocalSym(sym)
+      else withShuffleWidthFor(sym, n, staticPlan = true) {
+        diameterIfubSym(sym, n)
+      }
     } finally sym.unpersist()
   }
 
-  /** Simultaneous all-sources BFS over an ALREADY-persisted symmetrized
-    * frame: (max finite distance, completed). completed=false means
-    * maxIter rounds were exhausted with a non-empty frontier — the
-    * value is then only a lower bound. Caller owns sym's lifecycle. */
-  private def exactBfsSym(sym: DataFrame, maxIter: Int): (Long, Boolean) = {
-    if (sym.isEmpty) { return (0L, true) }
-    var frontier = sym.select(col("src").as("source"), col("src").as("node"))
-      .distinct().localCheckpoint(eager = true)
+  /** EXACT diameter of an unbounded graph: the iFUB fringe descent
+    * ([[LocalGraph]] scaladoc) re-expressed as DataFrame multi-source
+    * BFS over the distributed sym frame — no broadcast CSR, no O(V·E)
+    * pair state, no size refusal. Phases:
+    *
+    *  1. one max-degree root per component (CC labels × degree argmax);
+    *  2. ONE multi-source BFS wave from all roots at once — each node's
+    *     depth from its component root (state O(V): components
+    *     partition the nodes, so root waves never overlap);
+    *  3. fringe descent: depths DESCENDING, each depth's candidate
+    *     sources BFS'd in batches of `batchSize` (state O(batch·V)),
+    *     until the iFUB certificate lb ≥ 2·depth closes. The bound
+    *     argument is global: any two nodes at depth ≤ i of their
+    *     component roots are within 2i of EACH OTHER, so once some
+    *     witnessed distance lb reaches 2i, no unprocessed pair
+    *     anywhere can beat lb — lb IS the max finite pairwise
+    *     distance.
+    *
+    * Worst case (near-regular graphs whose bounds close slowly) is the
+    * textbook O(V·E) — batched wide rather than refused. `lb0` seeds
+    * the bound with any already-witnessed eccentricity (the caller's
+    * double sweeps). Caller owns sym's persistence and shuffle-width
+    * scope. */
+  private[graft] def diameterIfubSym(sym: DataFrame, nRows: Long,
+                                     lb0: Long = 0L,
+                                     batchSize: Int = 256): Long = {
+    val spark = sym.sparkSession
+    // per-component max-degree root (ties: min id — deterministic)
+    val cc = connectedComponentsSym(sym, nRows)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+      .orderBy(col("degree").desc, col("id"))
+    val roots = cc.join(deg, Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as("source"))
+    val nodeDepth = multiSourceBfsDepths(sym, roots)
+    val maxRow = nodeDepth.agg(max(col("depth"))).collect()(0)
+    val maxDepth = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    // every root ecc is a witnessed distance — so is the caller's seed
+    var lb = math.max(lb0, maxDepth)
+    var i = maxDepth
+    while (i >= 1 && lb < 2L * i) {
+      // the fringe at depth i across ALL components (the per-depth
+      // collect is bounded by the fringe size; strings only)
+      val cand = nodeDepth.filter(col("depth") === i)
+        .select(col("node")).collect().map(_.getString(0))
+      var k = 0
+      while (k < cand.length && lb < 2L * i) {
+        val e = multiSourceEcc(sym, cand.slice(k, k + batchSize).toIndexedSeq)
+        if (e > lb) lb = e
+        k += batchSize
+      }
+      i -= 1
+    }
+    lb
+  }
+
+  /** One BFS wave from ALL `sources` (one column `source`) at once:
+    * returns the checkpointed visited set DF(source, node, depth).
+    * Per-level deltas are checkpointed; the running visited set is a
+    * lazy union of those deltas (each level writes only its delta). */
+  private def multiSourceBfsDepths(sym: DataFrame,
+                                   sources: DataFrame): DataFrame = {
+    var frontier = sources
+      .select(col("source"), col("source").as("node"), lit(0L).as("depth"))
+      .localCheckpoint(eager = true)
     var visited = frontier
-    var dist = 0L
+    var d = 0L
     var done = false
-    while (!done && dist < maxIter) {
+    while (!done) {
       val next = frontier
         .join(sym, frontier("node") === sym("src"))
         .select(frontier("source").as("source"), sym("dst").as("node"))
         .distinct()
-        .join(visited.withColumnRenamed("source", "vs")
-                     .withColumnRenamed("node", "vn"),
+        .join(visited.select(col("source").as("vs"), col("node").as("vn")),
+          col("source") === col("vs") && col("node") === col("vn"),
+          "left_anti")
+        .withColumn("depth", lit(d + 1L))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        d += 1
+        visited = visited.unionAll(next)
+        frontier = next
+      }
+    }
+    visited
+  }
+
+  /** Max eccentricity over a batch of BFS sources: the wave runs until
+    * EVERY source's frontier is exhausted, so the level count is the
+    * batch's max ecc — the only thing the descent's bound needs. */
+  private def multiSourceEcc(sym: DataFrame, sources: Seq[String]): Long = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    var frontier = sources.toDF("source")
+      .select(col("source"), col("source").as("node"))
+      .localCheckpoint(eager = true)
+    var visited = frontier
+    var d = 0L
+    var done = false
+    while (!done) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("src"))
+        .select(frontier("source").as("source"), sym("dst").as("node"))
+        .distinct()
+        .join(visited.select(col("source").as("vs"), col("node").as("vn")),
           col("source") === col("vs") && col("node") === col("vn"),
           "left_anti")
         .localCheckpoint(eager = true)
       if (next.isEmpty) done = true
       else {
-        dist += 1
-        visited = visited.unionAll(next).localCheckpoint(eager = true)
+        d += 1
+        visited = visited.unionAll(next)
         frontier = next
       }
     }
-    (dist, done)
+    d
   }
 
   /** A8 global clustering coefficient (transitivity):

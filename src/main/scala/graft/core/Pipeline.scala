@@ -237,9 +237,9 @@ object Pipeline {
 
       val cs = Await.result(fCs, Duration.Inf)
       val dRow = Await.result(fD, Duration.Inf)
-      // past exactMaxNodes the certified path returns a double-sweep
-      // LOWER BOUND (exact=false) — surface that rather than silently
-      // embedding it where the reference's igraph diameter is exact
+      // the certified path is exact in every regime since the
+      // distributed iFUB escalation replaced the size refusal; this
+      // surfacing stays as a safety net on the `exact` contract
       if (!dRow.getBoolean(dRow.fieldIndex("exact")))
         System.err.println(s"[graft] writeDatasetTree($outDir): diameter " +
           s"${dRow.getLong(0)} is an UNCERTIFIED lower bound (graph over " +

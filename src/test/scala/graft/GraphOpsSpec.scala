@@ -150,11 +150,12 @@ class GraphOpsSpec extends SparkSpec {
     val dis = edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c",
       "x" -> "y", "y" -> "z"))
     assert(cert(dis) == (2L, true))
-    // maxIter exhaustion is reported, value stays a lower bound
+    // one sweep leaves the bounds open -> the iFUB descent still
+    // certifies the exact value (no iteration cap, no refusal)
     val long = edgesOf((0 until 9).map(i => s"n$i" -> s"n${i + 1}"))
-    val r = GraphOps.diameterCertified(long, sweeps = 1, maxIter = 3,
+    val r = GraphOps.diameterCertified(long, sweeps = 1,
       localMaxEdges = 0L).collect()(0)
-    assert(!r.getBoolean(1) && r.getLong(0) >= 3L)
+    assert(r.getBoolean(1) && r.getLong(0) == 9L)
   }
 
   test("A7 local regime (iFUB) is exact and certified on every fixture shape") {
@@ -214,11 +215,14 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getBoolean(1))
   }
 
-  test("A7 diameterCertified refuses exact escalation above the size guard") {
+  test("A7 distributed iFUB certifies large graphs the sweeps leave open") {
     // double star: two hubs joined by an edge, n leaves each — diameter
-    // 3, but the sweep bounds never close (lb=3, ub=4), so an unguarded
-    // certify would attempt the O(V·E) exact BFS over 12k nodes. The
-    // guard must return the sweep lower bound with exact=false instead.
+    // 3, but the sweep bounds never close (lb=3, ub=4). The old code
+    // refused exact escalation above 10k nodes and returned an
+    // uncertified bound; the distributed iFUB descent must now certify
+    // it exactly at 12k nodes. (The fringe here is the leaves at depth
+    // 1-2 with lb already 3 ≥ 2·1, so the descent closes after the
+    // depth-2 batch — cheap, not O(V·E).)
     val n = 6000
     val hub1 = spark.range(n).select(lit("hub1").as("src"),
       concat(lit("l1_"), lpad(col("id").cast("string"), 5, "0")).as("dst"))
@@ -227,18 +231,34 @@ class GraphOpsSpec extends SparkSpec {
     val bridge = spark.range(1).select(lit("hub1").as("src"),
       lit("hub2").as("dst"))
     val g = hub1.unionAll(hub2).unionAll(bridge)
-    // localMaxEdges=0 forces the distributed path so the node-count
-    // guard (not the local regime) is what this test exercises
+    // localMaxEdges=0 forces the distributed path
     val r = GraphOps.diameterCertified(g, localMaxEdges = 0L).collect()(0)
-    assert(r.getLong(0) == 3L)
-    assert(!r.getBoolean(1)) // guarded: bound reported, not certified
-    // the same 12k-node graph in the local regime: iFUB certifies it
+    assert(r.getLong(0) == 3L && r.getBoolean(1))
+    // the local regime agrees
     val rl = GraphOps.diameterCertified(g).collect()(0)
     assert(rl.getLong(0) == 3L && rl.getBoolean(1))
-    // the same shape under the threshold still escalates and certifies
+    // the small version of the same shape, forced distributed
     val small = edgesOf(Seq("hub1" -> "a", "hub1" -> "b",
       "hub2" -> "c", "hub2" -> "d", "hub1" -> "hub2"))
     val rs = GraphOps.diameterCertified(small, localMaxEdges = 0L).collect()(0)
     assert(rs.getLong(0) == 3L && rs.getBoolean(1))
+  }
+
+  test("A7 distributed iFUB == local iFUB on random multi-component graphs") {
+    for (seed <- Seq(7, 21)) {
+      val rnd = new scala.util.Random(seed)
+      // several components of mixed shape: random bipartite-ish core +
+      // a path tail + isolated pairs
+      val core = (0 until 250).map { _ =>
+        (s"c${rnd.nextInt(60)}", s"d${60 + rnd.nextInt(60)}") }
+      val tail = (0 until 17).map(i => (s"t$i", s"t${i + 1}"))
+      val pairs = (0 until 5).map(i => (s"p${i}a", s"p${i}b"))
+      val g = edgesOf((core ++ tail ++ pairs).distinct)
+      val local = GraphOps.diameterExact(g)
+      val dist = GraphOps.diameterExact(g, localMaxEdges = 0L)
+      assert(local == dist, s"seed=$seed")
+      val cert = GraphOps.diameterCertified(g, localMaxEdges = 0L).collect()(0)
+      assert(cert.getLong(0) == local && cert.getBoolean(1), s"seed=$seed")
+    }
   }
 }
