@@ -141,11 +141,29 @@ object Pipeline {
     * partition-at-a-time to the files — document size never bounds
     * driver memory, only the files grow. `chromosomesToWrite` bounds
     * the fan-out explicitly.
+    *
+    * Above [[DocStreamMaxEdges]] edges the single driver byte stream
+    * becomes the tree's only serial stage, so the writer switches to
+    * the DISTRIBUTED CytoscapeJson.writeChromosomeDocumentLines:
+    * chr<c>.json becomes a directory of document lines written by the
+    * executors (concatenation reproduces the stream file's bytes; the
+    * document parses identically). Below the cutoff the byte-golden
+    * single-file layout is preserved. `distributedDocs` overrides the
+    * regime explicitly (tests; deployments that always want dirs).
     */
+  /** Edge-count cutoff for the tree's document writer: at or below,
+    * one driver thread streams the sorted elements into single
+    * chr<c>.json files (byte-golden layout); above, the executors
+    * write per-document line directories. 20M edges ≈ several GB of
+    * document JSON — around where one ~100 MB/s writer thread turns
+    * into minutes of serial tail. */
+  val DocStreamMaxEdges = 20000000L
+
   def writeDatasetTree(ds: BuiltDataset, outDir: String,
                        features: Option[DataFrame] = None,
                        nReplicates: Int = 3, seed: Long = 42L,
-                       chromosomesToWrite: Option[Seq[String]] = None): Unit = {
+                       chromosomesToWrite: Option[Seq[String]] = None,
+                       distributedDocs: Option[Boolean] = None): Unit = {
     import graft.io.{CytoscapeJson, MetadataJson}
     import org.apache.spark.storage.StorageLevel
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -230,8 +248,12 @@ object Pipeline {
       val fDocs = fChrs.map { all =>
         timed("chromosomeDocs") {
           val chrs = chromosomesToWrite.getOrElse(all)
-          CytoscapeJson.writeChromosomeDocuments(nodesC, edgesC, chrs,
-            s"$outDir/chromosomes")
+          if (distributedDocs.getOrElse(nEdges > DocStreamMaxEdges))
+            CytoscapeJson.writeChromosomeDocumentLines(nodesC, edgesC, chrs,
+              s"$outDir/chromosomes")
+          else
+            CytoscapeJson.writeChromosomeDocuments(nodesC, edgesC, chrs,
+              s"$outDir/chromosomes")
         }
       }
 

@@ -113,8 +113,14 @@ object CytoscapeJson {
     * pseudo-chromosome) are written as the "{}" guard, as is any
     * document with fewer than two node elements ([[render]]'s
     * contract — a lone node plus self-loop edges still guards). */
-  def writeChromosomeDocuments(nodes: DataFrame, edges: DataFrame,
-                               chrs: Seq[String], dir: String): Unit = {
+  /** The one-plan tagged element set behind both all-chromosome
+    * writers: every edge exploded to the chromosome documents it
+    * touches (both-endpoint F2 semantics), node membership derived
+    * from the tagged edges, node JSON rendered ONCE per node. Returns
+    * (elements DF(__doc, __g, __k1, __k2, element), node-membership
+    * DF(__doc, fragment)). */
+  private def taggedDocElements(nodes: DataFrame,
+                                edges: DataFrame): (DataFrame, DataFrame) = {
     val eTag = edges.withColumn("__doc", explode(array_distinct(array(
       split(col("src"), "_").getItem(0), split(col("dst"), "_").getItem(0)))))
     // a node appears in every document an incident edge touches
@@ -134,8 +140,13 @@ object CytoscapeJson {
     val tagE = eTag.select(col("__doc"), lit(1).as("__g"),
       col("src").as("__k1"), col("dst").as("__k2"),
       to_json(edgeStruct(eTag)).as("element"))
+    (tagN.unionAll(tagE), nDocs)
+  }
+
+  def writeChromosomeDocuments(nodes: DataFrame, edges: DataFrame,
+                               chrs: Seq[String], dir: String): Unit = {
     // only the requested documents (callers may bound the fan-out)
-    val sorted = tagN.unionAll(tagE)
+    val sorted = taggedDocElements(nodes, edges)._1
       .filter(col("__doc").isin(chrs: _*))
       .orderBy("__doc", "__g", "__k1", "__k2")
 
@@ -207,4 +218,76 @@ object CytoscapeJson {
           .otherwise(lit(""))).as("line"))
       .write.mode("overwrite").text(path)
   }
+
+  /** ALL per-chromosome documents with ZERO driver byte-streaming: the
+    * same one-plan tagged element set as [[writeChromosomeDocuments]],
+    * but decorated into document lines per chromosome (["[", ",", "]"]
+    * prefixes via a per-document window) and written by the EXECUTORS
+    * through `partitionBy(__doc)` text. Each `chr<c>.json` becomes a
+    * DIRECTORY whose single part file's concatenated lines reproduce
+    * the driver-stream file byte-for-byte (newlines between JSON array
+    * elements are insignificant whitespace — the document parses
+    * identically; asserted in CytoscapeJsonSpec). One document = one
+    * task (the window clusters each document into one partition), so
+    * write bandwidth scales with the number of chromosomes × executor
+    * disks instead of one driver thread — the bulk path for trees
+    * whose JSON outgrows a single writer. The "{}" guard semantics
+    * (<2 node elements, absent chromosomes) match the stream writer.
+    * Renames use the local filesystem: swap in a Hadoop FileSystem
+    * rename for object-store deployments. */
+  def writeChromosomeDocumentLines(nodes: DataFrame, edges: DataFrame,
+                                   chrs: Seq[String], dir: String): Unit = {
+    import nodes.sparkSession.implicits._
+    val (els, nDocs) = taggedDocElements(nodes, edges)
+    // the guard set comes from a cheap membership aggregate, not the
+    // rendered elements: documents with <2 node ELEMENTS keep "{}".
+    // The semi-join drops memberships whose endpoint has no node row
+    // (orphan edges render no node element — same count the stream
+    // writer's first-two-elements check sees).
+    val okDocs = nDocs.filter(col("__doc").isin(chrs: _*))
+      .join(nodes.select(col("fragment")), Seq("fragment"), "left_semi")
+      .groupBy("__doc").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2L)
+      .select("__doc").collect().map(_.getString(0)).toSet
+    val wDoc = Window.partitionBy("__doc")
+    val wOrd = wDoc.orderBy("__g", "__k1", "__k2")
+    val lines = els
+      .filter(col("__doc").isin(okDocs.toSeq: _*))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__cnt", count(lit(1)).over(wDoc))
+      .select(col("__doc"), col("__g"), col("__k1"), col("__k2"), concat(
+        when(col("__rn") === 1, lit("[")).otherwise(lit(",")),
+        col("element"),
+        when(col("__rn") === col("__cnt"), lit("]")).otherwise(lit("")))
+        .as("line"))
+      // the window already clusters+sorts by document; this sort is
+      // elided when redundant and guarantees file row order otherwise
+      .sortWithinPartitions("__doc", "__g", "__k1", "__k2")
+      .select(col("__doc"), col("line"))
+    val guards = chrs.filterNot(okDocs)
+    val guardRows = guards.toDF("__doc")
+      .select(col("__doc"), lit("{}").as("line"))
+    val tmp = s"$dir/.docs_tmp"
+    lines.unionAll(guardRows)
+      .write.partitionBy("__doc").mode("overwrite").text(tmp)
+    // swap the partition dirs into the tree's chr<c>.json names
+    val tmpPath = java.nio.file.Paths.get(tmp)
+    for (c <- chrs) {
+      val from = tmpPath.resolve(s"__doc=$c")
+      val to = java.nio.file.Paths.get(s"$dir/chr$c.json")
+      if (java.nio.file.Files.exists(from)) {
+        deleteRecursively(to)
+        java.nio.file.Files.move(from, to)
+      }
+    }
+    deleteRecursively(tmpPath)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try it.forEach(java.nio.file.Files.delete(_))
+      finally it.close()
+    }
 }

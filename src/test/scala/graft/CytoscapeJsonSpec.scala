@@ -96,6 +96,72 @@ class CytoscapeJsonSpec extends SparkSpec {
       CytoscapeJson.render(nodes, edges))
   }
 
+  test("distributed chromosome line dirs reproduce the stream files byte-for-byte") {
+    // the real sf0.001 pipeline slice, ALL chromosomes: the bulk-path
+    // writer (executor-written line dirs) must concatenate to exactly
+    // the driver-stream writer's bytes for every document, including
+    // the "{}" guards for absent chromosomes
+    val d = "/root/testdata/sf0.001"
+    val v = TestMapping.verts(spark, d)
+    val e = TestMapping.simplified(spark, d)
+    val chrs = v.select("chr").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted :+ "NOSUCH"
+    val streamDir = java.nio.file.Files.createTempDirectory("graftstream")
+    val linesDir = java.nio.file.Files.createTempDirectory("graftlines")
+    CytoscapeJson.writeChromosomeDocuments(v, e, chrs, streamDir.toString)
+    CytoscapeJson.writeChromosomeDocumentLines(v, e, chrs, linesDir.toString)
+    var checkedBytes = 0L
+    for (c <- chrs) {
+      val expected = java.nio.file.Files.readString(
+        streamDir.resolve(s"chr$c.json"))
+      val docDir = linesDir.resolve(s"chr$c.json")
+      assert(java.nio.file.Files.isDirectory(docDir), s"chr$c")
+      val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.list(docDir).iterator()).asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      assert(parts.size == 1, s"chr$c: one task per document")
+      val got = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(parts.head)).asScala.mkString("")
+      assert(got == expected, s"chr$c")
+      checkedBytes += expected.length
+    }
+    assert(checkedBytes > 100000) // a real multi-document comparison
+    // guard: the absent chromosome is the literal {}
+    val guardParts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(linesDir.resolve("chrNOSUCH.json"))
+          .iterator()).asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(guardParts.head))
+      .asScala.mkString("") == "{}")
+  }
+
+  test("distributed chromosome line dirs guard lone-node and orphan docs") {
+    val n1 = nodes.limit(1)
+    val loop = Seq(("1_100_199", "1_100_199", "P-P"))
+      .toDF("src", "dst", "type")
+    val dir = java.nio.file.Files.createTempDirectory("graftlineguard")
+    CytoscapeJson.writeChromosomeDocumentLines(n1, loop, Seq("1"),
+      dir.toString)
+    def docText(c: String): String = {
+      val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.list(dir.resolve(s"chr$c.json")).iterator())
+        .asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(parts.head)).asScala.mkString("")
+    }
+    assert(docText("1") == "{}")
+    // edges whose endpoints have no node rows: also guarded
+    val orphan = Seq(("9_1_2", "9_3_4", "O-O")).toDF("src", "dst", "type")
+    CytoscapeJson.writeChromosomeDocumentLines(nodes.limit(0), orphan,
+      Seq("9"), dir.toString)
+    assert(docText("9") == "{}")
+    // and a real two-node document renders identically to render()
+    CytoscapeJson.writeChromosomeDocumentLines(nodes, edges, Seq("1"),
+      dir.toString)
+    assert(docText("1") == CytoscapeJson.render(nodes, edges))
+  }
+
   test("distributed writeDocumentLines concatenates to the render bytes") {
     val (n, e) = chrDoc
     val expected = CytoscapeJson.render(n.orderBy("fragment"),

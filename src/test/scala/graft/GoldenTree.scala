@@ -13,7 +13,8 @@ object GoldenTree {
   val sfDir = "/root/testdata/sf0.001"
   val goldenDir = "src/test/resources/golden"
 
-  def write(spark: SparkSession, outDir: String): Unit = {
+  def write(spark: SparkSession, outDir: String,
+            distributedDocs: Option[Boolean] = None): Unit = {
     val ds = Pipeline.build(
       TestMapping.interactions(spark, sfDir),
       threshold = TestMapping.ThinScore,
@@ -25,7 +26,8 @@ object GoldenTree {
     val twoChrs = ds.chromosomes.collect().map(_.getString(0)).take(2).toSeq
     Pipeline.writeDatasetTree(ds, outDir,
       features = Some(TestMapping.features(spark, sfDir)),
-      chromosomesToWrite = Some(twoChrs))
+      chromosomesToWrite = Some(twoChrs),
+      distributedDocs = distributedDocs)
   }
 }
 

@@ -30,4 +30,31 @@ class PipelineTreeSpec extends SparkSpec {
       assert(a == e, s"$f differs from golden")
     }
   }
+
+  test("forced-distributed tree write matches the golden documents") {
+    // the bulk regime (distributedDocs=true, normally engaged above
+    // DocStreamMaxEdges): every chr<c>.json becomes a line DIRECTORY
+    // whose concatenated rows must equal the golden single file; the
+    // metadata JSONs are identical single files in both regimes
+    val golden = Paths.get(GoldenTree.goldenDir)
+    val out = Files.createTempDirectory("grafttreedist").toString
+    GoldenTree.write(spark, out, distributedDocs = Some(true))
+    Files.walk(golden).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .foreach { p =>
+        val f = golden.relativize(p).toString
+        val e = Files.readString(p)
+        val target = Paths.get(out).resolve(f)
+        if (f.startsWith("chromosomes/")) {
+          assert(Files.isDirectory(target), s"$f should be a line dir")
+          val parts = Files.list(target).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq
+          assert(parts.size == 1, s"$f: one task per document")
+          val got = Files.readAllLines(parts.head).asScala.mkString("")
+          assert(got == e, s"$f differs from golden (concatenated)")
+        } else {
+          assert(Files.readString(target) == e, s"$f differs from golden")
+        }
+      }
+  }
 }
