@@ -963,7 +963,24 @@ FROM dec"""),
 SELECT media_id, kind,
   unnest(generate_series(0, greatest(duration_ms - 1, 0), 60000)) AS frame_ts_ms
 FROM dec WHERE kind IN ('video', 'audio')"""),
-    "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql")
+    "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql",
+    // real-ImageIO pins: Spark DECODES actual PNG bytes; the oracle
+    // PREDICTS the metadata from the fixture's id-derived dimension
+    // rule (Multimodal.synthesizeImages) — agreement proves the codec
+    // path read the real headers, not the stub fallback
+    "m5_decode_real" -> raw"""
+SELECT doc_id AS media_id,
+  CAST((doc_id%19 + 1)*8 AS BIGINT) AS width,
+  CAST((doc_id%13 + 1)*8 AS BIGINT) AS height,
+  'png' AS codec
+FROM documents""",
+    "m5_resize_real" -> raw"""
+SELECT media_id,
+  CAST(floor(w * least(64.0/w, 48.0/h, 1.0)) AS BIGINT) AS width,
+  CAST(floor(h * least(64.0/w, 48.0/h, 1.0)) AS BIGINT) AS height
+FROM (SELECT doc_id AS media_id,
+        CAST((doc_id%19 + 1)*8 AS DOUBLE) AS w,
+        CAST((doc_id%13 + 1)*8 AS DOUBLE) AS h FROM documents) t""")
 
   // ------------------------------------------------- S1-S9 file readers
   // Each oracle reads the SAME fixture file the Spark query just wrote

@@ -329,8 +329,12 @@ object QueryDefs {
       EventStreams.windowedCountsStreamFromParquet(s, s"$d/events.parquet",
         raw, queryName = "e2_windows_" + math.abs(d.hashCode).toString)
     }),
+    // m1-m3 run the REAL decode entry point: the text payloads fail
+    // the PNG/JPEG sniff, so the metadata equals the stub's md5
+    // arithmetic (what the oracle replicates) while the gate still
+    // executes the production sniff+fallback plan every round
     "m1_decode_meta" -> ((s, d) =>
-      Multimodal.decodeStub(
+      Multimodal.decode(
           Multimodal.synthesize(table(s, d, "documents"), "doc_id", "text"))
         .select(col("media_id"), col("kind"),
           col("meta.width").cast("long").as("width"),
@@ -339,15 +343,33 @@ object QueryDefs {
           col("meta.codec").as("codec"))),
     "m2_resize_meta" -> ((s, d) =>
       Multimodal.resizeStub(
-          Multimodal.decodeStub(Multimodal.synthesize(
+          Multimodal.decode(Multimodal.synthesize(
             table(s, d, "documents"), "doc_id", "text")), 640, 480)
         .select(col("media_id"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"))),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
-        Multimodal.decodeStub(Multimodal.synthesize(
+        Multimodal.decode(Multimodal.synthesize(
           table(s, d, "documents"), "doc_id", "text")), 60000L)),
+    // REAL ImageIO pins: payloads are actual PNG bytes with id-derived
+    // dimensions, so the oracle predicts the decoded metadata
+    // arithmetically while Spark parses the bytes — a wrong decode
+    // (or a silent stub fallback) fails the hash gate
+    "m5_decode_real" -> ((s, d) =>
+      Multimodal.decode(
+          Multimodal.synthesizeImages(table(s, d, "documents"), "doc_id"))
+        .select(col("media_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.codec").as("codec"))),
+    "m5_resize_real" -> ((s, d) =>
+      Multimodal.resizeStub(
+          Multimodal.decode(Multimodal.synthesizeImages(
+            table(s, d, "documents"), "doc_id")), 64, 48)
+        .select(col("media_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"))),
     "m4_feature_extract" -> ((s, d) =>
       Multimodal.featureExtractStub(
           Multimodal.synthesize(table(s, d, "documents"), "doc_id", "text"), 8)

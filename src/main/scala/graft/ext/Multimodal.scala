@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata structs, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` derives deterministic fake metadata from the
-  * payload's md5. Everything AROUND the stub — schema, batch shape,
-  * partitioning, the decode boundary — is the real production plumbing:
-  * swap the fake projection for a `mapPartitions` codec call (one codec
-  * init per partition, bounded batches) and the rest of the plan is
-  * unchanged.
+  * The IMAGE decode is REAL where the JDK can do it: [[decode]] sniffs
+  * PNG/JPEG magic bytes and reads true dimensions through
+  * `javax.imageio` (header-only — no pixel decode) inside
+  * `mapPartitions`, the production codec boundary (one reader context
+  * per task, payloads never leave the executor). Every other format is
+  * STUBBED (no audio/video codec libraries in this container):
+  * `decodeStub` derives deterministic fake metadata from the payload's
+  * md5, and [[decode]] falls back to exactly those values when the
+  * sniff fails, so the stub and real paths compose in one plan. Swap
+  * the fallback for more codecs and the rest of the plan is unchanged.
   */
 object Multimodal {
 
@@ -49,20 +52,113 @@ object Multimodal {
         (col(idCol) % 3 + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
+  /** The stub's deterministic fake metadata columns (md5-derived) —
+    * shared by [[decodeStub]] and [[decode]]'s fallback so the two
+    * paths cannot drift. */
+  private def stubMetaCols(h: Column): (Column, Column, Column, Column) = (
+    ((md5Byte(h, 1) % 192 + 1) * 10).cast("int"),
+    ((md5Byte(h, 2) % 108 + 1) * 10).cast("int"),
+    when(col("kind") =!= "image",
+      length(col("payload")).cast("long") * 100 + 1000)
+      .otherwise(lit(null).cast("long")),
+    element_at(array(lit("png"), lit("opus"), lit("h264")),
+      (col("media_id") % 3 + 1).cast("int")))
+
   /** ===== DECODE STUB =====
     * Deterministic fake decode: metadata derived from md5(payload).
     * Contract: output schema is fixed; a real deployment swaps this
-    * projection for a per-partition codec. */
+    * projection for a per-partition codec ([[decode]] does, for the
+    * formats the JDK ships a codec for). */
   def decodeStub(media: DataFrame): DataFrame = {
-    val h = md5(col("payload"))
+    val (w, h2, dur, codec) = stubMetaCols(md5(col("payload")))
     media.withColumn("meta", struct(
-      ((md5Byte(h, 1) % 192 + 1) * 10).cast("int").as("width"),
-      ((md5Byte(h, 2) % 108 + 1) * 10).cast("int").as("height"),
-      when(col("kind") =!= "image",
-        length(col("payload")).cast("long") * 100 + 1000)
-        .otherwise(lit(null).cast("long")).as("duration_ms"),
-      element_at(array(lit("png"), lit("opus"), lit("h264")),
-        (col("media_id") % 3 + 1).cast("int")).as("codec")))
+      w.as("width"), h2.as("height"),
+      dur.as("duration_ms"), codec.as("codec")))
+  }
+
+  /** Header-only image sniff+decode: PNG / JPEG magic bytes, then true
+    * dimensions via the matching `javax.imageio` reader WITHOUT
+    * decoding pixels (reader.getWidth reads the header). None for
+    * non-image bytes, truncated headers, or codec errors — the caller
+    * falls back to the stub. Executor-side only. */
+  private[graft] def sniffImageMeta(payload: Array[Byte])
+      : Option[(Int, Int, String)] = {
+    if (payload == null || payload.length < 4) return None
+    val isPng = (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8 &&
+      (payload(2) & 0xFF) == 0xFF
+    if (!isPng && !isJpeg) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0), if (isPng) "png" else "jpeg"))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** ===== REAL DECODE (image formats the JDK ships) =====
+    * PNG/JPEG payloads get their TRUE width/height/codec read on the
+    * executors (`mapPartitions` — the codec boundary: payload bytes
+    * never shuffle, never reach the driver; one ImageIO context per
+    * task); everything else falls back to the [[decodeStub]] metadata
+    * column-for-column. Output schema identical to decodeStub. */
+  def decode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sniffed = media
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        val real = if (kind == "image") sniffImageMeta(payload) else None
+        (id, kind, payload, real.map(_._1), real.map(_._2), real.map(_._3))
+      })
+      .toDF("media_id", "kind", "payload", "__w", "__h", "__codec")
+    val (sw, sh, sdur, scodec) = stubMetaCols(md5(col("payload")))
+    sniffed.withColumn("meta", struct(
+        coalesce(col("__w"), sw).as("width"),
+        coalesce(col("__h"), sh).as("height"),
+        sdur.as("duration_ms"),
+        coalesce(col("__codec"), scodec).as("codec")))
+      .drop("__w", "__h", "__codec")
+  }
+
+  /** Real-PNG fixture generator: one image row per source id with
+    * id-derived dimensions ((id%19+1)*8 × (id%13+1)*8) ENCODED AS REAL
+    * PNG BYTES on the executors — so a correctness oracle can predict
+    * the decoded metadata arithmetically while [[decode]] actually
+    * parses the bytes. Tests/benches only. */
+  def synthesizeImages(src: DataFrame, idCol: String): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = ((id % 19) + 1).toInt * 8
+        val h = ((id % 13) + 1).toInt * 8
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { // deterministic non-constant pixels
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (x * 31 + y * 7 + id.toInt) & 0xFFFFFF)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray)
+      })
+      .toDF("media_id", "kind", "payload")
   }
 
   /** Resize stage (stub): recompute metadata for a target box keeping

@@ -67,6 +67,36 @@ class SimilaritySpec extends SparkSpec {
     assert(again.map(_.getInt(0)).sameElements(again2.map(_.getInt(0))))
   }
 
+  test("real ImageIO decode reads true PNG/JPEG dims, stub-falls-back else") {
+    // real PNG bytes with known dims via the fixture generator
+    val imgs = Multimodal.synthesizeImages(
+      Seq(3L, 20L).toDF("id"), "id")
+    val dec = Multimodal.decode(imgs).select("media_id", "meta.*")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    // id=3: w=(3%19+1)*8=32, h=(3%13+1)*8=32; id=20: w=16, h=64
+    assert(dec(3L) == ((32, 32, "png")))
+    assert(dec(20L) == ((16, 64, "png")))
+    // a real JPEG payload decodes too (codec tagged jpeg)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+      24, 17, java.awt.image.BufferedImage.TYPE_INT_RGB), "jpg", jbos)
+    val jm = Multimodal.sniffImageMeta(jbos.toByteArray)
+    assert(jm.contains((24, 17, "jpeg")))
+    // non-image bytes fall back to the md5 stub metadata exactly
+    val media = Multimodal.synthesize(
+      Seq((0L, "hello"), (1L, "world")).toDF("id", "t"), "id", "t")
+    val viaStub = Multimodal.decodeStub(media)
+      .select("media_id", "meta.*").collect().map(_.toSeq).toSeq
+    val viaReal = Multimodal.decode(media)
+      .select("media_id", "meta.*").collect().map(_.toSeq).toSeq
+    assert(viaReal.sortBy(_.head.toString) == viaStub.sortBy(_.head.toString))
+    // truncated/corrupt "PNG" header: sniff declines, no crash
+    assert(Multimodal.sniffImageMeta(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0)).isEmpty)
+    assert(Multimodal.sniffImageMeta(null).isEmpty)
+  }
+
   test("resize stub preserves aspect and caps at the box") {
     val media = Multimodal.synthesize(
       Seq((1L, "x" * 50)).toDF("id", "t"), "id", "t")
