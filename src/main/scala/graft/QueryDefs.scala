@@ -65,8 +65,13 @@ object QueryDefs {
     // otherwise keep out of the driver's hash gate
     "a6_components_dist" -> ((s, d) =>
       GraphOps.connectedComponents(thin(s, d), localMaxEdges = 0L)),
+    // localMaxEdges=0 forces past the one-task regime AND
+    // broadcastMaxEdges=0 past the broadcast-CSR regime, so this entry
+    // pins the pure DataFrame multi-source-BFS descent — the shape
+    // that runs when the adjacency no longer fits a broadcast
     "a7_diameter_dist" -> ((s, d) =>
-      GraphOps.diameterCertified(thin(s, d), localMaxEdges = 0L)),
+      GraphOps.diameterCertified(thin(s, d), localMaxEdges = 0L,
+        broadcastMaxEdges = 0L)),
     "g6_randomize_dist" -> ((s, d) =>
       Chas.randomize(simplified(s, d), nReplicates = 2, seed = 42L,
           localMaxChainRows = 0L)

@@ -415,9 +415,12 @@ object GraphOps {
     * escalation and its 10k-node refusal are gone; `exact` stays in
     * the schema as the certification contract. */
   def diameterCertified(edges: DataFrame, sweeps: Int = 4,
-                        localMaxEdges: Long = LocalMaxEdges): DataFrame = {
+                        localMaxEdges: Long = LocalMaxEdges,
+                        broadcastMaxEdges: Long = BroadcastCsrMaxEdges)
+      : DataFrame = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    try diameterCertifiedSym(sym, sym.count(), sweeps, localMaxEdges)
+    try diameterCertifiedSym(sym, sym.count(), sweeps, localMaxEdges,
+      broadcastMaxEdges)
     finally sym.unpersist()
   }
 
@@ -430,7 +433,9 @@ object GraphOps {
     * the distributed iFUB descent finishes whatever they leave open. */
   private[graft] def diameterCertifiedSym(sym: DataFrame, nRows: Long,
                                           sweeps: Int = 4,
-                                          localMaxEdges: Long = LocalMaxEdges)
+                                          localMaxEdges: Long = LocalMaxEdges,
+                                          broadcastMaxEdges: Long =
+                                            BroadcastCsrMaxEdges)
       : DataFrame = {
     val spark = sym.sparkSession
     def res(d: Long, exact: Boolean) = spark.range(1)
@@ -464,7 +469,8 @@ object GraphOps {
       }
       val (lb, ub) = (eccs.max, 2 * eccs.min)
       if (covered == nNodes && lb == ub) res(lb, exact = true)
-      else res(diameterIfubSym(sym, nRows, lb0 = lb), exact = true)
+      else res(diameterIfubSym(sym, nRows, lb0 = lb,
+        broadcastMaxEdges = broadcastMaxEdges), exact = true)
     }
   }
 
@@ -474,35 +480,57 @@ object GraphOps {
     * over — exact in both regimes. Matches igraph's diameter on
     * disconnected graphs (max over per-component diameters). */
   def diameterExact(edges: DataFrame,
-                    localMaxEdges: Long = LocalMaxEdges): Long = {
+                    localMaxEdges: Long = LocalMaxEdges,
+                    broadcastMaxEdges: Long = BroadcastCsrMaxEdges): Long = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = sym.count()
       if (n == 0) 0L
       else if (n <= localMaxEdges) diameterLocalSym(sym)
       else withShuffleWidthFor(sym, n, staticPlan = true) {
-        diameterIfubSym(sym, n)
+        diameterIfubSym(sym, n, broadcastMaxEdges = broadcastMaxEdges)
       }
     } finally sym.unpersist()
   }
 
+  /** Broadcast-CSR regime ceiling for the exact-diameter escalation,
+    * in symmetrized rows: at or below, the iFUB descent collects the
+    * int-indexed CSR to the driver and broadcasts it for the parallel
+    * fringe batches ([[diameterLocalSym]] — ~12 bytes/row of arrays:
+    * 100M rows ≈ 1.2 GB, the practical broadcast ceiling). The BFS
+    * WORK is distributed either way; this regime only bounds where the
+    * adjacency lives. Above it, the DataFrame multi-source BFS descent
+    * takes over — the only shape left at billions of edges, and
+    * tractable there because real-world giant graphs certify in a few
+    * fringe batches (a near-regular graph whose bounds close slowly
+    * costs O(V) BFS waves in EVERY iFUB formulation; with a broadcast
+    * CSR each wave is microseconds, with DataFrame joins it is a
+    * shuffle — which is why the CSR regime reaches as high as
+    * broadcast memory allows). */
+  private[graft] val BroadcastCsrMaxEdges = 100000000L
+
   /** EXACT diameter of an unbounded graph: the iFUB fringe descent
-    * ([[LocalGraph]] scaladoc) re-expressed as DataFrame multi-source
-    * BFS over the distributed sym frame — no broadcast CSR, no O(V·E)
-    * pair state, no size refusal. Phases:
+    * ([[LocalGraph]] scaladoc) generalized past the one-task regime.
+    * Two shapes behind one contract:
     *
-    *  1. one max-degree root per component (CC labels × degree argmax);
-    *  2. ONE multi-source BFS wave from all roots at once — each node's
-    *     depth from its component root (state O(V): components
-    *     partition the nodes, so root waves never overlap);
-    *  3. fringe descent: depths DESCENDING, each depth's candidate
-    *     sources BFS'd in batches of `batchSize` (state O(batch·V)),
-    *     until the iFUB certificate lb ≥ 2·depth closes. The bound
-    *     argument is global: any two nodes at depth ≤ i of their
-    *     component roots are within 2i of EACH OTHER, so once some
-    *     witnessed distance lb reaches 2i, no unprocessed pair
-    *     anywhere can beat lb — lb IS the max finite pairwise
-    *     distance.
+    *  - ≤ `broadcastMaxEdges` sym rows: [[diameterLocalSym]] — CSR
+    *    built in one task, broadcast, fringe batches as RDD jobs.
+    *  - above: DataFrame multi-source BFS, no broadcast, no O(V·E)
+    *    pair state:
+    *    1. one max-degree root per component (CC labels × degree
+    *       argmax);
+    *    2. ONE multi-source BFS wave from all roots at once — each
+    *       node's depth from its component root (state O(V):
+    *       components partition the nodes, so root waves never
+    *       overlap);
+    *    3. fringe descent: depths DESCENDING, each depth's candidate
+    *       sources BFS'd in batches of `batchSize` (state
+    *       O(batch·V)), until the iFUB certificate lb ≥ 2·depth
+    *       closes. The bound argument is global: any two nodes at
+    *       depth ≤ i of their component roots are within 2i of EACH
+    *       OTHER, so once some witnessed distance lb reaches 2i, no
+    *       unprocessed pair anywhere can beat lb — lb IS the max
+    *       finite pairwise distance.
     *
     * Worst case (near-regular graphs whose bounds close slowly) is the
     * textbook O(V·E) — batched wide rather than refused. `lb0` seeds
@@ -511,7 +539,10 @@ object GraphOps {
     * scope. */
   private[graft] def diameterIfubSym(sym: DataFrame, nRows: Long,
                                      lb0: Long = 0L,
-                                     batchSize: Int = 256): Long = {
+                                     batchSize: Int = 256,
+                                     broadcastMaxEdges: Long =
+                                       BroadcastCsrMaxEdges): Long = {
+    if (nRows <= broadcastMaxEdges) return diameterLocalSym(sym)
     val spark = sym.sparkSession
     // per-component max-degree root (ties: min id — deterministic)
     val cc = connectedComponentsSym(sym, nRows)

@@ -119,22 +119,28 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
-  test("A7 diameterExact: path and disconnected graphs (both regimes)") {
+  test("A7 diameterExact: path and disconnected graphs (all three regimes)") {
     val path = edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"))
-    assert(GraphOps.diameterExact(path) == 4L)
-    assert(GraphOps.diameterExact(path, localMaxEdges = 0L) == 4L)
+    assert(GraphOps.diameterExact(path) == 4L)                       // one-task
+    assert(GraphOps.diameterExact(path, localMaxEdges = 0L) == 4L)   // bcast CSR
+    assert(GraphOps.diameterExact(path, localMaxEdges = 0L,
+      broadcastMaxEdges = 0L) == 4L)                                 // DF BFS
     // two components: triangle (diam 1) + path of 3 (diam 2) -> 2
     val dis = edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c",
       "x" -> "y", "y" -> "z"))
     assert(GraphOps.diameterExact(dis) == 2L)
     assert(GraphOps.diameterExact(dis, localMaxEdges = 0L) == 2L)
+    assert(GraphOps.diameterExact(dis, localMaxEdges = 0L,
+      broadcastMaxEdges = 0L) == 2L)
   }
 
   test("A7 diameterCertified: exact on even/odd diameters + disconnected") {
-    // localMaxEdges=0 pins the distributed sweep/escalate machinery;
-    // the local regime is covered by its own tests below
+    // localMaxEdges=0 + broadcastMaxEdges=0 pin the distributed
+    // sweeps + the pure DataFrame-BFS escalation; the one-task and
+    // broadcast-CSR regimes are covered by their own tests below
     def cert(e: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
-      val r = GraphOps.diameterCertified(e, localMaxEdges = 0L).collect()(0)
+      val r = GraphOps.diameterCertified(e, localMaxEdges = 0L,
+        broadcastMaxEdges = 0L).collect()(0)
       (r.getLong(0), r.getBoolean(1))
     }
     // star: radius 1 found by the sweep, 2*ecc bound certifies cheaply
@@ -154,8 +160,13 @@ class GraphOpsSpec extends SparkSpec {
     // certifies the exact value (no iteration cap, no refusal)
     val long = edgesOf((0 until 9).map(i => s"n$i" -> s"n${i + 1}"))
     val r = GraphOps.diameterCertified(long, sweeps = 1,
-      localMaxEdges = 0L).collect()(0)
+      localMaxEdges = 0L, broadcastMaxEdges = 0L).collect()(0)
     assert(r.getBoolean(1) && r.getLong(0) == 9L)
+    // the broadcast-CSR middle regime (localMaxEdges=0, default
+    // broadcast ceiling) agrees on the same shapes
+    val rb = GraphOps.diameterCertified(long, sweeps = 1,
+      localMaxEdges = 0L).collect()(0)
+    assert(rb.getBoolean(1) && rb.getLong(0) == 9L)
   }
 
   test("A7 local regime (iFUB) is exact and certified on every fixture shape") {
@@ -231,16 +242,21 @@ class GraphOpsSpec extends SparkSpec {
     val bridge = spark.range(1).select(lit("hub1").as("src"),
       lit("hub2").as("dst"))
     val g = hub1.unionAll(hub2).unionAll(bridge)
-    // localMaxEdges=0 forces the distributed path
-    val r = GraphOps.diameterCertified(g, localMaxEdges = 0L).collect()(0)
+    // pure DataFrame-BFS descent (both lower regimes disabled)
+    val r = GraphOps.diameterCertified(g, localMaxEdges = 0L,
+      broadcastMaxEdges = 0L).collect()(0)
     assert(r.getLong(0) == 3L && r.getBoolean(1))
-    // the local regime agrees
+    // broadcast-CSR middle regime agrees
+    val rb = GraphOps.diameterCertified(g, localMaxEdges = 0L).collect()(0)
+    assert(rb.getLong(0) == 3L && rb.getBoolean(1))
+    // the one-task regime agrees
     val rl = GraphOps.diameterCertified(g).collect()(0)
     assert(rl.getLong(0) == 3L && rl.getBoolean(1))
-    // the small version of the same shape, forced distributed
+    // the small version of the same shape through the DataFrame path
     val small = edgesOf(Seq("hub1" -> "a", "hub1" -> "b",
       "hub2" -> "c", "hub2" -> "d", "hub1" -> "hub2"))
-    val rs = GraphOps.diameterCertified(small, localMaxEdges = 0L).collect()(0)
+    val rs = GraphOps.diameterCertified(small, localMaxEdges = 0L,
+      broadcastMaxEdges = 0L).collect()(0)
     assert(rs.getLong(0) == 3L && rs.getBoolean(1))
   }
 
@@ -255,9 +271,11 @@ class GraphOpsSpec extends SparkSpec {
       val pairs = (0 until 5).map(i => (s"p${i}a", s"p${i}b"))
       val g = edgesOf((core ++ tail ++ pairs).distinct)
       val local = GraphOps.diameterExact(g)
-      val dist = GraphOps.diameterExact(g, localMaxEdges = 0L)
+      val dist = GraphOps.diameterExact(g, localMaxEdges = 0L,
+        broadcastMaxEdges = 0L)
       assert(local == dist, s"seed=$seed")
-      val cert = GraphOps.diameterCertified(g, localMaxEdges = 0L).collect()(0)
+      val cert = GraphOps.diameterCertified(g, localMaxEdges = 0L,
+        broadcastMaxEdges = 0L).collect()(0)
       assert(cert.getLong(0) == local && cert.getBoolean(1), s"seed=$seed")
     }
   }
