@@ -79,7 +79,6 @@ private[graft] object LocalChain {
   def runReplica(replica: Int, base: Iterator[(String, String, String)],
                  seed: Long, rounds: Int)
       : Iterator[(Int, String, String, String)] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
     // intern bins: swaps stay within a bin, so the universe is fixed up
     // front and the per-round group key is an array index
     val binIdx = new java.util.HashMap[String, Integer]()
@@ -91,7 +90,7 @@ private[graft] object LocalChain {
     }.toArray
     var r = 0
     while (r < rounds) {
-      edges = round(md, edges, bins.length, replica, seed, r)
+      edges = round(edges, bins.length, replica, seed, r)
       r += 1
     }
     edges.iterator.map(e => (replica, bins(e.bin), e.src, e.dst))
@@ -106,31 +105,43 @@ private[graft] object LocalChain {
   private def ukey(a: String, b: String): String =
     if (bcmp(a, b) <= 0) a + " " + b else b + " " + a
 
-  private def round(md: java.security.MessageDigest, edges: Array[Edge],
+  /** Per-thread MessageDigest for the parallel hash phase (MD5
+    * instances are not thread-safe; one per pool thread, reused). */
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private def round(edges: Array[Edge],
                     nBins: Int, replica: Int, seed: Long, r: Int)
       : Array[Edge] = {
     val lit = "|" + replica + "|" + (seed + 1000003L * r)
-    // 1. seeded hash per row, group rows by (salt hex char, bin)
+    // 1a. seeded hash per row — PARALLEL over the common ForkJoin pool:
+    // hs(i) is a pure function of edges(i), so index-disjoint writes
+    // are safe and the result is bit-identical to the serial loop. The
+    // common pool is JVM-shared, so concurrent replica tasks split the
+    // executor's cores instead of oversubscribing them (the bounded
+    // a14 regime runs nReplicates tasks on a whole executor — this is
+    // where the idle cores go to work).
     val hs = new Array[String](edges.length)
+    java.util.stream.IntStream.range(0, edges.length).parallel().forEach { i =>
+      val e = edges(i)
+      hs(i) = md5Hex(tlMd.get(), e.src + "|" + e.dst + lit)
+    }
+    // 1b. group rows by (salt hex char, bin) — serial (builds lists)
     val groups = new Array[java.util.ArrayList[Integer]](16 * nBins)
     var i = 0
     while (i < edges.length) {
-      val e = edges(i)
-      val h = md5Hex(md, e.src + "|" + e.dst + lit)
-      hs(i) = h
-      val c = h.charAt(0)
+      val c = hs(i).charAt(0)
       val salt = if (c <= '9') c - '0' else c - 'a' + 10
-      val k = salt * nBins + e.bin
+      val k = salt * nBins + edges(i).bin
       var g = groups(k)
       if (g == null) { g = new java.util.ArrayList[Integer](); groups(k) = g }
       g.add(i)
       i += 1
     }
-    // 2. sort each group by (h, src, dst) binary order; pair adjacent
-    val pairs = new scala.collection.mutable.ArrayBuffer[Pair](edges.length / 2 + 8)
-    var k = 0
-    while (k < groups.length) {
-      val g = groups(k)
+    // 2a. sort each group by (h, src, dst) binary order — PARALLEL:
+    // groups are disjoint and the comparator only reads hs/edges, so
+    // per-group sorts are independent and each is deterministic
+    java.util.Arrays.stream(groups).parallel().forEach { g =>
       if (g != null) {
         g.sort { (x: Integer, y: Integer) =>
           var c = hs(x).compareTo(hs(y)) // hex ASCII: String order = byte order
@@ -138,6 +149,15 @@ private[graft] object LocalChain {
           if (c == 0) c = bcmp(edges(x).dst, edges(y).dst)
           c
         }
+      }
+    }
+    // 2b. pair adjacent rows — serial, in group order (same pairs, same
+    // order as the fused serial loop)
+    val pairs = new scala.collection.mutable.ArrayBuffer[Pair](edges.length / 2 + 8)
+    var k = 0
+    while (k < groups.length) {
+      val g = groups(k)
+      if (g != null) {
         val saltB = (k / nBins).toLong
         var j = 0
         while (j < g.size()) {
