@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan audit over EVERY registered query: no cartesian
+  * product and no broadcast nested-loop join may appear outside the
+  * explicit allowlist below. At 100 TB an unplanned cartesian is the
+  * difference between a job and an outage; this pins the invariant so
+  * a future refactor that silently degrades an equi-join (e.g. by
+  * wrapping the key in a non-deterministic expression) fails CI
+  * instead of the cluster. Queries that materialize eagerly and
+  * return a small result frame (a6/a7/g6/a14/s11...) contribute only
+  * their visible plan — their internals are pinned by their own
+  * specs — but the audit still proves the harness entry itself plans
+  * cleanly at a real data dir. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains a nested-loop join,
+    * each against a provably tiny build side. */
+  private val allowedNestedLoop: Map[String, String] = Map(
+    "s1_similarity_bruteforce" ->
+      "query set × corpus: the query frame is a bounded top-k probe set (Similarity.scala:61)",
+    "s2_similarity_ivf" ->
+      "probe × broadcast centroid codebook (k≤256 rows; Similarity.scala:159)",
+    "s2_ivf_recall" ->
+      "recall join of two bounded top-k result sets + codebook cross (Similarity.scala:61,159)",
+    "s2_ivf_recall_kmeans" ->
+      "same recall shape with the Lloyd-trained codebook (Similarity.scala:61,159)",
+    "a8_transitivity" ->
+      "1-row triangle count × 1-row triad count (GraphOps.scala:656)",
+    "a15_feature_agg_mean" ->
+      "fragment frame × broadcast feature-name list (a handful of column names; Chas.scala:159)",
+    "a15_feature_agg_max" ->
+      "fragment frame × broadcast feature-name list (Chas.scala:159)",
+    "a15_feature_agg_proportion" ->
+      "fragment frame × broadcast feature-name list (Chas.scala:159)",
+    "a5_graph_metadata" ->
+      "1-row node count × 1-row edge summary (GraphOps.scala:681)")
+
+  test("every registered query plans without an unlisted cartesian/nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val unusedAllow = scala.collection.mutable.Set[String](
+      allowedNestedLoop.keySet.toSeq: _*)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable =>
+          fail(s"$name failed to build a plan against $dir: $e") }
+      val hits = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+      if (hits.nonEmpty) {
+        if (allowedNestedLoop.contains(name)) unusedAllow -= name
+        else offenders += s"$name -> ${hits.mkString(",")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unlisted cartesian/nested-loop joins:\n  ${offenders.mkString("\n  ")}")
+    // a stale allowlist row is itself a regression signal (the plan
+    // changed shape); keep the list honest in both directions
+    assert(unusedAllow.isEmpty,
+      s"allowlist entries whose plans no longer nested-loop: $unusedAllow")
+  }
+}

@@ -13,6 +13,12 @@ sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 only = set(sys.argv[3:])
 
 con = duckdb.connect()
+# optional cap so an intractable oracle (e.g. a quadratic closure at
+# sf1) errors cleanly instead of OOM-killing the box mid-suite
+import os
+if os.environ.get("CHECK_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['CHECK_DUCKDB_MEM']}'")
+    con.execute("SET temp_directory='.tmp'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")

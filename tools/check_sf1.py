@@ -41,6 +41,10 @@ for name in sorted(status):
             # keep the stderr tail so the exclusion is documentable
             err = (p.stderr or "").strip().splitlines()[-3:]
             verdict = f"ORACLE_CRASH rc={p.returncode} " + " | ".join(err)
+        elif "ORACLE SQL ERR: Out of Memory" in verdict:
+            # the ORACLE blew its memory cap, not the engine — an
+            # oracle-intractability exclusion, not a mismatch
+            verdict = "ORACLE_OOM " + verdict.split(":", 1)[1].strip()
         results[name] = {"verdict": verdict.split()[0],
                          "detail": verdict[:300],
                          "sec": round(time.time() - t0, 1)}
