@@ -1110,7 +1110,11 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
   val distRegime: Map[String, String] = Map(
     "a6_components_dist" -> graph("a6_components"),
     "a7_diameter_dist" -> graph("a7_diameter"),
-    "g6_randomize_dist" -> randomizeOracles("g6_randomize"))
+    "g6_randomize_dist" -> randomizeOracles("g6_randomize"),
+    // distributedDocs=Some(true): chr<c>.json becomes a part-file
+    // directory; the logical listing collapses it, so the stream
+    // writer's expected file set applies unchanged
+    "s11_tree_write_dist" -> misc("s11_tree_write"))
 
   val all: Map[String, String] =
     graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++

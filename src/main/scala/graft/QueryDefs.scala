@@ -207,26 +207,48 @@ object QueryDefs {
     // result row set proves the reference layout exists and every file
     // is non-empty. Thin threshold = the GoldenTree config (the
     // iterative metadata passes are part of what is being benched).
-    "s11_tree_write" -> ((s, d) => {
-      import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_tree").toString
-      val ds = Pipeline.build(
-        TestMapping.interactions(s, d),
-        threshold = TestMapping.ThinScore,
-        annotations = Pipeline.Annotations(
-          baitNames = Some(baitNamesTable(s, d)),
-          aliasRanges = Some(aliasRanges(s, d)),
-          aliasNames = Some(aliasTable(s, d)),
-          intronic = Some(intronicRegions(s, d))))
-      Pipeline.writeDatasetTree(ds, out, features = Some(features(s, d)))
-      val root = java.nio.file.Paths.get(out)
-      val files = scala.jdk.CollectionConverters.IteratorHasAsScala(
-          java.nio.file.Files.walk(root).iterator()).asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => (root.relativize(p).toString,
-          java.nio.file.Files.size(p) > 0L)).toSeq.sorted
-      files.toDF("file", "nonempty")
-    }))
+    "s11_tree_write" -> treeWrite(distributedDocs = None),
+    // same tree, chromosome documents FORCED through the distributed
+    // per-document-lines writer (the 100 TB bulk path) — hash-pinned
+    // against the SAME oracle row set as s11 via the logical listing
+    "s11_tree_write_dist" -> treeWrite(distributedDocs = Some(true)))
+
+  /** The s11 tree-write body, parameterized by the document-writer
+    * regime. The listing reports LOGICAL tree files: the distributed
+    * writer produces `chr<c>.json` as a directory of part files whose
+    * concatenation is the stream writer's bytes (CytoscapeJsonSpec),
+    * so part files inside a `*.json` directory collapse to their
+    * document (nonempty = any payload byte) and Spark bookkeeping
+    * files (`_SUCCESS`, `.crc`) are skipped — both regimes then
+    * satisfy one oracle. */
+  private def treeWrite(distributedDocs: Option[Boolean]): Q = (s, d) => {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_tree").toString
+    val ds = Pipeline.build(
+      TestMapping.interactions(s, d),
+      threshold = TestMapping.ThinScore,
+      annotations = Pipeline.Annotations(
+        baitNames = Some(baitNamesTable(s, d)),
+        aliasRanges = Some(aliasRanges(s, d)),
+        aliasNames = Some(aliasTable(s, d)),
+        intronic = Some(intronicRegions(s, d))))
+    Pipeline.writeDatasetTree(ds, out, features = Some(features(s, d)),
+      distributedDocs = distributedDocs)
+    val root = java.nio.file.Paths.get(out)
+    val files = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.walk(root).iterator()).asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
+      .filterNot { case (rel, _) =>
+        val leaf = rel.substring(rel.lastIndexOf('/') + 1)
+        leaf.startsWith("_") || leaf.startsWith(".") }
+      .map { case (rel, size) =>
+        val cut = rel.indexOf(".json/")
+        if (cut >= 0) (rel.substring(0, cut + 5), size) else (rel, size) }
+      .toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum > 0L).toSeq.sorted
+    files.toDF("file", "nonempty")
+  }
 
   // ------------------------------------------------- LLM-pipeline ext
   val extQueries: Map[String, Q] = Map(
