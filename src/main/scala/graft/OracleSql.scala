@@ -711,7 +711,21 @@ SELECT doc_id,
   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
   list_min(list_transform(generate_series(0, greatest(len(toks)-8, 0)),
     i -> md5(array_to_string(toks[i+1:i+8], ' ')))) AS rolling_fp
-FROM toks"""))
+FROM toks"""),
+    // tfidf mirrors TextOps.tfidf: raw-case whitespace tokens (rtoks),
+    // scaled-product round (Num.roundLike), same multiply order
+    // (tf·ln first, ×10000 second)
+    "t5_tfidf" -> dq(raw"""
+SELECT tfq.doc_id, tfq.term, tfq.tf, dfq.df,
+       floor(tfq.tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000 + 0.5)
+         / 10000 AS tfidf
+FROM tfq JOIN dfq USING (term) CROSS JOIN nq""",
+      extra = raw"""
+tfq AS (SELECT doc_id, term, count(*) AS tf FROM
+          (SELECT doc_id, unnest(toks) AS term FROM rtoks) u
+        GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+nq AS (SELECT count(*) AS n_docs FROM documents)""".drop(1)))
 
   // ------------------------------------------------- embeddings oracles
   private val embCtes: String = raw"""

@@ -337,6 +337,7 @@ object QueryDefs {
       table(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"),
         TextOps.rollingFingerprint(col("text"), 8).as("rolling_fp"))),
+    "t5_tfidf" -> ((s, d) => TextOps.tfidf(table(s, d, "documents"))),
     "e1_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(events(s, d))
         .select(col("user_id"), col("session_seq"), col("n_events"),

@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     "a15_feature_agg_proportion" ->
       "fragment frame × broadcast feature-name list (Chas.scala:159)",
     "a5_graph_metadata" ->
-      "1-row node count × 1-row edge summary (GraphOps.scala:681)")
+      "1-row node count × 1-row edge summary (GraphOps.scala:681)",
+    "t5_tfidf" ->
+      "tf⋈df frame × broadcast 1-row corpus count (TextOps.tfidf)")
 
   test("every registered query plans without an unlisted cartesian/nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -113,6 +113,22 @@ class TextDedupSpec extends SparkSpec {
     assert(rolled(0) == rolled(1))
   }
 
+  test("tfidf: ubiquitous terms weigh 0, rarer terms more; tf counts repeats") {
+    val w = TextOps.tfidf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // "the" appears twice in doc 1 and in 3 of 4 docs
+    assert(w((1L, "the"))._1 == 2L && w((1L, "the"))._2 == 3L)
+    // df = N ("fox" is in docs 1-3 only; "the" in 1,2,3) — terms in
+    // every doc would weigh exactly 0; here check monotonicity instead:
+    // a 1-of-4 term outweighs a 3-of-4 term at equal tf
+    assert(w((4L, "entirely"))._3 > w((1L, "fox"))._3)
+    // exact value: tf=1, N=4, df=1 → ln(4) rounded at 4 dp
+    assert(w((4L, "entirely"))._3 == math.floor(math.log(4.0) * 1e4 + 0.5) / 1e4)
+    // absent pairs stay absent (no zero-padding — the frame is sparse)
+    assert(!w.contains((4L, "fox")))
+  }
+
   test("embedding LSH recall >= 0.9 on planted near-dups (cos ~0.99)") {
     // 150 random vectors + 20 planted near-duplicate pairs; default
     // banding (8 x 4 over dim 64) is parameterized for near-dup
