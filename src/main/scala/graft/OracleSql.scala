@@ -932,6 +932,10 @@ FROM (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     PARTITION BY user_id ORDER BY ts, event_id) AS prev
                   FROM events) t1) t2) t3
 GROUP BY user_id, session_seq""",
+    // the streaming dedup emits the distinct key set (order-independent
+    // regardless of which duplicate row won its microbatch)
+    "e4_stream_dedup" -> raw"""
+SELECT DISTINCT md5(text) AS text_hash FROM documents""",
     "e3_stream_sessionize" -> raw"""
 WITH bs AS (
   SELECT user_id, session_seq, count(*) AS n_events,

@@ -357,6 +357,13 @@ object QueryDefs {
       EventStreams.windowedCountsStreamFromParquet(s, s"$d/events.parquet",
         raw, queryName = "e2_windows_" + math.abs(d.hashCode).toString)
     }),
+    // streaming exact-dedup state operator; emits the order-independent
+    // distinct key set, so the batch DISTINCT oracle pins it
+    "e4_stream_dedup" -> ((s, d) => {
+      val raw = table(s, d, "documents").schema
+      EventStreams.dedupStreamFromParquet(s, s"$d/documents.parquet",
+        raw, queryName = "e4_dedup_" + math.abs(d.hashCode).toString)
+    }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5
     // arithmetic (what the oracle replicates) while the gate still

@@ -126,6 +126,39 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup over a parquet document stream: the distinct
+    * md5(text) key set via the streaming `dropDuplicates` state
+    * operator (file source → dedup → memory sink, Trigger.AvailableNow).
+    * Emitting only the KEY makes the result order-independent — which
+    * row of a duplicate group wins a microbatch race is
+    * nondeterministic, the distinct key set is not — so the same row
+    * set is oracle-checkable as batch SELECT DISTINCT. State is one
+    * entry per distinct key: the inherent floor for exact dedup (the
+    * batch twin's hash-groupBy holds the same set, sharded). On an
+    * UNBOUNDED stream pair this with a `ts` column and
+    * `dropDuplicatesWithinWatermark` so keys evict once the watermark
+    * passes — the documents table has no event time, so the bounded
+    * AvailableNow run is the honest shape here. */
+  def dedupStreamFromParquet(spark: SparkSession, path: String,
+                             rawSchema: org.apache.spark.sql.types.StructType,
+                             textCol: String = "text",
+                             queryName: String = "e4_dedup"): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("e4ckpt").toString
+    val q = raw.select(md5(col(textCol)).as("text_hash"))
+      .dropDuplicates("text_hash")
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState: emits a
     * session when the gap timeout fires. State is one small struct per
     * active user — bounded by active-user cardinality, not event volume. */

@@ -83,4 +83,19 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out == Map("view" -> 3L, "buy" -> 1L))
   }
+
+  test("streaming dedup emits exactly the batch-distinct key set") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"),
+      (4L, "alpha beta"), (5L, "delta")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir + "/in")
+    val f = new java.io.File(dir + "/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamed = EventStreams.dedupStreamFromParquet(spark,
+        f.getAbsolutePath, docs.schema, queryName = "e4_spec_dedup")
+      .collect().map(_.getString(0)).sorted
+    val batch = docs.select(md5(col("text"))).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(streamed.length == 3 && streamed.sameElements(batch))
+  }
 }
