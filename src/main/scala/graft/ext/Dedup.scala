@@ -74,19 +74,26 @@ object Dedup {
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val n = bands * rowsPerBand
+    // group key = (doc, md5(text)), not doc alone: a corpus with
+    // duplicate ids carrying DIFFERENT texts must not merge their
+    // shingle minima into one chimera signature (per-row semantics,
+    // like the per-row SQL form). Same-id same-text rows still
+    // collapse — identical signatures, and candidates are DISTINCT
+    // pairs anyway.
     val sh = docs
-      .select(col(idCol).as("doc"),
+      .select(col(idCol).as("doc"), md5(col(textCol)).as("__th"),
         TextOps.tokens(lower(col(textCol))).as("__toks"))
-      .select(col("doc"),
+      .select(col("doc"), col("__th"),
         explode(array_distinct(shinglesOfTokens(col("__toks"), k))).as("__s"))
-    val h = sh.select(col("doc"),
+    val h = sh.select(col("doc"), col("__th"),
       conv(substring(md5(concat(col("__s"), lit(":a"))), 1, 15), 16, 10)
         .cast("long").as("__n1"),
       (conv(substring(md5(concat(col("__s"), lit(":b"))), 1, 15), 16, 10)
         .cast("long") % KmMod).as("__n2"))
     val minAggs = (0 until n).map(j =>
       min(col("__n1") + lit(j.toLong) * col("__n2")).as(s"__m$j"))
-    val mins = h.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
+    val mins = h.groupBy(col("doc"), col("__th"))
+      .agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (0 until rowsPerBand)
         .map(i => col(s"__m${b * rowsPerBand + i}")): _*))
@@ -165,23 +172,26 @@ object Dedup {
                 textCol: String = "text", nBits: Int = 32,
                 outCol: String = "simhash"): DataFrame = {
     require(nBits % 4 == 0 && nBits <= 32, "nBits must be ≤32, multiple of 4")
-    val base = docs.select(col(idCol),
+    // vote key = (id, md5(text)) so duplicate ids with different texts
+    // keep per-row prints instead of merging votes (see lshBands); the
+    // per-row left join restores input multiplicity either way
+    val base = docs.select(col(idCol), md5(col(textCol)).as("__th"),
       TextOps.tokens(lower(col(textCol))).as("__toks"))
     // one digest per token occurrence (majority vote counts duplicates)
     val nibbled = base
-      .select(col(idCol), explode(col("__toks")).as("__t"))
-      .select(col(idCol), md5(col("__t")).as("__d"))
-      .select(col(idCol) +: (0 until nBits / 4).map(p =>
+      .select(col(idCol), col("__th"), explode(col("__toks")).as("__t"))
+      .select(col(idCol), col("__th"), md5(col("__t")).as("__d"))
+      .select(col(idCol) +: col("__th") +: (0 until nBits / 4).map(p =>
         (instr(lit("0123456789abcdef"), substring(col("__d"), p + 1, 1)) - 1)
           .cast("int").as(s"__nib$p")): _*)
     val voteAggs = (0 until nBits).map(j =>
       sum(shiftright(col(s"__nib${j / 4}"), 3 - (j % 4)) % 2).as(s"__v$j"))
-    val votes = nibbled.groupBy(col(idCol))
+    val votes = nibbled.groupBy(col(idCol), col("__th"))
       .agg(count(lit(1)).as("__n"), voteAggs: _*)
     val bitStr = concat((0 until nBits).map(j =>
       when(coalesce(col(s"__v$j"), lit(0L)) * 2 >= coalesce(col("__n"), lit(0L)),
         lit("1")).otherwise(lit("0"))): _*)
-    base.select(col(idCol)).join(votes, Seq(idCol), "left")
+    base.select(col(idCol), col("__th")).join(votes, Seq(idCol, "__th"), "left")
       .select(col(idCol), bitStr.as(outCol))
   }
 

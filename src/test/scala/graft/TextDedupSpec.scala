@@ -113,6 +113,29 @@ class TextDedupSpec extends SparkSpec {
     assert(rolled(0) == rolled(1))
   }
 
+  test("duplicate ids with different texts keep per-row signatures") {
+    // ids are not guaranteed unique in a real corpus: the grouped
+    // (tokenize-once) forms must key on (id, text), not id, or two
+    // rows sharing an id merge into one chimera signature
+    val dup = Seq((7L, "alpha beta gamma delta"), (7L, "zeta eta theta iota"),
+      (8L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val perRow = dup.select(col("doc_id"),
+        Dedup.simhash(col("text"), 16).as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val grouped = Dedup.simhashDF(dup, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(grouped.sameElements(perRow))
+    assert(grouped.distinct.length == 3) // both id-7 prints survive
+    // lshBands: id 7 must carry TWO band-key sets (one per text) — the
+    // second text's bands equal those of a unique-id row with the same
+    // text, and id 8's bands match id 7's first text
+    val bands = Dedup.lshBands(dup, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val only7 = bands.filter(_._1 == 7L).map { case (_, b, h) => (b, h) }
+    val only8 = bands.filter(_._1 == 8L).map { case (_, b, h) => (b, h) }
+    assert(only8.subsetOf(only7) && only7.size == 2 * only8.size)
+  }
+
   test("tfidf: ubiquitous terms weigh 0, rarer terms more; tf counts repeats") {
     val w = TextOps.tfidf(docs).collect()
       .map(r => (r.getLong(0), r.getString(1)) ->

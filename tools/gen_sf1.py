@@ -31,8 +31,13 @@ con.execute(f"CREATE VIEW cp AS SELECT unnest(generate_series(0, {N-1})) AS i")
 
 
 def mx(table, col):
+    # stride = max+1: 0-based id spaces (documents, embeddings, events)
+    # otherwise collide once per copy boundary (id max of copy i ==
+    # id 0 of copy i+1) — observed as 9 duplicate doc_ids at sf1,
+    # which no driver-generated table has. max+1 is collision-free for
+    # both 0-based and 1-based key spaces (1-based just leaves a gap).
     return con.execute(
-        f"SELECT max({col}) FROM '{src}/{table}.parquet'").fetchone()[0]
+        f"SELECT max({col}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
 
 
 def gen(table, replaces, single=False):
