@@ -725,7 +725,40 @@ tfq AS (SELECT doc_id, term, count(*) AS tf FROM
           (SELECT doc_id, unnest(toks) AS term FROM rtoks) u
         GROUP BY doc_id, term),
 dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
-nq AS (SELECT count(*) AS n_docs FROM documents)""".drop(1)))
+nq AS (SELECT count(*) AS n_docs FROM documents)""".drop(1)),
+    // repetition mirrors TextOps.repetition: the sh/dsh CTEs ARE the
+    // Spark shingling (lowercased toks, sub-k docs → one shingle)
+    "t6_repetition" -> dq(raw"""
+SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles,
+       CAST(len(d.sh) AS BIGINT) AS n_unique,
+       floor((1.0 - CAST(len(d.sh) AS DOUBLE) / len(s.sh)) * 10000 + 0.5)
+         / 10000 AS rep_ratio
+FROM sh s JOIN dsh d USING (doc_id)"""),
+    // sharedSubstring mirrored: per-doc DISTINCT 16-token window md5s,
+    // stop-gram df cap (no-op at oracle SFs), pair count per (a, b)
+    "d6_shared_substring" -> dq(raw"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fw a JOIN fw b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id""",
+      extra = raw"""
+wins AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(0, len(toks) - 16),
+           i -> md5(array_to_string(toks[i+1:i+16], ' '))))) AS wh
+         FROM toks WHERE len(toks) >= 16),
+wdf AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) <= 1000),
+fw AS (SELECT w.doc_id, w.wh FROM wins w JOIN wdf USING (wh))""".drop(1)),
+    // stratifiedSample mirrored: identical md5-hex → 48-bit uniform
+    // arithmetic (exactly-dyadic /2^48), same band cuts and rates
+    "p1_stratified_sample" -> dq(raw"""
+SELECT doc_id, n_tokens, stratum, floor(u * 1000000 + 0.5) / 1000000 AS u
+FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(toks) < 35 THEN 'short'
+             WHEN len(toks) < 50 THEN 'medium' ELSE 'long' END AS stratum,
+        CAST(CAST('0x' || substr(md5(doc_id || ':p1'), 1, 12) AS BIGINT)
+          AS DOUBLE) / 281474976710656 AS u
+      FROM toks) t
+WHERE u < CASE stratum WHEN 'short' THEN 0.25
+                       WHEN 'medium' THEN 0.5 ELSE 1.0 END"""))
 
   // ------------------------------------------------- embeddings oracles
   private val embCtes: String = raw"""

@@ -338,6 +338,12 @@ object QueryDefs {
         TextOps.fingerprint(col("text")).as("fingerprint"),
         TextOps.rollingFingerprint(col("text"), 8).as("rolling_fp"))),
     "t5_tfidf" -> ((s, d) => TextOps.tfidf(table(s, d, "documents"))),
+    "t6_repetition" -> ((s, d) =>
+      TextOps.repetition(table(s, d, "documents"))),
+    "d6_shared_substring" -> ((s, d) =>
+      Dedup.sharedSubstring(table(s, d, "documents"))),
+    "p1_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(table(s, d, "documents"))),
     "e1_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(events(s, d))
         .select(col("user_id"), col("session_seq"), col("n_events"),

@@ -524,9 +524,10 @@ object GraphOps {
     *       components partition the nodes, so root waves never
     *       overlap);
     *    3. fringe descent: depths DESCENDING, each depth's candidate
-    *       sources BFS'd in batches of `batchSize` (state
-    *       O(batch·V)), until the iFUB certificate lb ≥ 2·depth
-    *       closes. The bound argument is global: any two nodes at
+    *       sources BFS'd in batches of `batchSize`, packed 64 sources
+    *       per long word (state O(V·batch/64) rows — see
+    *       [[multiSourceEcc]]), until the iFUB certificate lb ≥
+    *       2·depth closes. The bound argument is global: any two nodes at
     *       depth ≤ i of their component roots are within 2i of EACH
     *       OTHER, so once some witnessed distance lb reaches 2i, no
     *       unprocessed pair anywhere can beat lb — lb IS the max
@@ -539,7 +540,7 @@ object GraphOps {
     * scope. */
   private[graft] def diameterIfubSym(sym: DataFrame, nRows: Long,
                                      lb0: Long = 0L,
-                                     batchSize: Int = 256,
+                                     batchSize: Int = 4096,
                                      broadcastMaxEdges: Long =
                                        BroadcastCsrMaxEdges): Long = {
     if (nRows <= broadcastMaxEdges) return diameterLocalSym(sym)
@@ -609,29 +610,57 @@ object GraphOps {
 
   /** Max eccentricity over a batch of BFS sources: the wave runs until
     * EVERY source's frontier is exhausted, so the level count is the
-    * batch's max ecc — the only thing the descent's bound needs. */
+    * batch's max ecc — the only thing the descent's bound needs.
+    *
+    * Sources are PACKED 64 per `long`: BFS state is (node, word, bits)
+    * where bit j of word w marks reachability from source 64w+j at the
+    * current level. A level is then pure relational algebra over longs
+    * — edge join, `bit_or` regroup, visited diff via `& ~` — all
+    * codegen'd, with state O(V · batch/64) rows instead of the
+    * O(V · batch) (source, node) pairs of the unpacked shape. That 64×
+    * row cut is what lets `batchSize` sit in the thousands, so the
+    * near-regular worst case (bounds that never close early → O(V)
+    * sources to sweep) runs ~16× fewer sequential waves than the
+    * 256-source unpacked batches did. Only NON-ZERO words are ever
+    * materialized, so fringe batches spanning many small components
+    * stay sparse. Per-level checkpoints cap lineage exactly like the
+    * other fixpoint chains in this file. */
   private def multiSourceEcc(sym: DataFrame, sources: Seq[String]): Long = {
     val spark = sym.sparkSession
     import spark.implicits._
-    var frontier = sources.toDF("source")
-      .select(col("source"), col("source").as("node"))
+    var frontier = sources.zipWithIndex
+      .map { case (s, j) => (s, j >>> 6, 1L << (j & 63)) }
+      .toDF("node", "word", "bits")
+      .repartition(col("node"))
       .localCheckpoint(eager = true)
+    // visited stays aggregated — one row per touched (node, word) —
+    // and is re-checkpointed per level so the diff join reads a flat
+    // table, not a growing union of deltas
     var visited = frontier
     var d = 0L
     var done = false
     while (!done) {
-      val next = frontier
+      val cand = frontier
         .join(sym, frontier("node") === sym("src"))
-        .select(frontier("source").as("source"), sym("dst").as("node"))
-        .distinct()
-        .join(visited.select(col("source").as("vs"), col("node").as("vn")),
-          col("source") === col("vs") && col("node") === col("vn"),
-          "left_anti")
+        .groupBy(sym("dst").as("node"), col("word"))
+        .agg(bit_or(col("bits")).as("bits"))
+      val next = cand
+        .join(visited.select(col("node").as("vn"), col("word").as("vw"),
+          col("bits").as("vbits")),
+          cand("node") === col("vn") && cand("word") === col("vw"),
+          "left")
+        .select(cand("node"), cand("word"),
+          (cand("bits").bitwiseAND(
+            bitwise_not(coalesce(col("vbits"), lit(0L))))).as("bits"))
+        .filter(col("bits") =!= 0L)
         .localCheckpoint(eager = true)
       if (next.isEmpty) done = true
       else {
         d += 1
         visited = visited.unionAll(next)
+          .groupBy(col("node"), col("word"))
+          .agg(bit_or(col("bits")).as("bits"))
+          .localCheckpoint(eager = true)
         frontier = next
       }
     }

@@ -252,4 +252,38 @@ object Dedup {
         Num.roundLike(Similarity.cosine(col("va.vv"), col("vb.vv")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Exact-substring dedup candidates: document pairs sharing at least
+    * one VERBATIM w-token window, with the count of distinct shared
+    * windows per pair — the equi-join formulation of suffix-style
+    * substring dedup (train-set decontamination / copy detection).
+    * Docs shorter than w tokens contribute no windows.
+    *
+    * Scale shape: per-doc distinct window hashes (map-only, the
+    * md5-of-slice transform runs over a pre-bound token column), one
+    * df-count shuffle, then a self-equi-join on the window hash. The
+    * `maxDf` stop-gram cap is the quadratic-blowup guard: a boilerplate
+    * window appearing in d documents would emit d·(d-1)/2 pairs, so
+    * windows above the cap are banned from pairing (exactly how
+    * production substring dedup handles license headers). Bucket sizes
+    * are therefore ≤ maxDf and the join stays linear in corpus size. */
+  def sharedSubstring(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", w: Int = 16,
+                      maxDf: Long = 1000L): DataFrame = {
+    val wins = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= w)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("__toks")) - w),
+          i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(w))))))
+      ).as("wh"))
+    val keep = wins.groupBy("wh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("wh")
+    val fw = wins.join(keep, "wh")
+    fw.as("a").join(fw.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data mixture weighting.
+  *
+  * Production pipelines sample strata (source, language, length band,
+  * quality tier) at different rates to hit a target mixture. The
+  * decision must be a pure function of the document key — not of
+  * partitioning, task order, or an RNG stream — so re-runs, retries,
+  * and different cluster shapes keep the exact same rows. The standard
+  * construction: hash the key to a uniform u ∈ [0,1), keep iff
+  * u < rate(stratum).
+  */
+object Sampling {
+
+  /** Length-stratified deterministic sample of a documents table:
+    * stratum = whitespace-token count band (`short` < 35 ≤ `medium`
+    * < 50 ≤ `long`), rates 0.25 / 0.5 / 1.0 — up-weighting long
+    * documents, the common curriculum shape. u = the first 12 hex
+    * digits of md5(doc_id ++ ":" ++ salt) over 2^48: exactly-dyadic
+    * division, so the keep comparison is bit-deterministic in any
+    * IEEE engine (the DuckDB oracle replays the identical
+    * arithmetic). Map-only: no shuffle, no RNG, survives any scale
+    * and any retry. */
+  def stratifiedSample(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       salt: String = "p1"): DataFrame = {
+    val u = (conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 12),
+      16, 10).cast("long").cast("double") / lit(281474976710656.0)).as("__u")
+    val rate = when(col("stratum") === "short", lit(0.25))
+      .when(col("stratum") === "medium", lit(0.5))
+      .otherwise(lit(1.0))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(lower(col(textCol)))).cast("long").as("n_tokens"),
+        u)
+      .withColumn("stratum",
+        when(col("n_tokens") < 35, lit("short"))
+          .when(col("n_tokens") < 50, lit("medium"))
+          .otherwise(lit("long")))
+      .filter(col("__u") < rate)
+      .select(col("doc_id"), col("n_tokens"), col("stratum"),
+        Num.roundLike(col("__u"), 6).as("u"))
+  }
+}

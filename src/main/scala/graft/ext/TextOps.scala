@@ -123,4 +123,25 @@ object TextOps {
           col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
           .as("tfidf"))
   }
+
+  /** Intra-document repetition: the fraction of k-gram shingles that
+    * duplicate an earlier shingle of the SAME document — the classic
+    * "duplicated n-gram" quality filter large-scale text pipelines run
+    * before training. Shingling matches [[Dedup.shinglesOfTokens]]
+    * (lowercased whitespace tokens; sub-k docs yield one whole-text
+    * shingle, so the denominator is never 0). Map-only at any corpus
+    * size: tokenize → shingle → two array sizes per row, no shuffle,
+    * whole-stage codegen throughout. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", k: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"), Dedup.shinglesOfTokens(col("__toks"), k).as("__sh"))
+      .select(col("doc_id"),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("__sh"))).cast("long").as("n_unique"))
+      .withColumn("rep_ratio",
+        Num.roundLike(lit(1.0) -
+          col("n_unique").cast("double") / col("n_shingles"), 4))
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Dedup, Sampling, TextOps}
 
 /** Dedup + text-analysis extension operators. */
 class TextDedupSpec extends SparkSpec {
@@ -170,5 +170,54 @@ class TextDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = (0 until 20).count(i => found.contains((i.toLong, 1000L + i)))
     assert(hits >= 18, s"recall ${hits / 20.0} below 0.9")
+  }
+
+  test("repetition: duplicated-shingle ratio, sub-k doc ratio 0") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"),    // 7 shingles, 3 unique -> 4/7
+      (2L, "one two"),              // sub-k: one whole-text shingle
+      (3L, "all distinct words here now"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((7L, 3L, math.floor((1.0 - 3.0 / 7) * 10000 + 0.5) / 10000)))
+    assert(out(2L) == ((1L, 1L, 0.0)))
+    assert(out(3L) == ((3L, 3L, 0.0)))
+  }
+
+  test("shared substring: verbatim w-token window pairs, df cap bans") {
+    val run = (0 until 20).map(i => s"w$i").mkString(" ")  // 20 tokens
+    val d = Seq(
+      (1L, run + " tail one"),
+      (2L, run + " other words"),      // shares 20-16+1=5 windows with 1
+      (3L, "short doc below window"),  // <16 tokens: no windows
+      (4L, (0 until 16).map(i => s"u$i").mkString(" ")))   // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedSubstring(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 5L))
+    // a boilerplate window present in > maxDf docs pairs nobody
+    val boiler = (1 to 4).map(i => (i.toLong, run)).toDF("doc_id", "text")
+    assert(Dedup.sharedSubstring(boiler, maxDf = 2L).isEmpty)
+  }
+
+  test("stratified sample: deterministic, per-stratum rates honored") {
+    val mk = (n: Int, len: Int, off: Long) =>
+      (0 until n).map(i => (off + i, (0 until len).map(j => s"t$j").mkString(" ")))
+    val d = (mk(400, 10, 0) ++ mk(400, 40, 1000) ++ mk(400, 60, 2000))
+      .toDF("doc_id", "text")
+    val out = Sampling.stratifiedSample(d).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toList
+    val byStratum = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // long stratum: rate 1.0 keeps everything
+    assert(byStratum("long") == 400)
+    // short/medium: binomial(400, rate) within 5 sigma
+    assert(math.abs(byStratum("short") - 100) < 45)
+    assert(math.abs(byStratum("medium") - 200) < 50)
+    // pure function of doc_id: re-run identical
+    val again = Sampling.stratifiedSample(d).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toList
+    assert(out.toSet == again.toSet)
   }
 }
