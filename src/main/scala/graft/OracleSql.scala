@@ -616,6 +616,25 @@ dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)"""
     raw"""round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          / len(list_distinct(list_concat(a.sh, b.sh))), 4)"""
 
+  /** Dedup.minhashCandidates mirrored: KM double-hash signatures,
+    * 4×4 banding, distinct in-bucket pairs (shared by d2 and d7). */
+  private val lshCandCtes: String = raw"""
+hsh AS (SELECT doc_id,
+  list_transform(sh, s -> CAST('0x'||substr(md5(s||':a'),1,15) AS BIGINT)) AS n1s,
+  list_transform(sh, s -> CAST('0x'||substr(md5(s||':b'),1,15) AS BIGINT)
+                          % 140737488355327) AS n2s
+  FROM sh),
+sig AS (SELECT doc_id, list_transform(generate_series(0,15),
+  j -> list_min(list_transform(generate_series(1, len(n1s)),
+         i -> n1s[i] + j*n2s[i]))) AS sig FROM hsh),
+bands AS (SELECT doc_id, t.b AS band,
+  md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b) t),
+cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id)"""
+    .drop(1)
+
   /** Dedup.simhash(text, 16) mirrored bit-by-bit. */
   private val simhash16Sql: String = (0 until 16).map { j =>
     val pos = j / 4 + 1
@@ -654,22 +673,28 @@ SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
     "d2_minhash_lsh" -> dq(raw"""
 SELECT c.doc_a, c.doc_b, $jaccardSql AS jaccard
 FROM cands c JOIN dsh a ON c.doc_a = a.doc_id JOIN dsh b ON c.doc_b = b.doc_id""",
-      extra = raw"""
-hsh AS (SELECT doc_id,
-  list_transform(sh, s -> CAST('0x'||substr(md5(s||':a'),1,15) AS BIGINT)) AS n1s,
-  list_transform(sh, s -> CAST('0x'||substr(md5(s||':b'),1,15) AS BIGINT)
-                          % 140737488355327) AS n2s
-  FROM sh),
-sig AS (SELECT doc_id, list_transform(generate_series(0,15),
-  j -> list_min(list_transform(generate_series(1, len(n1s)),
-         i -> n1s[i] + j*n2s[i]))) AS sig FROM hsh),
-bands AS (SELECT doc_id, t.b AS band,
-  md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
-  FROM sig, (SELECT unnest([0,1,2,3]) AS b) t),
-cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
-  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id)"""
-        .drop(1)),
+      extra = lshCandCtes),
+    // dedupClusters mirrored: d2 candidates at jaccard >= 0.5 →
+    // min-label closure over lpad-12 keys (numeric == string order),
+    // min id canonical. RECURSIVE covers the whole WITH list.
+    "d7_dedup_clusters" ->
+      (s"WITH RECURSIVE $docCtes,$lshCandCtes," + raw"""
+jpairs AS (SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN dsh a ON c.doc_a = a.doc_id
+  JOIN dsh b ON c.doc_b = b.doc_id
+  WHERE $jaccardSql >= 0.5),
+dedges AS (SELECT lpad(CAST(doc_a AS VARCHAR), 12, '0') AS src,
+                  lpad(CAST(doc_b AS VARCHAR), 12, '0') AS dst FROM jpairs),
+ddsym AS (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges),
+ddnodes AS (SELECT DISTINCT src AS id FROM ddsym),
+ddclos AS (SELECT id, id AS reach FROM ddnodes
+  UNION
+  SELECT c.id, e.dst FROM ddclos c JOIN ddsym e ON c.reach = e.src),
+ddcomp AS (SELECT id, min(reach) AS comp FROM ddclos GROUP BY id),
+ddsize AS (SELECT comp, count(*) AS cluster_size FROM ddcomp GROUP BY comp)
+SELECT CAST(d.id AS BIGINT) AS doc_id, CAST(d.comp AS BIGINT) AS cluster_id,
+       s.cluster_size, d.id = d.comp AS is_canonical
+FROM ddcomp d JOIN ddsize s USING (comp)"""),
     "d3_simhash" -> dq(s"SELECT doc_id, $simhash16Sql AS simhash FROM toks"),
     "d4_ngram_jaccard" -> dq(raw"""
 SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, ${jaccardSql
@@ -758,7 +783,20 @@ FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
           AS DOUBLE) / 281474976710656 AS u
       FROM toks) t
 WHERE u < CASE stratum WHEN 'short' THEN 0.25
-                       WHEN 'medium' THEN 0.5 ELSE 1.0 END"""))
+                       WHEN 'medium' THEN 0.5 ELSE 1.0 END"""),
+    // lengthQuartiles mirrored: quantile_cont IS the type-7 estimator
+    // functions.percentile implements; dyadic fractions → identical
+    // cut points
+    "p2_length_quartiles" -> dq(raw"""
+SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens <= q1 THEN 'q1' WHEN n_tokens <= q2 THEN 'q2'
+       WHEN n_tokens <= q3 THEN 'q3' ELSE 'q4' END AS bucket
+FROM lens, qsx""",
+      extra = raw"""
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+qsx AS (SELECT quantile_cont(n_tokens, 0.25) AS q1,
+               quantile_cont(n_tokens, 0.5) AS q2,
+               quantile_cont(n_tokens, 0.75) AS q3 FROM lens)""".drop(1)))
 
   // ------------------------------------------------- embeddings oracles
   private val embCtes: String = raw"""

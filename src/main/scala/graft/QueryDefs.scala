@@ -342,8 +342,12 @@ object QueryDefs {
       TextOps.repetition(table(s, d, "documents"))),
     "d6_shared_substring" -> ((s, d) =>
       Dedup.sharedSubstring(table(s, d, "documents"))),
+    "d7_dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(table(s, d, "documents"))),
     "p1_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(table(s, d, "documents"))),
+    "p2_length_quartiles" -> ((s, d) =>
+      Sampling.lengthQuartiles(table(s, d, "documents"))),
     "e1_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(events(s, d))
         .select(col("user_id"), col("session_seq"), col("n_events"),

@@ -286,4 +286,37 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Near-dup CLUSTER resolution: fuzzy dedup doesn't end at candidate
+    * pairs — pipelines union the pairs into clusters and keep one
+    * canonical document per cluster. This runs connected components
+    * over the [[minhashCandidates]] pair graph (jaccard ≥ `threshold`)
+    * and elects the min doc id of each cluster as canonical:
+    * (doc_id, cluster_id, cluster_size, is_canonical), one row per
+    * CLUSTERED doc (docs with no near-dup are trivially canonical and
+    * not emitted).
+    *
+    * Reuses the engine's graph CC ([[graft.core.GraphOps]]): the same
+    * regime-split propagation that labels chromatin graphs labels the
+    * dedup graph — one-task CSR below the bounded cutoff, pointer
+    * jumping above, both oracle-pinned. Ids ride lpad-12 string keys so
+    * the min-label order is numeric order. Scale: the pair graph is
+    * produced by banded LSH (linear), and dedup components are shallow
+    * (near-dup clusters, not chains), so label propagation converges in
+    * a few rounds at any corpus size. */
+  def dedupClusters(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    threshold: Double = 0.5): DataFrame = {
+    val key = (c: Column) => lpad(c.cast("string"), 12, "0")
+    val pairs = minhashCandidates(docs, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .select(key(col("doc_a")).as("src"), key(col("doc_b")).as("dst"))
+    val cc = graft.core.GraphOps.connectedComponents(pairs)
+    val sized = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sized, "comp")
+      .select(col("id").cast("long").as("doc_id"),
+        col("comp").cast("long").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("comp")).as("is_canonical"))
+  }
 }

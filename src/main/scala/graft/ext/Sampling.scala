@@ -45,4 +45,35 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("stratum"),
         Num.roundLike(col("__u"), 6).as("u"))
   }
+
+  /** Length-quartile curriculum bucketing: each document labeled with
+    * its corpus token-count quartile (q1 shortest … q4 longest) —
+    * the standard length-curriculum / batch-packing preparation step.
+    * Quartiles are EXACT linear-interpolated percentiles
+    * (`functions.percentile`, the type-7 estimator DuckDB's
+    * quantile_cont also implements; interpolation fractions are
+    * dyadic, so the cut points are bit-identical cross-engine). The
+    * three cut points ride a broadcast 1-row aggregate — the doc scan
+    * is one pass plus the percentile shuffle.
+    *
+    * Scale note: exact percentile holds per-partition count maps of
+    * the value domain; token counts are small integers so the domain
+    * (not the corpus) bounds memory and this stays exact even at
+    * 100 TB. For unbounded-domain columns swap in
+    * `approx_percentile(col, p, accuracy)` — same plan shape. */
+  def lengthQuartiles(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(lower(col(textCol)))).cast("long").as("n_tokens"))
+    val qs = lens.agg(
+      percentile(col("n_tokens"), lit(0.25)).as("__q1"),
+      percentile(col("n_tokens"), lit(0.5)).as("__q2"),
+      percentile(col("n_tokens"), lit(0.75)).as("__q3"))
+    lens.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") <= col("__q1"), lit("q1"))
+          .when(col("n_tokens") <= col("__q2"), lit("q2"))
+          .when(col("n_tokens") <= col("__q3"), lit("q3"))
+          .otherwise(lit("q4")).as("bucket"))
+  }
 }

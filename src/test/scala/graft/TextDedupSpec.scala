@@ -202,6 +202,27 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.sharedSubstring(boiler, maxDf = 2L).isEmpty)
   }
 
+  test("dedup clusters: pairs union transitively, min id canonical") {
+    // exact dups always band-collide: {7,9,10} one cluster, canonical
+    // 7 (min id), unrelated 4 not emitted
+    val tri = Seq((10L, "x y z w v"), (7L, "x y z w v"), (9L, "x y z w v"),
+      (4L, "other words entirely")).toDF("doc_id", "text")
+    val out = Dedup.dedupClusters(tri).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out == Map(
+      7L -> ((7L, 3L, true)),
+      9L -> ((7L, 3L, false)),
+      10L -> ((7L, 3L, false))))
+    // the shared docs fixture: 1/3 exact dups cluster; 2 (jaccard 0.75
+    // to both) joins only if its LSH bands collide — either way the
+    // canonical is 1 and membership is a single cluster
+    val base = Dedup.dedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(base(1L) == ((1L, true)) && base(3L) == ((1L, false)))
+    assert(base.keySet.subsetOf(Set(1L, 2L, 3L)))
+  }
+
   test("stratified sample: deterministic, per-stratum rates honored") {
     val mk = (n: Int, len: Int, off: Long) =>
       (0 until n).map(i => (off + i, (0 until len).map(j => s"t$j").mkString(" ")))
@@ -219,5 +240,15 @@ class TextDedupSpec extends SparkSpec {
     val again = Sampling.stratifiedSample(d).collect()
       .map(r => (r.getLong(0), r.getString(2))).toList
     assert(out.toSet == again.toSet)
+  }
+
+  test("length quartiles: exact cut points bucket the corpus evenly") {
+    // lengths 1..8, one doc each: q1={1,2}, q2={3,4}, q3={5,6}, q4={7,8}
+    val d = (1 to 8).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.lengthQuartiles(d).collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "q1", 2L -> "q1", 3L -> "q2", 4L -> "q2",
+      5L -> "q3", 6L -> "q3", 7L -> "q4", 8L -> "q4"))
   }
 }
