@@ -561,15 +561,26 @@ object GraphOps {
     var lb = math.max(lb0, maxDepth)
     var i = maxDepth
     while (i >= 1 && lb < 2L * i) {
-      // the fringe at depth i across ALL components (the per-depth
-      // collect is bounded by the fringe size; strings only)
-      val cand = nodeDepth.filter(col("depth") === i)
-        .select(col("node")).collect().map(_.getString(0))
+      // the fringe at depth i across ALL components, hash-split into
+      // ~batchSize chunks so the driver only ever collects ONE chunk
+      // of ids (never the whole fringe — at billions of nodes a depth
+      // level can hold millions). ANY partition of the fringe into
+      // batches is correct: the certificate lb >= 2i bounds every
+      // unprocessed pair globally, so the exit lb equals the diameter
+      // regardless of batch composition or order.
+      val fringe = nodeDepth.filter(col("depth") === i).select(col("node"))
+      val n = fringe.count()
+      val nBatches = math.max(1L, (n + batchSize - 1) / batchSize).toInt
       var k = 0
-      while (k < cand.length && lb < 2L * i) {
-        val e = multiSourceEcc(sym, cand.slice(k, k + batchSize).toIndexedSeq)
-        if (e > lb) lb = e
-        k += batchSize
+      while (k < nBatches && lb < 2L * i) {
+        val cand = fringe
+          .filter(pmod(crc32(col("node")), lit(nBatches)) === k)
+          .collect().map(_.getString(0))
+        if (cand.nonEmpty) {
+          val e = multiSourceEcc(sym, cand.toIndexedSeq)
+          if (e > lb) lb = e
+        }
+        k += 1
       }
       i -= 1
     }

@@ -260,13 +260,17 @@ object Dedup {
     * Docs shorter than w tokens contribute no windows.
     *
     * Scale shape: per-doc distinct window hashes (map-only, the
-    * md5-of-slice transform runs over a pre-bound token column), one
-    * df-count shuffle, then a self-equi-join on the window hash. The
-    * `maxDf` stop-gram cap is the quadratic-blowup guard: a boilerplate
-    * window appearing in d documents would emit d·(d-1)/2 pairs, so
-    * windows above the cap are banned from pairing (exactly how
-    * production substring dedup handles license headers). Bucket sizes
-    * are therefore ≤ maxDf and the join stays linear in corpus size. */
+    * md5-of-slice transform runs over a pre-bound token column), then
+    * GROUP-AND-EXPLODE pairing: shuffle (doc, wh) once by wh, count df
+    * with a map-side-combined aggregate, collect the sub-cap buckets'
+    * doc lists, and emit each bucket's i<j pairs with array lambdas —
+    * no self-join, so the corpus is NOT tokenized/shuffled twice (the
+    * df-count and collect branches shuffle on the same key and reuse
+    * one exchange). The `maxDf` stop-gram cap is the quadratic-blowup
+    * guard: a boilerplate window in d docs would emit d·(d-1)/2 pairs,
+    * so hotter windows are banned from pairing BEFORE their doc lists
+    * are collected (exactly how production substring dedup handles
+    * license headers) — per-bucket agg state stays ≤ maxDf ids. */
   def sharedSubstring(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", w: Int = 16,
                       maxDf: Long = 1000L): DataFrame = {
@@ -280,10 +284,13 @@ object Dedup {
       ).as("wh"))
     val keep = wins.groupBy("wh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("wh")
-    val fw = wins.join(keep, "wh")
-    fw.as("a").join(fw.as("b"),
-        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = wins.join(keep, "wh")
+      .groupBy("wh").agg(sort_array(collect_list(col("doc_id"))).as("__ds"))
+    buckets
+      .select(explode(flatten(transform(col("__ds"), (x, i) =>
+        transform(slice(col("__ds"), i + lit(2), size(col("__ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("__p"))
+      .groupBy(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
