@@ -260,6 +260,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(rs.getLong(0) == 3L && rs.getBoolean(1))
   }
 
+  test("A7 masked wave: >64-source batches and hash-split fringes") {
+    // star: the depth-1 fringe is all 150 leaves — one ecc batch packs
+    // them into 3 mask words (>64 sources per wave), and diameter 2
+    // only comes out if leaf-to-leaf distances survive the packing
+    val star = edgesOf((0 until 150).map(i => ("hub", s"leaf$i")))
+    assert(GraphOps.diameterExact(star, localMaxEdges = 0L,
+      broadcastMaxEdges = 0L) == 2L)
+    // same fringe forced through ~10 crc32-hash-split sub-batches:
+    // batch composition must not change the certified result
+    val sym = GraphOps.symmetrize(star)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sym.count()
+      assert(GraphOps.diameterIfubSym(sym, n, batchSize = 16,
+        broadcastMaxEdges = 0L) == 2L)
+    } finally sym.unpersist()
+  }
+
   test("A7 distributed iFUB == local iFUB on random multi-component graphs") {
     for (seed <- Seq(7, 21)) {
       val rnd = new scala.util.Random(seed)
