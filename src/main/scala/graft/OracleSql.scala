@@ -796,7 +796,94 @@ FROM lens, qsx""",
 lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
 qsx AS (SELECT quantile_cont(n_tokens, 0.25) AS q1,
                quantile_cont(n_tokens, 0.5) AS q2,
-               quantile_cont(n_tokens, 0.75) AS q3 FROM lens)""".drop(1)))
+               quantile_cont(n_tokens, 0.75) AS q3 FROM lens)""".drop(1)),
+    // mixtureWeights mirrored: exact integer sums (order-independent);
+    // share and the √-temperature weight are chains of correctly-
+    // rounded IEEE ops on exact integers — no float accumulation
+    "p3_mixture_weights" -> dq(raw"""
+SELECT source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / total, 6) AS share,
+  round(sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)), 6)
+    AS temp_weight
+FROM per, ptot""",
+      extra = raw"""
+ptoks AS (SELECT source, len(list_filter(string_split_regex(
+            trim(lower(text)), '\s+'), t -> t <> '')) AS nt
+          FROM documents),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS n_tokens FROM ptoks GROUP BY source),
+ptot AS (SELECT sum(n_tokens) AS total, max(n_tokens) AS mx FROM per)"""
+        .drop(1)),
+    // piiScrub mirrored: same planted PII construction, same
+    // Java/RE2-identical patterns, same email → IP → phone sequential
+    // count-then-replace composition
+    "t7_pii_scrub" -> dq(raw"""
+SELECT doc_id, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
+    AS n_phones,
+  regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+FROM ps2""",
+      extra = raw"""
+pii AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com via 10.'
+    || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+    || CAST((doc_id * 7) % 256 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS text FROM documents),
+ps1 AS (SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_emails,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      '<EMAIL>', 'g') AS t1 FROM pii),
+ps2 AS (SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t1,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+      '<IP>', 'g') AS t2 FROM ps1)""".drop(1)),
+    // decontaminate mirrored: 5-token grams (whole text below 5 tokens),
+    // per-doc distinct, 64-bit md5-prefix keys, bench = doc_id ≡ 0 (37)
+    "t8_decontaminate" -> dq(raw"""
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(b.gh) AS BIGINT) AS n_contaminated,
+  count(b.gh) > 0 AS contaminated
+FROM uh t LEFT JOIN bh b USING (gh)
+WHERE t.doc_id % 37 <> 0 GROUP BY t.doc_id""",
+      extra = raw"""
+g5 AS (SELECT doc_id, CASE WHEN len(toks) < 5
+         THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(0, len(toks)-5),
+                i -> array_to_string(toks[i+1:i+5], ' ')) END AS g
+       FROM toks),
+ug AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g5),
+uh AS (SELECT doc_id, substr(md5(gram), 1, 16) AS gh FROM ug),
+bh AS (SELECT DISTINCT gh FROM uh WHERE doc_id % 37 = 0)""".drop(1)),
+    // bigramCounts mirrored: same lowercased whitespace tokens, exact
+    // integer count division rounded at 6 dp
+    "t9_bigram_lm" -> dq(raw"""
+SELECT b.w1, b.w2, b.n, round(CAST(b.n AS DOUBLE) / np, 6) AS p_cond
+FROM bcnt b JOIN pcnt USING (w1)""",
+      extra = raw"""
+bgrams AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+  FROM toks WHERE len(toks) >= 2),
+bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+  FROM bgrams GROUP BY 1, 2),
+pcnt AS (SELECT w1, CAST(sum(n) AS BIGINT) AS np FROM bcnt GROUP BY 1)"""
+        .drop(1)),
+    // packSequences mirrored: exact integer window sums per shard;
+    // budget 512 = 2^9 keeps the pack-index division exact
+    "p4_pack_sequences" -> dq(raw"""
+SELECT doc_id, shard, n_tokens,
+  CAST(floor(strt / 512.0) AS BIGINT) AS pack_id,
+  strt - CAST(floor(strt / 512.0) AS BIGINT) * 512 AS pack_offset
+FROM (SELECT doc_id, shard, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          - n_tokens AS strt
+      FROM (SELECT doc_id, doc_id % 8 AS shard,
+              CAST(len(toks) AS BIGINT) AS n_tokens FROM toks) l) c"""))
 
   // ------------------------------------------------- embeddings oracles
   private val embCtes: String = raw"""

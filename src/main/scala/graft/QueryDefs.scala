@@ -348,6 +348,36 @@ object QueryDefs {
       Sampling.stratifiedSample(table(s, d, "documents"))),
     "p2_length_quartiles" -> ((s, d) =>
       Sampling.lengthQuartiles(table(s, d, "documents"))),
+    "p3_mixture_weights" -> ((s, d) =>
+      Sampling.mixtureWeights(table(s, d, "documents"))),
+    "p4_pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(table(s, d, "documents"))),
+    "t9_bigram_lm" -> ((s, d) =>
+      TextOps.bigramCounts(table(s, d, "documents"))),
+    // The synthetic corpus is digit-free, so the scrub is exercised on
+    // deterministically planted PII (same construction in the oracle):
+    // every doc gains an e-mail + an IPv4, every third a phone number.
+    "t7_pii_scrub" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextOps.piiScrub(docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"),
+          lit(".com via 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text")))
+    }),
+    // Held-out set = doc_id ≡ 0 (mod 37); the generator's planted
+    // near-dups give the overlap real signal across the split.
+    "t8_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextOps.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0))
+    }),
     "e1_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(events(s, d))
         .select(col("user_id"), col("session_seq"), col("n_events"),

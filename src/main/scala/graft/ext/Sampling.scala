@@ -76,4 +76,66 @@ object Sampling {
           .when(col("n_tokens") <= col("__q3"), lit("q3"))
           .otherwise(lit("q4")).as("bucket"))
   }
+
+  /** Per-source corpus mixture weights — the bookkeeping step behind
+    * temperature-sampled training mixtures: for each source stratum,
+    * its document count, token count, exact corpus share, and a
+    * √-temperature weight (relative to the largest source) that
+    * up-weights small sources the way multilingual/multi-domain
+    * training mixes do. Determinism is engineered, not hoped for:
+    * `share` divides two exact integer sums (order-independent), and
+    * `temp_weight` = sqrt(n)/sqrt(max n) chains three correctly-
+    * rounded IEEE ops on exact integers — bit-identical in any
+    * engine, no float accumulation anywhere. One map-side-combined
+    * groupBy plus a broadcast 1-row total: two tiny shuffles at any
+    * corpus size. */
+  def mixtureWeights(docs: DataFrame, byCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val per = docs
+      .select(col(byCol).as("source"),
+        size(TextOps.tokens(lower(col(textCol)))).cast("long")
+          .as("__n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__n_tokens").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("__total"),
+      max("n_tokens").as("__max"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Num.roundLike(
+          col("n_tokens").cast("double") / col("__total"), 6).as("share"),
+        Num.roundLike(
+          sqrt(col("n_tokens").cast("double")) /
+            sqrt(col("__max").cast("double")), 6).as("temp_weight"))
+  }
+
+  /** Sequence packing — assign each document a (shard, pack, offset)
+    * slot in the concatenate-then-chunk layout pre-training batch
+    * builders use: documents stream in doc-id order within a shard,
+    * token offsets accumulate, and context windows of `budget` tokens
+    * are cut at fixed boundaries (documents may straddle a cut — the
+    * standard concat-and-chunk scheme). The running offset is an exact
+    * integer window sum per shard; `budget` is a power of two so even
+    * the double division in the pack index is exact — deterministic
+    * everywhere. Parallelism = nShards independent sorted windows: each
+    * shard is one sort partition, so the plan scales by adding shards,
+    * never by growing a single global sort. */
+  def packSequences(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", nShards: Int = 8,
+                    budget: Long = 512L): DataFrame = {
+    require((budget & (budget - 1)) == 0, "budget must be a power of two")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(idCol).as("doc_id"),
+        (col(idCol) % nShards).cast("long").as("shard"),
+        size(TextOps.tokens(lower(col(textCol)))).cast("long")
+          .as("n_tokens"))
+      .withColumn("__start", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("__start") / budget).cast("long").as("pack_id"),
+        (col("__start") - (col("__start") / budget).cast("long") * budget)
+          .as("pack_offset"))
+  }
 }

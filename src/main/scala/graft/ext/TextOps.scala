@@ -144,4 +144,104 @@ object TextOps {
       .withColumn("rep_ratio",
         Num.roundLike(lit(1.0) -
           col("n_unique").cast("double") / col("n_shingles"), 4))
+
+  /** PII patterns shared by [[piiScrub]] and its oracle. Every
+    * construct (classes, bounded repeats, `\b`, `\d`) parses and
+    * behaves identically under java.util.regex and RE2, so the DuckDB
+    * oracle runs the same patterns verbatim. Kept deliberately simple
+    * — production scrubbing layers locale-specific variants on the
+    * same plan shape. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction — the scrub step every public-corpus pipeline runs
+    * before training: emails → `<EMAIL>`, IPv4 → `<IP>`,
+    * NANP-style phone numbers → `<PHONE>`, with per-class match
+    * counts. The three classes are counted and replaced
+    * SEQUENTIALLY (emails first), so a digit run inside an e-mail
+    * domain is never double-counted as an IP — the count of class k
+    * is taken on text already scrubbed of classes < k, a
+    * deterministic composition both engines replay identically.
+    * Map-only: three regexp_count + three regexp_replace per row, all
+    * codegen'd — no shuffle, runs at scan speed on a 100 TB corpus. */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    docs
+      .select(col(idCol).as("doc_id"),
+        regexp_count(col(textCol), lit(EmailRe)).cast("long")
+          .as("n_emails"),
+        noEmail.as("__t1"))
+      .select(col("doc_id"), col("n_emails"),
+        regexp_count(col("__t1"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_replace(col("__t1"), Ipv4Re, "<IP>").as("__t2"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        regexp_count(col("__t2"), lit(PhoneRe)).cast("long")
+          .as("n_phones"),
+        regexp_replace(col("__t2"), PhoneRe, "<PHONE>").as("clean"))
+  }
+
+  /** Benchmark decontamination — flag training documents that share
+    * word n-grams with a held-out evaluation set (the standard
+    * n-gram-overlap decontamination step run before every large
+    * training corpus ships). Grams are n-token shingles of the
+    * lowercased whitespace tokens ([[Dedup.shinglesOfTokens]]; sub-n
+    * docs contribute their whole text, so every doc has ≥1 gram and
+    * appears in the output). Each side dedups its grams FIRST
+    * (distinct per doc / distinct overall), grams travel as 64-bit
+    * md5 prefixes — the shuffle carries 16-byte keys, not text. The
+    * bench side is one `DISTINCT` aggregate; the overlap is a plain
+    * equi-join Catalyst/AQE can broadcast when the bench set is small
+    * and shuffle when it is not — no driver materialization, so the
+    * plan survives a benchmark suite of any size. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Dedup.shinglesOfTokens(col("__toks"), n))).as("__gram"))
+      .select(col("doc_id"),
+        substring(md5(col("__gram")), 1, 16).as("__gh"))
+    val benchGrams = grams(bench).select("__gh").distinct()
+      .withColumn("__hit", lit(1))
+    grams(train)
+      .join(benchGrams, Seq("__gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Bigram language-model counts with conditional probabilities —
+    * the count-collection step behind n-gram LMs and the perplexity /
+    * fluency proxies data-quality pipelines score documents with.
+    * `p_cond` = n(w1,w2) / n(w1,·) is exact-integer division rounded
+    * at 6 dp — deterministic on any engine. Classic two-shuffle
+    * map-reduce shape: bigram groupBy (map-side combined — the heavy
+    * one), then a prefix re-aggregation of the ALREADY-aggregated
+    * counts (vocab²-sized, not corpus-sized) and a vocab-keyed
+    * equi-join. A `minCount` cutoff drops the long tail the way
+    * production LM count pipelines do. */
+  def bigramCounts(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minCount: Long = 1L): DataFrame = {
+    val bcnt = docs
+      .select(tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__bg"))
+      .select(col("__bg.w1"), col("__bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val pcnt = bcnt.groupBy("w1").agg(sum("n").as("__np"))
+    bcnt.join(pcnt, "w1")
+      .filter(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n"),
+        Num.roundLike(col("n").cast("double") / col("__np"), 6)
+          .as("p_cond"))
+  }
 }

@@ -35,7 +35,11 @@ class PlanAuditSpec extends SparkSpec {
     "a5_graph_metadata" ->
       "1-row node count × 1-row edge summary (GraphOps.scala:681)",
     "t5_tfidf" ->
-      "tf⋈df frame × broadcast 1-row corpus count (TextOps.tfidf)")
+      "tf⋈df frame × broadcast 1-row corpus count (TextOps.tfidf)",
+    "p2_length_quartiles" ->
+      "doc-length frame × broadcast 1-row quartile cut points (Sampling.lengthQuartiles)",
+    "p3_mixture_weights" ->
+      "per-source frame × broadcast 1-row corpus totals (Sampling.mixtureWeights)")
 
   test("every registered query plans without an unlisted cartesian/nested-loop join") {
     val dir = "/root/testdata/sf0.001"

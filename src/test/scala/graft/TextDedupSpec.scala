@@ -251,4 +251,92 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(1L -> "q1", 2L -> "q1", 3L -> "q2", 4L -> "q2",
       5L -> "q3", 6L -> "q3", 7L -> "q4", 8L -> "q4"))
   }
+
+  test("pii scrub: counts and redacts email/ip/phone, in that order") {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or boss@corp.io now"),
+      (2L, "server 10.0.255.3 and 192.168.1.1 up, call 555-123-4567"),
+      (3L, "no pii here at all"),
+      (4L, "not-an-ip 1.2.3.4.5 and half-phone 12-345-6789"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrub(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == (2L, 0L, 0L, "mail me at <EMAIL> or <EMAIL> now"))
+    assert(out(2L) ==
+      (0L, 2L, 1L, "server <IP> and <IP> up, call <PHONE>"))
+    assert(out(3L) == (0L, 0L, 0L, "no pii here at all"))
+    // 1.2.3.4.5: \b…\b still matches the leading 1.2.3.4 run? No —
+    // the trailing ".5" keeps a digit boundary INSIDE the token, so the
+    // first four octets DO match; pin the actual regex semantics.
+    assert(out(4L)._2 == 1L && out(4L)._3 == 0L)
+  }
+
+  test("decontaminate: flags only docs sharing 5-gram runs with bench") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (10L, run),                                   // bench-overlapping
+      (11L, "one two three four five six seven"),   // clean
+      (12L, "tiny doc"),                            // sub-5-token, clean
+      (37L * 2, run + " iota kappa"))               // bench member (74)
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(
+        d.filter(col("doc_id") % 37 =!= 0), d.filter(col("doc_id") % 37 === 0))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // doc 10's four 5-grams all appear inside the bench doc's run
+    assert(out(10L) == (4L, 4L, true))
+    assert(out(11L) == (3L, 0L, false))
+    assert(out(12L) == (1L, 0L, false)) // whole-text gram, still a row
+    assert(!out.contains(74L))          // bench side is not re-emitted
+  }
+
+  test("bigram LM: counts repeats, conditional probs sum to 1 per w1") {
+    val d = Seq(
+      (1L, "a b a b c"),   // bigrams: (a,b) (b,a) (b,c) — (a,b) ×2 w/ doc 2
+      (2L, "a b"),
+      (3L, "solo"))        // sub-2-token doc contributes nothing
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramCounts(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("a", "b") -> (3L, 1.0),
+      ("b", "a") -> (1L, 0.5), ("b", "c") -> (1L, 0.5)))
+    // minCount cutoff drops the tail
+    val cut = TextOps.bigramCounts(d, minCount = 2L).collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")))
+  }
+
+  test("pack sequences: shard-local exact offsets, budget-512 cuts") {
+    // one shard (ids ≡ 0 mod 8): lengths 300, 300, 100 → starts 0,
+    // 300, 600 → packs 0, 0, 1; offsets 0, 300, 88
+    val mk = (id: Long, n: Int) =>
+      (id, (1 to n).map(i => s"t$i").mkString(" "))
+    val d = Seq(mk(0L, 300), mk(8L, 300), mk(16L, 100), mk(3L, 700))
+      .toDF("doc_id", "text")
+    val out = Sampling.packSequences(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(0L) == (0L, 0L, 0L))
+    assert(out(8L) == (0L, 0L, 300L))
+    assert(out(16L) == (0L, 1L, 88L))
+    // a different shard starts its own offset stream
+    assert(out(3L) == (3L, 0L, 0L))
+  }
+
+  test("mixture weights: exact shares, sqrt temperature vs largest") {
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s1"),       // 8 tokens
+      (3L, "a b", "s2"))                                  // 2 tokens
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.mixtureWeights(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("s1") == (2L, 8L, 0.8, 1.0))
+    // share 2/10 = 0.2; temp sqrt(2)/sqrt(8) = 0.5 exactly
+    assert(out("s2") == (1L, 2L, 0.2, 0.5))
+  }
 }
