@@ -1094,6 +1094,28 @@ GROUP BY user_id, session_seq""",
     // regardless of which duplicate row won its microbatch)
     "e4_stream_dedup" -> raw"""
 SELECT DISTINCT md5(text) AS text_hash FROM documents""",
+    // the streaming quality filter is stateless, so the batch filter
+    // over the identical t2 arithmetic is the exact oracle
+    "e5_stream_quality_filter" -> (raw"""
+WITH rtoks AS (SELECT doc_id, text,
+  list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents)
+SELECT doc_id, n_tokens,
+  round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
+        + 0.25*alpha + 0.25*dst, 4) AS quality FROM (
+  SELECT doc_id, n_tokens,
+    CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.0 END AS lenok,
+    stop, alpha, dst FROM (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(length(array_to_string(toks,'')) AS DOUBLE)/greatest(len(toks),1) AS ml,
+      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
+        AS DOUBLE)/greatest(len(toks),1) AS stop,
+      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        /greatest(length(text),1) AS alpha,
+      CAST(len(list_distinct(toks)) AS DOUBLE)/greatest(len(toks),1) AS dst
+    FROM rtoks) i) o
+WHERE round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
+            + 0.25*alpha + 0.25*dst, 4) >= 0.75"""),
     "e3_stream_sessionize" -> raw"""
 WITH bs AS (
   SELECT user_id, session_seq, count(*) AS n_events,

@@ -404,6 +404,14 @@ object QueryDefs {
       EventStreams.dedupStreamFromParquet(s, s"$d/documents.parquet",
         raw, queryName = "e4_dedup_" + math.abs(d.hashCode).toString)
     }),
+    // stateless streaming admission filter; emitted row set is
+    // order-independent, so the batch filter is the exact oracle
+    "e5_stream_quality_filter" -> ((s, d) => {
+      val raw = table(s, d, "documents").schema
+      EventStreams.qualityFilterStreamFromParquet(s,
+        s"$d/documents.parquet", raw,
+        queryName = "e5_qf_" + math.abs(d.hashCode).toString)
+    }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5
     // arithmetic (what the oracle replicates) while the gate still

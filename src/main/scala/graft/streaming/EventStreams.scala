@@ -159,6 +159,39 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming ingest quality filter — the online admission step of a
+    * training-data pipeline: documents stream in, each is scored with
+    * the SAME `TextOps.qualityScore`/`tokenCount` expressions the
+    * batch path uses (one codegen'd projection, no UDFs), and only
+    * rows at or above `minQuality` pass. Completely STATELESS — no
+    * watermark, no state store, so throughput is scan-speed and the
+    * operator runs identically on an unbounded stream; the emitted row
+    * set is order-independent, so the batch filter is the exact
+    * oracle. */
+  def qualityFilterStreamFromParquet(spark: SparkSession, path: String,
+                                     rawSchema: org.apache.spark.sql.types.StructType,
+                                     minQuality: Double = 0.75,
+                                     queryName: String = "e5_qf"): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("e5ckpt").toString
+    val q = raw
+      .select(col("doc_id"),
+        graft.ext.TextOps.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        graft.ext.TextOps.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= minQuality)
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState: emits a
     * session when the gap timeout fires. State is one small struct per
     * active user — bounded by active-user cardinality, not event volume. */

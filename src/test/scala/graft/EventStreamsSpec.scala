@@ -98,4 +98,32 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted
     assert(streamed.length == 3 && streamed.sameElements(batch))
   }
+
+  test("streaming quality filter admits exactly the batch-filter rows") {
+    val dir = java.nio.file.Files.createTempDirectory("qfstream").toString
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog slept there too"), // good
+      (2L, "zz zz zz zz zz zz"),                                  // repetitive
+      (3L, "the quick brown fox jumps over the lazy dog today"),  // good
+      (4L, "@@@ ### $$$ %%% ^^^"))                                // symbols
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir + "/in")
+    val f = new java.io.File(dir + "/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamed = EventStreams.qualityFilterStreamFromParquet(spark,
+        f.getAbsolutePath, docs.schema, minQuality = 0.6,
+        queryName = "e5_spec_qf")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val batch = docs
+      .select(col("doc_id"),
+        graft.ext.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.ext.TextOps.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.map(_._1).contains(1L))
+    assert(!streamed.map(_._1).contains(4L)) // symbol soup rejected
+    assert(streamed.sameElements(batch))
+  }
 }
