@@ -99,4 +99,58 @@ class PropertiesSpec extends SparkSpec {
       assert(keys.distinct.length == keys.length, s"iteration $it")
     }
   }
+
+  test("property: pii scrub leaves zero residual matches on noisy text") {
+    import graft.ext.TextOps
+    // words, digit runs, dots/dashes/@ noise, and well-formed PII mixed
+    val tokGen: Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf("lorem", "ipsum", "x1y", "a.b", "3.14", "v2",
+        "a-b-c", "12-34", "@", "1.2.3", "999"),
+      1 -> Gen.oneOf("u@ex.org", "a.b+c@d-e.io", "10.0.0.1",
+        "255.255.255.255", "555-123-4567", "000-000-0000"))
+    (1 to 5).foreach { it =>
+      val texts = sample(Gen.listOfN(20, Gen.listOfN(15, tokGen)
+        .map(_.mkString(" "))), 300L + it)
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // replacements carry no digits or '@', so a scrubbed class can
+      // never re-create a match for itself or a later class
+      val residual = TextOps.piiScrub(d)
+        .select(
+          regexp_count(col("clean"), lit(TextOps.EmailRe)).as("e"),
+          regexp_count(col("clean"), lit(TextOps.Ipv4Re)).as("i"),
+          regexp_count(col("clean"), lit(TextOps.PhoneRe)).as("p"))
+        .agg(sum("e"), sum("i"), sum("p")).collect()(0)
+      assert((0 until 3).forall(residual.getLong(_) == 0L),
+        s"iteration $it: $residual")
+    }
+  }
+
+  test("property: pack slots are consistent and contiguous per shard") {
+    import graft.ext.Sampling
+    val docGen = for {
+      id <- Gen.choose(0L, 400L); n <- Gen.choose(1, 200)
+    } yield (id, n)
+    (1 to 5).foreach { it =>
+      val ds = sample(Gen.listOfN(40, docGen), 400L + it)
+        .distinctBy(_._1)
+      val d = ds.map { case (id, n) =>
+        (id, (1 to n).map(i => s"t$i").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val rows = Sampling.packSequences(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      rows.groupBy(_._2).foreach { case (_, shard) =>
+        val inOrder = shard.sortBy(_._1)
+        var start = 0L
+        inOrder.foreach { case (_, _, n, packId, off) =>
+          // slot arithmetic reconstructs the running offset exactly
+          assert(packId * 512L + off == start)
+          assert(off >= 0 && off < 512L)
+          start += n
+        }
+      }
+      assert(rows.length == ds.length, s"iteration $it")
+    }
+  }
 }
