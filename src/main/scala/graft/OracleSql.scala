@@ -675,7 +675,8 @@ SELECT c.doc_a, c.doc_b, $jaccardSql AS jaccard
 FROM cands c JOIN dsh a ON c.doc_a = a.doc_id JOIN dsh b ON c.doc_b = b.doc_id""",
       extra = lshCandCtes),
     // dedupClusters mirrored: d2 candidates at jaccard >= 0.5 →
-    // min-label closure over lpad-12 keys (numeric == string order),
+    // min-label closure over lpad-20 keys (numeric == string order;
+    // 20 > the 19 digits of a non-negative long, so ids never truncate),
     // min id canonical. RECURSIVE covers the whole WITH list.
     "d7_dedup_clusters" ->
       (s"WITH RECURSIVE $docCtes,$lshCandCtes," + raw"""
@@ -683,8 +684,8 @@ jpairs AS (SELECT c.doc_a, c.doc_b
   FROM cands c JOIN dsh a ON c.doc_a = a.doc_id
   JOIN dsh b ON c.doc_b = b.doc_id
   WHERE $jaccardSql >= 0.5),
-dedges AS (SELECT lpad(CAST(doc_a AS VARCHAR), 12, '0') AS src,
-                  lpad(CAST(doc_b AS VARCHAR), 12, '0') AS dst FROM jpairs),
+dedges AS (SELECT lpad(CAST(doc_a AS VARCHAR), 20, '0') AS src,
+                  lpad(CAST(doc_b AS VARCHAR), 20, '0') AS dst FROM jpairs),
 ddsym AS (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges),
 ddnodes AS (SELECT DISTINCT src AS id FROM ddsym),
 ddclos AS (SELECT id, id AS reach FROM ddnodes
@@ -766,10 +767,11 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
 FROM fw a JOIN fw b ON a.wh = b.wh AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id""",
       extra = raw"""
-wins AS (SELECT doc_id, unnest(list_distinct(list_transform(
+wins0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
            generate_series(0, len(toks) - 16),
            i -> md5(array_to_string(toks[i+1:i+16], ' '))))) AS wh
          FROM toks WHERE len(toks) >= 16),
+wins AS (SELECT DISTINCT doc_id, wh FROM wins0),
 wdf AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) <= 1000),
 fw AS (SELECT w.doc_id, w.wh FROM wins w JOIN wdf USING (wh))""".drop(1)),
     // stratifiedSample mirrored: identical md5-hex → 48-bit uniform
@@ -872,12 +874,12 @@ bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS n
   FROM bgrams GROUP BY 1, 2),
 pcnt AS (SELECT w1, CAST(sum(n) AS BIGINT) AS np FROM bcnt GROUP BY 1)"""
         .drop(1)),
-    // packSequences mirrored: exact integer window sums per shard;
-    // budget 512 = 2^9 keeps the pack-index division exact
+    // packSequences mirrored: exact integer window sums per shard,
+    // integer div/mod for the pack slot — exact for any budget
     "p4_pack_sequences" -> dq(raw"""
 SELECT doc_id, shard, n_tokens,
-  CAST(floor(strt / 512.0) AS BIGINT) AS pack_id,
-  strt - CAST(floor(strt / 512.0) AS BIGINT) * 512 AS pack_offset
+  strt // 512 AS pack_id,
+  strt % 512 AS pack_offset
 FROM (SELECT doc_id, shard, n_tokens,
         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

@@ -554,7 +554,13 @@ object GraphOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("id").as("source"))
+    // flatten the per-level delta union into ONE eager checkpoint: the
+    // descent scans nodeDepth once per fringe count and once per batch
+    // filter, and each of those must read a flat table, not re-plan a
+    // D-child union of level deltas (O(D²·batches) delta scans)
     val nodeDepth = multiSourceBfsDepths(sym, roots)
+      .select(col("node"), col("depth"))
+      .localCheckpoint(eager = true)
     val maxRow = nodeDepth.agg(max(col("depth"))).collect()(0)
     val maxDepth = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     // every root ecc is a witnessed distance — so is the caller's seed

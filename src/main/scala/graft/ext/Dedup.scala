@@ -282,6 +282,9 @@ object Dedup {
         transform(sequence(lit(0), size(col("__toks")) - w),
           i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(w))))))
       ).as("wh"))
+      // distinct across ROWS too: a doc_id appearing on multiple input
+      // rows must not pair with itself or double-count df
+      .distinct()
     val keep = wins.groupBy("wh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("wh")
     val buckets = wins.join(keep, "wh")
@@ -306,7 +309,8 @@ object Dedup {
     * Reuses the engine's graph CC ([[graft.core.GraphOps]]): the same
     * regime-split propagation that labels chromatin graphs labels the
     * dedup graph — one-task CSR below the bounded cutoff, pointer
-    * jumping above, both oracle-pinned. Ids ride lpad-12 string keys so
+    * jumping above, both oracle-pinned. Ids ride lpad-20 string keys
+    * (a non-negative long is ≤19 digits, so no id can truncate) so
     * the min-label order is numeric order. Scale: the pair graph is
     * produced by banded LSH (linear), and dedup components are shallow
     * (near-dup clusters, not chains), so label propagation converges in
@@ -314,7 +318,7 @@ object Dedup {
   def dedupClusters(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text",
                     threshold: Double = 0.5): DataFrame = {
-    val key = (c: Column) => lpad(c.cast("string"), 12, "0")
+    val key = (c: Column) => lpad(c.cast("string"), 20, "0")
     val pairs = minhashCandidates(docs, idCol, textCol)
       .filter(col("jaccard") >= threshold)
       .select(key(col("doc_a")).as("src"), key(col("doc_b")).as("dst"))

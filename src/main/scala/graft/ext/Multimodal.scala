@@ -112,16 +112,27 @@ object Multimodal {
     * task); everything else falls back to the [[decodeStub]] metadata
     * column-for-column. Output schema identical to decodeStub. */
   def decode(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val sniffed = media
-      .select(col("media_id").cast("long"), col("kind"), col("payload"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, kind, payload) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    // Row-preserving mapPartitions: every input column (and media_id's
+    // original type) survives, exactly like decodeStub's withColumn
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val outSchema = media.schema
+      .add("__w", IntegerType).add("__h", IntegerType)
+      .add("__codec", StringType)
+    val sniffed = media.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = r.getString(kindIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
         val real = if (kind == "image") sniffImageMeta(payload) else None
-        (id, kind, payload, real.map(_._1), real.map(_._2), real.map(_._3))
-      })
-      .toDF("media_id", "kind", "payload", "__w", "__h", "__codec")
+        Row.fromSeq(r.toSeq ++ Seq(
+          real.map(m => Int.box(m._1)).orNull,
+          real.map(m => Int.box(m._2)).orNull,
+          real.map(_._3).orNull))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
     val (sw, sh, sdur, scodec) = stubMetaCols(md5(col("payload")))
     sniffed.withColumn("meta", struct(
         coalesce(col("__w"), sw).as("width"),

@@ -114,15 +114,15 @@ object Sampling {
     * token offsets accumulate, and context windows of `budget` tokens
     * are cut at fixed boundaries (documents may straddle a cut — the
     * standard concat-and-chunk scheme). The running offset is an exact
-    * integer window sum per shard; `budget` is a power of two so even
-    * the double division in the pack index is exact — deterministic
+    * integer window sum per shard and the pack index/offset are
+    * integer div/mod on it — exact for ANY budget, deterministic
     * everywhere. Parallelism = nShards independent sorted windows: each
     * shard is one sort partition, so the plan scales by adding shards,
     * never by growing a single global sort. */
   def packSequences(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", nShards: Int = 8,
                     budget: Long = 512L): DataFrame = {
-    require((budget & (budget - 1)) == 0, "budget must be a power of two")
+    require(budget > 0, "budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -134,8 +134,7 @@ object Sampling {
           .as("n_tokens"))
       .withColumn("__start", sum("n_tokens").over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        (col("__start") / budget).cast("long").as("pack_id"),
-        (col("__start") - (col("__start") / budget).cast("long") * budget)
-          .as("pack_offset"))
+        expr(s"__start div ${budget}L").as("pack_id"),
+        pmod(col("__start"), lit(budget)).as("pack_offset"))
   }
 }

@@ -17,6 +17,19 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
+  /** One-shot (Trigger.AvailableNow) runs keep their results in the
+    * memory sink, so the checkpoint directory is dead state once the
+    * query terminates — delete it, or every gate round leaks offset +
+    * state-store files into the system temp dir. */
+  private def dropCheckpoint(ckpt: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(ckpt))
+  }
+
+
   /** Tumbling-window aggregation — the same plan runs on a streaming or
     * batch `events` DataFrame (pass watermark=None for batch, where
     * late-data bounds are meaningless). */
@@ -91,6 +104,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCheckpoint(ckpt)
     spark.table(queryName)
   }
 
@@ -123,6 +137,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCheckpoint(ckpt)
     spark.table(queryName)
   }
 
@@ -156,6 +171,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCheckpoint(ckpt)
     spark.table(queryName)
   }
 
@@ -189,6 +205,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropCheckpoint(ckpt)
     spark.table(queryName)
   }
 

@@ -200,6 +200,11 @@ class TextDedupSpec extends SparkSpec {
     // a boilerplate window present in > maxDf docs pairs nobody
     val boiler = (1 to 4).map(i => (i.toLong, run)).toDF("doc_id", "text")
     assert(Dedup.sharedSubstring(boiler, maxDf = 2L).isEmpty)
+    // duplicate input ROWS of one id: no self-pairs, no double counts
+    val dup = Seq((7L, run), (7L, run), (8L, run)).toDF("doc_id", "text")
+    val dout = Dedup.sharedSubstring(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dout == Map((7L, 8L) -> 5L))
   }
 
   test("dedup clusters: pairs union transitively, min id canonical") {
