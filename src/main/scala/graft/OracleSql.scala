@@ -371,7 +371,7 @@ WHERE s <> '' ORDER BY suggestion"""),
 SELECT chr FROM (SELECT DISTINCT chr FROM verts WHERE chr NOT LIKE '%MT%'
                  UNION ALL SELECT 'PP') t
 ORDER BY CASE WHEN regexp_matches(chr, '^\d+$$')
-              THEN '0'||lpad(chr, 2, '0') ELSE '1'||chr END"""),
+              THEN '0'||lpad(chr, 9, '0') ELSE '1'||chr END"""),
     "a11_chas" -> gq(raw"""
 SELECT f1.feature, round(corr(f1.value, f2.value), 6) AS chas
 FROM (SELECT src, dst FROM simplified

@@ -49,8 +49,11 @@ object Annotate {
     * Reference: generate_real_bait_names, network_generator_lib.R:869-884. */
   def overwriteBaitNames(vertices: DataFrame, baitNames: DataFrame): DataFrame = {
     val ann = baitNames.select(
-      concat_ws("_", col("Chr"), col("Start"), col("End")).as("fragment"),
-      col("gene_id").as("__bait_names"))
+        concat_ws("_", col("Chr"), col("Start"), col("End")).as("fragment"),
+        col("gene_id").as("__bait_names"))
+      // one name per fragment (min = deterministic): duplicate
+      // annotation rows must not duplicate vertex rows on the join
+      .groupBy("fragment").agg(min("__bait_names").as("__bait_names"))
     vertices.join(broadcast(ann), Seq("fragment"), "left")
       .withColumn("gene_names",
         when(col("type") === "P" && col("__bait_names").isNotNull,

@@ -213,6 +213,8 @@ object Chas {
                       rounds: Int = DefaultRounds,
                       localMaxChainRows: Long = LocalMaxChainRows)
       : DataFrame = {
+    // sequence(0, n-1) DESCENDS for n = 0 (emitting replicas 0 and -1)
+    require(nReplicates >= 1, s"nReplicates must be >= 1, got $nReplicates")
     val distBin =
       if (distMatch) {
         // log-scale genomic distance bin; inter-chromosomal edges form

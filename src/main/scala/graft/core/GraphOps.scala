@@ -205,11 +205,8 @@ object GraphOps {
     * (millions at 100× scale) — no broadcast hint, AQE decides.
     * Reference: chaser::subset_chromnet, network_generator.R:258-264.
     * `baits` has one column `id`. */
-  def subsetPP(edges: DataFrame, baits: DataFrame): DataFrame = {
-    val b = baits.select(col("id")).distinct()
-    edges.join(b, edges("src") === b("id"), "left_semi")
-      .join(b, edges("dst") === b("id"), "left_semi")
-  }
+  def subsetPP(edges: DataFrame, baits: DataFrame): DataFrame =
+    induced(edges, baits) // PP = the bait-induced subgraph, verbatim
 
   def subsetPO(edges: DataFrame, baits: DataFrame): DataFrame = {
     val b = baits.select(col("id")).distinct().withColumn("__b", lit(true))
@@ -327,7 +324,10 @@ object GraphOps {
     sizes.agg(
       count(lit(1)).as("components"),
       format_string("%.2f%%",
-        max(col("size")) * lit(100.0) / sum(col("size"))).as("max_component_pct"))
+        // coalesce: on a zero-edge graph max/sum aggregate to null and
+        // metadata.json would carry a null percentage
+        coalesce(max(col("size")) * lit(100.0) / sum(col("size")),
+          lit(0.0))).as("max_component_pct"))
   }
 
   /** Single-source BFS eccentricity: (eccentricity, farthest node with

@@ -82,9 +82,16 @@ object Intervals {
     joinType match {
       case "inner" => joined
       case "left" =>
-        // unmatched left rows: anti-join back, append with nulls
-        val matchedKeys = joined.select(leftCols.map(col): _*).distinct()
-        val unmatched = left.join(matchedKeys, leftCols.toSeq, "left_anti")
+        // unmatched left rows: anti-join back, append with nulls.
+        // NULL-SAFE equality: a using-column anti-join is null-rejecting,
+        // so a matched left row with a null metadata column would never
+        // equal its own key tuple and be emitted AGAIN via rightNulls.
+        val matchedKeys = leftCols.foldLeft(
+            joined.select(leftCols.map(col): _*).distinct())(
+          (d, c) => d.withColumnRenamed(c, "__mk_" + c))
+        val unmatched = left.join(matchedKeys,
+          leftCols.map(c => col(c) <=> col("__mk_" + c)).reduce(_ && _),
+          "left_anti")
         val rightNulls = rightRenamed.schema.fields.foldLeft(unmatched)(
           (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
         joined.unionByName(rightNulls)
@@ -104,6 +111,11 @@ object Intervals {
     * (explode left intervals ± maxDistance into buckets). The reference's
     * use is a single probe range → tiny left side, broadcast; the
     * bounded window keeps the general case shuffle-safe.
+    *
+    * Precondition: left rows are distinct — the per-row window
+    * partitions by ALL left columns, so two byte-identical probe rows
+    * collapse to one output row (add a distinguishing id column to
+    * keep multiplicity).
     */
   def nearestJoin(left: DataFrame, right: DataFrame,
                   rightPrefix: String = "r_",

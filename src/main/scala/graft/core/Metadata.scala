@@ -20,9 +20,11 @@ object Metadata {
 
   /** Natural-order sort key for chromosome names: numeric chromosomes
     * zero-padded so "2" < "10"; X/Y/PP sort after numerics
-    * (str_sort(numeric=TRUE) semantics). */
+    * (str_sort(numeric=TRUE) semantics). Pad width 9, not 2: lpad
+    * TRUNCATES past the target width, so a 3+-digit scaffold name
+    * (e.g. "123") would collide with chromosome "12"'s key. */
   def naturalChrKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c.rlike("^\\d+$"), concat(lit("0"), lpad(c, 2, "0")))
+    when(c.rlike("^\\d+$"), concat(lit("0"), lpad(c, 9, "0")))
       .otherwise(concat(lit("1"), c))
 
   /** A10 chromosome list: distinct chromosomes (MT dropped), natural

@@ -15,9 +15,12 @@ object Search {
     * `degree`) and edges. */
   case class Subnet(nodes: DataFrame, edges: DataFrame)
 
+  // ONLY the full 3-part chr_start_end form is a fragment id — the
+  // reference's dispatch regex (network_generator_lib.R:78) requires
+  // both coordinates, so a short "Y_581553" routes to the NAME search
+  // (where a literal match can still hit), never to an exact-id filter
+  // that chr_start_end vertex ids could not satisfy.
   val FragmentIdRe = "^(([12]?[0-9])|([XYxy]))_\\d+_\\d+$"
-  // short two-part form also accepted by the backend (e.g. "Y_581553")
-  val FragmentIdShortRe = "^(([12]?[0-9])|([XYxy]))_\\d+$"
   val EnsemblRe = "^ens(mus)?g\\d+.*$"
   val RangeRe = "^(([12]?[0-9])|([XYxy])):\\d+(-\\d+)?$"
   val ListSplitRe = "[,\\t ]+"
@@ -128,7 +131,7 @@ object Search {
     val q = query.trim
     val lower_q = q.toLowerCase
     val (seeds, egoExpand) =
-      if (q.matches(FragmentIdRe) || q.matches(FragmentIdShortRe))
+      if (q.matches(FragmentIdRe))
         (byFragmentId(vertices, q), true)
       else if (lower_q.matches(EnsemblRe))
         (ensembl2nameDf.map(m => byEnsemblId(vertices, m, q))

@@ -100,6 +100,21 @@ class SearchSpec extends SparkSpec {
     assert(sub.nodes.count() == 0 && sub.edges.count() == 0)
   }
 
+  test("short two-part form dispatches to NAME search, not id-exact") {
+    // reference regex (network_generator_lib.R:78) requires BOTH
+    // coordinates — "1_100" must reach the gene-name branch, where a
+    // literal name can still match; an exact-id filter never could
+    val withLiteral = nodes.withColumn("gene_names",
+      when(col("fragment") === "2_100_199", lit("1_100"))
+        .otherwise(col("gene_names")))
+    val sub = Search.search(withLiteral, edges, None, "1_100")
+    assert(sub.nodes.filter(col("searched")).count() == 1)
+    // and the full 3-part form still routes to the exact id filter
+    val full = Search.search(nodes, edges, None, "1_100_199")
+    assert(full.nodes.filter(col("searched"))
+      .collect().map(_.getString(0)).toSeq == Seq("1_100_199"))
+  }
+
   test("subnetFromSeeds leaves a caller-owned edge cache in place") {
     import org.apache.spark.storage.StorageLevel
     // caller persists at a NON-default level: an unconditional persist
