@@ -193,10 +193,12 @@ $a15Tail""",
   /** The swap-rounds chain of Chas.randomize/randomizeTagged, mirrored
     * round by round: given CTE r0(replica, bin, src, dst), emits CTEs
     * r1..r<rounds> applying the seeded pairing (md5-ordered window +
-    * lead), the validity precheck, the fused minted+existing key audit,
-    * and the accept/reject emission — the same arithmetic the Spark
-    * loop runs, so a14/a17/g6 get full hash oracles instead of
-    * rows-only checks. */
+    * lead), the validity precheck, the fused minted+existing key audit
+    * (scoped per group = split_part(bin,'|',1), mirroring the engine:
+    * each tagged subnet audits only against its own edges), and the
+    * accept/reject emission — the same arithmetic the Spark loop runs,
+    * so a14/a17/g6 get full hash oracles instead of rows-only
+    * checks. */
   private def swapRoundsSql(rounds: Int, seed: Long): String =
     (0 until rounds).map { r =>
       val salt = seed + 1000003L * r
@@ -219,17 +221,19 @@ mint$r AS MATERIALIZED (SELECT replica, bin, p, least(ls,rd) AS u, greatest(ls,r
   FROM chk$r WHERE pre
   UNION ALL
   SELECT replica, bin, p, least(rs,ld), greatest(rs,ld) FROM chk$r WHERE pre),
-bad$r AS (SELECT replica, u, v FROM (
-    SELECT replica, u, v,
+bad$r AS (SELECT replica, grp, u, v FROM (
+    SELECT replica, grp, u, v,
       sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS ine,
       sum(CASE WHEN p IS NULL THEN 0 ELSE 1 END) AS mnt
-    FROM (SELECT replica, bin, p, u, v FROM mint$r
+    FROM (SELECT replica, split_part(bin,'|',1) AS grp, p, u, v FROM mint$r
           UNION ALL
-          SELECT replica, NULL, NULL, least(src,dst), greatest(src,dst)
+          SELECT replica, split_part(bin,'|',1), NULL,
+                 least(src,dst), greatest(src,dst)
           FROM r$r) t
-    GROUP BY replica, u, v) g WHERE ine > 0 OR mnt > 1),
+    GROUP BY replica, grp, u, v) g WHERE ine > 0 OR mnt > 1),
 badp$r AS (SELECT DISTINCT m.replica, m.bin, m.p FROM mint$r m
-  JOIN bad$r b ON m.replica = b.replica AND m.u = b.u AND m.v = b.v),
+  JOIN bad$r b ON m.replica = b.replica
+  AND split_part(m.bin,'|',1) = b.grp AND m.u = b.u AND m.v = b.v),
 flag$r AS (SELECT c.*, coalesce(c.pre AND bp.p IS NOT NULL, FALSE) AS hit,
   (c.pre AND bp.p IS NULL) AS acc
   FROM chk$r c LEFT JOIN badp$r bp

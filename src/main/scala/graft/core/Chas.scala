@@ -322,14 +322,23 @@ object Chas {
       // exists in the CURRENT edge set or if two proposals mint it in
       // the same round. Union (minted keys + existing keys), one
       // groupBy, one join back - instead of two membership joins plus a
-      // separate collision pass.
+      // separate collision pass. The audit is scoped PER GROUP (the
+      // tag part of the bin): each tagged subnet is its own graph, so
+      // a key minted in 'pp' must only be checked against 'pp' edges —
+      // auditing across groups would couple the per-subnet chains and
+      // inflate rejections (the reference randomizes each subnet
+      // independently). Untagged chains have one group ('all') and are
+      // bit-identical to the unscoped audit.
+      val grpOf = (b: Column) => substring_index(b, "|", 1)
       val proposed = pairs.filter(pre)
       val minted = proposed
-        .select(col("replica"), col("__bin"), col("__p"),
-          n1u.as("u"), n1v.as("v"))
-        .unionAll(proposed.select(col("replica"), col("__bin"), col("__p"),
-          n2u.as("u"), n2v.as("v")))
+        .select(col("replica"), grpOf(col("__bin")).as("__grp"),
+          col("__bin"), col("__p"), n1u.as("u"), n1v.as("v"))
+        .unionAll(proposed.select(col("replica"),
+          grpOf(col("__bin")).as("__grp"),
+          col("__bin"), col("__p"), n2u.as("u"), n2v.as("v")))
       val existing = cand.select(col("replica"),
+          grpOf(col("__bin")).as("__grp"),
           lit(null).cast("string").as("__bin"), lit(null).cast("long").as("__p"),
           least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
@@ -340,7 +349,7 @@ object Chas {
       // key-join back. badPairs is small (rejections), so the flagged
       // join below broadcasts under AQE.
       val badPairs = minted.unionAll(existing)
-        .groupBy(col("replica"), col("u"), col("v"))
+        .groupBy(col("replica"), col("__grp"), col("u"), col("v"))
         .agg(sum(when(col("__p").isNull, 1).otherwise(0)).as("__inE"),
           sum(when(col("__p").isNull, 0).otherwise(1)).as("__mint"),
           collect_list(when(col("__p").isNotNull,

@@ -23,9 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    UTF8String binary order within (bin, salt) and pairs adjacent
   *    rows (odd leftover passes through)
   *  - a proposal is pre-valid if it makes no self-loop and the two
-  *    minted keys differ; minted keys are audited against the FULL
-  *    current edge set and against double-mints in the same round —
-  *    any hit rejects every minter of the key
+  *    minted keys differ; minted keys are audited against the current
+  *    edge set OF THE SAME GROUP (the tag part of the bin — each
+  *    tagged subnet is its own graph) and against same-round
+  *    double-mints in that group — any hit rejects every minter of
+  *    the key
   *  - accepted pairs emit the swapped endpoints, rejected pairs their
   *    originals, all within the pair's (replica, bin)
   *
@@ -83,14 +85,28 @@ private[graft] object LocalChain {
     // front and the per-round group key is an array index
     val binIdx = new java.util.HashMap[String, Integer]()
     val bins = new scala.collection.mutable.ArrayBuffer[String]()
+    // group id per bin: the audit is scoped to the tag part of the bin
+    // (prefix before the first '|'; the whole bin when absent) — same
+    // prefix rule as the distributed audit's substring_index and the
+    // oracle's split_part
+    val grpIdx = new java.util.HashMap[String, Integer]()
+    val grpOfBin = new scala.collection.mutable.ArrayBuffer[Int]()
     var edges = base.map { case (s, d, b) =>
       var i = binIdx.get(b)
-      if (i == null) { i = bins.length; binIdx.put(b, i); bins += b }
+      if (i == null) {
+        i = bins.length; binIdx.put(b, i); bins += b
+        val cut = b.indexOf('|')
+        val g = if (cut < 0) b else b.substring(0, cut)
+        var gi = grpIdx.get(g)
+        if (gi == null) { gi = grpIdx.size(); grpIdx.put(g, gi) }
+        grpOfBin += gi.intValue()
+      }
       Edge(s, d, i.intValue())
     }.toArray
+    val grps = grpOfBin.toArray
     var r = 0
     while (r < rounds) {
-      edges = round(edges, bins.length, replica, seed, r)
+      edges = round(edges, bins.length, grps, replica, seed, r)
       r += 1
     }
     edges.iterator.map(e => (replica, bins(e.bin), e.src, e.dst))
@@ -111,7 +127,8 @@ private[graft] object LocalChain {
     () => java.security.MessageDigest.getInstance("MD5"))
 
   private def round(edges: Array[Edge],
-                    nBins: Int, replica: Int, seed: Long, r: Int)
+                    nBins: Int, grpOfBin: Array[Int],
+                    replica: Int, seed: Long, r: Int)
       : Array[Edge] = {
     val lit = "|" + replica + "|" + (seed + 1000003L * r)
     // 1a. seeded hash per row — PARALLEL over the common ForkJoin pool:
@@ -174,18 +191,24 @@ private[graft] object LocalChain {
       }
       k += 1
     }
-    // 3. fused key audit: minted keys vs current edges + double-mints
+    // 3. fused key audit, scoped per group: minted keys vs current
+    // edges of the SAME group + same-group double-mints ('\u0000'
+    // cannot occur in ids, so the composite key is injective)
     val existing = new java.util.HashSet[String](edges.length * 2)
     i = 0
     while (i < edges.length) {
-      existing.add(ukey(edges(i).src, edges(i).dst)); i += 1
+      existing.add(
+        grpOfBin(edges(i).bin) + "\u0000" + ukey(edges(i).src, edges(i).dst))
+      i += 1
     }
     def pre(q: Pair): Boolean =
       q.rs != null && q.ls != q.rd && q.rs != q.ld &&
         ukey(q.ls, q.rd) != ukey(q.rs, q.ld)
     // minted key -> minters; mint count = list size
     val minted = new java.util.HashMap[String, java.util.ArrayList[Pair]]()
-    for (q <- pairs if pre(q); kk <- Seq(ukey(q.ls, q.rd), ukey(q.rs, q.ld))) {
+    for (q <- pairs if pre(q);
+         kk <- Seq(grpOfBin(q.bin) + "\u0000" + ukey(q.ls, q.rd),
+                   grpOfBin(q.bin) + "\u0000" + ukey(q.rs, q.ld))) {
       var l = minted.get(kk)
       if (l == null) { l = new java.util.ArrayList[Pair](); minted.put(kk, l) }
       l.add(q)

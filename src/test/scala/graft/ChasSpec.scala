@@ -191,6 +191,32 @@ class ChasSpec extends SparkSpec {
     }
   }
 
+  test("G6 tagged groups randomize INDEPENDENTLY: subset == solo chain") {
+    // 'net' carries every edge, 'pp' a subset — the reference
+    // randomizes each subnet separately, so the 'pp' rows of the joint
+    // tagged chain must equal randomizing the pp subset alone (the
+    // pairing hash is bin-free and the audit is group-scoped; a
+    // cross-group audit — rejecting a pp swap because the minted key
+    // exists in the net copy — breaks this identity)
+    val rnd = new scala.util.Random(47)
+    val raw = (0 until 200).map { _ =>
+      (s"b${rnd.nextInt(60)}", s"o${60 + rnd.nextInt(140)}") }.distinct
+    val all = edgesOf(raw)
+    val pp = all.filter(crc32(concat(col("src"), col("dst"))) % 3 === 0)
+    val tagged = all.withColumn("tag", lit("net"))
+      .unionByName(pp.withColumn("tag", lit("pp")))
+    val joint = Chas.randomizeTagged(tagged, "tag", nReplicates = 2,
+        seed = 7L)
+      .filter(col("tag") === "pp").drop("tag")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.toString).toSeq
+    val solo = Chas.randomize(pp, nReplicates = 2, seed = 7L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.toString).toSeq
+    assert(joint == solo)
+    assert(joint.nonEmpty)
+  }
+
   test("G6 randomize actually mixes: most edges differ from the original") {
     // 80-bait/240-edge random graph: after 10 swap rounds each replica
     // must replace a substantial share of undirected keys (a no-op
