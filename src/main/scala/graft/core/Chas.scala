@@ -47,6 +47,28 @@ object Chas {
     when(col("__sx") > 0 && col("__sy") > 0,
       col("__cov") / (col("__sx") * col("__sy")))
 
+  /** The ONE ChAs aggregation all four surfaces share: join a
+    * symmetrized edge frame (optionally carrying extra grouping
+    * columns — replica, subnet) to the feature table on both endpoints
+    * and compute the null-safe Pearson per (extraKeys…, feature).
+    * Observed ChAs, the tagged observed pass, and both envelope
+    * passes are this plan with different keys. */
+  private def chasBy(sym: DataFrame, features: DataFrame,
+                     extraKeys: Seq[String]): DataFrame = {
+    val f1 = features.select(col("fragment").as("__f1"), col("feature"),
+      col("value").as("__v1"))
+    val f2 = features.select(col("fragment").as("__f2"),
+      col("feature").as("__feat2"), col("value").as("__v2"))
+    val keys = extraKeys.map(col) :+ col("feature")
+    sym
+      .join(f1, sym("src") === f1("__f1"))
+      .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
+      .groupBy(keys: _*)
+      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
+        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
+      .select(keys :+ safeCorrValue.as("chas"): _*)
+  }
+
 
   /** A11 ChAs: per feature, the Pearson correlation of feature values
     * across the two endpoints of every edge (continuous assortativity,
@@ -60,20 +82,8 @@ object Chas {
     * One aggregation, all features at once — the reference loops
     * per-feature; here feature is just a grouping key.
     */
-  def chas(edges: DataFrame, features: DataFrame): DataFrame = {
-    val sym = GraphOps.symmetrize(edges)
-    val f1 = features.select(col("fragment").as("__f1"), col("feature"),
-      col("value").as("__v1"))
-    val f2 = features.select(col("fragment").as("__f2"),
-      col("feature").as("__feat2"), col("value").as("__v2"))
-    sym
-      .join(f1, sym("src") === f1("__f1"))
-      .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
-      .groupBy(col("feature"))
-      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
-        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
-      .select(col("feature"), safeCorrValue.as("chas"))
-  }
+  def chas(edges: DataFrame, features: DataFrame): DataFrame =
+    chasBy(GraphOps.symmetrize(edges), features, Nil)
 
   /** A12 feature abundance: mean feature value over nodes (na.rm).
     * Reference: network_generator_lib.R:564-566 (2 dp at display). */
@@ -405,17 +415,7 @@ object Chas {
     val sym = rand.select(col("replica"), col("src"), col("dst"))
       .unionAll(rand.select(col("replica"), col("dst").as("src"),
         col("src").as("dst")))
-    val f1 = features.select(col("fragment").as("__f1"), col("feature"),
-      col("value").as("__v1"))
-    val f2 = features.select(col("fragment").as("__f2"),
-      col("feature").as("__feat2"), col("value").as("__v2"))
-    sym
-      .join(f1, sym("src") === f1("__f1"))
-      .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
-      .groupBy(col("feature"), col("replica"))
-      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
-        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
-      .select(col("feature"), col("replica"), safeCorrValue.as("chas"))
+    chasBy(sym, features, Seq("replica"))
       .groupBy(col("feature"))
       .agg(min(col("chas")).as("chas_min"), max(col("chas")).as("chas_max"))
   }
@@ -441,17 +441,7 @@ object Chas {
     val sym = tagged.select(col("subnet"), col("src"), col("dst"))
       .unionAll(tagged.select(col("subnet"), col("dst").as("src"),
         col("src").as("dst")))
-    val f1 = features.select(col("fragment").as("__f1"), col("feature"),
-      col("value").as("__v1"))
-    val f2 = features.select(col("fragment").as("__f2"),
-      col("feature").as("__feat2"), col("value").as("__v2"))
-    val obs = sym
-      .join(f1, sym("src") === f1("__f1"))
-      .join(f2, sym("dst") === f2("__f2") && col("feature") === col("__feat2"))
-      .groupBy(col("subnet"), col("feature"))
-      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
-        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
-      .select(col("subnet"), col("feature"), safeCorrValue.as("chas"))
+    val obs = chasBy(sym, features, Seq("subnet"))
 
     // per-subnet degree and node set
     val deg = sym.groupBy(col("subnet"), col("src").as("id"))
@@ -471,14 +461,7 @@ object Chas {
     val rsym = rand.select(col("replica"), col("subnet"), col("src"), col("dst"))
       .unionAll(rand.select(col("replica"), col("subnet"),
         col("dst").as("src"), col("src").as("dst")))
-    val env = rsym
-      .join(f1, rsym("src") === f1("__f1"))
-      .join(f2, rsym("dst") === f2("__f2") && col("feature") === col("__feat2"))
-      .groupBy(col("subnet"), col("feature"), col("replica"))
-      .agg(safeCorrAggs(col("__v1"), col("__v2"))._1,
-        safeCorrAggs(col("__v1"), col("__v2"))._2: _*)
-      .select(col("subnet"), col("feature"), col("replica"),
-        safeCorrValue.as("chas"))
+    val env = chasBy(rsym, features, Seq("subnet", "replica"))
       .groupBy(col("subnet"), col("feature"))
       .agg(min(col("chas")).as("chas_min"), max(col("chas")).as("chas_max"))
 
