@@ -105,6 +105,11 @@ object Dedup {
   /** MinHash-LSH candidate pairs: docs sharing >=1 band bucket, with
     * the exact k-shingle Jaccard computed on the candidate pairs only
     * (verification is O(candidates), not O(n^2)). */
+  /* Precondition: at most one text per doc id (run exact dedup d1
+   * first — the standard pipeline order). Duplicate ids with different
+   * texts make the verify join below ambiguous: the distinct candidate
+   * pair (a, b) matches every text variant of each id and emits one
+   * (possibly contradictory) jaccard row per combination. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", k: Int = 3,
                         bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
@@ -192,7 +197,11 @@ object Dedup {
       when(coalesce(col(s"__v$j"), lit(0L)) * 2 >= coalesce(col("__n"), lit(0L)),
         lit("1")).otherwise(lit("0"))): _*)
     base.select(col(idCol), col("__th")).join(votes, Seq(idCol, "__th"), "left")
-      .select(col(idCol), bitStr.as(outCol))
+      // null text: the expression form's null comparisons all take the
+      // otherwise('0') branch — mirror it (a null __th never joins, so
+      // the vote coalesces would emit all-'1' instead)
+      .select(col(idCol), when(col("__th").isNull,
+        lit("0" * nBits)).otherwise(bitStr).as(outCol))
   }
 
   /** Hamming distance between two same-length bit-strings. */
@@ -237,8 +246,14 @@ object Dedup {
                         bands: Int = 8, bitsPerBand: Int = 4,
                         dim: Int = 64): DataFrame = {
     val v = col(vecCol).cast("array<double>")
+    // fail loudly on a dim mismatch: zip_with pads with null, the dot
+    // goes null, and EVERY mismatched vector would share the all-'0'
+    // key in every band — an O(m²) candidate blowup with no error
+    val checked = when(size(v) === dim, v).otherwise(
+      raise_error(concat(lit(s"embedding dim != $dim: size="), size(v).cast("string"))))
     val keyed = emb.select(col(idCol).as("id"),
-      posexplode(signBandKeys(v, bands, bitsPerBand, dim)).as(Seq("band", "key")))
+      posexplode(signBandKeys(checked, bands, bitsPerBand, dim))
+        .as(Seq("band", "key")))
     val pairs = keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))

@@ -118,7 +118,12 @@ object CytoscapeJson {
     * touches (both-endpoint F2 semantics), node membership derived
     * from the tagged edges, node JSON rendered ONCE per node. Returns
     * (elements DF(__doc, __g, __k1, __k2, element), node-membership
-    * DF(__doc, fragment)). */
+    * DF(__doc, fragment)).
+    *
+    * Precondition: nodes are unique per fragment (vertices() output —
+    * dedup'd by construction). Duplicate fragment rows would make the
+    * stream writer's ">=2 node elements" guard and the lines writer's
+    * ">=2 DISTINCT memberships" guard disagree on degenerate docs. */
   private def taggedDocElements(nodes: DataFrame,
                                 edges: DataFrame): (DataFrame, DataFrame) = {
     val eTag = edges.withColumn("__doc", explode(array_distinct(array(
@@ -151,7 +156,13 @@ object CytoscapeJson {
       .orderBy("__doc", "__g", "__k1", "__k2")
 
     def path(c: String) = java.nio.file.Paths.get(s"$dir/chr$c.json")
-    chrs.foreach(c => java.nio.file.Files.writeString(path(c), "{}"))
+    chrs.foreach { c =>
+      // a prior distributed-lines run leaves chr<c>.json as a DIRECTORY
+      // — writeString on it would throw before any element streams
+      val p = path(c)
+      if (java.nio.file.Files.isDirectory(p)) deleteRecursively(p)
+      java.nio.file.Files.writeString(p, "{}")
+    }
     var cur: String = null
     var held: String = null // first element of the current document
     var skipDoc = false     // <=1 node -> leave the "{}" guard in place

@@ -79,7 +79,8 @@ object MetadataJson {
       .collect()
     rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (frag, fs) =>
       esc(frag) + ":" + fs.sortBy(_.getString(1))
-        .map(r => esc(r.getString(1)) + ":" + num(r.getDouble(2)))
+        .map(r => esc(r.getString(1)) + ":" +
+          (if (r.isNullAt(2)) "null" else num(r.getDouble(2))))
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
   }

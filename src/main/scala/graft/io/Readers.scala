@@ -26,8 +26,11 @@ object Readers {
     * 6 columns ⇒ Hi-C, else PCHiC. Reference: network_generator.R:50-55.
     * Returns the header fields (one small driver-side read; the data
     * scan itself stays distributed). */
-  def sniffHeader(spark: SparkSession, path: String): Array[String] =
-    spark.read.text(path).limit(1).collect()(0).getString(0).split("\t", -1)
+  def sniffHeader(spark: SparkSession, path: String): Array[String] = {
+    val head = spark.read.text(path).limit(1).collect()
+    require(head.nonEmpty, s"empty input file (no header line): $path")
+    head(0).getString(0).split("\t", -1)
+  }
 
   def isHiC(spark: SparkSession, path: String): Boolean =
     sniffHeader(spark, path).length == 6
@@ -126,8 +129,15 @@ object Readers {
       StructField("end", LongType, nullable = false)) ++
       valueCols.map(c => StructField(c, DoubleType, nullable = true)))
     val wide = tsv(spark, path, schema, header = true)
-    // stack to long: stack(n, 'f1', f1, 'f2', f2, ...)
-    val stackExpr = valueCols.map(c => s"'$c', `$c`").mkString(", ")
+    // stack to long: stack(n, 'f1', f1, 'f2', f2, ...). Column names
+    // come from a user file header — escape the SQL string quote and
+    // the backtick identifier quote so a name like "don't" (or a
+    // crafted header) cannot break out of the generated expression
+    val stackExpr = valueCols.map { c =>
+      val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+      val id = c.replace("`", "``")
+      s"'$lit', `$id`"
+    }.mkString(", ")
     wide.select(col("chr"), col("start"), col("end"),
       expr(s"stack(${valueCols.length}, $stackExpr) as (feature, value)"))
   }

@@ -103,8 +103,7 @@ object EventStreams {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    dropCheckpoint(ckpt)
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
     spark.table(queryName)
   }
 
@@ -136,8 +135,7 @@ object EventStreams {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    dropCheckpoint(ckpt)
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
     spark.table(queryName)
   }
 
@@ -170,8 +168,7 @@ object EventStreams {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    dropCheckpoint(ckpt)
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
     spark.table(queryName)
   }
 
@@ -204,8 +201,7 @@ object EventStreams {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    dropCheckpoint(ckpt)
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
     spark.table(queryName)
   }
 
@@ -241,7 +237,12 @@ object EventStreams {
               val t = us(e.ts)
               cur match {
                 case Some(s) if t - s.last <= gapUs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+                  // clamp: a cross-batch late event (t below the
+                  // carried state) must not move the session end
+                  // backwards or skew later gap checks; in-batch events
+                  // are sorted, so the clamp is a no-op there
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.value + e.value))
                 case Some(s) =>
                   out += SessionOut(userId, toTs(s.start), toTs(s.last),
                     s.n, s.value)
