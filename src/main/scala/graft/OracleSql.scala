@@ -878,6 +878,30 @@ bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS n
   FROM bgrams GROUP BY 1, 2),
 pcnt AS (SELECT w1, CAST(sum(n) AS BIGINT) AS np FROM bcnt GROUP BY 1)"""
         .drop(1)),
+    // lmCrossEntropy mirrored: each bigram's −ln p term is a 6-dp
+    // fixed-point LONG (−ln p ≥ 0), per-document sums are exact
+    // integer arithmetic, only the final mean rounds for display —
+    // the one transcendental (ln) runs on the identical exact-quotient
+    // double on both engines (tfidf-class 1-ulp caveat)
+    "t10_lm_crossentropy" -> dq(raw"""
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(l.nll) AS DOUBLE) / (count(*) * 1e6), 4)
+         AS cross_entropy
+FROM dbg d JOIN nll l ON l.w1 = d.w1 AND l.w2 = d.w2
+GROUP BY d.doc_id""",
+      extra = raw"""
+dbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+  FROM (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(toks)-1),
+            i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+        FROM toks WHERE len(toks) >= 2) u),
+bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM dbg GROUP BY 1, 2),
+pcnt AS (SELECT w1, CAST(sum(n) AS BIGINT) AS np FROM bcnt GROUP BY 1),
+nll AS (SELECT b.w1, b.w2,
+    CAST(floor(-ln(CAST(b.n AS DOUBLE) / p.np) * 1e6 + 0.5) AS BIGINT)
+      AS nll
+  FROM bcnt b JOIN pcnt p ON p.w1 = b.w1)""".drop(1)),
     // packSequences mirrored: exact integer window sums per shard,
     // integer div/mod for the pack slot — exact for any budget
     "p4_pack_sequences" -> dq(raw"""
@@ -1029,7 +1053,83 @@ bf AS (SELECT probe_id, corpus_id FROM (
         WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
         GROUP BY a.vec_id, b.vec_id) dd
   JOIN norms na ON na.vec_id = dd.probe_id
-  JOIN norms nb ON nb.vec_id = dd.corpus_id) r WHERE rank <= 10)""".drop(1)))
+  JOIN norms nb ON nb.vec_id = dd.corpus_id) r WHERE rank <= 10)""".drop(1)),
+    // PQ ADC search: every distance is the 6-dp fixed-point long
+    // (floor((x−y)²·10⁶+0.5) per element, integer sums), so argmin
+    // ties, ADC totals, and rank keys are exact on both engines —
+    // the full top-10 with distances is hash-pinned, no float-order
+    // caveat at all
+    "s3_similarity_pq" -> eq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
+       round(CAST(sd AS DOUBLE) / 1e6, 6) AS adc_dist
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY sd, corpus_id) AS rank
+      FROM adc) r
+WHERE rank <= 10""",
+      extra = raw"""
+pqcb AS (SELECT rn - 1 AS cid, vec_id AS sid FROM (
+  SELECT vec_id, row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings) t WHERE rn <= 16),
+subd AS (SELECT v.vec_id, (v.i-1)//8 AS j, p.cid,
+    sum(CAST(floor((v.x - cv.x)*(v.x - cv.x)*1e6 + 0.5) AS BIGINT)) AS d
+  FROM vexp v JOIN pqcb p ON true
+  JOIN vexp cv ON cv.vec_id = p.sid AND cv.i = v.i
+  GROUP BY v.vec_id, (v.i-1)//8, p.cid),
+pqcode AS (SELECT vec_id, j, cid FROM (
+  SELECT vec_id, j, cid, row_number() OVER (
+    PARTITION BY vec_id, j ORDER BY d, cid) AS rn FROM subd) t
+  WHERE rn = 1),
+adc AS (SELECT pd.vec_id AS probe_id, cd.vec_id AS corpus_id,
+    sum(pd.d) AS sd
+  FROM pqcode cd JOIN subd pd
+    ON pd.j = cd.j AND pd.cid = cd.cid AND pd.vec_id < 5
+  WHERE cd.vec_id <> pd.vec_id
+  GROUP BY 1, 2)""".drop(1)),
+    // recall of the code-only search vs the exact fixed-point L2 scan;
+    // target 0.1 — the isotropic distance-concentration floor (see
+    // QueryDefs) — pinned as the computed comparison, so a Spark-side
+    // drop below it flips meets_target and fails the hash gate
+    "s3_pq_recall" -> eq(raw"""
+SELECT CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
+       round(CAST(hits AS DOUBLE)/tot, 6) AS recall,
+       CAST(hits AS DOUBLE)/tot >= 0.1 AS meets_target
+FROM (SELECT count(*) FILTER (WHERE pq.corpus_id IS NOT NULL) AS hits,
+             count(*) AS tot
+      FROM bfk LEFT JOIN pqk pq
+      ON pq.probe_id = bfk.probe_id AND pq.corpus_id = bfk.corpus_id) t""",
+      extra = raw"""
+pqcb AS (SELECT rn - 1 AS cid, vec_id AS sid FROM (
+  SELECT vec_id, row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings) t WHERE rn <= 16),
+subd AS (SELECT v.vec_id, (v.i-1)//8 AS j, p.cid,
+    sum(CAST(floor((v.x - cv.x)*(v.x - cv.x)*1e6 + 0.5) AS BIGINT)) AS d
+  FROM vexp v JOIN pqcb p ON true
+  JOIN vexp cv ON cv.vec_id = p.sid AND cv.i = v.i
+  GROUP BY v.vec_id, (v.i-1)//8, p.cid),
+pqcode AS (SELECT vec_id, j, cid FROM (
+  SELECT vec_id, j, cid, row_number() OVER (
+    PARTITION BY vec_id, j ORDER BY d, cid) AS rn FROM subd) t
+  WHERE rn = 1),
+adc20 AS (SELECT pd.vec_id AS probe_id, cd.vec_id AS corpus_id,
+    sum(pd.d) AS sd
+  FROM pqcode cd JOIN subd pd
+    ON pd.j = cd.j AND pd.cid = cd.cid AND pd.vec_id < 20
+  WHERE cd.vec_id <> pd.vec_id
+  GROUP BY 1, 2),
+pqk AS (SELECT probe_id, corpus_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY sd, corpus_id) AS rn FROM adc20) t
+  WHERE rn <= 10),
+bfd AS (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
+    sum(CAST(floor((a.x - b.x)*(a.x - b.x)*1e6 + 0.5) AS BIGINT)) AS d
+  FROM vexp a JOIN vexp b ON b.i = a.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20 GROUP BY 1, 2),
+bfk AS (SELECT probe_id, corpus_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY d, corpus_id) AS rn FROM bfd) t
+  WHERE rn <= 10)""".drop(1)))
 
   // ----------------------------------------------- events + multimodal
   private def nibSql(pos: String): String =
@@ -1061,6 +1161,11 @@ dec AS (SELECT media_id, kind, text, h,
     // recall target met at nProbe=2 (vs 14 for the untrained codebook
     // on isotropic data) — the pinned TRUE fails the gate on regression
     "s2_ivf_recall_kmeans" ->
+      "SELECT CAST(200 AS BIGINT) AS n_total, TRUE AS meets_target",
+    // PQ structured-data certificate: same-cluster precision@10 of the
+    // ADC search on the 16-cluster embeddings, target 0.7 (measured
+    // 0.985/0.95/0.795 at sf0.001/0.01/0.1; random baseline 0.0625)
+    "s3_pq_precision_clustered" ->
       "SELECT CAST(200 AS BIGINT) AS n_total, TRUE AS meets_target",
     // F6: a miss-search must render the literal empty-document guard
     "f6_empty_guard" -> "SELECT '{}' AS doc",

@@ -354,6 +354,52 @@ object QueryDefs {
       Sampling.packSequences(table(s, d, "documents"))),
     "t9_bigram_lm" -> ((s, d) =>
       TextOps.bigramCounts(table(s, d, "documents"))),
+    "t10_lm_crossentropy" -> ((s, d) =>
+      TextOps.lmCrossEntropy(table(s, d, "documents"))),
+    // PQ code search: 8 subspaces × 16 centroids over the 64-dim
+    // embeddings; ADC scores probes against 4-bit codes only. The
+    // fixed-point distance makes every rank key an exact long, so the
+    // full top-10 (ids AND distances) is oracle-pinned.
+    "s3_similarity_pq" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val pcb = Similarity.pqCodebook(emb, m = 8, ks = 16, dim = 64)
+      val codes = Similarity.pqAssign(emb, pcb, m = 8, ks = 16, dim = 64)
+      Similarity.pqTopK(codes, pcb, emb.filter(col("vec_id") < 5),
+          k = 10, m = 8, ks = 16, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // ADC quality certificate: recall@10 of the code-only search vs
+    // the exact L2 scan over 20 probes. The isotropic synthetic
+    // embeddings are the distance-concentration WORST case for any
+    // quantizer (neighbor gaps ≪ quantization distortion), so the
+    // honest target is 0.1 (measured 0.125–0.17 across SFs, vs
+    // ~10/n_corpus for a random ranking); the clustered certificate
+    // below shows the same codes at 0.95+ when structure exists.
+    "s3_pq_recall" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val pcb = Similarity.pqCodebook(emb, m = 8, ks = 16, dim = 64)
+      Similarity.pqRecall(emb, pcb, emb.filter(col("vec_id") < 20),
+        k = 10, target = 0.1, m = 8, ks = 16, dim = 64)
+    }),
+    // Structured-data certificate: on the 16-cluster embeddings
+    // (TestMapping.clusteredEmbeddings, cluster = vec_id % 16), the
+    // ADC top-10 must come from the probe's own cluster — the property
+    // PQ codes exist to preserve (within-cluster ORDER is 0.25-noise
+    // by construction, so same-cluster precision is the meaningful
+    // metric; random baseline 1/16 = 0.0625). Measured 0.985/0.95/
+    // 0.795 at sf0.001/0.01/0.1; pinned ≥ 0.7. Constant-pin oracle
+    // like s2_ivf_recall_kmeans: only (n_total, meets_target).
+    "s3_pq_precision_clustered" -> ((s, d) => {
+      val cl = clusteredEmbeddings(s, d)
+      val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
+      Similarity.pqTopK(Similarity.pqAssign(cl, pcb), pcb,
+          cl.filter(col("vec_id") < 20), k = 10)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("probe_id") % 16 === col("corpus_id") % 16, 1)
+            .otherwise(0)).as("__same"))
+        .select(col("n_total"),
+          (col("__same") / col("n_total") >= 0.7).as("meets_target"))
+    }),
     // The synthetic corpus is digit-free, so the scrub is exercised on
     // deterministically planted PII (same construction in the oracle):
     // every doc gains an e-mail + an IPv4, every third a phone number.

@@ -201,6 +201,162 @@ object Similarity {
         (col("n_matched") / col("n_total") >= target).as("meets_target"))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): compress each vector to m sub-centroid
+  // ids (here 8 codes of 4 bits = 4 bytes vs 256 bytes of floats — the
+  // memory step that makes billion-vector ANN fit a cluster), score
+  // probes against CODES via an asymmetric distance computation (ADC)
+  // lookup table, never touching the raw corpus floats. Composes with
+  // IVF (IVF-PQ) by running inside each probed bucket unchanged.
+  // ------------------------------------------------------------------
+
+  /** Fixed-point squared-L2 between two equal-length double arrays:
+    * each (x−y)² term is rounded to 6 dp and scaled to an exact LONG
+    * before summing, so every PQ comparison — argmin ties, ADC sums —
+    * is pure integer arithmetic with NO float-summation-order
+    * dependence across engines or partitionings. */
+  private def sqDistScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor((x - y) * (x - y) * 1e6 + lit(0.5)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** PQ sub-codebooks from the SAME deterministic md5-ranked sample as
+    * [[codebook]]: sample ks vectors, split each into m contiguous
+    * dim/m subvectors; centroid c of subspace j is sample c's j-th
+    * slice. Returned as ONE row — `cbs[j][c]` (m × ks × dim/m doubles,
+    * bounded by m·ks·dim at any corpus scale) — so assignment and ADC
+    * are map-only against a broadcast. A production system swaps the
+    * sample for per-subspace k-means exactly like [[codebookKMeans]];
+    * the assignment/scoring plans are identical either way. */
+  def pqCodebook(corpus: DataFrame, m: Int = 8, ks: Int = 16,
+                 dim: Int = 64, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    require(sub * m == dim, s"dim $dim must split into $m subspaces")
+    val w = Window.orderBy(md5(col("__sid").cast("string")), col("__sid"))
+    corpus
+      .select(col(idCol).as("__sid"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(md5(col("__sid").cast("string")), col("__sid"))
+      .limit(ks)
+      .select((row_number().over(w) - 1).as("__c"),
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("__v"), j * sub + 1, lit(sub))).as("__subs"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("__c"), col("__subs"))))
+        .as("__l"))
+      .select(transform(sequence(lit(0), lit(m - 1)),
+        j => transform(col("__l"),
+          e => element_at(e.getField("__subs"), j + 1))).as("cbs"))
+  }
+
+  /** PQ encode: per vector the m nearest-sub-centroid ids (ties break
+    * to the LOWEST centroid id — the same total order the SQL oracle's
+    * `ORDER BY d, cid` row_number picks). One corpus scan × a
+    * single-row broadcast codebook: map-only, zero shuffle, whole
+    * argmin inside codegen'd array lambdas. Returns (id, codes[m]). */
+  def pqAssign(corpus: DataFrame, pcb: DataFrame, m: Int = 8,
+               ks: Int = 16, dim: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    corpus.crossJoin(broadcast(pcb))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val cents = element_at(col("cbs"), j + 1)
+          val subv = slice(col(vecCol).cast("array<double>"),
+            j * sub + 1, lit(sub))
+          aggregate(sequence(lit(0), lit(ks - 1)),
+            struct(lit(-1).cast("int").as("c"),
+              lit(Long.MaxValue).as("d")),
+            (acc, c) => {
+              val d = sqDistScaled(subv, element_at(cents, c + 1))
+              when(d < acc.getField("d"),
+                struct(c.cast("int").as("c"), d.as("d")))
+                .otherwise(acc)
+            }).getField("c")
+        }).as("codes"))
+  }
+
+  /** PQ top-k via ADC: each probe precomputes its m×ks distance table
+    * against the broadcast codebook (fixed-point longs), then every
+    * corpus CODE row is scored by m table lookups and an exact integer
+    * sum — the raw corpus floats are never read at query time, which
+    * is the entire PQ bargain (4-byte codes + k·dim table vs 256-byte
+    * vectors per candidate). One probe-side map, one corpus-code scan
+    * × broadcast tables, one probe-partitioned top-k window. */
+  def pqTopK(codes: DataFrame, pcb: DataFrame, probes: DataFrame,
+             k: Int, m: Int = 8, ks: Int = 16, dim: Int = 64,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val dtabs = probes.crossJoin(broadcast(pcb))
+      .select(col(idCol).as("probe_id"),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val cents = element_at(col("cbs"), j + 1)
+          val subv = slice(col(vecCol).cast("array<double>"),
+            j * sub + 1, lit(sub))
+          transform(sequence(lit(0), lit(ks - 1)),
+            c => sqDistScaled(subv, element_at(cents, c + 1)))
+        }).as("dtab"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__adc"), col("corpus_id"))
+    codes.select(col(idCol).as("corpus_id"), col("codes"))
+      .crossJoin(broadcast(dtabs))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .withColumn("__adc",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        Num.roundLike(col("__adc") / 1e6, 6).as("adc_dist"))
+  }
+
+  /** Exact L2 top-k — the ADC ground truth [[pqRecall]] certifies
+    * against. Same broadcast-probe linear-scan shape as
+    * [[bruteForceTopK]]; the rank key is the fixed-point
+    * [[sqDistScaled]] long, an exact total order every engine
+    * reproduces bit-for-bit. */
+  def bruteForceTopKL2(corpus: DataFrame, probes: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__d"), col("corpus_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        sqDistScaled(col("pv"), col("cv")).as("__d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        Num.roundLike(col("__d") / 1e6, 6).as("l2_dist"))
+  }
+
+  /** Recall@k of the ADC code search against the exact L2 scan — the
+    * PQ quality certificate, one verifiable row like [[ivfRecall]]:
+    * (n_matched, n_total, recall, meets_target). */
+  def pqRecall(corpus: DataFrame, pcb: DataFrame, probes: DataFrame,
+               k: Int, target: Double, m: Int = 8, ks: Int = 16,
+               dim: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val codes = pqAssign(corpus, pcb, m, ks, dim, idCol, vecCol)
+    val pq = pqTopK(codes, pcb, probes, k, m, ks, dim, idCol, vecCol)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("__hit"))
+    bruteForceTopKL2(corpus, probes, k, idCol, vecCol)
+      .join(pq, Seq("probe_id", "corpus_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_matched"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_matched"), col("n_total"),
+        Num.roundLike(col("n_matched") / col("n_total"), 6).as("recall"),
+        (col("n_matched") / col("n_total") >= target).as("meets_target"))
+  }
+
   /** Persist an IVF-assigned corpus partitioned BY centroid: the disk
     * layout that makes ivfTopK's bucket pruning physical — a probe with
     * nProbe buckets reads only those buckets' files (partition pruning

@@ -244,4 +244,51 @@ object TextOps {
         Num.roundLike(col("n").cast("double") / col("__np"), 6)
           .as("p_cond"))
   }
+
+  /** Per-document cross-entropy under the corpus's OWN bigram LM — the
+    * perplexity-style fluency score large-scale pipelines rank and
+    * filter training documents with (a document whose word transitions
+    * are rare across the corpus scores high = "surprising"). The model
+    * is [[bigramCounts]]' conditional p(w2|w1) = n(w1,w2)/n(w1,·);
+    * self-training means every document bigram exists in the model, so
+    * no smoothing/OOV branch is needed.
+    *
+    * Determinism at any partitioning: each bigram's −ln p term is
+    * rounded to 6 dp and SCALED TO AN EXACT LONG
+    * (floor(−ln(p)·10⁶ + 0.5); −ln p ≥ 0 always), so the per-document
+    * sum is integer arithmetic — order-independent across partition
+    * counts and engines — and only the final mean is rounded for
+    * display. ln itself is the one transcendental: JVM log and libm ln
+    * agree to ≤1 ulp on the identical exact-quotient input (same risk
+    * class as [[tfidf]], flip window ~1e-9 of a rounding boundary).
+    *
+    * Scale shape: the two count shuffles are map-side combined and the
+    * model side of the scoring join is vocab²-sized (never broadcast —
+    * the vocabulary is unbounded at corpus scale; AQE may still choose
+    * broadcast when it measures small). The doc-side bigram stream is
+    * scored by ONE (w1,w2)-keyed equi-join plus one doc_id groupBy —
+    * all linear in corpus tokens. */
+  def lmCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => struct(element_at(col("__toks"), i + 1).as("w1"),
+            element_at(col("__toks"), i + 2).as("w2")))).as("__bg"))
+      .select(col("doc_id"), col("__bg.w1"), col("__bg.w2"))
+    val bcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__n"))
+    val nll = bcnt.groupBy("w1").agg(sum("__n").as("__np"))
+      .join(bcnt, "w1")
+      .select(col("w1"), col("w2"),
+        floor(-log(col("__n").cast("double") / col("__np")) * 1e6 + lit(0.5))
+          .cast("long").as("__nll"))
+    bg.join(nll, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Num.roundLike(col("__s") / (col("n_bigrams") * 1e6), 4)
+          .as("cross_entropy"))
+  }
 }

@@ -24,6 +24,12 @@ class PlanAuditSpec extends SparkSpec {
       "recall join of two bounded top-k result sets + codebook cross (Similarity.scala:61,159)",
     "s2_ivf_recall_kmeans" ->
       "same recall shape with the Lloyd-trained codebook (Similarity.scala:61,159)",
+    "s3_similarity_pq" ->
+      "corpus/code scans × single-row broadcast PQ codebook and bounded probe distance tables (Similarity.pqAssign/pqTopK)",
+    "s3_pq_recall" ->
+      "PQ + exact-L2 recall join: bounded probe set and single-row codebook crosses (Similarity.pqRecall)",
+    "s3_pq_precision_clustered" ->
+      "same ADC shape on the clustered embeddings (Similarity.pqAssign/pqTopK)",
     "a8_transitivity" ->
       "1-row triangle count × 1-row triad count (GraphOps.scala:656)",
     "a15_feature_agg_mean" ->

@@ -171,4 +171,92 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 2).collect().map(_.getLong(2)).toSeq
     assert(fromDisk == fromMem)
   }
+
+  // 8 vectors in R⁴ → m=2 subspaces of 2 dims, ks=2 centroids each
+  private def emb4 = Seq(
+    (0L, Array(1.0f, 0.0f, 5.0f, 5.0f)),
+    (1L, Array(0.9f, 0.1f, 5.1f, 4.9f)),
+    (2L, Array(0.0f, 1.0f, -5.0f, -5.0f)),
+    (3L, Array(0.1f, 0.9f, -4.9f, -5.1f)),
+    (4L, Array(3.0f, 3.0f, 0.0f, 0.0f)),
+    (5L, Array(-3.0f, -3.0f, 0.1f, -0.1f)),
+    (6L, Array(1.0f, 0.1f, 4.8f, 5.2f)),
+    (7L, Array(0.2f, 1.1f, -5.2f, -4.8f)))
+    .toDF("vec_id", "embedding")
+
+  test("PQ codes + ADC top-k match a driver-side re-derivation") {
+    val pcb = Similarity.pqCodebook(emb4, m = 2, ks = 2, dim = 4)
+    // cbs[j][c]: m × ks × dim/m doubles (nested collect yields mutable
+    // ArraySeqs — normalize to immutable)
+    val cbs: Seq[Seq[Seq[Double]]] =
+      pcb.collect()(0)
+        .getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+        .map(_.map(_.toSeq).toSeq).toSeq
+    assert(cbs.length == 2 && cbs.forall(_.length == 2))
+    def sq(a: Seq[Double], b: Seq[Double]): Long =
+      a.lazyZip(b).map((x, y) =>
+        math.floor((x - y) * (x - y) * 1e6 + 0.5).toLong).sum
+    val vecs = emb4.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toMap
+    def subv(v: Seq[Double], j: Int) = v.slice(j * 2, j * 2 + 2)
+    def codeOf(v: Seq[Double]): Seq[Int] =
+      (0 until 2).map { j =>
+        // strict < keeps the LOWEST centroid id on ties, like the SQL
+        // oracle's ORDER BY d, cid
+        (0 until 2).minBy(c => (sq(subv(v, j), cbs(j)(c)), c))
+      }
+    val sparkCodes = Similarity.pqAssign(emb4, pcb, m = 2, ks = 2, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(sparkCodes == vecs.map { case (id, v) => id -> codeOf(v) })
+    // ADC from probe 0: table lookups against the driver codes
+    def adc(p: Seq[Double], id: Long): Long =
+      (0 until 2).map(j => sq(subv(p, j), cbs(j)(sparkCodes(id)(j)))).sum
+    val expect = vecs.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (adc(vecs(0L), id), id)).take(3)
+    val got = Similarity.pqTopK(
+      Similarity.pqAssign(emb4, pcb, m = 2, ks = 2, dim = 4), pcb,
+      emb4.filter(col("vec_id") === 0L), k = 3, m = 2, ks = 2, dim = 4)
+      .collect()
+    assert(got.map(_.getLong(2)).toSeq == expect)
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // pinned fixed-point distances reproduce the driver arithmetic
+    got.foreach { r =>
+      val want = math.floor(adc(vecs(0L), r.getLong(2)).toDouble / 1e6 *
+        1e6 + 0.5) / 1e6
+      assert(r.getDouble(3) == want)
+    }
+  }
+
+  test("PQ assignment is partitioning-independent") {
+    val pcb = Similarity.pqCodebook(emb4, m = 2, ks = 2, dim = 4)
+    val one = Similarity.pqAssign(emb4.coalesce(1), pcb, m = 2, ks = 2,
+      dim = 4).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val many = Similarity.pqAssign(emb4.repartition(7), pcb, m = 2, ks = 2,
+      dim = 4).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(one == many)
+  }
+
+  test("exact-L2 top-k: planted duplicate ranks first at distance 0") {
+    val withDup = emb4.unionAll(Seq((9L, Array(1.0f, 0.0f, 5.0f, 5.0f)))
+      .toDF("vec_id", "embedding"))
+    val out = Similarity.bruteForceTopKL2(withDup,
+      withDup.filter(col("vec_id") === 9L), k = 2).collect()
+    assert(out(0).getLong(2) == 0L && out(0).getDouble(3) == 0.0)
+  }
+
+  test("PQ recall certificate: clustered data beats the isotropic floor") {
+    val cl = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
+    val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
+    // same-cluster precision of the ADC top-10 (cluster = vec_id % 16):
+    // the structure PQ codes must preserve — within-cluster order is
+    // 0.25-noise by construction
+    val top = Similarity.pqTopK(Similarity.pqAssign(cl, pcb), pcb,
+      cl.filter(col("vec_id") < 20), k = 10)
+    val r = top.agg(count(lit(1)).as("n"),
+      sum(when(col("probe_id") % 16 === col("corpus_id") % 16, 1)
+        .otherwise(0)).as("same")).collect()(0)
+    assert(r.getLong(0) == 200L)
+    assert(r.getLong(1) >= 140L, s"same-cluster ${r.getLong(1)}/200")
+  }
 }

@@ -315,6 +315,26 @@ class TextDedupSpec extends SparkSpec {
       Set(("a", "b")))
   }
 
+  test("LM cross-entropy: fixed-point nll means, rare transitions score high") {
+    val d = Seq(
+      (1L, "x y x y"),  // bigrams (x,y)x2 (y,x): common transitions
+      (2L, "x z"),      // the one rare transition
+      (3L, "solo"))     // sub-2-token doc emits no row
+      .toDF("doc_id", "text")
+    val out = TextOps.lmCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // model: n(x,y)=2 n(y,x)=1 n(x,z)=1; n(x,·)=3 n(y,·)=1
+    def nll(n: Long, np: Long): Long =
+      math.floor(-math.log(n.toDouble / np) * 1e6 + 0.5).toLong
+    def ce(terms: Seq[Long]): Double =
+      math.floor(terms.sum.toDouble / (terms.size * 1e6) * 1e4 + 0.5) / 1e4
+    assert(out == Map(
+      1L -> (3L, ce(Seq(nll(2, 3), nll(1, 1), nll(2, 3)))),
+      2L -> (1L, ce(Seq(nll(1, 3))))))
+    // the document made of rare transitions is the "surprising" one
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
   test("pack sequences: shard-local exact offsets, budget-512 cuts") {
     // one shard (ids ≡ 0 mod 8): lengths 300, 300, 100 → starts 0,
     // 300, 600 → packs 0, 0, 1; offsets 0, 300, 88
