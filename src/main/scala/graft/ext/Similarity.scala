@@ -236,6 +236,7 @@ object Similarity {
     require(sub * m == dim, s"dim $dim must split into $m subspaces")
     val w = Window.orderBy(md5(col("__sid").cast("string")), col("__sid"))
     corpus
+      .filter(size(col(vecCol)) === dim) // no malformed codebook slots
       .select(col(idCol).as("__sid"),
         col(vecCol).cast("array<double>").as("__v"))
       .orderBy(md5(col("__sid").cast("string")), col("__sid"))
@@ -260,7 +261,11 @@ object Similarity {
                ks: Int = 16, dim: Int = 64, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val sub = dim / m
-    corpus.crossJoin(broadcast(pcb))
+    // a short/null vector would null every subspace distance, leave
+    // the argmin at its -1 sentinel, and crash ADC's 1-based table
+    // lookup under ANSI — drop non-conforming vectors at index build
+    corpus.filter(size(col(vecCol)) === dim)
+      .crossJoin(broadcast(pcb))
       .select(col(idCol),
         transform(sequence(lit(0), lit(m - 1)), j => {
           val cents = element_at(col("cbs"), j + 1)
@@ -290,7 +295,10 @@ object Similarity {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val sub = dim / m
-    val dtabs = probes.crossJoin(broadcast(pcb))
+    // same non-conforming-vector guard as pqAssign (a short probe
+    // would null its whole distance table)
+    val dtabs = probes.filter(size(col(vecCol)) === dim)
+      .crossJoin(broadcast(pcb))
       .select(col(idCol).as("probe_id"),
         transform(sequence(lit(0), lit(m - 1)), j => {
           val cents = element_at(col("cbs"), j + 1)

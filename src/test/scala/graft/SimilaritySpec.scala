@@ -245,6 +245,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getLong(2) == 0L && out(0).getDouble(3) == 0.0)
   }
 
+  test("PQ drops malformed vectors instead of crashing the ADC lookup") {
+    val dirty = emb4.unionAll(Seq(
+      (10L, Array(1.0f, 2.0f)),                 // short vector
+      (11L, null.asInstanceOf[Array[Float]]))   // null vector
+      .toDF("vec_id", "embedding"))
+    val pcb = Similarity.pqCodebook(dirty, m = 2, ks = 2, dim = 4)
+    val codes = Similarity.pqAssign(dirty, pcb, m = 2, ks = 2, dim = 4)
+    assert(codes.count() == 8) // the 8 well-formed rows survive
+    val out = Similarity.pqTopK(codes, pcb,
+      dirty.filter(col("vec_id") >= 9L), k = 3, m = 2, ks = 2, dim = 4)
+    assert(out.count() == 0)   // malformed probes score nothing
+  }
+
   test("PQ recall certificate: clustered data beats the isotropic floor") {
     val cl = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
     val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
