@@ -1167,6 +1167,10 @@ dec AS (SELECT media_id, kind, text, h,
     // 0.985/0.95/0.795 at sf0.001/0.01/0.1; random baseline 0.0625)
     "s3_pq_precision_clustered" ->
       "SELECT CAST(200 AS BIGINT) AS n_total, TRUE AS meets_target",
+    // IVF-PQ composition: bucket-pruned ADC same-cluster precision@10,
+    // target 0.7 (measured 0.985/0.975/0.855 at sf0.001/0.01/0.1)
+    "s4_ivfpq_precision" ->
+      "SELECT CAST(200 AS BIGINT) AS n_total, TRUE AS meets_target",
     // F6: a miss-search must render the literal empty-document guard
     "f6_empty_guard" -> "SELECT '{}' AS doc",
     // S11: the output-tree layout at threshold 47 (the GoldenTree

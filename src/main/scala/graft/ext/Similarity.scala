@@ -365,6 +365,59 @@ object Similarity {
         (col("n_matched") / col("n_total") >= target).as("meets_target"))
   }
 
+  /** IVF-PQ: the billion-scale composition — IVF prunes the corpus to
+    * the probe's nProbe coarse buckets (partition pruning on disk via
+    * [[writeIvfIndex]]), PQ's ADC scores ONLY those buckets' 4-byte
+    * codes. Query cost ≈ (nProbe/k_coarse) · corpus code rows, and the
+    * raw floats are never read. `assigned` carries the coarse
+    * centroid_id (from [[ivfAssign]]); `codes` the PQ codes (from
+    * [[pqAssign]]); both must have been built with the codebooks passed
+    * here — same explicit-codebook contract as [[ivfTopK]]. */
+  def ivfPqTopK(assigned: DataFrame, cb: DataFrame, codes: DataFrame,
+                pcb: DataFrame, probes: DataFrame, k: Int,
+                nProbe: Int = 2, m: Int = 8, ks: Int = 16, dim: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val p = probes.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("pv"))
+    // nProbe nearest coarse buckets per probe (same rule as ivfTopK)
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("__sim"), 6).desc, col("centroid_id"))
+    val probeBuckets = p.crossJoin(broadcast(cb))
+      .withColumn("__sim", cosine(col("pv"), col("centv")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("centroid_id"))
+    // ADC distance tables, one per probe (fixed-point longs)
+    val dtabs = probeBuckets.crossJoin(broadcast(pcb))
+      .select(col("probe_id"), col("centroid_id"),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val cents = element_at(col("cbs"), j + 1)
+          val subv = slice(col("pv"), j * sub + 1, lit(sub))
+          transform(sequence(lit(0), lit(ks - 1)),
+            c => sqDistScaled(subv, element_at(cents, c + 1)))
+        }).as("dtab"))
+    // bucket-pruned candidates: the equi-join on centroid_id is the
+    // pruning — only nProbe buckets' code rows flow into scoring
+    val cand = assigned.select(col("centroid_id"), col(idCol))
+      .join(codes.select(col(idCol), col("codes")), Seq(idCol))
+      .withColumnRenamed(idCol, "corpus_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__adc"), col("corpus_id"))
+    dtabs.join(cand, Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .withColumn("__adc",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        Num.roundLike(col("__adc") / 1e6, 6).as("adc_dist"))
+  }
+
   /** Persist an IVF-assigned corpus partitioned BY centroid: the disk
     * layout that makes ivfTopK's bucket pruning physical — a probe with
     * nProbe buckets reads only those buckets' files (partition pruning

@@ -30,6 +30,8 @@ class PlanAuditSpec extends SparkSpec {
       "PQ + exact-L2 recall join: bounded probe set and single-row codebook crosses (Similarity.pqRecall)",
     "s3_pq_precision_clustered" ->
       "same ADC shape on the clustered embeddings (Similarity.pqAssign/pqTopK)",
+    "s4_ivfpq_precision" ->
+      "IVF-PQ composition: probe × broadcast coarse/PQ codebooks, bucket join stays equi (Similarity.ivfPqTopK)",
     "a8_transitivity" ->
       "1-row triangle count × 1-row triad count (GraphOps.scala:656)",
     "a15_feature_agg_mean" ->

@@ -49,6 +49,15 @@ object PqProbe {
       val crec = Similarity.pqRecall(cl, ccb, cl.filter(col("vec_id") < 20),
         k = 10, target = 0.5).collect()(0)
       println(s"$sf clustered recall@10 = ${crec.getDouble(2)}")
+      // IVF-PQ on the same clustered corpus (kmeans coarse, nProbe=2)
+      val cb2 = Similarity.codebookKMeans(cl, 16, iters = 2)
+      val itop = Similarity.ivfPqTopK(Similarity.ivfAssign(cl, cb2), cb2,
+        Similarity.pqAssign(cl, ccb), ccb,
+        cl.filter(col("vec_id") < 20), k = 10, nProbe = 2)
+      val ip = itop.agg(count(lit(1)).as("n"),
+        sum(when(col("probe_id") % 16 === col("corpus_id") % 16, 1)
+          .otherwise(0)).as("same")).collect()(0)
+      println(s"$sf ivfpq precision@10 = ${ip.getLong(1)}/${ip.getLong(0)}")
     }
     spark.stop()
   }

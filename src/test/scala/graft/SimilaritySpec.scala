@@ -258,6 +258,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 0)   // malformed probes score nothing
   }
 
+  test("IVF-PQ: bucket-pruned ADC equals PQ over the pruned candidates") {
+    val cl = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.codebookKMeans(cl, 16, iters = 2)
+    val assigned = Similarity.ivfAssign(cl, cb)
+    val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
+    val codes = Similarity.pqAssign(cl, pcb)
+    val probes = cl.filter(col("vec_id") < 10)
+    val out = Similarity.ivfPqTopK(assigned, cb, codes, pcb, probes,
+      k = 10, nProbe = 2)
+    // composition semantics: for each probe, the IVF-PQ result is
+    // exactly pqTopK over the codes restricted to its probed buckets
+    val expect = {
+      // per-probe pruned candidate set, scored by the plain PQ path
+      val pb = Similarity.ivfTopK(assigned, cb, probes, k = 1000,
+        nProbe = 2).select(col("probe_id"), col("corpus_id"))
+      val pruned = Similarity.pqTopK(codes, pcb, probes, k = Int.MaxValue,
+        m = 8, ks = 16, dim = 64)
+        .join(pb, Seq("probe_id", "corpus_id"), "left_semi")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_dist"), col("corpus_id"))
+      pruned.withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+        .select("probe_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = out.select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // and the pruned search still lands in the probe's own cluster
+    val same = out.filter(col("probe_id") % 16 === col("corpus_id") % 16)
+      .count()
+    assert(same >= (out.count() * 0.7).toLong,
+      s"same-cluster $same/${out.count()}")
+  }
+
   test("PQ recall certificate: clustered data beats the isotropic floor") {
     val cl = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
     val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
