@@ -411,9 +411,8 @@ object QueryDefs {
       val cl = clusteredEmbeddings(s, d)
       val cb = Similarity.codebookKMeans(cl, 16, iters = 2)
       val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
-      Similarity.ivfPqTopK(Similarity.ivfAssign(cl, cb), cb,
-          Similarity.pqAssign(cl, pcb), pcb,
-          cl.filter(col("vec_id") < 20), k = 10, nProbe = 2)
+      Similarity.ivfPqTopK(Similarity.buildIvfPqIndex(cl, cb, pcb),
+          cb, pcb, cl.filter(col("vec_id") < 20), k = 10, nProbe = 2)
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("probe_id") % 16 === col("corpus_id") % 16, 1)
             .otherwise(0)).as("__same"))

@@ -293,11 +293,23 @@ object Similarity {
   def pqTopK(codes: DataFrame, pcb: DataFrame, probes: DataFrame,
              k: Int, m: Int = 8, ks: Int = 16, dim: Int = 64,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    adcScoreTopK(
+      codes.select(col(idCol).as("corpus_id"), col("codes"))
+        .crossJoin(broadcast(adcTables(probes, pcb, m, ks, dim, idCol,
+          vecCol))),
+      k, m)
+
+  /** One m×ks fixed-point ADC table per WELL-FORMED probe — the
+    * shared probe-side build of [[pqTopK]] and [[ivfPqTopK]] (a single
+    * row per probe; computing it per probed bucket would redo the
+    * m·ks·dim distance work nProbe times). Short/null probes are
+    * dropped by the same guard as [[pqAssign]]. */
+  private def adcTables(probes: DataFrame, pcb: DataFrame, m: Int,
+                        ks: Int, dim: Int, idCol: String,
+                        vecCol: String): DataFrame = {
     val sub = dim / m
-    // same non-conforming-vector guard as pqAssign (a short probe
-    // would null its whole distance table)
-    val dtabs = probes.filter(size(col(vecCol)) === dim)
+    probes.filter(size(col(vecCol)) === dim)
       .crossJoin(broadcast(pcb))
       .select(col(idCol).as("probe_id"),
         transform(sequence(lit(0), lit(m - 1)), j => {
@@ -307,10 +319,17 @@ object Similarity {
           transform(sequence(lit(0), lit(ks - 1)),
             c => sqDistScaled(subv, element_at(cents, c + 1)))
         }).as("dtab"))
+  }
+
+  /** Shared ADC scoring: candidates carry (probe_id, corpus_id, codes,
+    * dtab); score = m exact-integer table lookups, rank by (adc,
+    * corpus_id) per probe — ONE total-order rule for every PQ consumer,
+    * so the [[ivfPqTopK]] == pruned-[[pqTopK]] equivalence is
+    * structural, not a convention three copies must keep in sync. */
+  private def adcScoreTopK(cand: DataFrame, k: Int, m: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("__adc"), col("corpus_id"))
-    codes.select(col(idCol).as("corpus_id"), col("codes"))
-      .crossJoin(broadcast(dtabs))
+    cand
       .filter(col("corpus_id") =!= col("probe_id"))
       .withColumn("__adc",
         aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
@@ -326,7 +345,11 @@ object Similarity {
     * against. Same broadcast-probe linear-scan shape as
     * [[bruteForceTopK]]; the rank key is the fixed-point
     * [[sqDistScaled]] long, an exact total order every engine
-    * reproduces bit-for-bit. */
+    * reproduces bit-for-bit. The malformed-vector guard matters for
+    * CORRECTNESS here, not just crash-safety: a short/null vector's
+    * NULL distance would sort NULLS FIRST under Spark's ascending
+    * order and claim rank 1 for every probe (DuckDB sorts them last —
+    * an engine divergence on dirty data). */
   def bruteForceTopKL2(corpus: DataFrame, probes: DataFrame, k: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
@@ -340,6 +363,9 @@ object Similarity {
       .filter(col("corpus_id") =!= col("probe_id"))
       .select(col("probe_id"), col("corpus_id"),
         sqDistScaled(col("pv"), col("cv")).as("__d"))
+      // dimension-free malformed guard: a length mismatch or null
+      // vector nulls the fixed-point distance — drop the pair
+      .filter(col("__d").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("corpus_id"),
@@ -365,20 +391,33 @@ object Similarity {
         (col("n_matched") / col("n_total") >= target).as("meets_target"))
   }
 
-  /** IVF-PQ: the billion-scale composition — IVF prunes the corpus to
-    * the probe's nProbe coarse buckets (partition pruning on disk via
-    * [[writeIvfIndex]]), PQ's ADC scores ONLY those buckets' 4-byte
-    * codes. Query cost ≈ (nProbe/k_coarse) · corpus code rows, and the
-    * raw floats are never read. `assigned` carries the coarse
-    * centroid_id (from [[ivfAssign]]); `codes` the PQ codes (from
-    * [[pqAssign]]); both must have been built with the codebooks passed
-    * here — same explicit-codebook contract as [[ivfTopK]]. */
-  def ivfPqTopK(assigned: DataFrame, cb: DataFrame, codes: DataFrame,
-                pcb: DataFrame, probes: DataFrame, k: Int,
+  /** IVF-PQ index build: the coarse bucket id AND the PQ codes in ONE
+    * frame — the layout [[ivfPqTopK]] queries and [[writeIvfIndex]]
+    * persists (partitioned by centroid_id, so a probe's nProbe buckets
+    * are a partition-pruned read of 4-byte codes). Built once at index
+    * time; queries never touch the raw floats or re-join the corpus. */
+  def buildIvfPqIndex(corpus: DataFrame, cb: DataFrame, pcb: DataFrame,
+                      m: Int = 8, ks: Int = 16, dim: Int = 64,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    ivfAssign(corpus, cb, idCol, vecCol).drop(vecCol)
+      .join(pqAssign(corpus, pcb, m, ks, dim, idCol, vecCol), Seq(idCol))
+
+  /** IVF-PQ query: the billion-scale composition — IVF prunes the
+    * index to the probe's nProbe coarse buckets, PQ's ADC scores ONLY
+    * those buckets' codes. `index` is [[buildIvfPqIndex]]'s frame
+    * (idCol, centroid_id, codes), built with the SAME codebooks passed
+    * here — the explicit-codebook contract of [[ivfTopK]]. Query plan:
+    * probe buckets and per-probe ADC tables are bounded broadcasts,
+    * the bucket prune is a broadcast equi-join against the index scan
+    * (with the partitioned disk layout, a partition-pruned read of
+    * nProbe/k_coarse of the codes), and scoring is map-only integer
+    * lookups — no corpus-sized shuffle anywhere in the query path. */
+  def ivfPqTopK(index: DataFrame, cb: DataFrame, pcb: DataFrame,
+                probes: DataFrame, k: Int,
                 nProbe: Int = 2, m: Int = 8, ks: Int = 16, dim: Int = 64,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val sub = dim / m
     val p = probes.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("probe_id"),
         col(vecCol).cast("array<double>").as("pv"))
@@ -389,33 +428,16 @@ object Similarity {
       .withColumn("__sim", cosine(col("pv"), col("centv")))
       .withColumn("__rn", row_number().over(wp))
       .filter(col("__rn") <= nProbe)
-      .select(col("probe_id"), col("pv"), col("centroid_id"))
-    // ADC distance tables, one per probe (fixed-point longs)
-    val dtabs = probeBuckets.crossJoin(broadcast(pcb))
-      .select(col("probe_id"), col("centroid_id"),
-        transform(sequence(lit(0), lit(m - 1)), j => {
-          val cents = element_at(col("cbs"), j + 1)
-          val subv = slice(col("pv"), j * sub + 1, lit(sub))
-          transform(sequence(lit(0), lit(ks - 1)),
-            c => sqDistScaled(subv, element_at(cents, c + 1)))
-        }).as("dtab"))
-    // bucket-pruned candidates: the equi-join on centroid_id is the
-    // pruning — only nProbe buckets' code rows flow into scoring
-    val cand = assigned.select(col("centroid_id"), col(idCol))
-      .join(codes.select(col(idCol), col("codes")), Seq(idCol))
-      .withColumnRenamed(idCol, "corpus_id")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("__adc"), col("corpus_id"))
-    dtabs.join(cand, Seq("centroid_id"))
-      .filter(col("corpus_id") =!= col("probe_id"))
-      .withColumn("__adc",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-          (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
-            element_at(col("codes"), j + 1) + 1)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("corpus_id"),
-        Num.roundLike(col("__adc") / 1e6, 6).as("adc_dist"))
+      .select(col("probe_id"), col("centroid_id"))
+    // prune FIRST: broadcast the bounded (probe × bucket) pairs
+    // against the index scan, then attach each probe's ADC table
+    val cand = index
+      .select(col("centroid_id"), col(idCol).as("corpus_id"),
+        col("codes"))
+      .join(broadcast(probeBuckets), Seq("centroid_id"))
+      .join(broadcast(adcTables(probes, pcb, m, ks, dim, idCol, vecCol)),
+        Seq("probe_id"))
+    adcScoreTopK(cand, k, m)
   }
 
   /** Persist an IVF-assigned corpus partitioned BY centroid: the disk

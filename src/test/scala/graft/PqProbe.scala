@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Similarity, TextOps}
 
 /** Diagnostic main (not a test): measures PQ ADC recall@10 vs the
-  * exact L2 scan at each SF, to pin s3_pq_recall's target on data, and
-  * smoke-runs the other round-6 additions.
+  * exact L2 scan, clustered precision, and IVF-PQ precision at each of
+  * the three /root/testdata SFs (fixed loop, no arguments), to pin the
+  * s3/s4 certificate targets on data.
   *
-  *   sbt "Test/runMain graft.PqProbe /root/testdata/sf0.01"
+  *   sbt "Test/runMain graft.PqProbe"
   */
 object PqProbe {
   def main(args: Array[String]): Unit = {
@@ -51,8 +52,8 @@ object PqProbe {
       println(s"$sf clustered recall@10 = ${crec.getDouble(2)}")
       // IVF-PQ on the same clustered corpus (kmeans coarse, nProbe=2)
       val cb2 = Similarity.codebookKMeans(cl, 16, iters = 2)
-      val itop = Similarity.ivfPqTopK(Similarity.ivfAssign(cl, cb2), cb2,
-        Similarity.pqAssign(cl, ccb), ccb,
+      val itop = Similarity.ivfPqTopK(
+        Similarity.buildIvfPqIndex(cl, cb2, ccb), cb2, ccb,
         cl.filter(col("vec_id") < 20), k = 10, nProbe = 2)
       val ip = itop.agg(count(lit(1)).as("n"),
         sum(when(col("probe_id") % 16 === col("corpus_id") % 16, 1)

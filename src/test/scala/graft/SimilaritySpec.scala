@@ -265,7 +265,8 @@ class SimilaritySpec extends SparkSpec {
     val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
     val codes = Similarity.pqAssign(cl, pcb)
     val probes = cl.filter(col("vec_id") < 10)
-    val out = Similarity.ivfPqTopK(assigned, cb, codes, pcb, probes,
+    val out = Similarity.ivfPqTopK(
+      Similarity.buildIvfPqIndex(cl, cb, pcb), cb, pcb, probes,
       k = 10, nProbe = 2)
     // composition semantics: for each probe, the IVF-PQ result is
     // exactly pqTopK over the codes restricted to its probed buckets
