@@ -1171,6 +1171,11 @@ dec AS (SELECT media_id, kind, text, h,
     // target 0.7 (measured 0.985/0.975/0.855 at sf0.001/0.01/0.1)
     "s4_ivfpq_precision" ->
       "SELECT CAST(200 AS BIGINT) AS n_total, TRUE AS meets_target",
+    // trained PQ sub-codebooks: never lose to the md5 sample, and hold
+    // the 0.05 absolute floor (2x margin at every SF incl. sf1)
+    "s3_pq_recall_trained" ->
+      ("SELECT CAST(200 AS BIGINT) AS n_total, " +
+        "TRUE AS trained_ge_sampled, TRUE AS trained_meets_floor"),
     // F6: a miss-search must render the literal empty-document guard
     "f6_empty_guard" -> "SELECT '{}' AS doc",
     // S11: the output-tree layout at threshold 47 (the GoldenTree

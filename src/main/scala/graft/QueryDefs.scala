@@ -400,6 +400,30 @@ object QueryDefs {
         .select(col("n_total"),
           (col("__same") / col("n_total") >= 0.7).as("meets_target"))
     }),
+    // Trained-sub-codebook certificate: Lloyd-refined PQ codebooks
+    // must not lose to the md5 sample on the SAME corpus and probes —
+    // the scale-stable comparative pin (absolute recall@10 on
+    // isotropic data decays with corpus density: sampled
+    // 0.14/0.17/0.125/0.04 vs trained 0.185/0.27/0.175/0.11 at
+    // sf0.001/0.01/0.1/sf1 — training lifts 1.3–2.75× everywhere, and
+    // the 0.05 floor holds at every SF with ≥2× margin). Constant-pin
+    // oracle: (n_total, trained_ge_sampled, trained_meets_floor).
+    "s3_pq_recall_trained" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 20)
+      val sampled = Similarity.pqRecall(emb,
+          Similarity.pqCodebook(emb, m = 8, ks = 16, dim = 64),
+          probes, k = 10, target = 0.05)
+        .select(col("recall").as("__sampled"))
+      Similarity.pqRecall(emb,
+          Similarity.pqCodebookKMeans(emb, m = 8, ks = 16, dim = 64,
+            iters = 2),
+          probes, k = 10, target = 0.05)
+        .crossJoin(broadcast(sampled))
+        .select(col("n_total"),
+          (col("recall") >= col("__sampled")).as("trained_ge_sampled"),
+          col("meets_target").as("trained_meets_floor"))
+    }),
     // IVF-PQ composition certificate: coarse k-means buckets prune the
     // corpus (nProbe=2 of 16), ADC scores only the pruned codes — the
     // billion-scale ANN architecture end-to-end. Same-cluster

@@ -252,6 +252,75 @@ object Similarity {
           e => element_at(e.getField("__subs"), j + 1))).as("cbs"))
   }
 
+  /** PQ sub-codebooks refined by Lloyd iterations, seeded from the
+    * deterministic [[pqCodebook]] sample — the trained variant, exactly
+    * [[codebookKMeans]]' role for the coarse quantizer. All m subspace
+    * k-means run as ONE DataFrame chain per iteration: explode the
+    * corpus to (id, j, subv) rows, assign each subvector to its nearest
+    * current sub-centroid (fixed-point argmin, broadcast codebook),
+    * recompute each (j, centroid) as the element-wise mean of its
+    * members, rebuild the single-row cbs. Empty cells keep their
+    * previous centroid. Each iteration is one corpus scan + an
+    * m·ks·(dim/m)-sized aggregate; the codebook stays a bounded
+    * broadcast at any corpus scale. Training tightens per-subspace
+    * quantization cells around the data's marginal structure, which is
+    * what lifts ADC recall when the corpus is not isotropic. */
+  def pqCodebookKMeans(corpus: DataFrame, m: Int = 8, ks: Int = 16,
+                       dim: Int = 64, iters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    var pcb = pqCodebook(corpus, m, ks, dim, idCol, vecCol)
+    val subs = corpus.filter(size(col(vecCol)) === dim)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col(vecCol).cast("array<double>"),
+            j * sub + 1, lit(sub)))).as(Seq("__j", "__subv")))
+    var it = 0
+    while (it < iters) {
+      val assigned = subs.crossJoin(broadcast(pcb))
+        .select(col("__j"), col("__subv"),
+          aggregate(sequence(lit(0), lit(ks - 1)),
+            struct(lit(-1).cast("int").as("c"),
+              lit(Long.MaxValue).as("d")),
+            (acc, c) => {
+              val d = sqDistScaled(col("__subv"),
+                element_at(element_at(col("cbs"), col("__j") + 1), c + 1))
+              when(d < acc.getField("d"),
+                struct(c.cast("int").as("c"), d.as("d")))
+                .otherwise(acc)
+            }).getField("c").as("__c"))
+      val means = assigned
+        .select(col("__j"), col("__c"),
+          posexplode(col("__subv")).as(Seq("__i", "__x")))
+        .groupBy(col("__j"), col("__c"), col("__i"))
+        .agg(avg(col("__x")).as("__mx"))
+        .groupBy(col("__j"), col("__c"))
+        .agg(transform(array_sort(collect_list(struct(col("__i"),
+          col("__mx")))), e => e.getField("__mx")).as("__mean"))
+      // rebuild cbs[j][c], keeping the previous centroid where a cell
+      // went empty (no member subvectors this round)
+      val prev = pcb
+      pcb = means
+        .groupBy(col("__j"))
+        .agg(map_from_arrays(collect_list(col("__c")),
+          collect_list(col("__mean"))).as("__bym"))
+        .groupBy()
+        .agg(map_from_arrays(collect_list(col("__j")),
+          collect_list(col("__bym"))).as("__byj"))
+        .crossJoin(broadcast(prev))
+        .select(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(ks - 1)), c =>
+            coalesce(
+              element_at(element_at(col("__byj"), j), c.cast("int")),
+              element_at(element_at(col("cbs"), j + 1), c + 1))))
+          .as("cbs"))
+        .localCheckpoint(eager = true) // 1 row; cut per-iter lineage
+      it += 1
+    }
+    pcb
+  }
+
   /** PQ encode: per vector the m nearest-sub-centroid ids (ties break
     * to the LOWEST centroid id — the same total order the SQL oracle's
     * `ORDER BY d, cid` row_number picks). One corpus scan × a

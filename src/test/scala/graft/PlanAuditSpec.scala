@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSpec {
       "same ADC shape on the clustered embeddings (Similarity.pqAssign/pqTopK)",
     "s4_ivfpq_precision" ->
       "IVF-PQ composition: probe × broadcast coarse/PQ codebooks, bucket join stays equi (Similarity.ivfPqTopK)",
+    "s3_pq_recall_trained" ->
+      "two bounded recall rows crossed + per-iter Lloyd broadcasts (Similarity.pqCodebookKMeans/pqRecall)",
     "a8_transitivity" ->
       "1-row triangle count × 1-row triad count (GraphOps.scala:656)",
     "a15_feature_agg_mean" ->

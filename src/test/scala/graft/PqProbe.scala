@@ -59,6 +59,24 @@ object PqProbe {
         sum(when(col("probe_id") % 16 === col("corpus_id") % 16, 1)
           .otherwise(0)).as("same")).collect()(0)
       println(s"$sf ivfpq precision@10 = ${ip.getLong(1)}/${ip.getLong(0)}")
+      // trained sub-codebooks: isotropic recall + clustered precision
+      val tcb = Similarity.pqCodebookKMeans(emb, m = 8, ks = 16, dim = 64,
+        iters = 2)
+      val tr = Similarity.pqRecall(emb, tcb, emb.filter(col("vec_id") < 20),
+        k = 10, target = 0.1).collect()(0)
+      println(s"$sf trained-pq isotropic recall@10 = ${tr.getDouble(2)}")
+      val tccb = Similarity.pqCodebookKMeans(cl, m = 8, ks = 16, dim = 64,
+        iters = 2)
+      val ttop = Similarity.pqTopK(Similarity.pqAssign(cl, tccb), tccb,
+        cl.filter(col("vec_id") < 20), k = 10)
+      val tp = ttop.agg(count(lit(1)).as("n"),
+        sum(when(col("probe_id") % 16 === col("corpus_id") % 16, 1)
+          .otherwise(0)).as("same")).collect()(0)
+      println(s"$sf trained-pq clustered precision@10 = " +
+        s"${tp.getLong(1)}/${tp.getLong(0)}")
+      val tcrec = Similarity.pqRecall(cl, tccb, cl.filter(col("vec_id") < 20),
+        k = 10, target = 0.5).collect()(0)
+      println(s"$sf trained-pq clustered recall@10 = ${tcrec.getDouble(2)}")
     }
     spark.stop()
   }

@@ -258,6 +258,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 0)   // malformed probes score nothing
   }
 
+  test("trained PQ sub-codebooks: never lose to the sample, saturate clusters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 20)
+    val sampled = Similarity.pqRecall(emb,
+      Similarity.pqCodebook(emb, m = 8, ks = 16, dim = 64),
+      probes, k = 10, target = 0.05).collect()(0)
+    val trained = Similarity.pqRecall(emb,
+      Similarity.pqCodebookKMeans(emb, m = 8, ks = 16, dim = 64, iters = 2),
+      probes, k = 10, target = 0.05).collect()(0)
+    assert(trained.getDouble(2) >= sampled.getDouble(2),
+      s"trained=${trained.getDouble(2)} sampled=${sampled.getDouble(2)}")
+    assert(trained.getBoolean(3)) // the 0.05 absolute floor
+    // on clustered data 2 Lloyd rounds saturate same-cluster precision
+    val cl = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
+    val tccb = Similarity.pqCodebookKMeans(cl, m = 8, ks = 16, dim = 64,
+      iters = 2)
+    val top = Similarity.pqTopK(Similarity.pqAssign(cl, tccb), tccb,
+      cl.filter(col("vec_id") < 20), k = 10)
+    val same = top.filter(col("probe_id") % 16 === col("corpus_id") % 16)
+      .count()
+    assert(same >= 190L, s"same-cluster $same/200") // measured 200/200
+  }
+
   test("IVF-PQ: bucket-pruned ADC equals PQ over the pruned candidates") {
     val cl = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
     val cb = Similarity.codebookKMeans(cl, 16, iters = 2)
