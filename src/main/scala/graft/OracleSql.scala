@@ -1054,6 +1054,26 @@ bf AS (SELECT probe_id, corpus_id FROM (
         GROUP BY a.vec_id, b.vec_id) dd
   JOIN norms na ON na.vec_id = dd.probe_id
   JOIN norms nb ON nb.vec_id = dd.corpus_id) r WHERE rank <= 10)""".drop(1)),
+    // streaming IVF ingest: the emitted (vec_id, centroid_id) set is
+    // order-independent and equals the batch assignment — same cb /
+    // csim / assigned chain as the s2 oracle
+    "e6_stream_ivf_assign" -> eq(raw"""
+SELECT vec_id, centroid_id FROM assigned""",
+      extra = raw"""
+cb AS (SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cdot AS (SELECT v.vec_id, c.centroid_id, sum(v.x * cv.x) AS dot
+  FROM vexp v JOIN cb c ON true
+  JOIN vexp cv ON cv.vec_id = c.centroid_id AND cv.i = v.i
+  GROUP BY v.vec_id, c.centroid_id),
+csim AS (SELECT cdot.vec_id, cdot.centroid_id,
+    cdot.dot/(nv.nrm*nc.nrm) AS sim
+  FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+  JOIN norms nc ON nc.vec_id = cdot.centroid_id),
+assigned AS (SELECT vec_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
+  FROM csim) t WHERE rn = 1)""".drop(1)),
     // PQ ADC search: every distance is the 6-dp fixed-point long
     // (floor((x−y)²·10⁶+0.5) per element, integer sums), so argmin
     // ties, ADC totals, and rank keys are exact on both engines —

@@ -501,6 +501,18 @@ object QueryDefs {
         s"$d/documents.parquet", raw,
         queryName = "e5_qf_" + math.abs(d.hashCode).toString)
     }),
+    // streaming IVF index ingest: stateless nearest-centroid
+    // assignment of the embeddings STREAM against the frozen sampled
+    // codebook; order-independent row set, so the batch assignment
+    // (the s2 oracle's `assigned` CTE) is the exact oracle
+    "e6_stream_ivf_assign" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cbRow = Similarity.rollCodebook(Similarity.codebook(emb, 16))
+        .localCheckpoint(eager = true) // freeze before the stream starts
+      EventStreams.ivfAssignStreamFromParquet(s, s"$d/embeddings.parquet",
+        emb.schema, cbRow,
+        queryName = "e6_ivf_" + math.abs(d.hashCode).toString)
+    }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5
     // arithmetic (what the oracle replicates) while the gate still

@@ -142,6 +142,52 @@ object Similarity {
       .drop("__rn", "__sim", "centv", "__v")
   }
 
+  /** The codebook rolled to ONE row — `cids[i]`/`cvs[i]` sorted by
+    * centroid id — for the window-free assignment below (and any other
+    * consumer that wants the whole codebook in a single broadcast
+    * value rather than k rows). */
+  def rollCodebook(cb: DataFrame): DataFrame =
+    cb.groupBy()
+      .agg(array_sort(collect_list(struct(col("centroid_id"),
+        col("centv")))).as("__l"))
+      .select(transform(col("__l"), e => e.getField("centroid_id"))
+          .as("cids"),
+        transform(col("__l"), e => e.getField("centv")).as("cvs"))
+
+  /** Window-free IVF assignment: the nearest-centroid argmin as a fold
+    * over the rolled codebook instead of [[ivfAssign]]'s row_number
+    * window — bit-equal output (same rounded-sim compare, ties to the
+    * LOWEST centroid id because the fold walks ids ascending with a
+    * strict >), but legal on an UNBOUNDED STREAM, where non-time
+    * windows are not: this is the form streaming ingest uses to keep
+    * an IVF index current as vectors arrive
+    * (EventStreams.ivfAssignStreamFromParquet). The codebook join is
+    * stream-static on a constant key — a broadcast hash join, never a
+    * shuffle. Rows whose vector yields no similarity (malformed/empty
+    * codebook) are dropped, matching the batch guards. */
+  def ivfAssignStreamable(corpus: DataFrame, cbRow: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val keyed = cbRow.withColumn("__k", lit(1))
+    corpus.withColumn("__k", lit(1))
+      .join(broadcast(keyed), Seq("__k"))
+      .withColumn("__best",
+        aggregate(sequence(lit(0), size(col("cids")) - 1),
+          struct(lit(-1).cast("int").as("i"),
+            lit(Double.NegativeInfinity).as("s")),
+          (acc, i) => {
+            val s = Num.roundLike(
+              cosine(col(vecCol).cast("array<double>"),
+                element_at(col("cvs"), i + 1)), 6)
+            when(s > acc.getField("s"),
+              struct(i.cast("int").as("i"), s.as("s")))
+              .otherwise(acc)
+          }).getField("i"))
+      .filter(col("__best") >= 0)
+      .select(col(idCol), col(vecCol),
+        element_at(col("cids"), col("__best") + 1).as("centroid_id"))
+  }
+
   /** IVF top-k: probe only the nProbe nearest centroid buckets of the
     * SAME codebook the index was assigned with. The bucket-pruned scan
     * replaces the full linear scan — at 100 TB the corpus is

@@ -205,6 +205,37 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming IVF index ingest — vectors stream in, each is assigned
+    * its nearest coarse centroid against a FROZEN broadcast codebook
+    * (the production shape: the codebook retrains offline; ingest only
+    * assigns). Completely stateless — no watermark or state store, so
+    * the assignment runs at scan speed on an unbounded stream, and the
+    * emitted (id, centroid) set is order-independent: the batch
+    * assignment is the exact oracle. Uses the window-free
+    * [[graft.ext.Similarity.ivfAssignStreamable]] fold (row_number
+    * windows are illegal on streams); a production sink would
+    * `partitionBy(centroid_id)` into the disk index that
+    * Similarity.writeIvfIndex lays out. */
+  def ivfAssignStreamFromParquet(spark: SparkSession, path: String,
+                                 rawSchema: org.apache.spark.sql.types.StructType,
+                                 cbRow: DataFrame,
+                                 queryName: String = "e6_ivf"): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("e6ckpt").toString
+    val q = graft.ext.Similarity.ivfAssignStreamable(raw, cbRow)
+      .select(col("vec_id"), col("centroid_id"))
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.table(queryName)
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState: emits a
     * session when the gap timeout fires. State is one small struct per
     * active user — bounded by active-user cardinality, not event volume. */

@@ -99,6 +99,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.length == 3 && streamed.sameElements(batch))
   }
 
+  test("streaming IVF ingest assigns exactly like the batch window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = graft.ext.Similarity.codebook(emb, 4)
+    val cbRow = graft.ext.Similarity.rollCodebook(cb)
+      .localCheckpoint(eager = true)
+    // the window-free fold is bit-equal to ivfAssign's rounded-sim +
+    // lowest-centroid-id tie-break (batch comparison first)
+    val fold = graft.ext.Similarity.ivfAssignStreamable(emb, cbRow)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ext.Similarity.ivfAssign(emb, cb)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold == batch)
+    // and the actual stream emits the same order-independent set
+    val f = new java.io.File("/root/testdata/sf0.001")
+      .listFiles().filter(_.getName == "embeddings.parquet").head
+    val streamed = EventStreams.ivfAssignStreamFromParquet(spark,
+        f.getAbsolutePath, emb.schema, cbRow,
+        queryName = "e6_spec_ivf")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming quality filter admits exactly the batch-filter rows") {
     val dir = java.nio.file.Files.createTempDirectory("qfstream").toString
     val docs = Seq(
