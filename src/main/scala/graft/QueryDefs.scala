@@ -363,6 +363,7 @@ object QueryDefs {
     "s3_similarity_pq" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val pcb = Similarity.pqCodebook(emb, m = 8, ks = 16, dim = 64)
+        .localCheckpoint(eager = true) // 1 row; one sample scan, not per-consumer
       val codes = Similarity.pqAssign(emb, pcb, m = 8, ks = 16, dim = 64)
       Similarity.pqTopK(codes, pcb, emb.filter(col("vec_id") < 5),
           k = 10, m = 8, ks = 16, dim = 64)
@@ -378,6 +379,7 @@ object QueryDefs {
     "s3_pq_recall" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val pcb = Similarity.pqCodebook(emb, m = 8, ks = 16, dim = 64)
+        .localCheckpoint(eager = true) // 1 row; one sample scan, not per-consumer
       Similarity.pqRecall(emb, pcb, emb.filter(col("vec_id") < 20),
         k = 10, target = 0.1, m = 8, ks = 16, dim = 64)
     }),
@@ -392,6 +394,7 @@ object QueryDefs {
     "s3_pq_precision_clustered" -> ((s, d) => {
       val cl = clusteredEmbeddings(s, d)
       val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
+        .localCheckpoint(eager = true) // 1 row; one sample scan, not per-consumer
       Similarity.pqTopK(Similarity.pqAssign(cl, pcb), pcb,
           cl.filter(col("vec_id") < 20), k = 10)
         .agg(count(lit(1)).as("n_total"),
@@ -435,6 +438,7 @@ object QueryDefs {
       val cl = clusteredEmbeddings(s, d)
       val cb = Similarity.codebookKMeans(cl, 16, iters = 2)
       val pcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
+        .localCheckpoint(eager = true) // 1 row; one sample scan, not per-consumer
       Similarity.ivfPqTopK(Similarity.buildIvfPqIndex(cl, cb, pcb),
           cb, pcb, cl.filter(col("vec_id") < 20), k = 10, nProbe = 2)
         .agg(count(lit(1)).as("n_total"),
