@@ -32,19 +32,13 @@ object TestMapping {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses natively; sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true and this helper restores
-    * a microsecond TimestampType column (the driver data is µs-clean —
-    * ns remainder is 0 — so the truncation is lossless). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val e = table(spark, dir, "events")
-    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integral `div`, NOT `/`: float division of epoch-nanos longs
-      // (~1.7e18) exceeds double's 53-bit mantissa and wobbles ±1 µs.
-      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else e
-  }
+  /** The events table's `ts` encoding has varied across testdata
+    * generations (TIMESTAMP(NANOS) read as long under nanosAsLong;
+    * TIMESTAMP_NTZ from µs/isAdjustedToUTC=false parquet) —
+    * [[graft.streaming.EventStreams.normalizeTs]] maps every encoding
+    * to a plain microsecond TimestampType column. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.normalizeTs(table(spark, dir, "events"))
 
   /** chr for a long key: key%25 with 0→MT, 23→X, 24→Y, else the digits. */
   def chrmap(k: Column): Column = {

@@ -163,8 +163,16 @@ object Similarity {
     * an IVF index current as vectors arrive
     * (EventStreams.ivfAssignStreamFromParquet). The codebook join is
     * stream-static on a constant key — a broadcast hash join, never a
-    * shuffle. Rows whose vector yields no similarity (malformed/empty
-    * codebook) are dropped, matching the batch guards. */
+    * shuffle.
+    *
+    * Documented divergence from batch [[ivfAssign]]: rows whose every
+    * centroid similarity is NULL (malformed vector) are DROPPED here,
+    * where the batch window keeps them under an arbitrary centroid
+    * (row_number over all-NULL sort keys still ranks) — the stream
+    * admits only rows it can place, the defensible ingest semantics.
+    * An EMPTY codebook assigns nothing (all rows dropped) instead of
+    * throwing: the fold is guarded so `sequence(0, -1)` + 0-index
+    * `element_at` — both ANSI errors — are never evaluated. */
   def ivfAssignStreamable(corpus: DataFrame, cbRow: DataFrame,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
@@ -172,17 +180,19 @@ object Similarity {
     corpus.withColumn("__k", lit(1))
       .join(broadcast(keyed), Seq("__k"))
       .withColumn("__best",
-        aggregate(sequence(lit(0), size(col("cids")) - 1),
-          struct(lit(-1).cast("int").as("i"),
-            lit(Double.NegativeInfinity).as("s")),
-          (acc, i) => {
-            val s = Num.roundLike(
-              cosine(col(vecCol).cast("array<double>"),
-                element_at(col("cvs"), i + 1)), 6)
-            when(s > acc.getField("s"),
-              struct(i.cast("int").as("i"), s.as("s")))
-              .otherwise(acc)
-          }).getField("i"))
+        when(size(col("cids")) > 0,
+          aggregate(sequence(lit(0), size(col("cids")) - 1),
+            struct(lit(-1).cast("int").as("i"),
+              lit(Double.NegativeInfinity).as("s")),
+            (acc, i) => {
+              val s = Num.roundLike(
+                cosine(col(vecCol).cast("array<double>"),
+                  element_at(col("cvs"), i + 1)), 6)
+              when(s > acc.getField("s"),
+                struct(i.cast("int").as("i"), s.as("s")))
+                .otherwise(acc)
+            }).getField("i"))
+          .otherwise(lit(-1).cast("int")))
       .filter(col("__best") >= 0)
       .select(col(idCol), col(vecCol),
         element_at(col("cids"), col("__best") + 1).as("centroid_id"))
@@ -336,11 +346,18 @@ object Similarity {
                 struct(c.cast("int").as("c"), d.as("d")))
                 .otherwise(acc)
             }).getField("c").as("__c"))
+      // fixed-point mean, like every other PQ compare: avg() of doubles
+      // is last-ulp ORDER-dependent (float add is non-associative across
+      // partitions) and this feeds a pinned boolean certificate — sum
+      // the 1e-6-quantized longs (exact, associative, any partitioning)
+      // and divide once. Headroom: |x|·1e6 ≲ 1e7 per member leaves
+      // ~1e11 members per (j,c,i) cell before long overflow.
       val means = assigned
         .select(col("__j"), col("__c"),
           posexplode(col("__subv")).as(Seq("__i", "__x")))
         .groupBy(col("__j"), col("__c"), col("__i"))
-        .agg(avg(col("__x")).as("__mx"))
+        .agg((sum(floor(col("__x") * 1e6 + lit(0.5)).cast("long"))
+          .cast("double") / count(lit(1)) / 1e6).as("__mx"))
         .groupBy(col("__j"), col("__c"))
         .agg(transform(array_sort(collect_list(struct(col("__i"),
           col("__mx")))), e => e.getField("__mx")).as("__mean"))
@@ -355,10 +372,16 @@ object Similarity {
         .agg(map_from_arrays(collect_list(col("__j")),
           collect_list(col("__bym"))).as("__byj"))
         .crossJoin(broadcast(prev))
+        // try_element_at, NOT element_at: the maps are keyed only by
+        // (j, c) pairs that had members this round — a plain map lookup
+        // on an empty cell's missing key throws MAP_KEY_DOES_NOT_EXIST
+        // under Spark 4 ANSI; try_ yields NULL and the coalesce keeps
+        // the previous centroid, which is the documented empty-cell rule
         .select(transform(sequence(lit(0), lit(m - 1)), j =>
           transform(sequence(lit(0), lit(ks - 1)), c =>
             coalesce(
-              element_at(element_at(col("__byj"), j), c.cast("int")),
+              try_element_at(try_element_at(col("__byj"), j),
+                c.cast("int")),
               element_at(element_at(col("cbs"), j + 1), c + 1))))
           .as("cbs"))
         .localCheckpoint(eager = true) // 1 row; cut per-iter lineage

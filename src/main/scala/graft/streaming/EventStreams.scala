@@ -17,6 +17,30 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
+  /** Normalize the event-time column to TimestampType regardless of how
+    * the parquet writer encoded it. Three encodings appear in the wild:
+    *   - `Timestamp(NANOS)` read as epoch-nanos LongType under
+    *     spark.sql.legacy.parquet.nanosAsLong (integral `div`, NOT `/`:
+    *     float division of ~1.7e18 longs exceeds double's 53-bit
+    *     mantissa and wobbles ±1 µs);
+    *   - `Timestamp(isAdjustedToUTC=false, µs)` read as TIMESTAMP_NTZ by
+    *     Spark 4 — cast to TIMESTAMP; under the engine's pinned UTC
+    *     session zone the cast reinterprets the same wall-clock as the
+    *     same instant, losslessly;
+    *   - plain TIMESTAMP — passed through.
+    * Every event-time consumer (batch loaders, both stream readers) goes
+    * through this, so a regenerated dataset switching encoding cannot
+    * break the event-time surface again. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** One-shot (Trigger.AvailableNow) runs keep their results in the
     * memory sink, so the checkpoint directory is dead state once the
     * query terminates — delete it, or every gate round leaks offset +
@@ -89,11 +113,7 @@ object EventStreams {
     val base = new java.io.File(path).getName
     val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", base).parquet(dir)
-    val withTs =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val events = withTs
+    val events = normalizeTs(raw)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event]
     val ckpt = java.nio.file.Files.createTempDirectory("e3ckpt").toString
@@ -124,12 +144,8 @@ object EventStreams {
     val base = new java.io.File(path).getName
     val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", base).parquet(dir)
-    val withTs =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
     val ckpt = java.nio.file.Files.createTempDirectory("e2ckpt").toString
-    val q = windowedCounts(withTs, width, watermark = Some(delay))
+    val q = windowedCounts(normalizeTs(raw), width, watermark = Some(delay))
       .writeStream.format("memory").queryName(queryName)
       .option("checkpointLocation", ckpt)
       .outputMode("append")

@@ -123,6 +123,66 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  // --- TIMESTAMP_NTZ regression fixtures: parquet written with
+  // isAdjustedToUTC=false (Spark 4 reads it as TIMESTAMP_NTZ) broke the
+  // whole event-time surface in round 7. Every event-time entry point
+  // must survive all three wild encodings via normalizeTs.
+
+  private def writeNtzFixture(): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("ntzfix").toString
+    eventsDf.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/in")
+    new java.io.File(dir + "/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+  }
+
+  test("normalizeTs maps NTZ parquet to the same instants as TIMESTAMP") {
+    val f = writeNtzFixture()
+    val raw = spark.read.parquet(f.getAbsolutePath)
+    assert(raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val norm = EventStreams.normalizeTs(raw)
+    assert(norm.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = norm.select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val want = eventsDf.select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(got == want)
+  }
+
+  test("batch sessionization runs over an NTZ parquet via normalizeTs") {
+    val f = writeNtzFixture()
+    val events = EventStreams.normalizeTs(
+      spark.read.parquet(f.getAbsolutePath))
+    val out = EventStreams.sessionizeBatch(events, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("session_seq"))) ->
+        r.getLong(r.fieldIndex("n_events"))).toMap
+    assert(out == Map((10L, 1L) -> 2L, (10L, 2L) -> 1L, (20L, 1L) -> 1L))
+  }
+
+  test("both stream readers run over an NTZ parquet source") {
+    val f = writeNtzFixture()
+    val rawSchema = spark.read.parquet(f.getAbsolutePath).schema
+    assert(rawSchema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // windowed counts: max ts 10:55 -> watermark 10:45 -> no window end
+    // (11:00) has passed, so append emits nothing — the point is the
+    // plan analyzes and runs (round 7 died in analysis)
+    val w = EventStreams.windowedCountsStreamFromParquet(spark,
+      f.getAbsolutePath, rawSchema, queryName = "e2_ntz_windows")
+    assert(w.count() == 0)
+    // sessionize: user 10's first session closes IN-BATCH when the
+    // 10:55 event breaks the gap (emitted immediately, no watermark
+    // needed); the two still-open sessions stay in state
+    val s = EventStreams.sessionizeStreamFromParquet(spark,
+      f.getAbsolutePath, rawSchema, queryName = "e3_ntz_sessions")
+    val rows = s.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(rows(0).fieldIndex("user_id")) == 10L)
+    assert(rows(0).getLong(rows(0).fieldIndex("n_events")) == 2L)
+  }
+
   test("streaming quality filter admits exactly the batch-filter rows") {
     val dir = java.nio.file.Files.createTempDirectory("qfstream").toString
     val docs = Seq(

@@ -258,6 +258,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 0)   // malformed probes score nothing
   }
 
+  test("k-means training survives empty cells (ANSI missing-key guard)") {
+    // 8 rows, only TWO distinct vectors, ks=4: the md5 sample seeds
+    // duplicate centroids, assignment ties break to the LOWEST c, so the
+    // higher duplicate cells get ZERO members — under Spark 4 ANSI a
+    // plain element_at on the rebuild maps' missing (j,c) keys throws
+    // MAP_KEY_DOES_NOT_EXIST; the try_element_at + coalesce path must
+    // keep the previous centroid instead
+    val dup = Seq.tabulate(8) { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f, 0.0f, 5.0f, 5.0f))
+      else (i.toLong, Array(0.0f, 1.0f, -5.0f, -5.0f))
+    }.toDF("vec_id", "embedding")
+    val pcb = Similarity.pqCodebookKMeans(dup, m = 2, ks = 4, dim = 4,
+      iters = 2)
+    val cbs = pcb.collect()(0)
+      .getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+    assert(cbs.length == 2 && cbs.forall(_.length == 4))
+    assert(cbs.forall(_.forall(_.forall(x => !x.isNaN && !x.isInfinite))))
+    // the trained codebook still codes the corpus (both distinct
+    // vectors land on a centroid; no cell lookup throws)
+    assert(Similarity.pqAssign(dup, pcb, m = 2, ks = 4, dim = 4)
+      .count() == 8)
+  }
+
+  test("streamable IVF assignment: empty codebook assigns nothing, no throw") {
+    val cbRow = Similarity.rollCodebook(
+      Similarity.codebook(emb, 2).filter(lit(false)))
+    assert(cbRow.count() == 1) // one row, empty cids/cvs
+    assert(Similarity.ivfAssignStreamable(emb, cbRow).count() == 0)
+  }
+
   test("trained PQ sub-codebooks: never lose to the sample, saturate clusters") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.filter(col("vec_id") < 20)
