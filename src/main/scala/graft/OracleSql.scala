@@ -390,6 +390,7 @@ SELECT f.feature, round(avg(d.degree), 6) AS mean_degree
 FROM features f JOIN degs d ON f.fragment = d.id
 WHERE f.value <> 0 GROUP BY f.feature"""),
     "a15_feature_agg_mean" -> a15Sql("avg(i.value)"),
+    "a15_feature_agg_min" -> a15Sql("min(i.value)"),
     "a15_feature_agg_max" -> a15Sql("max(i.value)"),
     "a15_feature_agg_proportion" -> a15PropSql,
     "a16_binarize" -> gq(raw"""

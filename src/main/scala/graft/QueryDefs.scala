@@ -86,6 +86,10 @@ object QueryDefs {
       Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d), "mean")
         .select(col("fragment"), col("feature"),
           Num.roundLike(col("value"), 6).as("value"))),
+    "a15_feature_agg_min" -> ((s, d) =>
+      Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d), "min")
+        .select(col("fragment"), col("feature"),
+          Num.roundLike(col("value"), 6).as("value"))),
     "a15_feature_agg_max" -> ((s, d) =>
       Chas.aggregateOntoFragments(verts(s, d), featureIntervals(s, d), "max")
         .select(col("fragment"), col("feature"),

@@ -13,6 +13,25 @@ import graft.model.Schemas
   */
 object Readers {
 
+  /** Feature-name sanitization at the upload boundary. Cytoscape
+    * attribute names forbid `- ,()[]`, so the reference scrubs every
+    * user-supplied feature name before it reaches the graph:
+    * `str_remove_all(feature, "[- ,\\(\\)\\[\\]]")`
+    * (merge_features.R:131). Applied by every S4/S8 reader to the
+    * feature-name column/literal, so a hostile name can never reach a
+    * downstream sink. */
+  def sanitizeFeatureName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "[- ,()\\[\\]]", "")
+
+  private def sanitizeFeatureNameStr(s: String): String =
+    s.replaceAll("[- ,()\\[\\]]", "")
+
+  /** Default feature name from an upload filename: basename up to the
+    * first dot, dashes to underscores (dash is forbidden in Cytoscape
+    * attributes; reference merge_features.R:56). */
+  def featureNameFromFile(path: String): String =
+    new java.io.File(path).getName.split("\\.")(0).replace("-", "_")
+
   private def tsv(spark: SparkSession, path: String, schema: StructType,
                   header: Boolean): DataFrame =
     spark.read
@@ -67,9 +86,13 @@ object Readers {
     val schema = StructType(
       StructField(header.head, StringType, nullable = false) +:
       header.tail.map(c => StructField(c, DoubleType, nullable = true)))
-    tsv(spark, path, schema, header = true)
-      .withColumnRenamed(header.head, "fragment")
-      .withColumn("fragment", regexp_replace(col("fragment"), "^chr", ""))
+    val renamed = header.tail.foldLeft(
+      tsv(spark, path, schema, header = true)
+        .withColumnRenamed(header.head, "fragment")) {
+      (df, c) => df.withColumnRenamed(c, sanitizeFeatureNameStr(c))
+    }
+    renamed.withColumn("fragment",
+      regexp_replace(col("fragment"), "^chr", ""))
   }
 
   /** S5 alias DB scan (8 fixed columns, last is HGNC/MGI id). */
@@ -93,19 +116,21 @@ object Readers {
   def loadBed3(spark: SparkSession, path: String, featureName: String): DataFrame =
     tsv(spark, path, Schemas.bed3Schema, header = false)
       .select(col("chr"), col("start"), col("end"),
-        lit(featureName).as("feature"), col("value"))
+        lit(sanitizeFeatureNameStr(featureName)).as("feature"), col("value"))
 
   /** bed6: score column is the value. */
   def loadBed6(spark: SparkSession, path: String, featureName: String): DataFrame =
     tsv(spark, path, Schemas.bed6Schema, header = false)
       .select(col("chr"), col("start"), col("end"),
-        lit(featureName).as("feature"), col("score").as("value"))
+        lit(sanitizeFeatureNameStr(featureName)).as("feature"),
+        col("score").as("value"))
 
   /** macs2 narrowPeak/broadPeak: signalValue is the value. */
   def loadMacs2(spark: SparkSession, path: String, featureName: String): DataFrame =
     tsv(spark, path, Schemas.macs2Schema, header = false)
       .select(col("chr"), col("start"), col("end"),
-        lit(featureName).as("feature"), col("signalValue").as("value"))
+        lit(sanitizeFeatureNameStr(featureName)).as("feature"),
+        col("signalValue").as("value"))
 
   /** chromhmm segmentation: one 0/1 feature per state label — emitted in
     * long form (feature = state, value = 1.0); the downstream
@@ -115,7 +140,7 @@ object Readers {
   def loadChromhmm(spark: SparkSession, path: String): DataFrame =
     tsv(spark, path, Schemas.chromhmmSchema, header = false)
       .select(col("chr"), col("start"), col("end"),
-        col("state").as("feature"), lit(1.0).as("value"))
+        sanitizeFeatureName(col("state")).as("feature"), lit(1.0).as("value"))
 
   /** features_table: bedgraph-like with header chr,start,end + one or
     * more named value columns → unpivoted to long form. */
@@ -134,7 +159,8 @@ object Readers {
     // the backtick identifier quote so a name like "don't" (or a
     // crafted header) cannot break out of the generated expression
     val stackExpr = valueCols.map { c =>
-      val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+      val lit = sanitizeFeatureNameStr(c)
+        .replace("\\", "\\\\").replace("'", "\\'")
       val id = c.replace("`", "``")
       s"'$lit', `$id`"
     }.mkString(", ")

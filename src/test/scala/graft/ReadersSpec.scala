@@ -119,6 +119,31 @@ class ReadersSpec extends SparkSpec {
     }
   }
 
+  test("feature names are sanitized at the upload boundary") {
+    // Cytoscape attribute names forbid `- ,()[]` (merge_features.R:131):
+    // the scrub REMOVES them from every user-supplied feature name
+    val b3 = tmpTsv("1\t100\t199\t2.5")
+    assert(Readers.loadBed3(spark, b3, "H3K4-me3 (rep 1)[a]")
+      .collect()(0).getString(3) == "H3K4me3rep1a")
+    val hmm = tmpTsv("1\t100\t199\tE1 (weak)")
+    assert(Readers.loadChromhmm(spark, hmm)
+      .collect()(0).getString(3) == "E1weak")
+    // features_table: hostile HEADER names sanitize in the long output
+    val ft = tmpTsv("chr\tstart\tend\tm-1 (x)\tm,2",
+      "1\t100\t199\t1.5\t2.5")
+    val feats = Readers.loadFeaturesTable(spark, ft)
+      .collect().map(_.getString(3)).sorted
+    assert(feats.sameElements(Array("m1x", "m2")))
+    // features_on_nodes: hostile wide-matrix column names are renamed
+    val fon = tmpTsv("frag\tH3K4-me3 (r1)", "chr1_100_199\t1.0")
+    assert(Readers.loadFeaturesOnNodes(spark, fon)
+      .columns.sameElements(Array("fragment", "H3K4me3r1")))
+    // filename-derived default name: basename to first dot, dash to
+    // underscore (merge_features.R:56)
+    assert(Readers.featureNameFromFile("/up/H3K27-ac.peaks.bed")
+      == "H3K27_ac")
+  }
+
   test("S9 parquet snapshot round-trips") {
     val dir = Files.createTempDirectory("graftsnap").toString + "/t"
     Readers.snapshot(pchicFixture, dir)
