@@ -100,14 +100,46 @@ degs AS (SELECT id, count(*) AS degree FROM (
   SELECT src AS id FROM simplified
   UNION ALL SELECT dst FROM simplified) t GROUP BY id)"""
 
+  /** Connected components by UNROLLED min-label propagation instead of
+    * a recursive transitive closure: the closure materializes
+    * O(n · component_size) (id, reach) rows — quadratic on dense
+    * graphs, the sf1 oracle OOM — where each propagation level here is
+    * exactly |V| rows (plus |E| join work). Every level does a
+    * neighbor-min then a label-pointer chase (l[l[v]]), so label
+    * chains shorten geometrically and [[A6Levels]] levels cover far
+    * more than [[A6Levels]] plain hops. Convergence is CHECKED, not
+    * assumed: if one more neighbor-min would still lower any label,
+    * `comps` emits a poison row, turning an under-iterated oracle into
+    * a visible row-count mismatch instead of a silent agreement —
+    * same contract as the a7 cap poison. */
+  private val A6Levels = 16
+  private def a6Level(k: Int): String = {
+    val p = s"l${k - 1}"
+    raw"""
+n$k AS MATERIALIZED (
+  SELECT v.id, least(v.lbl, coalesce(min(nl.lbl), v.lbl)) AS lbl
+  FROM $p v LEFT JOIN tsym e ON e.src = v.id
+            LEFT JOIN $p nl ON nl.id = e.dst
+  GROUP BY v.id, v.lbl),
+l$k AS MATERIALIZED (
+  SELECT a.id, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+  FROM n$k a LEFT JOIN n$k b ON b.id = a.lbl)"""
+  }
   private val thinCtes: String = raw"""
 thin AS (SELECT src, dst FROM simplified WHERE score > 47.0),
 tsym AS (SELECT src, dst FROM thin UNION ALL SELECT dst, src FROM thin),
 tnodes AS (SELECT DISTINCT src AS id FROM tsym),
-closure AS (SELECT id, id AS reach FROM tnodes
-  UNION
-  SELECT c.id, e.dst FROM closure c JOIN tsym e ON c.reach = e.src),
-comps AS (SELECT id, min(reach) AS comp FROM closure GROUP BY id)"""
+l0 AS MATERIALIZED (SELECT id, id AS lbl FROM tnodes),""" +
+    (1 to A6Levels).map(a6Level).mkString(",") + raw""",
+conv AS (SELECT count(*) AS nbad
+  FROM l$A6Levels v JOIN tsym e ON e.src = v.id
+  JOIN l$A6Levels nl ON nl.id = e.dst WHERE nl.lbl < v.lbl),
+comps AS (
+  SELECT id, lbl AS comp FROM l$A6Levels
+  WHERE (SELECT nbad FROM conv) = 0
+  UNION ALL
+  SELECT '__UNCONVERGED__' AS id, '__UNCONVERGED__' AS comp
+  WHERE (SELECT nbad FROM conv) > 0)"""
 
   private def gq(body: String, extra: String = ""): String =
     s"WITH RECURSIVE $baseCtes${if (extra.nonEmpty) "," + extra else ""}\n$body"
@@ -202,8 +234,12 @@ $a15Tail""",
   private def swapRoundsSql(rounds: Int, seed: Long): String =
     (0 until rounds).map { r =>
       val salt = seed + 1000003L * r
+      // only r$r stays MATERIALIZED: it crosses round boundaries and is
+      // referenced by several CTEs; materializing the per-round
+      // intermediates as well held rounds × |E| temp blocks alive at
+      // once and OOMed the sf1 oracle
       raw"""
-p$r AS MATERIALIZED (SELECT replica, bin, src, dst,
+p$r AS (SELECT replica, bin, src, dst,
   CAST(strpos('0123456789abcdef',
     substr(md5(src||'|'||dst||'|'||replica||'|'||'$salt'), 1, 1)) - 1
     AS BIGINT) AS sb,
@@ -214,10 +250,10 @@ p$r AS MATERIALIZED (SELECT replica, bin, src, dst,
     ORDER BY md5(src||'|'||dst||'|'||replica||'|'||'$salt'), src, dst)),
 pair$r AS (SELECT replica, bin, sb*1000000000 + (i+1)//2 AS p,
   src AS ls, dst AS ld, ps AS rs, pd AS rd FROM p$r WHERE i % 2 = 1),
-chk$r AS MATERIALIZED (SELECT *, (rs IS NOT NULL AND ls <> rd AND rs <> ld
+chk$r AS (SELECT *, (rs IS NOT NULL AND ls <> rd AND rs <> ld
   AND NOT (least(ls,rd) = least(rs,ld) AND greatest(ls,rd) = greatest(rs,ld)))
   AS pre FROM pair$r),
-mint$r AS MATERIALIZED (SELECT replica, bin, p, least(ls,rd) AS u, greatest(ls,rd) AS v
+mint$r AS (SELECT replica, bin, p, least(ls,rd) AS u, greatest(ls,rd) AS v
   FROM chk$r WHERE pre
   UNION ALL
   SELECT replica, bin, p, least(rs,ld), greatest(rs,ld) FROM chk$r WHERE pre),
@@ -927,12 +963,18 @@ norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vexp GROUP BY vec_id)"""
     s"WITH $embCtes${if (extra.nonEmpty) "," + extra else ""}\n$body"
 
   val embeddings: Map[String, String] = Map(
+    // candidate scoring via list_dot_product on the raw arrays (cast to
+    // DOUBLE — float32 list math would wobble the 6-dp hash): the old
+    // per-dimension join multiplied |cpairs| by 64 exploded rows, the
+    // sf1 oracle OOM; this is one hash-join probe + one list op per pair
     "d5_embedding_neardups" -> eq(raw"""
 SELECT id_a, id_b, round(dd.dot/(na.nrm*nb.nrm), 6) AS cosine
-FROM (SELECT p.id_a, p.id_b, sum(va.x*vb.x) AS dot FROM cpairs p
-      JOIN vexp va ON va.vec_id = p.id_a
-      JOIN vexp vb ON vb.vec_id = p.id_b AND vb.i = va.i
-      GROUP BY p.id_a, p.id_b) dd
+FROM (SELECT p.id_a, p.id_b,
+        list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                         CAST(eb.embedding AS DOUBLE[])) AS dot
+      FROM cpairs p
+      JOIN embeddings ea ON ea.vec_id = p.id_a
+      JOIN embeddings eb ON eb.vec_id = p.id_b) dd
 JOIN norms na ON na.vec_id = dd.id_a JOIN norms nb ON nb.vec_id = dd.id_b
 WHERE round(dd.dot/(na.nrm*nb.nrm), 6) >= 0.3""",
       extra = raw"""
@@ -1191,6 +1233,10 @@ dec AS (SELECT media_id, kind, text, h,
     // IVF-PQ composition: bucket-pruned ADC same-cluster precision@10,
     // target 0.7 (measured 0.985/0.975/0.855 at sf0.001/0.01/0.1)
     "s4_ivfpq_precision" ->
+      "SELECT CAST(200 AS BIGINT) AS n_total, TRUE AS meets_target",
+    // IVFADC residual encoding: same-cluster precision@10 pinned at
+    // plain IVF-PQ's worst measured point (0.855 at sf0.1), equal nProbe
+    "s4_ivfpq_residual" ->
       "SELECT CAST(200 AS BIGINT) AS n_total, TRUE AS meets_target",
     // trained PQ sub-codebooks: never lose to the md5 sample, and hold
     // the 0.05 absolute floor (2x margin at every SF incl. sf1)

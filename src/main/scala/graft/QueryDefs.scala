@@ -451,6 +451,28 @@ object QueryDefs {
         .select(col("n_total"),
           (col("__same") / col("n_total") >= 0.7).as("meets_target"))
     }),
+    // IVFADC residual-encoding certificate: PQ codes encode the vector
+    // MINUS its coarse centroid (residual-trained sub-codebooks), so
+    // the 4-byte budget covers only the within-cluster offset — the
+    // recall lift Jégou et al. report for IVFADC. Pinned at the same
+    // 0.855 the PLAIN IVF-PQ lane bottoms out at (sf0.1), i.e. the
+    // residual path must be at least as precise as plain IVF-PQ's
+    // worst measured point, at equal nProbe.
+    "s4_ivfpq_residual" -> ((s, d) => {
+      val cl = clusteredEmbeddings(s, d)
+      val cb = Similarity.codebookKMeans(cl, 16, iters = 2)
+        .localCheckpoint(eager = true) // k rows; shared by build + probe
+      val pcb = Similarity.pqResidualCodebook(cl, cb, m = 8, ks = 16,
+        dim = 64, iters = 2) // already checkpointed per iteration
+      Similarity.ivfAdcTopK(
+          Similarity.buildIvfAdcIndex(cl, cb, pcb), cb, pcb,
+          cl.filter(col("vec_id") < 20), k = 10, nProbe = 2)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("probe_id") % 16 === col("corpus_id") % 16, 1)
+            .otherwise(0)).as("__same"))
+        .select(col("n_total"),
+          (col("__same") / col("n_total") >= 0.855).as("meets_target"))
+    }),
     // The synthetic corpus is digit-free, so the scrub is exercised on
     // deterministically planted PII (same construction in the oracle):
     // every doc gains an e-mail + an IPv4, every third a phone number.

@@ -217,7 +217,15 @@ object Pipeline {
       // partition block on the computing thread, they don't recompute).
       val nEdges = edgesC.count()
       prevWidth.toLongOption.foreach { pw =>
-        val width = math.max(1L,
+        // floor at the session's core parallelism: narrowing BELOW the
+        // core count starves the whole concurrent-lane region (every
+        // shuffle stage of every lane gets `width` tasks — measured
+        // 51.5 s vs 37.0 s end-to-end at sf0.1 when the row-based
+        // formula pinned 4 on a 32-core session). The row-based term
+        // still bounds tiny-partition overhead when the session width
+        // is far above the data (e.g. 200 default on a small dataset).
+        val cores = spark.sparkContext.defaultParallelism.toLong
+        val width = math.max(math.min(pw, cores),
           math.min(pw, 2L * nReplicates * nEdges / 50000L + 1))
         if (width < pw)
           conf.set("spark.sql.shuffle.partitions", width.toString)
@@ -228,6 +236,12 @@ object Pipeline {
         conf.set(GraphOps.WidthPinKey, "true")
         pinned = true
       }
+      // materialize the NODES cache before the fan-out too: four lanes
+      // (graphMetadata, suggestions, chromosomes, documents) block on
+      // it, and under the concurrent region the annotated-vertex build
+      // interleaves with every other lane's stages — measured ~18 s of
+      // lane wall-clock vs ~2 s when it runs with the whole box here
+      timed("nodesCache") { nodesC.count() }
       val fSym = Future(timed("symmetrize") { sym.count() })
       val fCs = fSym.map(nSym => timed("componentStats") {
         GraphOps.componentStatsSym(sym, nSym).collect()(0) })

@@ -103,11 +103,15 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = ivfAssign(corpus, cb, idCol, vecCol)
+      // fixed-point mean (see pqCodebookKMeans): float avg() is
+      // partition-order-dependent at the last ulp and this codebook
+      // feeds pinned boolean certificates
       val means = assigned
         .select(col("centroid_id"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
         .groupBy(col("centroid_id"), col("__i"))
-        .agg(avg(col("__x")).as("__m"))
+        .agg((sum(floor(col("__x") * 1e6 + lit(0.5)).cast("long"))
+          .cast("double") / count(lit(1)) / 1e6).as("__m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
           e => e.getField("__m")).as("__new"))
@@ -397,28 +401,35 @@ object Similarity {
     * argmin inside codegen'd array lambdas. Returns (id, codes[m]). */
   def pqAssign(corpus: DataFrame, pcb: DataFrame, m: Int = 8,
                ks: Int = 16, dim: Int = 64, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val sub = dim / m
+               vecCol: String = "embedding"): DataFrame =
     // a short/null vector would null every subspace distance, leave
     // the argmin at its -1 sentinel, and crash ADC's 1-based table
     // lookup under ANSI — drop non-conforming vectors at index build
     corpus.filter(size(col(vecCol)) === dim)
       .crossJoin(broadcast(pcb))
       .select(col(idCol),
-        transform(sequence(lit(0), lit(m - 1)), j => {
-          val cents = element_at(col("cbs"), j + 1)
-          val subv = slice(col(vecCol).cast("array<double>"),
-            j * sub + 1, lit(sub))
-          aggregate(sequence(lit(0), lit(ks - 1)),
-            struct(lit(-1).cast("int").as("c"),
-              lit(Long.MaxValue).as("d")),
-            (acc, c) => {
-              val d = sqDistScaled(subv, element_at(cents, c + 1))
-              when(d < acc.getField("d"),
-                struct(c.cast("int").as("c"), d.as("d")))
-                .otherwise(acc)
-            }).getField("c")
-        }).as("codes"))
+        pqCodes(col(vecCol).cast("array<double>"), m, ks, dim)
+          .as("codes"))
+
+  /** The m nearest-sub-centroid ids of one vector against the broadcast
+    * `cbs` column in scope — the shared encode expression of
+    * [[pqAssign]] and [[buildIvfAdcIndex]] (ties to the LOWEST centroid
+    * id, the total order every PQ consumer shares). */
+  private def pqCodes(v: Column, m: Int, ks: Int, dim: Int): Column = {
+    val sub = dim / m
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val cents = element_at(col("cbs"), j + 1)
+      val subv = slice(v, j * sub + 1, lit(sub))
+      aggregate(sequence(lit(0), lit(ks - 1)),
+        struct(lit(-1).cast("int").as("c"),
+          lit(Long.MaxValue).as("d")),
+        (acc, c) => {
+          val d = sqDistScaled(subv, element_at(cents, c + 1))
+          when(d < acc.getField("d"),
+            struct(c.cast("int").as("c"), d.as("d")))
+            .otherwise(acc)
+        }).getField("c")
+    })
   }
 
   /** PQ top-k via ADC: each probe precomputes its m×ks distance table
@@ -575,6 +586,90 @@ object Similarity {
       .join(broadcast(probeBuckets), Seq("centroid_id"))
       .join(broadcast(adcTables(probes, pcb, m, ks, dim, idCol, vecCol)),
         Seq("probe_id"))
+    adcScoreTopK(cand, k, m)
+  }
+
+  /** IVFADC residuals: each well-formed vector minus its coarse
+    * centroid. Quantizing the RESIDUAL instead of the raw vector spends
+    * the whole PQ bit budget on the within-cluster offset — the coarse
+    * cluster's position is already encoded by centroid_id for free — so
+    * ADC distances are tighter at the same 4-byte code size (the IVFADC
+    * layout of Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, §IV). One assignment scan + a k-row broadcast
+    * join; map-only after the assign. */
+  def ivfResiduals(corpus: DataFrame, cb: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    ivfAssign(corpus, cb, idCol, vecCol)
+      .join(broadcast(cb), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col(vecCol).cast("array<double>"), col("centv"),
+          (x, y) => x - y).as("residual"))
+
+  /** Residual-trained PQ sub-codebooks: [[pqCodebookKMeans]] run over
+    * the residual distribution (which is what the index encodes —
+    * training on raw vectors would place centroids where no residual
+    * lives). Same bounded single-row broadcast shape. */
+  def pqResidualCodebook(corpus: DataFrame, cb: DataFrame, m: Int = 8,
+                         ks: Int = 16, dim: Int = 64, iters: Int = 2,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    pqCodebookKMeans(ivfResiduals(corpus, cb, idCol, vecCol),
+      m, ks, dim, iters, idCol, "residual")
+
+  /** IVFADC index build: (id, coarse centroid_id, PQ codes of the
+    * RESIDUAL) in one pass over the residual frame — no id re-join, no
+    * corpus-sized shuffle beyond the assignment scan. Persist with
+    * [[writeIvfIndex]] (partitionBy centroid_id) exactly like the plain
+    * IVF-PQ index. */
+  def buildIvfAdcIndex(corpus: DataFrame, cb: DataFrame, pcbRes: DataFrame,
+                       m: Int = 8, ks: Int = 16, dim: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame =
+    ivfResiduals(corpus, cb, idCol, vecCol)
+      .filter(size(col("residual")) === dim)
+      .crossJoin(broadcast(pcbRes))
+      .select(col(idCol), col("centroid_id"),
+        pqCodes(col("residual"), m, ks, dim).as("codes"))
+
+  /** IVFADC query: like [[ivfPqTopK]] but the ADC table is built from
+    * the PROBE'S RESIDUAL against each probed bucket's centroid — the
+    * table is per (probe, bucket), not per probe, because the probe
+    * residual depends on which bucket is being scanned. Cost stays
+    * bounded: nProbe × m × ks sub-distances per probe, all broadcast;
+    * the index side is still a partition-pruned scan of 4-byte codes
+    * scored by integer lookups. */
+  def ivfAdcTopK(index: DataFrame, cb: DataFrame, pcbRes: DataFrame,
+                 probes: DataFrame, k: Int,
+                 nProbe: Int = 2, m: Int = 8, ks: Int = 16, dim: Int = 64,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val p = probes.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("pv"))
+    // nProbe nearest coarse buckets per probe (same rule as ivfTopK),
+    // keeping centv: the probe residual is bucket-specific
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("__sim"), 6).desc, col("centroid_id"))
+    val pb = p.crossJoin(broadcast(cb))
+      .withColumn("__sim", cosine(col("pv"), col("centv")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("centroid_id"),
+        zip_with(col("pv"), col("centv"), (x, y) => x - y).as("__pres"))
+    // one m×ks fixed-point table per (probe, bucket) — bounded broadcast
+    val tabs = pb.crossJoin(broadcast(pcbRes))
+      .select(col("probe_id"), col("centroid_id"),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val cents = element_at(col("cbs"), j + 1)
+          val subv = slice(col("__pres"), j * sub + 1, lit(sub))
+          transform(sequence(lit(0), lit(ks - 1)),
+            c => sqDistScaled(subv, element_at(cents, c + 1)))
+        }).as("dtab"))
+    val cand = index
+      .select(col("centroid_id"), col(idCol).as("corpus_id"), col("codes"))
+      .join(broadcast(tabs), Seq("centroid_id"))
     adcScoreTopK(cand, k, m)
   }
 

@@ -32,12 +32,16 @@ class PlanAuditSpec extends SparkSpec {
       "same ADC shape on the clustered embeddings (Similarity.pqAssign/pqTopK)",
     "s4_ivfpq_precision" ->
       "IVF-PQ composition: probe × broadcast coarse/PQ codebooks, bucket join stays equi (Similarity.ivfPqTopK)",
+    "s4_ivfpq_residual" ->
+      "IVFADC: probe × broadcast coarse codebook + per-(probe,bucket) residual ADC tables, bucket join stays equi (Similarity.ivfAdcTopK)",
     "s3_pq_recall_trained" ->
       "two bounded recall rows crossed + per-iter Lloyd broadcasts (Similarity.pqCodebookKMeans/pqRecall)",
     "a8_transitivity" ->
       "1-row triangle count × 1-row triad count (GraphOps.scala:656)",
     "a15_feature_agg_mean" ->
       "fragment frame × broadcast feature-name list (a handful of column names; Chas.scala:159)",
+    "a15_feature_agg_min" ->
+      "fragment frame × broadcast feature-name list (Chas.scala:159)",
     "a15_feature_agg_max" ->
       "fragment frame × broadcast feature-name list (Chas.scala:159)",
     "a15_feature_agg_proportion" ->

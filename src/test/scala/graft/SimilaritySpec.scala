@@ -311,6 +311,39 @@ class SimilaritySpec extends SparkSpec {
     assert(same >= 190L, s"same-cluster $same/200") // measured 200/200
   }
 
+  test("IVFADC residual encoding beats or matches plain IVF-PQ precision") {
+    val cl = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
+    val probes = cl.filter(col("vec_id") < 20)
+    val cb = Similarity.codebookKMeans(cl, 16, iters = 2)
+      .localCheckpoint(eager = true)
+    def precision(top: org.apache.spark.sql.DataFrame): Double = {
+      val rows = top.collect()
+      rows.count(r => r.getLong(r.fieldIndex("probe_id")) % 16 ==
+        r.getLong(r.fieldIndex("corpus_id")) % 16).toDouble / rows.length
+    }
+    val plainPcb = Similarity.pqCodebook(cl, m = 8, ks = 16, dim = 64)
+      .localCheckpoint(eager = true)
+    val plain = precision(Similarity.ivfPqTopK(
+      Similarity.buildIvfPqIndex(cl, cb, plainPcb), cb, plainPcb,
+      probes, k = 10, nProbe = 2))
+    val resPcb = Similarity.pqResidualCodebook(cl, cb, m = 8, ks = 16,
+      dim = 64, iters = 2)
+    val res = precision(Similarity.ivfAdcTopK(
+      Similarity.buildIvfAdcIndex(cl, cb, resPcb), cb, resPcb,
+      probes, k = 10, nProbe = 2))
+    assert(res >= plain, s"residual $res < plain $plain")
+    assert(res >= 0.855, s"residual $res below the 0.855 certificate pin")
+    // residual index carries the same (id -> bucket) assignment as the
+    // plain index — only the code payload differs
+    val ra = Similarity.buildIvfAdcIndex(cl, cb, resPcb)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pa = Similarity.buildIvfPqIndex(cl, cb, plainPcb)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ra == pa)
+  }
+
   test("IVF-PQ: bucket-pruned ADC equals PQ over the pruned candidates") {
     val cl = TestMapping.clusteredEmbeddings(spark, "/root/testdata/sf0.001")
     val cb = Similarity.codebookKMeans(cl, 16, iters = 2)
