@@ -234,10 +234,14 @@ $a15Tail""",
   private def swapRoundsSql(rounds: Int, seed: Long): String =
     (0 until rounds).map { r =>
       val salt = seed + 1000003L * r
-      // only r$r stays MATERIALIZED: it crosses round boundaries and is
-      // referenced by several CTEs; materializing the per-round
-      // intermediates as well held rounds × |E| temp blocks alive at
-      // once and OOMed the sf1 oracle
+      // MATERIALIZED exactly on the multi-consumer frames: chk$r (the
+      // post-window frame — feeds mint + flag, so inlining re-runs the
+      // 20M-row md5 window sort up to 5x and spills the oracle box's
+      // disk dry at sf1) and flag$r (read twice by r${r + 1}); the
+      // single-path intermediates (p, pair, mint, bad, badp) inline.
+      // The old everything-MATERIALIZED version instead held
+      // rounds x |E| temp blocks alive at once and OOMed — both
+      // failure modes are sf1-scale only.
       raw"""
 p$r AS (SELECT replica, bin, src, dst,
   CAST(strpos('0123456789abcdef',
@@ -250,7 +254,7 @@ p$r AS (SELECT replica, bin, src, dst,
     ORDER BY md5(src||'|'||dst||'|'||replica||'|'||'$salt'), src, dst)),
 pair$r AS (SELECT replica, bin, sb*1000000000 + (i+1)//2 AS p,
   src AS ls, dst AS ld, ps AS rs, pd AS rd FROM p$r WHERE i % 2 = 1),
-chk$r AS (SELECT *, (rs IS NOT NULL AND ls <> rd AND rs <> ld
+chk$r AS MATERIALIZED (SELECT *, (rs IS NOT NULL AND ls <> rd AND rs <> ld
   AND NOT (least(ls,rd) = least(rs,ld) AND greatest(ls,rd) = greatest(rs,ld)))
   AS pre FROM pair$r),
 mint$r AS (SELECT replica, bin, p, least(ls,rd) AS u, greatest(ls,rd) AS v
@@ -270,7 +274,7 @@ bad$r AS (SELECT replica, grp, u, v FROM (
 badp$r AS (SELECT DISTINCT m.replica, m.bin, m.p FROM mint$r m
   JOIN bad$r b ON m.replica = b.replica
   AND split_part(m.bin,'|',1) = b.grp AND m.u = b.u AND m.v = b.v),
-flag$r AS (SELECT c.*, coalesce(c.pre AND bp.p IS NOT NULL, FALSE) AS hit,
+flag$r AS MATERIALIZED (SELECT c.*, coalesce(c.pre AND bp.p IS NOT NULL, FALSE) AS hit,
   (c.pre AND bp.p IS NULL) AS acc
   FROM chk$r c LEFT JOIN badp$r bp
   ON c.replica = bp.replica AND c.bin = bp.bin AND c.p = bp.p),
