@@ -741,12 +741,85 @@ ddsize AS (SELECT comp, count(*) AS cluster_size FROM ddcomp GROUP BY comp)
 SELECT CAST(d.id AS BIGINT) AS doc_id, CAST(d.comp AS BIGINT) AS cluster_id,
        s.cluster_size, d.id = d.comp AS is_canonical
 FROM ddcomp d JOIN ddsize s USING (comp)"""),
+    // semDedup mirrored: planted 0.75-scaled copies (direction
+    // preserved → cosine ≈ 1.0 to their source), md5-sampled codebook
+    // assignment exactly as s2, rank by rounded centroid-sim within
+    // cluster, drop on cosine ≥ 0.9 to any higher-ranked representative
+    "d8_semdedup" -> raw"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.75)
+  FROM embeddings WHERE vec_id % 5 = 0),
+cb AS (SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cv AS (SELECT c.centroid_id, CAST(e.embedding AS DOUBLE[]) AS cvec
+  FROM cb c JOIN embeddings e ON e.vec_id = c.centroid_id),
+sims AS (SELECT p.vec_id, c.centroid_id,
+    list_dot_product(p.v, c.cvec) /
+      (sqrt(list_dot_product(p.v, p.v)) *
+       sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+  FROM corpus p CROSS JOIN cv c),
+assigned AS (SELECT vec_id, centroid_id, round(sim, 6) AS csim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY round(sim, 6) DESC, centroid_id) AS rn FROM sims) t
+  WHERE rn = 1),
+ranked AS (SELECT vec_id, centroid_id, csim,
+    row_number() OVER (PARTITION BY centroid_id
+      ORDER BY csim DESC, vec_id) AS rnk FROM assigned),
+dropped AS (SELECT DISTINCT m.vec_id
+  FROM ranked m JOIN ranked r
+    ON r.centroid_id = m.centroid_id AND r.rnk < m.rnk AND r.rnk <= 64
+  JOIN corpus mv ON mv.vec_id = m.vec_id
+  JOIN corpus rv ON rv.vec_id = r.vec_id
+  WHERE round(list_dot_product(mv.v, rv.v) /
+      (sqrt(list_dot_product(mv.v, mv.v)) *
+       sqrt(list_dot_product(rv.v, rv.v))), 6) >= 0.9)
+SELECT r.vec_id, r.centroid_id, CAST(r.rnk AS BIGINT) AS "rank",
+       d.vec_id IS NULL AS keep
+FROM ranked r LEFT JOIN dropped d ON d.vec_id = r.vec_id""",
     "d3_simhash" -> dq(s"SELECT doc_id, $simhash16Sql AS simhash FROM toks"),
     "d4_ngram_jaccard" -> dq(raw"""
 SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, ${jaccardSql
       .replace("a.sh", "a2.sh").replace("b.sh", "b2.sh")} AS jaccard
 FROM documents da JOIN documents db ON db.doc_id = da.doc_id + 1
 JOIN dsh a2 ON a2.doc_id = da.doc_id JOIN dsh b2 ON b2.doc_id = db.doc_id"""),
+    // gopherFilter mirrored: keep is computed from the ROUNDED signal
+    // values in both engines, so a boundary-grazing raw ratio can never
+    // split the verdict across engines
+    "t11_gopher_filter" -> dq(raw"""
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stopwords,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+        AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+        AND n_stopwords >= 2) AS keep
+FROM (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        round(CAST(coalesce(len(array_to_string(toks, '')), 0) AS DOUBLE)
+              / greatest(nw, 1), 4) AS mean_word_len,
+        round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+               + (len(text) - len(replace(text, '...', ''))) / 3
+               + (len(text) - len(replace(text, '…', ''))))
+              / greatest(nw, 1), 4) AS symbol_ratio,
+        round(CAST(len(list_filter(lines,
+                l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+              / greatest(len(lines), 1), 4) AS bullet_frac,
+        round(CAST(len(list_filter(lines,
+                l -> regexp_matches(trim(l), '(\.\.\.|…)$$'))) AS DOUBLE)
+              / greatest(len(lines), 1), 4) AS ellipsis_frac,
+        round(CAST(len(list_filter(toks,
+                t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+              / greatest(nw, 1), 4) AS alpha_frac,
+        CAST(len(list_intersect(
+          list_distinct(list_transform(toks, t -> lower(t))),
+          ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+          AS n_stopwords
+      FROM (SELECT doc_id, text, toks, len(toks) AS nw,
+              list_filter(string_split(text, chr(10)),
+                l -> trim(l) <> '') AS lines
+            FROM rtoks) sig) r"""),
     "t1_token_stats" -> dq(raw"""
 SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
   CAST(len(list_filter(string_split_regex(

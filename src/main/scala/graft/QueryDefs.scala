@@ -342,12 +342,19 @@ object QueryDefs {
         TextOps.fingerprint(col("text")).as("fingerprint"),
         TextOps.rollingFingerprint(col("text"), 8).as("rolling_fp"))),
     "t5_tfidf" -> ((s, d) => TextOps.tfidf(table(s, d, "documents"))),
+    "t11_gopher_filter" -> ((s, d) =>
+      TextOps.gopherFilter(table(s, d, "documents"))),
     "t6_repetition" -> ((s, d) =>
       TextOps.repetition(table(s, d, "documents"))),
     "d6_shared_substring" -> ((s, d) =>
       Dedup.sharedSubstring(table(s, d, "documents"))),
     "d7_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(table(s, d, "documents"))),
+    "d8_semdedup" -> ((s, d) => {
+      val corpus = dupEmbeddings(s, d)
+      val cb = Similarity.codebook(table(s, d, "embeddings"), 16)
+      Dedup.semDedup(corpus, cb, tau = 0.9)
+    }),
     "p1_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(table(s, d, "documents"))),
     "p2_length_quartiles" -> ((s, d) =>

@@ -136,6 +136,21 @@ object TestMapping {
           lit(0.25) * x).as("embedding"))
   }
 
+  /** Corpus with PLANTED near-duplicates for SemDeDup: the raw
+    * embeddings plus a 0.75-scaled copy of every 5th vector under
+    * vec_id+100000. Scaling preserves direction, so each plant is an
+    * exact-cosine (≈1.0) duplicate of its source that shares the
+    * source's Voronoi cell, while the isotropic originals pair at
+    * |cos| ≲ 0.5 — a clean margin around any dedup threshold. Pure
+    * column arithmetic, identical in the DuckDB oracle. */
+  def dupEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    e.unionAll(e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.75)).as("embedding")))
+  }
+
   /** Genomic feature intervals from `orders` (for the A15 interval
     * aggregation): target fragment key k = o_orderkey % 2000, skipping
     * k%3==0 so the missing-value fill is exercised; intervals sized and

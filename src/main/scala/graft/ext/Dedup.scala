@@ -345,4 +345,65 @@ object Dedup {
         col("cluster_size"),
         (col("id") === col("comp")).as("is_canonical"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication in EMBEDDING space — cluster the corpus with a
+    * bounded codebook, then drop any vector whose cosine to a
+    * higher-ranked member of its own cluster reaches `tau`. Near-dups
+    * that share no n-gram (paraphrases, re-encodes, scaled copies) land
+    * in the same cluster with cosine ≈ 1 and collapse; unrelated
+    * vectors in the same Voronoi cell stay far below any useful
+    * threshold.
+    *
+    * Ranking is deterministic: members order within their cluster by
+    * 6-dp-rounded centroid similarity descending, id ascending — so
+    * "higher-ranked" is a total order and the survivor of a duplicate
+    * group is always its most-central, lowest-id member. Each member is
+    * compared only against the `nReps` highest-ranked members of its
+    * cluster (the cluster "representatives"): for bounded clusters this
+    * IS all-pairs SemDeDup, and at corpus scale it caps the pair count
+    * at |corpus|·nReps instead of Σ|cluster|² while keeping the
+    * canonical-survivor rule intact (a duplicate of a non-representative
+    * is a duplicate of the cluster's representatives too whenever the
+    * group is tight — the regime real pipelines run SemDeDup in).
+    *
+    * Plan shape at 100 TB: one broadcast-codebook assignment scan (no
+    * shuffle), one shuffle by cluster for the rank window, and one
+    * broadcast join against the k·nReps representative set — at larger
+    * k drop the broadcast hint and the same plan becomes a
+    * cluster-co-partitioned equi-join. No all-pairs stage anywhere.
+    *
+    * Returns one row per corpus vector:
+    * (`idCol`, centroid_id, rank, keep). */
+  def semDedup(emb: DataFrame, cb: DataFrame, tau: Double, nReps: Int = 64,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    // rounded-sim ordering + centroid-id ties: engine-stable, identical
+    // to ivfAssign / the s2 oracle's assignment arithmetic
+    val wAssign = Window.partitionBy(col("__id"))
+      .orderBy(Num.roundLike(col("__sim"), 6).desc, col("centroid_id"))
+    val assigned = c.crossJoin(broadcast(cb))
+      .withColumn("__sim", Similarity.cosine(col("__v"), col("centv")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__v"), col("centroid_id"),
+        Num.roundLike(col("__sim"), 6).as("__csim"))
+    val wRank = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("__csim").desc, col("__id"))
+    val ranked = assigned.withColumn("__rank", row_number().over(wRank))
+    val reps = ranked.filter(col("__rank") <= nReps)
+      .select(col("centroid_id"), col("__rank").as("__rrank"),
+        col("__v").as("__rv"))
+    val dropped = ranked.join(broadcast(reps), Seq("centroid_id"))
+      .filter(col("__rrank") < col("__rank") &&
+        Num.roundLike(Similarity.cosine(col("__v"), col("__rv")), 6) >= tau)
+      .select(col("__id")).distinct()
+    ranked.join(dropped.withColumn("__dup", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("centroid_id"),
+        col("__rank").cast("long").as("rank"),
+        not(coalesce(col("__dup"), lit(false))).as("keep"))
+  }
 }

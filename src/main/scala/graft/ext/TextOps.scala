@@ -145,6 +145,75 @@ object TextOps {
         Num.roundLike(lit(1.0) -
           col("n_unique").cast("double") / col("n_shingles"), 4))
 
+  /** The Gopher rule-set's stopword list (Rae et al. 2021, A1.1):
+    * a document must contain at least [[GopherMinStopwords]] DISTINCT
+    * members to pass. */
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "that",
+    "have", "with")
+  val GopherMinStopwords = 2
+
+  /** Gopher-style composite document filter (Rae et al. 2021,
+    * arXiv:2112.11446 A1.1) — the canonical rule-based quality gate
+    * LLM corpus pipelines run before model-based filtering. Emits every
+    * signal plus the composite verdict so downstream stages can relax
+    * individual rules:
+    *
+    *  - 50 ≤ word count ≤ 100,000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-to-word ratio (`#` or `...`) < 0.1
+    *  - < 90% of lines start with a bullet (`-`, `*`, `•`)
+    *  - < 30% of lines end with an ellipsis (`...` or `…`)
+    *  - > 80% of words contain at least one alphabetic character
+    *  - ≥ 2 distinct members of [[GopherStopwords]] present
+    *
+    * Map-only column arithmetic — no shuffle, runs at scan speed on a
+    * 100 TB corpus, and every rule is SQL-expressible so the DuckDB
+    * oracle replays the identical construction. Occurrence counts use
+    * replace-and-measure (`len - len(replace(...))`) rather than
+    * regexp_count so RE2 engines agree byte-for-byte. */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val text = col("__text")
+    val toks = col("__toks")
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val meanLen = length(concat_ws("", toks)).cast("double") / n
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllipsis = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
+      (length(text) - length(regexp_replace(text, "…", "")))
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+    val alphaFrac = size(filter(toks,
+      t => t.rlike("[A-Za-z]"))).cast("double") / n
+    val nStop = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(GopherStopwords.map(lit): _*)))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        Num.roundLike(meanLen, 4).as("mean_word_len"),
+        Num.roundLike((nHash + nEllipsis).cast("double") / n, 4)
+          .as("symbol_ratio"),
+        Num.roundLike(bulletFrac, 4).as("bullet_frac"),
+        Num.roundLike(ellipsisFrac, 4).as("ellipsis_frac"),
+        Num.roundLike(alphaFrac, 4).as("alpha_frac"),
+        nStop.cast("long").as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") > 0.8 &&
+          col("n_stopwords") >= GopherMinStopwords)
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle. Every
     * construct (classes, bounded repeats, `\b`, `\d`) parses and
     * behaves identically under java.util.regex and RE2, so the DuckDB

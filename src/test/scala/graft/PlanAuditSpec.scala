@@ -34,6 +34,8 @@ class PlanAuditSpec extends SparkSpec {
       "IVF-PQ composition: probe × broadcast coarse/PQ codebooks, bucket join stays equi (Similarity.ivfPqTopK)",
     "s4_ivfpq_residual" ->
       "IVFADC: probe × broadcast coarse codebook + per-(probe,bucket) residual ADC tables, bucket join stays equi (Similarity.ivfAdcTopK)",
+    "d8_semdedup" ->
+      "corpus × broadcast centroid codebook (k=16 rows; Dedup.semDedup)",
     "s3_pq_recall_trained" ->
       "two bounded recall rows crossed + per-iter Lloyd broadcasts (Similarity.pqCodebookKMeans/pqRecall)",
     "a8_transitivity" ->

@@ -74,6 +74,61 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set(1L -> 2L))
   }
 
+  test("semDedup drops scaled copies, keeps lowest-id most-central survivor") {
+    // 6 base vectors in 2 directions + a 0.5-scaled copy of vec 1 and an
+    // unrelated orthogonal vector; codebook = the two direction anchors
+    val e1 = Array.tabulate(8)(i => if (i < 4) 1.0 else 0.0)
+    val e2 = Array.tabulate(8)(i => if (i >= 4) 1.0 else 0.0)
+    val vecs = Seq(
+      (1L, e1), (2L, e1.map(_ * 0.5)),            // dup pair, dir 1
+      (3L, e2), (4L, e2.map(_ * 2.0)),            // dup pair, dir 2
+      (5L, Array.tabulate(8)(i => if (i == 0) 1.0 else if (i == 7) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val cb = Seq((100L, e1), (200L, e2)).toDF("centroid_id", "centv")
+    val out = Dedup.semDedup(vecs, cb, tau = 0.9, nReps = 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // scaled copies collapse onto the lower id; vec 5 (cos 1/sqrt(2) to
+    // both cells) survives whichever cell it lands in
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true))
+  }
+
+  test("semDedup nReps caps the comparator set") {
+    // three identical vectors: with nReps=1 only rank-1 is a
+    // comparator, so ranks 2 and 3 both drop against it
+    val v = Array.tabulate(4)(_ => 1.0)
+    val vecs = Seq((1L, v), (2L, v), (3L, v)).toDF("vec_id", "embedding")
+    val cb = Seq((0L, v)).toDF("centroid_id", "centv")
+    val out = Dedup.semDedup(vecs, cb, tau = 0.9, nReps = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.sortBy(_._1).toSeq ==
+      Seq((1L, 1L, true), (2L, 2L, false), (3L, 3L, false)))
+  }
+
+  test("gopher filter: canonical rules pass clean prose, reject degenerate docs") {
+    val clean = (("the data " * 10) + "words have been prepared with care " +
+      "and that makes a document of fifty plus tokens to clear every rule " +
+      "in this composite quality gate for corpus filtering work today " +
+      "plus a few more honest english words to be safe").trim
+    val docs = Seq(
+      (1L, clean),
+      (2L, "short text"),                                  // word count < 50
+      (3L, ("#### " * 60).trim),                           // symbols, no alpha
+      (4L, (1 to 60).map(i => s"- bullet $i").mkString("\n")), // 100% bullets
+      (5L, (1 to 60).map(i => s"line number $i goes on...").mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(8))
+    assert(!out(2L).getBoolean(8))
+    assert(!out(3L).getBoolean(8) &&
+      out(3L).getDouble(6) == 0.0)                         // alpha_frac
+    assert(!out(4L).getBoolean(8) &&
+      out(4L).getDouble(4) == 1.0)                         // bullet_frac
+    assert(!out(5L).getBoolean(8) &&
+      out(5L).getDouble(5) == 1.0)                         // ellipsis_frac
+  }
+
   test("token counting: whitespace and bpe-ish boundaries") {
     val r = spark.range(1).select(
       TextOps.tokenCount(lit(" a  b\tc ")).as("n"),
