@@ -979,6 +979,23 @@ g5 AS (SELECT doc_id, CASE WHEN len(toks) < 5
 ug AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g5),
 uh AS (SELECT doc_id, substr(md5(gram), 1, 16) AS gh FROM ug),
 bh AS (SELECT DISTINCT gh FROM uh WHERE doc_id % 37 = 0)""".drop(1)),
+    // the streaming decontamination emits the same order-independent
+    // per-doc overlap rows as batch t8 — identical oracle
+    "e7_stream_decontaminate" -> dq(raw"""
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(b.gh) AS BIGINT) AS n_contaminated,
+  count(b.gh) > 0 AS contaminated
+FROM uh t LEFT JOIN bh b USING (gh)
+WHERE t.doc_id % 37 <> 0 GROUP BY t.doc_id""",
+      extra = raw"""
+g5 AS (SELECT doc_id, CASE WHEN len(toks) < 5
+         THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(0, len(toks)-5),
+                i -> array_to_string(toks[i+1:i+5], ' ')) END AS g
+       FROM toks),
+ug AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g5),
+uh AS (SELECT doc_id, substr(md5(gram), 1, 16) AS gh FROM ug),
+bh AS (SELECT DISTINCT gh FROM uh WHERE doc_id % 37 = 0)""".drop(1)),
     // bigramCounts mirrored: same lowercased whitespace tokens, exact
     // integer count division rounded at 6 dp
     "t9_bigram_lm" -> dq(raw"""

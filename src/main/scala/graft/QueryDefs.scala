@@ -538,6 +538,23 @@ object QueryDefs {
         s"$d/documents.parquet", raw,
         queryName = "e5_qf_" + math.abs(d.hashCode).toString)
     }),
+    // stream-static decontamination: the t8 split with the bench gram
+    // set frozen into one broadcast row; stateless per-doc
+    // array_intersect, order-independent row set, so t8's batch
+    // left-join/groupBy SQL is the exact oracle
+    "e7_stream_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val benchRow = docs.filter(col("doc_id") % 37 === 0)
+        .select(explode(array_distinct(Dedup.shinglesOfTokens(
+          TextOps.tokens(lower(col("text"))), 5))).as("__g"))
+        .select(substring(md5(col("__g")), 1, 16).as("__gh")).distinct()
+        .groupBy().agg(sort_array(collect_set(col("__gh"))).as("bgrams"))
+        .localCheckpoint(eager = true) // freeze before the stream starts
+      EventStreams.decontaminateStreamFromParquet(s,
+        s"$d/documents.parquet", docs.schema, benchRow,
+        col("doc_id") % 37 =!= 0,
+        queryName = "e7_decon_" + math.abs(d.hashCode).toString)
+    }),
     // streaming IVF index ingest: stateless nearest-centroid
     // assignment of the embeddings STREAM against the frozen sampled
     // codebook; order-independent row set, so the batch assignment

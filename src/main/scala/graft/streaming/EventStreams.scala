@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -212,6 +212,51 @@ object EventStreams {
           .as("n_tokens"),
         graft.ext.TextOps.qualityScore(col("text")).as("quality"))
       .filter(col("quality") >= minQuality)
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.table(queryName)
+  }
+
+  /** Streaming benchmark decontamination — the stream-static shape of
+    * [[graft.ext.TextOps.decontaminate]]: training documents stream
+    * in, each is checked against a FROZEN benchmark n-gram set (one
+    * row holding the distinct bench gram hashes, built offline from
+    * the held-out frame and broadcast to every microbatch — benchmark
+    * suites are bounded, so the set is too; a Bloom filter column is
+    * the drop-in when it isn't). Per-document overlap is computed with
+    * `array_intersect` against the doc's own distinct-gram array —
+    * no stream-side aggregation, no watermark, no state store, so the
+    * check runs at scan speed on an unbounded ingest stream and the
+    * emitted row set is order-independent: the batch decontaminate is
+    * the exact oracle. `streamFilter` narrows the stream to the
+    * training split. */
+  def decontaminateStreamFromParquet(spark: SparkSession, path: String,
+                                     rawSchema: org.apache.spark.sql.types.StructType,
+                                     benchRow: DataFrame,
+                                     streamFilter: Column,
+                                     n: Int = 5,
+                                     queryName: String = "e7_decon"): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("e7ckpt").toString
+    val grams = array_distinct(transform(
+      graft.ext.Dedup.shinglesOfTokens(
+        graft.ext.TextOps.tokens(lower(col("text"))), n),
+      g => substring(md5(g), 1, 16)))
+    val q = raw.filter(streamFilter)
+      .select(col("doc_id"), grams.as("__grams"))
+      .crossJoin(benchRow)
+      .select(col("doc_id"),
+        size(col("__grams")).cast("long").as("n_grams"),
+        size(array_intersect(col("__grams"), col("bgrams"))).cast("long")
+          .as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
       .writeStream.format("memory").queryName(queryName)
       .option("checkpointLocation", ckpt)
       .outputMode("append")

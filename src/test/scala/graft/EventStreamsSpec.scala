@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
 import graft.streaming.EventStreams
 
 /** Batch sessionization golden + the stateful streaming twin driven
@@ -181,6 +182,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows(0).getLong(rows(0).fieldIndex("user_id")) == 10L)
     assert(rows(0).getLong(rows(0).fieldIndex("n_events")) == 2L)
+  }
+
+  test("streaming decontamination flags exactly the batch overlap rows") {
+    val dir = java.nio.file.Files.createTempDirectory("deconstream").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // clean train
+      (2L, "the secret bench phrase appears right here now verbatim"),
+      (3L, "totally unrelated words in this training document text"),
+      (37L * 2, "the secret bench phrase appears right here now indeed"))
+      .toDF("doc_id", "text") // 74 ≡ 0 (mod 37) → held-out side
+    docs.coalesce(1).write.mode("overwrite").parquet(dir + "/in")
+    val f = new java.io.File(dir + "/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val benchRow = docs.filter(col("doc_id") % 37 === 0)
+      .select(explode(array_distinct(Dedup.shinglesOfTokens(
+        TextOps.tokens(lower(col("text"))), 5))).as("__g"))
+      .select(substring(md5(col("__g")), 1, 16).as("__gh")).distinct()
+      .groupBy().agg(sort_array(collect_set(col("__gh"))).as("bgrams"))
+      .localCheckpoint(eager = true)
+    val streamed = EventStreams.decontaminateStreamFromParquet(spark,
+        f.getAbsolutePath, docs.schema, benchRow,
+        col("doc_id") % 37 =!= 0, queryName = "e7_spec_decon")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    val batch = TextOps.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(streamed.map(_._1).toSeq == Seq(1L, 2L, 3L)) // held-out absent
+    assert(streamed.find(_._1 == 2L).get._4)  // shared 5-gram → flagged
+    assert(!streamed.find(_._1 == 1L).get._4) // clean doc passes
+    assert(streamed.sameElements(batch))
   }
 
   test("streaming quality filter admits exactly the batch-filter rows") {
