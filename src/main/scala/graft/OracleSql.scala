@@ -894,6 +894,36 @@ wdf AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) <= 1000),
 fw AS (SELECT w.doc_id, w.wh FROM wins w JOIN wdf USING (wh))""".drop(1)),
     // stratifiedSample mirrored: identical md5-hex → 48-bit uniform
     // arithmetic (exactly-dyadic /2^48), same band cuts and rates
+    // leakSafeSplit mirrored: d7's cluster closure feeds the split key
+    // (cluster comp if clustered, own id otherwise), then the p1 hash
+    // arithmetic; the split CASE compares the RAW dyadic u in both
+    // engines, u is rounded only for display
+    "p5_leak_safe_split" ->
+      (s"WITH RECURSIVE $docCtes,$lshCandCtes," + raw"""
+jpairs AS (SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN dsh a ON c.doc_a = a.doc_id
+  JOIN dsh b ON c.doc_b = b.doc_id
+  WHERE $jaccardSql >= 0.5),
+dedges AS (SELECT lpad(CAST(doc_a AS VARCHAR), 20, '0') AS src,
+                  lpad(CAST(doc_b AS VARCHAR), 20, '0') AS dst FROM jpairs),
+ddsym AS (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges),
+ddnodes AS (SELECT DISTINCT src AS id FROM ddsym),
+ddclos AS (SELECT id, id AS reach FROM ddnodes
+  UNION
+  SELECT c.id, e.dst FROM ddclos c JOIN ddsym e ON c.reach = e.src),
+ddcomp AS (SELECT id, min(reach) AS comp FROM ddclos GROUP BY id),
+skeys AS (SELECT t.doc_id,
+    coalesce(CAST(c.comp AS BIGINT), t.doc_id) AS split_key
+  FROM documents t LEFT JOIN ddcomp c
+    ON lpad(CAST(t.doc_id AS VARCHAR), 20, '0') = c.id),
+su AS (SELECT doc_id, split_key,
+    CAST(CAST('0x' || substr(md5(split_key || ':p5'), 1, 12) AS BIGINT)
+      AS DOUBLE) / 281474976710656 AS uu
+  FROM skeys)
+SELECT doc_id, split_key, floor(uu * 1000000 + 0.5) / 1000000 AS u,
+  CASE WHEN uu < 0.1 THEN 'test' WHEN uu < 0.2 THEN 'val'
+       ELSE 'train' END AS split
+FROM su"""),
     "p1_stratified_sample" -> dq(raw"""
 SELECT doc_id, n_tokens, stratum, floor(u * 1000000 + 0.5) / 1000000 AS u
 FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

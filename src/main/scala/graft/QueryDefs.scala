@@ -357,6 +357,8 @@ object QueryDefs {
     }),
     "p1_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(table(s, d, "documents"))),
+    "p5_leak_safe_split" -> ((s, d) =>
+      Sampling.leakSafeSplit(table(s, d, "documents"))),
     "p2_length_quartiles" -> ((s, d) =>
       Sampling.lengthQuartiles(table(s, d, "documents"))),
     "p3_mixture_weights" -> ((s, d) =>

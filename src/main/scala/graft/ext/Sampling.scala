@@ -137,4 +137,47 @@ object Sampling {
         expr(s"__start div ${budget}L").as("pack_id"),
         pmod(col("__start"), lit(budget)).as("pack_offset"))
   }
+
+  /** Leakage-safe train/val/test split: a plain per-document hash
+    * split puts near-duplicates on BOTH sides of the cut — the eval
+    * set then leaks into training and the val/test numbers are
+    * fiction. This routes every member of a near-dup cluster (the
+    * MinHash-LSH pair graph's connected components,
+    * [[Dedup.dedupClusters]]) to ONE side by hashing the CLUSTER id
+    * instead of the document id; unclustered documents hash their own
+    * id. Same dyadic u ∈ [0,1) construction as [[stratifiedSample]]
+    * (first 12 md5 hex digits over 2^48 — bit-deterministic in any
+    * IEEE engine), compared against the raw split fractions in both
+    * engines, so the side a cluster lands on is a pure function of its
+    * canonical id at any scale and any retry. Cluster sides move
+    * whole clusters, so realized fractions are approximate — the
+    * price of a leak-free cut.
+    *
+    * Scale: the cluster map is LSH-linear + shallow CC (see
+    * dedupClusters); the split itself is a map plus one equi-join of
+    * the corpus against the (much smaller) clustered-doc map. */
+  def leakSafeSplit(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    valFrac: Double = 0.1, testFrac: Double = 0.1,
+                    threshold: Double = 0.5,
+                    salt: String = "p5"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1.0,
+      "split fractions must be non-negative and sum below 1")
+    val clusters = Dedup.dedupClusters(docs, idCol, textCol, threshold)
+      .select(col("doc_id").as("__cdoc"), col("cluster_id"))
+    val u = conv(substring(
+        md5(concat(col("split_key").cast("string"), lit(":" + salt))),
+        1, 12), 16, 10)
+      .cast("long").cast("double") / lit(281474976710656.0)
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters, col("doc_id") === col("__cdoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+      .withColumn("__u", u)
+      .select(col("doc_id"), col("split_key"),
+        Num.roundLike(col("__u"), 6).as("u"),
+        when(col("__u") < testFrac, "test")
+          .when(col("__u") < testFrac + valFrac, "val")
+          .otherwise("train").as("split"))
+  }
 }

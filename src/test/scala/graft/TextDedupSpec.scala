@@ -129,6 +129,25 @@ class TextDedupSpec extends SparkSpec {
       out(5L).getDouble(5) == 1.0)                         // ellipsis_frac
   }
 
+  test("leak-safe split routes a whole near-dup cluster to one side") {
+    // docs 1/3 are exact dups (jaccard 1.0 ≥ 0.5 → one cluster);
+    // 2 and 4 stay unclustered
+    val out = Sampling.leakSafeSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // the cluster hashes its canonical id = min member id
+    assert(Set(1L, 3L).map(out(_)._1) == Set(1L))
+    assert(Set(1L, 3L).map(out(_)._2).size == 1) // one side for both
+    assert(out(2L)._1 == 2L && out(4L)._1 == 4L) // unclustered: own id
+    // the side is the pure hash rule, recomputable from the key alone
+    val u = spark.range(1).select(
+      org.apache.spark.sql.functions.conv(substring(
+        md5(lit("1:p5")), 1, 12), 16, 10).cast("long").cast("double")
+        / lit(281474976710656.0)).collect()(0).getDouble(0)
+    val expect = if (u < 0.1) "test" else if (u < 0.2) "val" else "train"
+    assert(out(1L)._2 == expect)
+  }
+
   test("token counting: whitespace and bpe-ish boundaries") {
     val r = spark.range(1).select(
       TextOps.tokenCount(lit(" a  b\tc ")).as("n"),
