@@ -116,15 +116,17 @@ object GraphOps {
     * batches. */
   private[graft] def diameterLocalSym(sym: DataFrame): Long = {
     val spark = sym.sparkSession
-    val layouts = localPairs(sym)
-      .mapPartitions(it =>
-        Iterator.single(LocalGraph.diamLayout(LocalGraph.build(it))))(
-        org.apache.spark.sql.Encoders.kryo[LocalGraph.DiamLayout])
+    // the layout travels as bounded chunk rows, never one giant
+    // serialized object (LocalGraph.chunkLayout scaladoc)
+    import spark.implicits._
+    val rows = localPairs(sym)
+      .mapPartitions(it => LocalGraph.chunkLayout(
+        LocalGraph.diamLayout(LocalGraph.build(it))))
       .collect()
     // a zero-partition empty input yields NO rows from coalesce(1) —
     // an empty edge list has diameter 0 either way
-    if (layouts.isEmpty) return 0L
-    val layout = layouts(0)
+    if (rows.isEmpty) return 0L
+    val layout = LocalGraph.assembleLayout(rows)
     if (layout.n == 0) return 0L
     val sc = spark.sparkContext
     val bc = sc.broadcast((layout.off, layout.adj))

@@ -186,6 +186,38 @@ private[graft] object LocalGraph {
     DiamLayout(g.off, g.adj, comp, depth, nComp, rootEcc)
   }
 
+  /** DiamLayout ⇄ bounded (field, chunk, slice) rows. At the top of
+    * the broadcast-CSR band the layout's int arrays are far past
+    * single-object serializer caps — `adj` alone is ~400 MB at 100M
+    * sym rows, and Kryo's per-object buffer is 64 MB by default (2 GB
+    * absolute), which the 50M-edge scale smoke hit as
+    * KRYO_BUFFER_OVERFLOW. The builder task therefore emits the
+    * layout as ≤[[ChunkInts]]-int slices (plain Spark SQL rows — the
+    * columnar array codec has no per-object cap and the driver fetch
+    * is per-block, not one giant buffer) and the driver reassembles. */
+  val ChunkInts: Int = 1 << 22 // 16 MB of ints per row
+
+  def chunkLayout(l: DiamLayout, chunk: Int = ChunkInts)
+      : Iterator[(String, Int, Array[Int])] = {
+    def chunks(name: String, a: Array[Int]): Iterator[(String, Int, Array[Int])] =
+      if (a.isEmpty) Iterator((name, 0, Array.empty[Int]))
+      else a.grouped(chunk).zipWithIndex.map { case (s, i) => (name, i, s) }
+    chunks("off", l.off) ++ chunks("adj", l.adj) ++
+      chunks("comp", l.comp) ++ chunks("depth", l.depth) ++
+      chunks("rootEcc", l.rootEcc) ++
+      Iterator(("nComp", 0, Array(l.nComp)))
+  }
+
+  def assembleLayout(rows: Array[(String, Int, Array[Int])]): DiamLayout = {
+    def arr(name: String): Array[Int] = {
+      val parts = rows.iterator.filter(_._1 == name).toArray.sortBy(_._2)
+      if (parts.length == 1) parts(0)._3
+      else Array.concat(parts.map(_._3).toIndexedSeq: _*)
+    }
+    DiamLayout(arr("off"), arr("adj"), arr("comp"), arr("depth"),
+      arr("nComp")(0), arr("rootEcc"))
+  }
+
   /** Array BFS from `source`; version-stamped state owned by the
     * caller (reusable across sources). Returns the VISITED COUNT: the
     * visited set is queue[0..count) in nondecreasing-distance order,

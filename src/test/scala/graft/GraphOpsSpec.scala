@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.core.GraphOps
+import graft.core.{GraphOps, LocalGraph}
 
 /** A4 degree, J10/J11 ego/induced, A6 components, A7 diameter (exact
   * on the fixture shapes), A8 transitivity, A5 metadata. */
@@ -224,6 +224,20 @@ class GraphOpsSpec extends SparkSpec {
     val frags = edgesOf((0 until 2000).map(i => (f"a$i%04d", f"b$i%04d")))
     val r = GraphOps.diameterCertified(frags).collect()(0)
     assert(r.getLong(0) == 1L && r.getBoolean(1))
+  }
+
+  test("A7 layout chunking round-trips multi-chunk arrays bit-for-bit") {
+    // the CSR layout must travel as bounded rows (a single Kryo object
+    // overflows the 64 MB buffer cap at the top of the CSR band — hit
+    // by the 50M-edge scale smoke); force several chunks per field
+    val g = LocalGraph.build(
+      (0 until 500).iterator.map(i => (s"n$i", s"n${(i + 1) % 500}")))
+    val l = LocalGraph.diamLayout(g)
+    val rt = LocalGraph.assembleLayout(
+      LocalGraph.chunkLayout(l, chunk = 7).toArray)
+    assert(rt.off.sameElements(l.off) && rt.adj.sameElements(l.adj))
+    assert(rt.comp.sameElements(l.comp) && rt.depth.sameElements(l.depth))
+    assert(rt.nComp == l.nComp && rt.rootEcc.sameElements(l.rootEcc))
   }
 
   test("A7 distributed iFUB certifies large graphs the sweeps leave open") {
