@@ -924,6 +924,53 @@ SELECT doc_id, split_key, floor(uu * 1000000 + 0.5) / 1000000 AS u,
   CASE WHEN uu < 0.1 THEN 'test' WHEN uu < 0.2 THEN 'val'
        ELSE 'train' END AS split
 FROM su"""),
+    // the streaming sampling admission emits the same order-independent
+    // row set as batch stratifiedSample — identical oracle to p1
+    "e8_stream_sample" -> dq(raw"""
+SELECT doc_id, n_tokens, stratum, floor(u * 1000000 + 0.5) / 1000000 AS u
+FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(toks) < 35 THEN 'short'
+             WHEN len(toks) < 50 THEN 'medium' ELSE 'long' END AS stratum,
+        CAST(CAST('0x' || substr(md5(doc_id || ':p1'), 1, 12) AS BIGINT)
+          AS DOUBLE) / 281474976710656 AS u
+      FROM toks) t
+WHERE u < CASE stratum WHEN 'short' THEN 0.25
+                       WHEN 'medium' THEN 0.5 ELSE 1.0 END"""),
+    // dsirWeights mirrored: same md5-prefix → 48-bit → %1024 bucket
+    // hash, add-one-smoothed target/raw bucket counts, each λ a SIGNED
+    // 6-dp fixed-point BIGINT (floor(λ·1e6+0.5) — round half toward
+    // +∞, identical in both engines), per-doc sums exact integer
+    // arithmetic; ln runs on the identical two-product/one-division
+    // double chain (tfidf-class 1-ulp caveat)
+    "p6_dsir_weights" -> dq(raw"""
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(l.lam) AS DOUBLE) / 1e6, 6) AS log_weight,
+  sum(l.lam) > 0 AS keep
+FROM bkt b JOIN lam l USING (bucket)
+GROUP BY b.doc_id""",
+      extra = raw"""
+dstoks AS (SELECT doc_id, source,
+  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')
+    AS toks
+  FROM documents),
+dsbg AS (SELECT doc_id, source,
+  unnest(list_transform(generate_series(1, len(toks)-1),
+    i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM dstoks WHERE len(toks) >= 2),
+bkt AS (SELECT doc_id, source,
+  CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) % 1024 AS bucket
+  FROM dsbg),
+cnt AS (SELECT bucket,
+  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+  CAST(count(*) AS BIGINT) AS cr
+  FROM bkt GROUP BY bucket),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+               CAST(sum(cr) AS BIGINT) AS nr FROM cnt),
+lam AS (SELECT bucket,
+  CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + 1024 AS DOUBLE)) /
+                (CAST(cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS lam
+  FROM cnt, tot)""".drop(1)),
     "p1_stratified_sample" -> dq(raw"""
 SELECT doc_id, n_tokens, stratum, floor(u * 1000000 + 0.5) / 1000000 AS u
 FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1063,6 +1110,36 @@ nll AS (SELECT b.w1, b.w2,
     CAST(floor(-ln(CAST(b.n AS DOUBLE) / p.np) * 1e6 + 0.5) AS BIGINT)
       AS nll
   FROM bcnt b JOIN pcnt p ON p.w1 = b.w1)""".drop(1)),
+    // perplexityBuckets mirrored: t10's exact fixed-point cross-entropy
+    // CTE chain + quantile_cont at DYADIC fractions (type-7, identical
+    // interpolation arithmetic both engines — the p2 argument)
+    "t12_perplexity_buckets" -> dq(raw"""
+SELECT doc_id, n_bigrams, cross_entropy,
+  CASE WHEN cross_entropy <= q1 THEN 'head'
+       WHEN cross_entropy <= q3 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM ces, ceq""",
+      extra = raw"""
+dbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+  FROM (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(toks)-1),
+            i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+        FROM toks WHERE len(toks) >= 2) u),
+bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM dbg GROUP BY 1, 2),
+pcnt AS (SELECT w1, CAST(sum(n) AS BIGINT) AS np FROM bcnt GROUP BY 1),
+nll AS (SELECT b.w1, b.w2,
+    CAST(floor(-ln(CAST(b.n AS DOUBLE) / p.np) * 1e6 + 0.5) AS BIGINT)
+      AS nll
+  FROM bcnt b JOIN pcnt p ON p.w1 = b.w1),
+ces AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(CAST(sum(l.nll) AS DOUBLE) / (count(*) * 1e6), 4)
+      AS cross_entropy
+  FROM dbg d JOIN nll l ON l.w1 = d.w1 AND l.w2 = d.w2
+  GROUP BY d.doc_id),
+ceq AS (SELECT quantile_cont(cross_entropy, 0.25) AS q1,
+               quantile_cont(cross_entropy, 0.75) AS q3 FROM ces)"""
+        .drop(1)),
     // packSequences mirrored: exact integer window sums per shard,
     // integer div/mod for the pack slot — exact for any budget
     "p4_pack_sequences" -> dq(raw"""
@@ -1241,6 +1318,34 @@ assigned AS (SELECT vec_id, centroid_id FROM (
   SELECT *, row_number() OVER (
     PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
   FROM csim) t WHERE rn = 1)""".drop(1)),
+    // clusterMixture mirrored: the e6/s2 sampled-codebook assignment
+    // chain feeding the p3 integer-count/correctly-rounded-chain
+    // aggregation
+    "p7_cluster_mixture" -> eq(raw"""
+SELECT centroid_id, n_vecs,
+  round(CAST(n_vecs AS DOUBLE) / total, 6) AS share,
+  round(sqrt(CAST(n_vecs AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)), 6)
+    AS temp_weight
+FROM cper, ctot""",
+      extra = raw"""
+cb AS (SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cdot AS (SELECT v.vec_id, c.centroid_id, sum(v.x * cv.x) AS dot
+  FROM vexp v JOIN cb c ON true
+  JOIN vexp cv ON cv.vec_id = c.centroid_id AND cv.i = v.i
+  GROUP BY v.vec_id, c.centroid_id),
+csim AS (SELECT cdot.vec_id, cdot.centroid_id,
+    cdot.dot/(nv.nrm*nc.nrm) AS sim
+  FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+  JOIN norms nc ON nc.vec_id = cdot.centroid_id),
+assigned AS (SELECT vec_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
+  FROM csim) t WHERE rn = 1),
+cper AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM assigned GROUP BY centroid_id),
+ctot AS (SELECT sum(n_vecs) AS total, max(n_vecs) AS mx FROM cper)"""
+        .drop(1)),
     // PQ ADC search: every distance is the 6-dp fixed-point long
     // (floor((x−y)²·10⁶+0.5) per element, integer sums), so argmin
     // ties, ADC totals, and rank keys are exact on both engines —

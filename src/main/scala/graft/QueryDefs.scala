@@ -359,6 +359,14 @@ object QueryDefs {
       Sampling.stratifiedSample(table(s, d, "documents"))),
     "p5_leak_safe_split" -> ((s, d) =>
       Sampling.leakSafeSplit(table(s, d, "documents"))),
+    "p6_dsir_weights" -> ((s, d) =>
+      Sampling.dsirWeights(table(s, d, "documents"))),
+    // cluster-balanced mixture: the s2 sampled-codebook assignment
+    // feeding the p3 share/temp-weight aggregation
+    "p7_cluster_mixture" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Sampling.clusterMixture(emb, Similarity.codebook(emb, 16))
+    }),
     "p2_length_quartiles" -> ((s, d) =>
       Sampling.lengthQuartiles(table(s, d, "documents"))),
     "p3_mixture_weights" -> ((s, d) =>
@@ -369,6 +377,8 @@ object QueryDefs {
       TextOps.bigramCounts(table(s, d, "documents"))),
     "t10_lm_crossentropy" -> ((s, d) =>
       TextOps.lmCrossEntropy(table(s, d, "documents"))),
+    "t12_perplexity_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(table(s, d, "documents"))),
     // PQ code search: 8 subspaces × 16 centroids over the 64-dim
     // embeddings; ADC scores probes against 4-bit codes only. The
     // fixed-point distance makes every rank key an exact long, so the
@@ -539,6 +549,15 @@ object QueryDefs {
       EventStreams.qualityFilterStreamFromParquet(s,
         s"$d/documents.parquet", raw,
         queryName = "e5_qf_" + math.abs(d.hashCode).toString)
+    }),
+    // streaming sampling admission: stratifiedSample's pure
+    // hash-of-key decision applied at ingest; stateless, order-
+    // independent row set, so p1's batch SQL is the exact oracle
+    "e8_stream_sample" -> ((s, d) => {
+      val raw = table(s, d, "documents").schema
+      EventStreams.sampleStreamFromParquet(s,
+        s"$d/documents.parquet", raw,
+        queryName = "e8_sample_" + math.abs(d.hashCode).toString)
     }),
     // stream-static decontamination: the t8 split with the bench gram
     // set frozen into one broadcast row; stateless per-doc

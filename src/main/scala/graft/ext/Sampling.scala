@@ -180,4 +180,99 @@ object Sampling {
           .when(col("__u") < testFrac + valFrac, "val")
           .otherwise("train").as("split"))
   }
+
+  /** Cluster-balanced mixture weights — [[mixtureWeights]] with the
+    * stratum coming from EMBEDDING-SPACE clustering instead of a
+    * source label: assign every vector its nearest coarse centroid
+    * ([[Similarity.ivfAssign]] against a shared codebook), then emit
+    * per-cluster counts, exact corpus share, and the √-temperature
+    * up-weight for small clusters. This is the semantic-balancing
+    * step web-scale pipelines run when source labels are too coarse
+    * (topic skew inside one crawl): cluster, then re-weight the
+    * mixture by cluster. Same determinism as mixtureWeights — integer
+    * counts, correctly-rounded sqrt/div chains; the assignment's
+    * argmax orders by 6-dp-rounded cosine with centroid-id tie-break
+    * (the s2 scheme). Scale: one broadcast-codebook scan + one
+    * k-row groupBy; nothing grows faster than the corpus. */
+  def clusterMixture(emb: DataFrame, cb: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val per = Similarity.ivfAssign(emb, cb, idCol, vecCol)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum("n_vecs").as("__total"),
+      max("n_vecs").as("__mx"))
+    per.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_vecs"),
+        Num.roundLike(
+          col("n_vecs").cast("double") / col("__total"), 6).as("share"),
+        Num.roundLike(
+          sqrt(col("n_vecs").cast("double")) /
+            sqrt(col("__mx").cast("double")), 6).as("temp_weight"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al., NeurIPS 2023 — Data
+    * Selection for Language Models via Importance Resampling): score
+    * every document by how much likelier its hashed-bigram features are
+    * under a TARGET domain's bag-of-ngrams model than under the raw
+    * corpus's — the standard cheap proxy for "select web data that
+    * looks like the curated target" at pre-training scale. Features
+    * are bigrams hashed into `nBuckets` buckets (the DSIR hashing
+    * trick: a bounded feature space regardless of vocabulary size);
+    * both models are add-one-smoothed bucket frequencies; a document's
+    * log importance weight is the sum of its bigrams' per-bucket
+    * log-ratios λ_b = ln((ct_b+1)(Nr+B) / ((cr_b+1)(Nt+B))).
+    *
+    * Determinism at any partitioning (t10-style): each λ_b is rounded
+    * to a SIGNED 6-dp fixed-point long (floor(λ·10⁶ + 0.5) — round
+    * half toward +∞, identical in any IEEE engine), so per-document
+    * sums are exact integer arithmetic and only the display value
+    * divides back. The bucket hash is the house md5-prefix → 48-bit
+    * construction. ln is the one transcendental (tfidf-class ≤1-ulp
+    * caveat); its argument chains two correctly-rounded double
+    * products and one division on exact integers.
+    *
+    * Scale shape: two passes over the corpus token stream (counting,
+    * then scoring — same shape as [[TextOps.lmCrossEntropy]]); the
+    * bucket-count shuffle is map-side combined down to `nBuckets`
+    * rows, the λ table is an explicit broadcast (B rows, no shuffle on
+    * the scoring side), and the per-doc re-agg is the only corpus-
+    * sized shuffle. Nothing is quadratic; nothing depends on
+    * vocabulary size. */
+  def dsirWeights(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  targetCol: String = "source",
+                  targetValue: String = "src0",
+                  nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val B = nBuckets.toLong
+    val bg = docs
+      .select(col(idCol).as("doc_id"),
+        (col(targetCol) === targetValue).as("__is_t"),
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), col("__is_t"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => concat(element_at(col("__toks"), i + 1), lit(" "),
+            element_at(col("__toks"), i + 2)))).as("__gram"))
+      .select(col("doc_id"), col("__is_t"),
+        pmod(conv(substring(md5(col("__gram")), 1, 12), 16, 10)
+          .cast("long"), lit(B)).as("bucket"))
+    val cnt = bg.groupBy("bucket")
+      .agg(sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__cr"))
+    val tot = cnt.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))
+    val lam = cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor(log(((col("__ct") + 1).cast("double") *
+            (col("__nr") + B).cast("double")) /
+          ((col("__cr") + 1).cast("double") *
+            (col("__nt") + B).cast("double"))) * 1e6 + lit(0.5))
+          .cast("long").as("__lam"))
+    bg.join(broadcast(lam), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lam").as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Num.roundLike(col("__s").cast("double") / 1e6, 6).as("log_weight"),
+        (col("__s") > 0L).as("keep"))
+  }
 }

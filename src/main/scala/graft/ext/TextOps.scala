@@ -360,4 +360,30 @@ object TextOps {
         Num.roundLike(col("__s") / (col("n_bigrams") * 1e6), 4)
           .as("cross_entropy"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    * rank every document by its LM score ([[lmCrossEntropy]] — low =
+    * fluent) and cut the corpus into head / middle / tail quality
+    * tiers, the standard pre-filter that keeps "head" for training
+    * and drops or down-samples "tail". CCNet cuts at thirds; this
+    * cuts head = best quarter, tail = worst quarter, middle = the
+    * half between — DYADIC quantile fractions (0.25/0.75), so the
+    * type-7 interpolation weights are exact and the cut points are
+    * bit-identical cross-engine (the [[Sampling.lengthQuartiles]]
+    * determinism argument; the input cross-entropies are already
+    * 4-dp-rounded doubles). The two cut points ride a broadcast 1-row
+    * aggregate — bucketing adds one tiny percentile shuffle over the
+    * per-doc score frame, nothing corpus-quadratic. */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val ce = lmCrossEntropy(docs, idCol, textCol)
+    val qs = ce.agg(
+      percentile(col("cross_entropy"), lit(0.25)).as("__q1"),
+      percentile(col("cross_entropy"), lit(0.75)).as("__q3"))
+    ce.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("n_bigrams"), col("cross_entropy"),
+        when(col("cross_entropy") <= col("__q1"), lit("head"))
+          .when(col("cross_entropy") <= col("__q3"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

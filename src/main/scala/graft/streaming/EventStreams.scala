@@ -297,6 +297,34 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming sampling admission — [[graft.ext.Sampling.stratifiedSample]]
+    * applied AT INGEST: each arriving document is kept or dropped by the
+    * same pure hash-of-key decision as the batch sampler (md5-dyadic
+    * u < rate(stratum)), so a pipeline can downsample a firehose before
+    * paying to store it. The decision is a pure function of doc_id —
+    * no RNG, no state, no watermark — which makes the stream admission
+    * EXACTLY the batch sample: replaying the stream, reordering it, or
+    * re-running a failed microbatch admits the identical row set, and
+    * the batch p1 SQL is the exact oracle. Stateless map+filter ⇒ scan
+    * speed on an unbounded stream. */
+  def sampleStreamFromParquet(spark: SparkSession, path: String,
+                              rawSchema: org.apache.spark.sql.types.StructType,
+                              queryName: String = "e8_sample"): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("e8ckpt").toString
+    val q = graft.ext.Sampling.stratifiedSample(raw)
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.table(queryName)
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState: emits a
     * session when the gap timeout fires. State is one small struct per
     * active user — bounded by active-user cardinality, not event volume. */

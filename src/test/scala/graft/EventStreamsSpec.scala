@@ -244,4 +244,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(!streamed.map(_._1).contains(4L)) // symbol soup rejected
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming sampling admission admits exactly the batch-sample rows") {
+    val dir = java.nio.file.Files.createTempDirectory("smpstream").toString
+    // ids 0..199, short texts → all in the 0.25-rate 'short' stratum:
+    // the admitted set is a strict, hash-determined subset
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok word item "), col("id").cast("string")).as("text"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir + "/in")
+    val f = new java.io.File(dir + "/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamed = EventStreams.sampleStreamFromParquet(spark,
+        f.getAbsolutePath, docs.schema, queryName = "e8_spec_sample")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val batch = graft.ext.Sampling.stratifiedSample(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.length < 200) // really sampled
+    assert(streamed.forall(_._3 == "short"))
+    assert(streamed.sameElements(batch))
+  }
 }

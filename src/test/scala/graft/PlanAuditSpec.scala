@@ -55,7 +55,13 @@ class PlanAuditSpec extends SparkSpec {
     "p2_length_quartiles" ->
       "doc-length frame × broadcast 1-row quartile cut points (Sampling.lengthQuartiles)",
     "p3_mixture_weights" ->
-      "per-source frame × broadcast 1-row corpus totals (Sampling.mixtureWeights)")
+      "per-source frame × broadcast 1-row corpus totals (Sampling.mixtureWeights)",
+    "p6_dsir_weights" ->
+      "bucket-count frame (≤ nBuckets rows) × broadcast 1-row gram totals (Sampling.dsirWeights)",
+    "t12_perplexity_buckets" ->
+      "per-doc score frame × broadcast 1-row quantile cut points (TextOps.perplexityBuckets)",
+    "p7_cluster_mixture" ->
+      "corpus × broadcast centroid codebook (k=16) + k-row counts × 1-row totals (Sampling.clusterMixture)")
 
   test("every registered query plans without an unlisted cartesian/nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -148,6 +148,79 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L)._2 == expect)
   }
 
+  test("DSIR weights: target-like docs outscore off-domain, exact + partition-independent") {
+    val corpus = Seq(
+      (1L, "spark shuffle join agg spark shuffle join agg", "src0"),
+      (2L, "spark shuffle join agg spark shuffle join scan", "src1"),
+      (3L, "violets daisies tulips roses violets daisies tulips roses", "src1"),
+      (4L, "spark shuffle join agg scan filter sort window", "src0"),
+      (5L, "one", "src1")) // <2 tokens: no bigram features, excluded
+      .toDF("doc_id", "text", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirWeights(df).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val out = run(corpus)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // src1 doc built from the target (src0) vocabulary beats the
+    // off-domain src1 doc (whose grams the target model never saw);
+    // keep is exactly the sign of the exact fixed-point sum
+    assert(out(2L)._2 > out(3L)._2)
+    assert(!out(3L)._3)
+    assert(out.values.forall { case (_, w, k) => k == (w > 0.0) })
+    // pure function of the corpus: any partitioning, same bits
+    assert(run(corpus.repartition(7)) == out)
+    assert(run(corpus.repartition(1)) == out)
+  }
+
+  test("cluster mixture: per-centroid counts, exact shares, √-temperature weights") {
+    val cb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("centroid_id", "centv")
+    val emb = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.95f, 0.0f)), (13L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Sampling.clusterMixture(emb, cb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((3L, 0.75, 1.0)))
+    assert(out(1L)._1 == 1L && out(1L)._2 == 0.25)
+    assert(math.abs(out(1L)._3 - 0.57735) < 1e-5) // sqrt(1)/sqrt(3)
+  }
+
+  test("perplexity buckets: tiers are ordered by cross-entropy, quarters at the ends") {
+    // 8 docs over a shared vocabulary. NB the LM is self-trained, so
+    // the 'zz qq' docs — whose rare words have near-unique
+    // continuations — are the PREDICTABLE head; the 'the …' docs pay
+    // for 'the' fanning out to many continuations
+    val corpus = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"),
+      (2L, "the cat sat on the mat the cat sat on the rug"),
+      (3L, "the cat sat on the mat and the dog sat too"),
+      (4L, "the dog sat on the mat the dog sat on the mat"),
+      (5L, "the cat ran on the mat the dog ran on it"),
+      (6L, "zz qq ww ee rr tt yy uu ii oo pp aa"),
+      (7L, "qq zz ee ww tt rr uu yy oo ii aa pp"),
+      (8L, "the mat sat on the cat the rug sat on a dog"))
+      .toDF("doc_id", "text")
+    val out = TextOps.perplexityBuckets(corpus).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(out.length == 8)
+    val byB = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    // quarter cuts: 2 head, 4 middle, 2 tail on 8 docs
+    assert(byB("head").length == 2 && byB("tail").length == 2)
+    assert(byB("middle").length == 4)
+    // tiers are a partition of the score axis
+    assert(byB("head").max <= byB("middle").min)
+    assert(byB("middle").max <= byB("tail").min)
+    // most-repetitive transition structure = head; the docs whose
+    // bigrams fight 'the'/'sat'/'on' fan-out the hardest = tail
+    // (hand-replicated fixed-point arithmetic: CE 0.5289/0.6218 head,
+    // 0.9965/1.0058 tail)
+    assert(out.filter(_._3 == "head").map(_._1).toSet == Set(1L, 4L))
+    assert(out.filter(_._3 == "tail").map(_._1).toSet == Set(5L, 8L))
+  }
+
   test("token counting: whitespace and bpe-ish boundaries") {
     val r = spark.range(1).select(
       TextOps.tokenCount(lit(" a  b\tc ")).as("n"),
