@@ -1073,6 +1073,44 @@ g5 AS (SELECT doc_id, CASE WHEN len(toks) < 5
 ug AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g5),
 uh AS (SELECT doc_id, substr(md5(gram), 1, 16) AS gh FROM ug),
 bh AS (SELECT DISTINCT gh FROM uh WHERE doc_id % 37 = 0)""".drop(1)),
+    // bloomDecontaminate mirrored: same 5-gram construction as t8,
+    // same (h1,h2) md5-prefix pair, same KM double-hashed positions
+    // mod 2^20, 32 bits packed per BIGINT word (bit 31 max — DuckDB
+    // refuses 1<<63), bit_or packing and &-probe — the filter is pure
+    // integer arithmetic, so the false positives match too
+    "t13_bloom_decontaminate" -> dq(raw"""
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(e.h1) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN g.nset = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+  sum(CASE WHEN g.nset = 5 THEN 1 ELSE 0 END) > 0 AS contaminated_bloom,
+  sum(CASE WHEN g.nset = 5 THEN 1 ELSE 0 END) >= count(e.h1)
+    AS bloom_consistent
+FROM ghit g LEFT JOIN bex e ON e.h1 = g.h1 AND e.h2 = g.h2
+GROUP BY g.doc_id""",
+      extra = raw"""
+bl5 AS (SELECT doc_id, CASE WHEN len(toks) < 5
+         THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(0, len(toks)-5),
+                i -> array_to_string(toks[i+1:i+5], ' ')) END AS g
+       FROM toks),
+blg AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM bl5),
+blh AS (SELECT doc_id,
+    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h1,
+    CAST('0x' || substr(md5(gram), 16, 15) AS BIGINT) AS h2 FROM blg),
+blpos AS (SELECT doc_id, h1, h2,
+    (h1 + jj.j * h2) % 1048576 AS pos
+  FROM blh, (SELECT unnest(generate_series(0, 4)) AS j) jj),
+bwords AS (SELECT pos // 32 AS word,
+    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM blpos WHERE doc_id % 37 = 0 GROUP BY 1),
+ghit AS (SELECT p.doc_id, p.h1, p.h2,
+    sum(CASE WHEN coalesce(w.bits, 0::BIGINT) &
+          (1::BIGINT << CAST(p.pos % 32 AS INT)) <> 0
+        THEN 1 ELSE 0 END) AS nset
+  FROM blpos p LEFT JOIN bwords w ON w.word = p.pos // 32
+  WHERE p.doc_id % 37 <> 0 GROUP BY 1, 2, 3),
+bex AS (SELECT DISTINCT h1, h2 FROM blh WHERE doc_id % 37 = 0)"""
+        .drop(1)),
     // bigramCounts mirrored: same lowercased whitespace tokens, exact
     // integer count division rounded at 6 dp
     "t9_bigram_lm" -> dq(raw"""

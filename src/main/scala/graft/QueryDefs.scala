@@ -379,6 +379,15 @@ object QueryDefs {
       TextOps.lmCrossEntropy(table(s, d, "documents"))),
     "t12_perplexity_buckets" -> ((s, d) =>
       TextOps.perplexityBuckets(table(s, d, "documents"))),
+    // Bloom-filter decontamination over the same t8 bench split; the
+    // relational filter is deterministic arithmetic, so hits AND false
+    // positives hash-match the oracle
+    "t13_bloom_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextOps.bloomDecontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0))
+    }),
     // PQ code search: 8 subspaces × 16 centroids over the 64-dim
     // embeddings; ADC scores probes against 4-bit codes only. The
     // fixed-point distance makes every rank key an exact long, so the

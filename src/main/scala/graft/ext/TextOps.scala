@@ -285,6 +285,83 @@ object TextOps {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Bloom-filter decontamination — the documented scale path for
+    * [[decontaminate]] when the benchmark gram set outgrows a
+    * broadcast-able exact set: the bench grams are folded into an
+    * m-bit Bloom filter packed as `mBits/64` longs, and every
+    * training gram asks the filter instead of joining the exact set.
+    * The filter is built RELATIONALLY — k Kirsch-Mitzenmacher
+    * double-hashed probe positions per gram (h1 + j·h2 mod m, the
+    * minhash construction), bit_or-packed per 64-bit word — so the
+    * whole structure is deterministic arithmetic over md5 prefixes:
+    * both the hits AND the false positives are identical in any
+    * engine, which is what lets the DuckDB oracle pin this
+    * hash-exact (a library Bloom filter's private hash would be
+    * unverifiable). Emits the exact overlap counts alongside the
+    * Bloom verdicts plus the no-false-negative certificate
+    * (`bloom_consistent` — a Bloom filter may over-flag, never
+    * under-flag).
+    *
+    * Scale shape: the filter words frame is ≤ mBits/32 rows (32 bits
+    * packed per long — shifts stay below the sign bit, which some
+    * engines refuse) — an equi-join AQE broadcasts (the m=2²⁰ default
+    * is 32k rows ≈ 256 KB of filter for a ~1% FP rate at 10⁵ bench
+    * grams; size m to the real suite). The train side stays map-only
+    * + one doc_id re-agg: each gram fans out to its k probe words,
+    * hits come back via the broadcast join — no corpus-sized shuffle,
+    * no driver materialization, and the 100 TB corpus never joins the
+    * exact bench set. A gram is identified by its (h1, h2) hash pair
+    * throughout — no synthetic row ids, so every intermediate is a
+    * pure function of the data. */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 5,
+                         mBits: Long = 1L << 20,
+                         k: Int = 5): DataFrame = {
+    require(mBits % 32 == 0 && mBits > 0, "mBits must be a positive multiple of 32")
+    require(k >= 1, "k must be at least 1")
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Dedup.shinglesOfTokens(col("__toks"), n))).as("__gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("__gram")), 1, 15), 16, 10)
+          .cast("long").as("__h1"),
+        conv(substring(md5(col("__gram")), 16, 15), 16, 10)
+          .cast("long").as("__h2"))
+    // (word, bit-mask) probe positions for hash j = 0..k-1
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("__h1"), col("__h2"),
+        explode(sequence(lit(0), lit(k - 1))).as("__j"))
+      .select(col("doc_id"), col("__h1"), col("__h2"),
+        pmod(col("__h1") + col("__j") * col("__h2"), lit(mBits)).as("__pos"))
+      .select(col("doc_id"), col("__h1"), col("__h2"),
+        expr(s"__pos div 32L").as("__word"),
+        expr("shiftleft(1L, CAST(pmod(__pos, 32) AS INT))").as("__mask"))
+    val words = positions(grams(bench))
+      .groupBy("__word")
+      .agg(expr("bit_or(__mask)").as("__bits"))
+    // per-gram: all k probed bits set ⇒ the filter says contaminated
+    val gramHit = positions(grams(train))
+      .join(words, Seq("__word"), "left")
+      .groupBy("doc_id", "__h1", "__h2")
+      .agg(sum(when(coalesce(col("__bits"), lit(0L))
+        .bitwiseAND(col("__mask")) =!= 0L, 1).otherwise(0)).as("__set"))
+    val exact = grams(bench)
+      .select(col("__h1"), col("__h2")).distinct()
+      .withColumn("__ex", lit(1))
+    gramHit.join(exact, Seq("__h1", "__h2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__ex")).as("n_exact"),
+        sum(when(col("__set") === k, 1L).otherwise(0L)).as("n_bloom"))
+      .select(col("doc_id"), col("n_grams"), col("n_exact"),
+        col("n_bloom"), (col("n_bloom") > 0).as("contaminated_bloom"),
+        (col("n_bloom") >= col("n_exact")).as("bloom_consistent"))
+  }
+
   /** Bigram language-model counts with conditional probabilities —
     * the count-collection step behind n-gram LMs and the perplexity /
     * fluency proxies data-quality pipelines score documents with.

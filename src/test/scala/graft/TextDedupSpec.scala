@@ -173,6 +173,30 @@ class TextDedupSpec extends SparkSpec {
     assert(run(corpus.repartition(1)) == out)
   }
 
+  test("bloom decontamination: flags exact overlap, never under-flags, tiny filter over-flags safely") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different words entirely unrelated here today"),
+      (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon something else entirely"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bloomDecontaminate(train, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._2 == 1L && out(1L)._4) // the shared 5-gram, flagged
+    assert(out(2L)._2 == 0L)
+    assert(out.values.forall(_._5))        // a Bloom filter never under-flags
+    // at m=2^20 this corpus is FP-free: the filter equals the exact set
+    assert(out.values.forall(v => v._3 == v._2))
+    // a deliberately tiny filter may over-flag but still never under-flags
+    val small = TextOps.bloomDecontaminate(train, bench, mBits = 32, k = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    assert(small.forall(t => t._2 >= t._1 && t._3))
+  }
+
   test("cluster mixture: per-centroid counts, exact shares, √-temperature weights") {
     val cb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
       .toDF("centroid_id", "centv")
