@@ -779,6 +779,26 @@ dropped AS (SELECT DISTINCT m.vec_id
 SELECT r.vec_id, r.centroid_id, CAST(r.rnk AS BIGINT) AS "rank",
        d.vec_id IS NULL AS keep
 FROM ranked r LEFT JOIN dropped d ON d.vec_id = r.vec_id""",
+    // blockDedup mirrored: raw-case tokens, non-overlapping 3-token
+    // blocks, first occurrence = min (doc_id, blk) via the same
+    // row_number ordering, reassembly in block order (string_agg with
+    // ORDER BY = Spark's sort_array-of-structs transform)
+    "d9_block_dedup" -> dq(raw"""
+SELECT doc_id, count(*) AS n_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN btext END, ' '
+         ORDER BY blk), '') AS text_dedup
+FROM rblk GROUP BY doc_id""",
+      extra = raw"""
+blk AS (SELECT doc_id, unnest(list_transform(
+    generate_series(0, CAST((len(toks) + 2) // 3 AS BIGINT) - 1),
+    i -> struct_pack(blk := i,
+      btext := array_to_string(toks[i*3+1 : i*3+3], ' ')))) AS s
+  FROM rtoks WHERE len(toks) > 0),
+rblk AS (SELECT doc_id, s.blk AS blk, s.btext AS btext,
+    row_number() OVER (PARTITION BY md5(s.btext)
+      ORDER BY doc_id, s.blk) AS rn
+  FROM blk)""".drop(1)),
     "d3_simhash" -> dq(s"SELECT doc_id, $simhash16Sql AS simhash FROM toks"),
     "d4_ngram_jaccard" -> dq(raw"""
 SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, ${jaccardSql

@@ -355,6 +355,11 @@ object QueryDefs {
       val cb = Similarity.codebook(table(s, d, "embeddings"), 16)
       Dedup.semDedup(corpus, cb, tau = 0.9)
     }),
+    // 3-token blocks (not the production 16): the gate corpus's 31-word
+    // vocabulary needs small blocks to exercise real cross-doc removal
+    // (~19% of blocks dedup at B=3; at B=16 nothing repeats)
+    "d9_block_dedup" -> ((s, d) =>
+      Dedup.blockDedup(table(s, d, "documents"), blockTokens = 3)),
     "p1_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(table(s, d, "documents"))),
     "p5_leak_safe_split" -> ((s, d) =>

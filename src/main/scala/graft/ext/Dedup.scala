@@ -346,6 +346,55 @@ object Dedup {
         (col("id") === col("comp")).as("is_canonical"))
   }
 
+  /** Block-level exact dedup WITH removal — the reassembly counterpart
+    * of [[sharedSubstring]] (which only reports pairs). The corpus is
+    * cut into non-overlapping `blockTokens`-token blocks; every block
+    * whose exact text already occurred earlier in corpus order
+    * (first occurrence = min (doc_id, block_idx), the same canonical
+    * order as [[exact]]) is dropped, and each document's surviving
+    * blocks are re-joined in position order. This is the block-aligned
+    * simplification of exact-substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499 — their suffix-array pass removes arbitrary
+    * spans; aligned blocks trade recall at span boundaries for a fully
+    * relational plan) and the paragraph-dedup pass of RefinedWeb
+    * (Penedo et al. 2023, arXiv:2306.01116) with blocks standing in
+    * for paragraphs.
+    *
+    * Scale shape: one `posexplode` fan-out (corpus → ≈ tokens/B rows),
+    * ONE shuffle — the `row_number` window partitioned by block hash,
+    * whose keys are uniform by construction — then a doc_id re-agg
+    * that AQE coalesces; no joins, no driver state. Dropping rather
+    * than collecting duplicates keeps the reassembly agg's input at
+    * corpus size. Keys are md5 of the raw block text: case-sensitive,
+    * like [[exact]]. Docs with zero surviving blocks still emit a row
+    * (`text_dedup` = ''). */
+  def blockDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 blockTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = blockTokens
+    val blocks = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        expr(s"CAST((size(__toks) + ${b - 1}) div $b AS INT)").as("__nb"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__nb") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * b + 1, lit(b))))))
+      .select(col("doc_id"), col("pos").as("__blk"), col("col").as("__btext"))
+    val ranked = blocks.withColumn("__rn",
+      row_number().over(Window.partitionBy(md5(col("__btext")))
+        .orderBy(col("doc_id"), col("__blk"))))
+    ranked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("__blk"), col("__btext"))))),
+          s => s.getField("__btext"))).as("text_dedup"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication in EMBEDDING space — cluster the corpus with a
     * bounded codebook, then drop any vector whose cosine to a

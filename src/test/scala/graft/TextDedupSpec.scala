@@ -197,6 +197,26 @@ class TextDedupSpec extends SparkSpec {
     assert(small.forall(t => t._2 >= t._1 && t._3))
   }
 
+  test("block dedup: first occurrence survives, later exact blocks are removed, reassembly keeps order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // blocks: "a b c", "d e f"
+      (2L, "x y z a b c"),          // "a b c" repeats doc 1's block → dropped
+      (3L, "d e f d e f g"),        // first "d e f" is doc 1's → both dropped; "g" kept
+      (4L, "h i"))                  // sub-block doc: one partial block
+      .toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, blockTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f")))
+    assert(out(2L) == ((2L, 1L, "x y z")))
+    assert(out(3L) == ((3L, 1L, "g")))
+    assert(out(4L) == ((1L, 1L, "h i")))
+    // partition-invariant: corpus order is (doc_id, blk), not row order
+    val re = Dedup.blockDedup(docs.repartition(7), blockTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(re == out.view.mapValues(_._3).toMap)
+  }
+
   test("cluster mixture: per-centroid counts, exact shares, √-temperature weights") {
     val cb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
       .toDF("centroid_id", "centv")
