@@ -1252,6 +1252,48 @@ lkeys AS (SELECT vec_id, b AS band,
 cpairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM lkeys a JOIN lkeys b
   ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)""".drop(1)),
+    // sq8TopK mirrored: per-dim (lo, span) range, the same
+    // floor((x−lo)/span·255 + 0.5) clamped code expression (exact
+    // integer output of one IEEE double expression — no fixed point
+    // needed), reconstruction c·span/255 + lo, approximate cosine of
+    // raw probe vs reconstruction ranks the 40-deep pool, exact cosine
+    // re-ranks the final 10; both ranks on round(·, 6) with id tiebreak
+    "s5_sq8_rerank" -> eq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
+       round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY round(cosine, 6) DESC, corpus_id) AS rank FROM ex) r
+WHERE rank <= 10""",
+      extra = raw"""
+rng AS (SELECT i, min(x) AS lo, max(x) - min(x) AS span
+  FROM vexp GROUP BY i),
+codes AS (SELECT v.vec_id, v.i, r.lo, r.span,
+    CASE WHEN r.span > 0 THEN least(greatest(
+      floor((v.x - r.lo) / r.span * 255 + 0.5), 0), 255)
+    ELSE 0 END AS c
+  FROM vexp v JOIN rng r USING (i)),
+rec AS (SELECT vec_id, i, c * span / 255.0 + lo AS rx FROM codes),
+recn AS (SELECT vec_id, sqrt(sum(rx * rx)) AS nrm FROM rec GROUP BY vec_id),
+cand AS (SELECT probe_id, corpus_id, row_number() OVER (
+      PARTITION BY probe_id ORDER BY round(approx, 6) DESC, corpus_id)
+      AS arn
+  FROM (SELECT p.vec_id AS probe_id, r.vec_id AS corpus_id,
+          sum(p.x * r.rx) / (pn.nrm * rn.nrm) AS approx
+        FROM vexp p JOIN rec r ON p.i = r.i AND r.vec_id <> p.vec_id
+        JOIN norms pn ON pn.vec_id = p.vec_id
+        JOIN recn rn ON rn.vec_id = r.vec_id
+        WHERE p.vec_id < 5
+        GROUP BY p.vec_id, r.vec_id, pn.nrm, rn.nrm) t),
+ex AS (SELECT c.probe_id, c.corpus_id,
+    list_dot_product(CAST(pa.embedding AS DOUBLE[]),
+                     CAST(pb.embedding AS DOUBLE[])) / (na.nrm * nb.nrm)
+      AS cosine
+  FROM cand c
+  JOIN embeddings pa ON pa.vec_id = c.probe_id
+  JOIN embeddings pb ON pb.vec_id = c.corpus_id
+  JOIN norms na ON na.vec_id = c.probe_id
+  JOIN norms nb ON nb.vec_id = c.corpus_id
+  WHERE c.arn <= 40)""".drop(1)),
     "s1_similarity_bruteforce" -> eq(raw"""
 SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
        round(cosine, 6) AS cosine

@@ -293,6 +293,12 @@ object QueryDefs {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // SQ8: 8-bit scalar-quantized approximate scan (4× less index
+    // traffic) feeding an exact re-rank of the 4k-deep candidate pool
+    "s5_sq8_rerank" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
     "s2_similarity_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val cb = Similarity.codebook(emb, 16)

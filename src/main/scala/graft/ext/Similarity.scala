@@ -686,6 +686,87 @@ object Similarity {
                    path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** SQ8 range model: per-dimension (lo, hi) over the corpus, rolled to
+    * ONE row (`los`, `spans` arrays indexed by dimension) — the scalar
+    * quantizer's whole training state, broadcast everywhere it's used.
+    * One posexplode fan-out (corpus × dim rows) into a 64-key groupBy
+    * that map-side combines to dim×partitions rows — the same shuffle
+    * shape as a global agg, independent of corpus size. */
+  def sq8Range(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus.select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("__lo"), max(col("col")).as("__hi"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__lo"),
+        col("__hi")))).as("__r"))
+      .select(transform(col("__r"), s => s.getField("__lo")).as("los"),
+        transform(col("__r"), s => s.getField("__hi") - s.getField("__lo"))
+          .as("spans"))
+
+  /** SQ8 encode: each vector to dim uint8 codes,
+    * `floor((x − lo)/span · 255 + 0.5)` clamped to [0, 255] (flat
+    * dimensions → 0). 4 bytes of float32 become 1 byte per dimension —
+    * map-only against the broadcast 1-row range model, and every code
+    * is exact integer output of one IEEE double expression, so the
+    * codes (and everything ranked from them) are engine-reproducible
+    * without fixed-point machinery. */
+  def sq8Encode(corpus: DataFrame, rng: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(rng))
+      .select(col("corpus_id"),
+        zip_with(zip_with(col("__v"), col("los"), (x, l) => x - l),
+          col("spans"), (c, s) =>
+            when(s > 0, least(greatest(
+              floor(c / s * 255 + lit(0.5)), lit(0.0)), lit(255.0)))
+              .otherwise(lit(0.0)).cast("long")).as("codes"))
+
+  /** SQ8 top-k with exact re-rank: asymmetric scan — the probe's RAW
+    * vector against each corpus vector RECONSTRUCTED from its codes
+    * (`code·span/255 + lo`) ranks a candidate pool of `rerank`·k per
+    * probe; only those candidates re-join the float corpus for the
+    * exact cosine that orders the final k. The scan phase reads 1 byte
+    * per dimension instead of 4 — at 100 TB the index is a quarter the
+    * size and the scan a quarter the memory traffic of [[bruteForceTopK]]
+    * (the canonical SQ8 trade, e.g. faiss `ScalarQuantizer` QT_8bit) —
+    * and the float fetch is an equi-join probing `rerank`·k·|probes|
+    * rows, broadcast under AQE. Approximate and exact ranks both order
+    * by the 6-dp-rounded score with id tiebreak ([[bruteForceTopK]]'s
+    * total-order rule). */
+  def sq8TopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              rerank: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val rng = sq8Range(corpus, vecCol)
+    val codes = sq8Encode(corpus, rng, idCol, vecCol)
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val rec = zip_with(zip_with(col("codes"), col("spans"),
+      (c, s) => c * s / 255.0), col("los"), (t, l) => t + l)
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("__approx"), 6).desc, col("corpus_id"))
+    val cand = codes.crossJoin(broadcast(rng))
+      .select(col("corpus_id"), rec.as("__rv"))
+      .crossJoin(broadcast(p))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(col("pv"), col("__rv")).as("__approx"))
+      .withColumn("__arn", row_number().over(wApprox))
+      .filter(col("__arn") <= k * rerank)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("__cos"), 6).desc, col("corpus_id"))
+    cand.join(c, Seq("corpus_id"))
+      .join(p.select(col("probe_id"), col("pv").as("__pv2")), Seq("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(col("__pv2"), col("cv")).as("__cos"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        Num.roundLike(col("__cos"), 6).as("cosine"))
+  }
+
   /** The codebook travels with the index it assigned (k rows — one
     * file). */
   def writeCodebook(cb: DataFrame, path: String): Unit =

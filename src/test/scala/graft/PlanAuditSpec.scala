@@ -18,6 +18,8 @@ class PlanAuditSpec extends SparkSpec {
   private val allowedNestedLoop: Map[String, String] = Map(
     "s1_similarity_bruteforce" ->
       "query set × corpus: the query frame is a bounded top-k probe set (Similarity.scala:61)",
+    "s5_sq8_rerank" ->
+      "code scan × 1-row broadcast SQ8 range model + bounded probe set; the exact re-rank joins stay equi (Similarity.sq8TopK)",
     "s2_similarity_ivf" ->
       "probe × broadcast centroid codebook (k≤256 rows; Similarity.scala:159)",
     "s2_ivf_recall" ->

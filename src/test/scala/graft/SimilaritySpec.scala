@@ -35,6 +35,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getInt(1) == 1 && out(0).getLong(2) == 1L)
   }
 
+  test("SQ8: codes bounded, flat dims code 0, rerank recovers the exact top-k") {
+    val rng = Similarity.sq8Range(emb)
+    val codes = Similarity.sq8Encode(emb, rng).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.size == 5)
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // dim 0 spans [-1,1]: extremes land on the code endpoints
+    assert(codes(0L)(0) == 255L && codes(4L)(0) == 0L)
+    // SQ8 + exact re-rank over the full pool == brute force exactly
+    val sq = Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 2), k = 3,
+      rerank = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2),
+      k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    assert(sq.sorted.toSeq == bf.sorted.toSeq)
+    // a flat dimension (all equal) must not poison the codes
+    val flat = emb.withColumn("embedding",
+      concat(col("embedding"), array(lit(7.5f))))
+    val fr = Similarity.sq8Range(flat)
+    val fc = Similarity.sq8Encode(flat, fr).collect()
+      .map(_.getSeq[Long](1))
+    assert(fc.forall(_.last == 0L))
+  }
+
   test("IVF: assignment is total, probe recall covers the near bucket") {
     val cb = Similarity.codebook(emb, 2)
     val assigned = Similarity.ivfAssign(emb, cb)
