@@ -1401,6 +1401,22 @@ bf AS (SELECT probe_id, corpus_id FROM (
     // streaming IVF ingest: the emitted (vec_id, centroid_id) set is
     // order-independent and equals the batch assignment — same cb /
     // csim / assigned chain as the s2 oracle
+    // streaming SQ8 ingest == batch sq8Encode (order-independent
+    // stateless encode): the same rng/codes arithmetic as s5, codes
+    // CSV-packed in dimension order
+    "e9_stream_sq8" -> eq(raw"""
+SELECT vec_id AS corpus_id,
+       array_to_string(list(CAST(c AS BIGINT) ORDER BY i), ',')
+         AS codes_csv
+FROM codes GROUP BY vec_id""",
+      extra = raw"""
+rng AS (SELECT i, min(x) AS lo, max(x) - min(x) AS span
+  FROM vexp GROUP BY i),
+codes AS (SELECT v.vec_id, v.i,
+    CASE WHEN r.span > 0 THEN least(greatest(
+      floor((v.x - r.lo) / r.span * 255 + 0.5), 0), 255)
+    ELSE 0 END AS c
+  FROM vexp v JOIN rng r USING (i))""".drop(1)),
     "e6_stream_ivf_assign" -> eq(raw"""
 SELECT vec_id, centroid_id FROM assigned""",
       extra = raw"""

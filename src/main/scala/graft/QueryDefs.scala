@@ -608,6 +608,17 @@ object QueryDefs {
         emb.schema, cbRow,
         queryName = "e6_ivf_" + math.abs(d.hashCode).toString)
     }),
+    // streaming SQ8 ingest: stateless 8-bit encode of the embeddings
+    // STREAM against the frozen batch-trained range model;
+    // order-independent row set, so batch sq8Encode is the exact oracle
+    "e9_stream_sq8" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val rng = Similarity.sq8Range(emb)
+        .localCheckpoint(eager = true) // freeze before the stream starts
+      EventStreams.sq8EncodeStreamFromParquet(s, s"$d/embeddings.parquet",
+        emb.schema, rng,
+        queryName = "e9_sq8_" + math.abs(d.hashCode).toString)
+    }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5
     // arithmetic (what the oracle replicates) while the gate still

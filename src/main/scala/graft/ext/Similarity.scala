@@ -716,11 +716,31 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__v"))
       .crossJoin(broadcast(rng))
       .select(col("corpus_id"),
-        zip_with(zip_with(col("__v"), col("los"), (x, l) => x - l),
-          col("spans"), (c, s) =>
-            when(s > 0, least(greatest(
-              floor(c / s * 255 + lit(0.5)), lit(0.0)), lit(255.0)))
-              .otherwise(lit(0.0)).cast("long")).as("codes"))
+        sq8Codes(col("__v"), col("los"), col("spans")).as("codes"))
+
+  /** The SQ8 code expression itself, shared verbatim by the batch and
+    * streaming encoders so their outputs are bit-equal by
+    * construction. */
+  private def sq8Codes(v: Column, los: Column, spans: Column): Column =
+    zip_with(zip_with(v, los, (x, l) => x - l), spans, (c, s) =>
+      when(s > 0, least(greatest(
+        floor(c / s * 255 + lit(0.5)), lit(0.0)), lit(255.0)))
+        .otherwise(lit(0.0)).cast("long"))
+
+  /** Stream-legal SQ8 encode: the identical [[sq8Codes]] expression,
+    * but the 1-row range model arrives via a constant-key broadcast
+    * hash join (the [[ivfAssignStreamable]] trick — streams reject
+    * cross joins). Stateless, so ingest encodes at scan speed and the
+    * emitted row set is order-independent: batch [[sq8Encode]] is the
+    * exact oracle. */
+  def sq8EncodeStreamable(corpus: DataFrame, rng: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("__k", lit(1))
+      .join(broadcast(rng.withColumn("__k", lit(1))), Seq("__k"))
+      .select(col(idCol).as("corpus_id"),
+        sq8Codes(col(vecCol).cast("array<double>"), col("los"),
+          col("spans")).as("codes"))
 
   /** SQ8 top-k with exact re-rank: asymmetric scan — the probe's RAW
     * vector against each corpus vector RECONSTRUCTED from its codes

@@ -297,6 +297,36 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming SQ8 index ingest — each arriving vector is quantized to
+    * 8-bit codes against a FROZEN broadcast range model (the production
+    * shape: the quantizer trains offline on a sample, ingest only
+    * encodes — retraining the (lo, hi) model online would silently
+    * re-scale old codes). Stateless, no watermark or state store, so
+    * encode runs at scan speed on an unbounded stream and the emitted
+    * (id, codes) set is order-independent: batch
+    * [[graft.ext.Similarity.sq8Encode]] is the exact oracle. Codes are
+    * emitted CSV-packed — the 1-byte-per-dim layout a production sink
+    * would write as binary. */
+  def sq8EncodeStreamFromParquet(spark: SparkSession, path: String,
+                                 rawSchema: org.apache.spark.sql.types.StructType,
+                                 rngRow: DataFrame,
+                                 queryName: String = "e9_sq8"): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("e9ckpt").toString
+    val q = graft.ext.Similarity.sq8EncodeStreamable(raw, rngRow)
+      .select(col("corpus_id"), concat_ws(",", col("codes")).as("codes_csv"))
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.table(queryName)
+  }
+
   /** Streaming sampling admission — [[graft.ext.Sampling.stratifiedSample]]
     * applied AT INGEST: each arriving document is kept or dropped by the
     * same pure hash-of-key decision as the batch sampler (md5-dyadic

@@ -124,6 +124,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming SQ8 ingest encodes exactly like the batch encoder") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rng = graft.ext.Similarity.sq8Range(emb).localCheckpoint(eager = true)
+    val batch = graft.ext.Similarity.sq8Encode(emb, rng)
+      .select(col("corpus_id"), concat_ws(",", col("codes")).as("csv"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // streamable form is bit-equal (shared code expression)
+    val streamable = graft.ext.Similarity.sq8EncodeStreamable(emb, rng)
+      .select(col("corpus_id"), concat_ws(",", col("codes")).as("csv"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamable == batch)
+    // and the actual stream emits the same order-independent set
+    val f = new java.io.File("/root/testdata/sf0.001")
+      .listFiles().filter(_.getName == "embeddings.parquet").head
+    val streamed = EventStreams.sq8EncodeStreamFromParquet(spark,
+        f.getAbsolutePath, emb.schema, rng, queryName = "e9_spec_sq8")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+  }
+
   // --- TIMESTAMP_NTZ regression fixtures: parquet written with
   // isAdjustedToUTC=false (Spark 4 reads it as TIMESTAMP_NTZ) broke the
   // whole event-time surface in round 7. Every event-time entry point
