@@ -799,6 +799,35 @@ rblk AS (SELECT doc_id, s.blk AS blk, s.btext AS btext,
     row_number() OVER (PARTITION BY md5(s.btext)
       ORDER BY doc_id, s.blk) AS rn
   FROM blk)""".drop(1)),
+    // cdcDedup mirrored: same 15-hex-digit md5 window hash mod 4 picks
+    // the cuts, chunks sliced between consecutive cuts, then d9's
+    // first-occurrence + reassembly machinery
+    "d10_cdc_dedup" -> dq(raw"""
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN ctext END, ' '
+         ORDER BY ck), '') AS text_dedup
+FROM rchnk GROUP BY doc_id""",
+      extra = raw"""
+cdoc AS (SELECT doc_id, toks,
+    list_sort(list_distinct(list_append(
+      list_filter(generate_series(2, greatest(len(toks), 2)),
+        p -> p <= len(toks) AND
+          CAST('0x' || substr(md5(array_to_string(toks[p-1:p], ' ')),
+            1, 15) AS BIGINT) % 4 = 0),
+      len(toks)))) AS cuts
+  FROM rtoks WHERE len(toks) > 0),
+chnk AS (SELECT doc_id, unnest(list_transform(
+    generate_series(1, len(cuts)),
+    i -> struct_pack(ck := i - 1,
+      ctext := array_to_string(
+        toks[(CASE WHEN i = 1 THEN 1 ELSE cuts[i-1] + 1 END):cuts[i]],
+        ' ')))) AS s
+  FROM cdoc),
+rchnk AS (SELECT doc_id, s.ck AS ck, s.ctext AS ctext,
+    row_number() OVER (PARTITION BY md5(s.ctext)
+      ORDER BY doc_id, s.ck) AS rn
+  FROM chnk)""".drop(1)),
     "d3_simhash" -> dq(s"SELECT doc_id, $simhash16Sql AS simhash FROM toks"),
     "d4_ngram_jaccard" -> dq(raw"""
 SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, ${jaccardSql

@@ -395,6 +395,62 @@ object Dedup {
           s => s.getField("__btext"))).as("text_dedup"))
   }
 
+  /** Content-defined-chunking dedup — [[blockDedup]] with CUT POINTS
+    * CHOSEN BY CONTENT instead of position: a cut falls after token p
+    * whenever the md5-derived value of the `window`-token context
+    * ending at p is ≡ 0 mod `divisor` (expected chunk length ≈
+    * `divisor` tokens). Because boundaries depend only on local
+    * content, inserting or deleting a token re-chunks ONLY the
+    * neighborhood of the edit — the aligned-block scheme shifts every
+    * downstream block, losing all matches after the edit point. This
+    * is the FastCDC/LBFS rolling-hash construction (Muthitacharoen et
+    * al. SOSP 2001) applied to token streams; production deployments
+    * add min/max chunk-size clamps, omitted here for oracle clarity.
+    *
+    * Chunking is pure array lambdas on the doc's own row — cut
+    * positions filtered from `sequence`, chunks sliced between
+    * consecutive cuts — so there is NO per-doc window function and no
+    * shuffle until the corpus-wide first-occurrence pass, which is
+    * [[blockDedup]]'s: one `row_number` over the uniform chunk-hash
+    * key, then the doc_id re-agg. Same 100 TB shape: fan-out,
+    * one shuffle, re-agg. */
+  def cdcDedup(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", window: Int = 2,
+               divisor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = window
+    def winHash(toks: Column, p: Column): Column =
+      conv(substring(md5(concat_ws(" ",
+        slice(toks, p - (w - 1), lit(w)))), 1, 15), 16, 10).cast("long")
+    val chunked = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__cuts",
+        array_distinct(concat(
+          filter(sequence(lit(w), greatest(size(col("__toks")), lit(w))),
+            p => p <= size(col("__toks")) &&
+              pmod(winHash(col("__toks"), p), lit(divisor)) === 0),
+          array(size(col("__toks"))))))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("__cuts"))), i => {
+          val start = when(i === 1, lit(1))
+            .otherwise(element_at(col("__cuts"), i - 1) + 1)
+          concat_ws(" ", slice(col("__toks"), start,
+            element_at(col("__cuts"), i) - start + 1))
+        })))
+      .select(col("doc_id"), col("pos").as("__ck"), col("col").as("__ctext"))
+    val ranked = chunked.withColumn("__rn",
+      row_number().over(Window.partitionBy(md5(col("__ctext")))
+        .orderBy(col("doc_id"), col("__ck"))))
+    ranked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("__ck"), col("__ctext"))))),
+          s => s.getField("__ctext"))).as("text_dedup"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication in EMBEDDING space — cluster the corpus with a
     * bounded codebook, then drop any vector whose cosine to a

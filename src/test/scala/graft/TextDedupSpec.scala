@@ -217,6 +217,40 @@ class TextDedupSpec extends SparkSpec {
     assert(re == out.view.mapValues(_._3).toMap)
   }
 
+  test("CDC dedup: lossless solo reassembly, full dup removal, cut points survive a prefix shift") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val solo = Dedup.cdcDedup(Seq((1L, base)).toDF("doc_id", "text"))
+      .collect()(0)
+    // a corpus with no repeats reassembles losslessly
+    assert(solo.getString(3) == base && solo.getLong(1) == solo.getLong(2))
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                   // verbatim dup: every chunk removed
+      (3L, "zzz qqq " + base))      // shifted copy: chunks re-sync
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L)._3 == base)
+    assert(out(2L) == ((out(1L)._1, 0L, "")))
+    // content-defined boundaries re-align after the 2-token prefix:
+    // most of doc 3's chunks match doc 1's and are removed — the
+    // aligned-block scheme would keep every shifted block
+    assert(out(3L)._2 < out(3L)._1,
+      s"no chunk of the shifted copy deduped: ${out(3L)}")
+    assert(out(3L)._3.startsWith("zzz qqq"))
+    val blockOut = Dedup.blockDedup(docs, blockTokens = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the CDC removal on the shifted doc strictly beats block alignment
+    assert(out(3L)._2 < blockOut(3L),
+      s"CDC kept ${out(3L)._2}, blocks kept ${blockOut(3L)}")
+    // partition invariance
+    val re = Dedup.cdcDedup(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(re == out.view.mapValues(_._3).toMap)
+  }
+
   test("cluster mixture: per-centroid counts, exact shares, √-temperature weights") {
     val cb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
       .toDF("centroid_id", "centv")
