@@ -682,5 +682,8 @@ object QueryDefs {
     "a14_random_chas_envelope", "a15_feature_agg_mean",
     "j3_annotate_otherends", "j8_nearest_join", "q6_search_subnet",
     "d2_minhash_lsh", "d5_embedding_neardups", "s1_similarity_bruteforce",
-    "t2_quality_score", "e1_sessionize", "s11_tree_write")
+    "t2_quality_score", "e1_sessionize", "s11_tree_write",
+    // round-8 additions: removal-dedup family + quantized ANN
+    "d9_block_dedup", "d10_cdc_dedup", "s5_sq8_rerank",
+    "t13_bloom_decontaminate")
 }
