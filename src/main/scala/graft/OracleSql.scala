@@ -799,6 +799,22 @@ rblk AS (SELECT doc_id, s.blk AS blk, s.btext AS btext,
     row_number() OVER (PARTITION BY md5(s.btext)
       ORDER BY doc_id, s.blk) AS rn
   FROM blk)""".drop(1)),
+    // intraDocDedup mirrored: per-doc 3-token blocks, keep a block iff
+    // list_position finds it first at its own index — all list lambdas,
+    // no corpus-wide state in either engine
+    "d11_intradoc_dedup" -> dq(raw"""
+SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, ' ') AS text_dedup
+FROM (SELECT doc_id, blocks,
+        list_filter(blocks, (blk, i) -> list_position(blocks, blk) = i)
+          AS kept
+      FROM iblk) t""",
+      extra = raw"""
+iblk AS (SELECT doc_id, list_transform(
+    generate_series(0, CAST((len(toks) + 2) // 3 AS BIGINT) - 1),
+    i -> array_to_string(toks[i*3+1 : i*3+3], ' ')) AS blocks
+  FROM rtoks WHERE len(toks) > 0)""".drop(1)),
     // cdcDedup mirrored: same 15-hex-digit md5 window hash mod 4 picks
     // the cuts, chunks sliced between consecutive cuts, then d9's
     // first-occurrence + reassembly machinery

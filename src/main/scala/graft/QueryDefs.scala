@@ -366,6 +366,8 @@ object QueryDefs {
     // (~19% of blocks dedup at B=3; at B=16 nothing repeats)
     "d9_block_dedup" -> ((s, d) =>
       Dedup.blockDedup(table(s, d, "documents"), blockTokens = 3)),
+    "d11_intradoc_dedup" -> ((s, d) =>
+      Dedup.intraDocDedup(table(s, d, "documents"))),
     // content-defined cuts at window=2 / divisor=4 (~3.7-token chunks,
     // the same granularity as d9's B=3 — ~45% of gate chunks dedup)
     "d10_cdc_dedup" -> ((s, d) =>

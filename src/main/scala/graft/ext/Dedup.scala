@@ -395,6 +395,43 @@ object Dedup {
           s => s.getField("__btext"))).as("text_dedup"))
   }
 
+  /** INTRA-document block dedup — the removal form of the repetition
+    * SIGNALS in [[TextOps.repetition]] / the Rae et al. 2021 duplicate
+    * line fraction: within each document, a `blockTokens`-token block
+    * that already occurred earlier in the SAME document is removed
+    * (self-boilerplate: repeated headers, chorus lines, templated
+    * rows). Cross-document duplication is untouched — that's
+    * [[blockDedup]]/[[cdcDedup]]'s corpus pass; run this first to stop
+    * self-repetition from inflating their block frequencies.
+    *
+    * Scale shape: the best possible — pure array lambdas on each doc's
+    * own row, NO shuffle, NO join, no state; first-occurrence within
+    * the row via `array_position` (the O(blocks²)-per-doc compare is
+    * bounded by the doc, not the corpus, and vectorizes inside
+    * whole-stage codegen). At 100 TB this runs at scan speed alongside
+    * any other map-only signal. */
+  def intraDocDedup(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    blockTokens: Int = 3): DataFrame = {
+    val b = blockTokens
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0),
+          expr(s"CAST((size(__toks) + ${b - 1}) div $b AS INT)") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * b + 1, lit(b))))
+          .as("__blocks"))
+      .select(col("doc_id"),
+        size(col("__blocks")).cast("long").as("n_blocks"),
+        filter(col("__blocks"), (blk, i) =>
+          array_position(col("__blocks"), blk) === (i + 1).cast("long"))
+          .as("__kept"))
+      .select(col("doc_id"), col("n_blocks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("text_dedup"))
+  }
+
   /** Content-defined-chunking dedup — [[blockDedup]] with CUT POINTS
     * CHOSEN BY CONTENT instead of position: a cut falls after token p
     * whenever the md5-derived value of the `window`-token context

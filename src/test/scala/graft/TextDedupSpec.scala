@@ -217,6 +217,21 @@ class TextDedupSpec extends SparkSpec {
     assert(re == out.view.mapValues(_._3).toMap)
   }
 
+  test("intra-doc dedup: removes self-repeats only, never cross-doc, map-only plan") {
+    val docs = Seq(
+      (1L, "a b c d e f a b c g h i"),  // "a b c" repeats within doc 1
+      (2L, "a b c x y z"))              // doc 2's "a b c" is untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((4L, 3L, "a b c d e f g h i")))
+    assert(out(2L) == ((2L, 2L, "a b c x y z")))     // cross-doc dup kept
+    // the whole plan is map-only: no exchange anywhere
+    val plan = Dedup.intraDocDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("CDC dedup: lossless solo reassembly, full dup removal, cut points survive a prefix shift") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
