@@ -1354,6 +1354,67 @@ FROM (SELECT *, row_number() OVER (
             JOIN norms na ON na.vec_id = dd.probe_id
             JOIN norms nb ON nb.vec_id = dd.corpus_id) s) r
 WHERE rank <= 10"""),
+    // ivfSq8TopK mirrored: s2's coarse assignment/bucket pruning CTEs
+    // (nProbe=4) + s5's SQ8 range/code/reconstruction arithmetic; the
+    // approximate rank runs only inside the probe's buckets, the exact
+    // re-rank only over the 40-deep pool
+    "s6_ivfsq8_rerank" -> eq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
+       round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY round(cosine, 6) DESC, corpus_id) AS rank FROM ex) r
+WHERE rank <= 10""",
+      extra = raw"""
+cb AS (SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cdot AS (SELECT v.vec_id, c.centroid_id, sum(v.x * cv.x) AS dot
+  FROM vexp v JOIN cb c ON true
+  JOIN vexp cv ON cv.vec_id = c.centroid_id AND cv.i = v.i
+  GROUP BY v.vec_id, c.centroid_id),
+csim AS (SELECT cdot.vec_id, cdot.centroid_id,
+    cdot.dot/(nv.nrm*nc.nrm) AS sim
+  FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+  JOIN norms nc ON nc.vec_id = cdot.centroid_id),
+assigned AS (SELECT vec_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
+  FROM csim) t WHERE rn = 1),
+pbuckets AS (SELECT vec_id AS probe_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
+  FROM csim WHERE vec_id < 5) t WHERE rn <= 4),
+rng AS (SELECT i, min(x) AS lo, max(x) - min(x) AS span
+  FROM vexp GROUP BY i),
+codes AS (SELECT v.vec_id, v.i, r.lo, r.span,
+    CASE WHEN r.span > 0 THEN least(greatest(
+      floor((v.x - r.lo) / r.span * 255 + 0.5), 0), 255)
+    ELSE 0 END AS c
+  FROM vexp v JOIN rng r USING (i)),
+rec AS (SELECT vec_id, i, c * span / 255.0 + lo AS rx FROM codes),
+recn AS (SELECT vec_id, sqrt(sum(rx * rx)) AS nrm FROM rec GROUP BY vec_id),
+scand AS (SELECT probe_id, corpus_id, row_number() OVER (
+      PARTITION BY probe_id ORDER BY round(approx, 6) DESC, corpus_id)
+      AS arn
+  FROM (SELECT pb.probe_id, a.vec_id AS corpus_id,
+          sum(p.x * r.rx) / (pn.nrm * rn2.nrm) AS approx
+        FROM pbuckets pb
+        JOIN assigned a ON a.centroid_id = pb.centroid_id
+          AND a.vec_id <> pb.probe_id
+        JOIN vexp p ON p.vec_id = pb.probe_id
+        JOIN rec r ON r.vec_id = a.vec_id AND r.i = p.i
+        JOIN norms pn ON pn.vec_id = pb.probe_id
+        JOIN recn rn2 ON rn2.vec_id = a.vec_id
+        GROUP BY pb.probe_id, a.vec_id, pn.nrm, rn2.nrm) t),
+ex AS (SELECT c.probe_id, c.corpus_id,
+    list_dot_product(CAST(pa.embedding AS DOUBLE[]),
+                     CAST(pb.embedding AS DOUBLE[])) / (na.nrm * nb.nrm)
+      AS cosine
+  FROM scand c
+  JOIN embeddings pa ON pa.vec_id = c.probe_id
+  JOIN embeddings pb ON pb.vec_id = c.corpus_id
+  JOIN norms na ON na.vec_id = c.probe_id
+  JOIN norms nb ON nb.vec_id = c.corpus_id
+  WHERE c.arn <= 40)""".drop(1)),
     "s2_similarity_ivf" -> eq(raw"""
 SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
        round(cosine, 6) AS cosine

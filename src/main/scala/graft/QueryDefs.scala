@@ -299,6 +299,14 @@ object QueryDefs {
       val emb = table(s, d, "embeddings")
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     }),
+    // IVF-SQ8 composed: coarse prune to nProbe=4 of 16 buckets, SQ8
+    // reconstruction scores only those buckets' codes, exact re-rank
+    "s6_ivfsq8_rerank" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cb = Similarity.codebook(emb, 16)
+      Similarity.ivfSq8TopK(emb, cb, emb.filter(col("vec_id") < 5),
+        k = 10, nProbe = 4)
+    }),
     "s2_similarity_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val cb = Similarity.codebook(emb, 16)

@@ -787,6 +787,66 @@ object Similarity {
         Num.roundLike(col("__cos"), 6).as("cosine"))
   }
 
+  /** IVF-SQ8: the other quantized-index composition (beside
+    * [[ivfPqTopK]]) — IVF prunes to the probe's nProbe coarse buckets,
+    * the 8-bit codes of ONLY those buckets are reconstructed and
+    * approximate-scored, and the exact re-rank touches `rerank`·k
+    * floats per probe. Versus IVF-PQ: 8× bigger codes but no trained
+    * sub-codebooks and reconstruction error per dimension ≤ span/510,
+    * so the approximate ranking is close enough that the exact re-rank
+    * recovers brute-force order at small `rerank` — the standard
+    * middle point of the faiss index menu (`IVF…,SQ8`). Query path:
+    * bounded broadcasts (codebook, range model, probes) + the bucket
+    * equi-join on the index scan + the `rerank`·k·|probes|-row float
+    * fetch — no corpus-sized shuffle; with [[writeIvfIndex]]'s
+    * partitionBy(centroid_id) layout the code scan partition-prunes to
+    * nProbe/k of the corpus. */
+  def ivfSq8TopK(corpus: DataFrame, cb: DataFrame, probes: DataFrame,
+                 k: Int, nProbe: Int = 2, rerank: Int = 4,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val rng = sq8Range(corpus, vecCol)
+    // the disk layout: (centroid_id, corpus_id, codes) — floats absent
+    val index = ivfAssign(corpus, cb, idCol, vecCol)
+      .select(col("centroid_id"), col(idCol))
+      .join(sq8Encode(corpus, rng, idCol, vecCol),
+        col(idCol) === col("corpus_id"))
+      .select(col("centroid_id"), col("corpus_id"), col("codes"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("__sim"), 6).desc, col("centroid_id"))
+    val probeBuckets = p.crossJoin(broadcast(cb))
+      .withColumn("__sim", cosine(col("pv"), col("centv")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("centroid_id"))
+    val rec = zip_with(zip_with(col("codes"), col("spans"),
+      (c, s) => c * s / 255.0), col("los"), (t, l) => t + l)
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("__approx"), 6).desc, col("corpus_id"))
+    val cand = index.crossJoin(broadcast(rng))
+      .select(col("centroid_id"), col("corpus_id"), rec.as("__rv"))
+      .join(probeBuckets, Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(col("pv"), col("__rv")).as("__approx"))
+      .withColumn("__arn", row_number().over(wApprox))
+      .filter(col("__arn") <= k * rerank)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("__cos"), 6).desc, col("corpus_id"))
+    cand.join(c, Seq("corpus_id"))
+      .join(p.select(col("probe_id"), col("pv").as("__pv2")), Seq("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(col("__pv2"), col("cv")).as("__cos"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        Num.roundLike(col("__cos"), 6).as("cosine"))
+  }
+
   /** The codebook travels with the index it assigned (k rows — one
     * file). */
   def writeCodebook(cb: DataFrame, path: String): Unit =

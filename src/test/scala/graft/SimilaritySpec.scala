@@ -60,6 +60,23 @@ class SimilaritySpec extends SparkSpec {
     assert(fc.forall(_.last == 0L))
   }
 
+  test("IVF-SQ8: full-probe composition recovers the exact top-k") {
+    val cb = Similarity.codebook(emb, 2)
+    // probing every bucket with a full-depth pool must equal brute force
+    val out = Similarity.ivfSq8TopK(emb, cb, emb.filter(col("vec_id") < 2),
+      k = 3, nProbe = 2, rerank = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2),
+      k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    assert(out.sorted.toSeq == bf.sorted.toSeq)
+    // pruning to 1 of 2 buckets returns at most the pruned candidates
+    val pruned = Similarity.ivfSq8TopK(emb, cb,
+      emb.filter(col("vec_id") < 2), k = 3, nProbe = 1, rerank = 2)
+      .collect()
+    assert(pruned.nonEmpty && pruned.length <= out.length)
+  }
+
   test("IVF: assignment is total, probe recall covers the near bucket") {
     val cb = Similarity.codebook(emb, 2)
     val assigned = Similarity.ivfAssign(emb, cb)
