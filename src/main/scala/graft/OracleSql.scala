@@ -799,6 +799,21 @@ rblk AS (SELECT doc_id, s.blk AS blk, s.btext AS btext,
     row_number() OVER (PARTITION BY md5(s.btext)
       ORDER BY doc_id, s.blk) AS rn
   FROM blk)""".drop(1)),
+    // the streaming intra-doc dedup emits the same order-independent
+    // row set as batch d11 — identical oracle
+    "e10_stream_intradoc" -> dq(raw"""
+SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, ' ') AS text_dedup
+FROM (SELECT doc_id, blocks,
+        list_filter(blocks, (blk, i) -> list_position(blocks, blk) = i)
+          AS kept
+      FROM iblk) t""",
+      extra = raw"""
+iblk AS (SELECT doc_id, list_transform(
+    generate_series(0, CAST((len(toks) + 2) // 3 AS BIGINT) - 1),
+    i -> array_to_string(toks[i*3+1 : i*3+3], ' ')) AS blocks
+  FROM rtoks WHERE len(toks) > 0)""".drop(1)),
     // intraDocDedup mirrored: per-doc 3-token blocks, keep a block iff
     // list_position finds it first at its own index — all list lambdas,
     // no corpus-wide state in either engine
@@ -1282,11 +1297,15 @@ FROM (SELECT p.id_a, p.id_b,
 JOIN norms na ON na.vec_id = dd.id_a JOIN norms nb ON nb.vec_id = dd.id_b
 WHERE round(dd.dot/(na.nrm*nb.nrm), 6) >= 0.3""",
       extra = raw"""
+bq AS (SELECT greatest(4, CAST(ceil(log2(CAST(
+    (count(*) + 124) // 125 AS DOUBLE))) AS INT)) AS bits
+  FROM embeddings),
 coefs AS (SELECT tb.b, tj.j, td.d,
   CASE WHEN strpos('01234567', substr(md5(tb.b||':'||tj.j||':'||td.d), 1, 1)) > 0
        THEN 1.0 ELSE -1.0 END AS c
   FROM (SELECT unnest([0,1,2,3]) AS b) tb,
-       (SELECT unnest([0,1,2,3]) AS j) tj,
+       (SELECT unnest(generate_series(0,
+          (SELECT bits FROM bq) - 1)) AS j) tj,
        (SELECT unnest(generate_series(0,63)) AS d) td),
 lkeys AS (SELECT vec_id, b AS band,
   string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS key

@@ -283,8 +283,12 @@ object QueryDefs {
       // max(4, …) keeps the gate SFs (≤2k vectors) on exactly the
       // 4-bit layout the DuckDB oracle replicates.
       val emb = table(s, d, "embeddings")
-      val bits = math.max(4,
-        math.ceil(math.log(emb.count() / 125.0) / math.log(2)).toInt)
+      // integer form of max(4, ceil(log2(n/125))): the float log ratio
+      // lands on k + 1ulp at exact powers (observed for n/125 = 128),
+      // which would silently diverge from the oracle's exact log2
+      val m = (emb.count() + 124) / 125
+      var bits = 4
+      while ((1L << bits) < m) bits += 1
       Dedup.embeddingNearDups(emb, threshold = 0.3,
         bands = 4, bitsPerBand = bits, dim = 64)
     }),
@@ -632,6 +636,15 @@ object QueryDefs {
       EventStreams.sq8EncodeStreamFromParquet(s, s"$d/embeddings.parquet",
         emb.schema, rng,
         queryName = "e9_sq8_" + math.abs(d.hashCode).toString)
+    }),
+    // streaming intra-doc dedup: the removal decision is a pure
+    // function of each doc's own row, so the stream is stateless and
+    // batch d11 is the exact oracle
+    "e10_stream_intradoc" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      EventStreams.intraDocDedupStreamFromParquet(s,
+        s"$d/documents.parquet", docs.schema,
+        queryName = "e10_intradoc_" + math.abs(d.hashCode).toString)
     }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5

@@ -327,6 +327,33 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming intra-document self-repeat removal —
+    * [[graft.ext.Dedup.intraDocDedup]] applied AT INGEST: the removal
+    * decision for a document depends only on that document's own row
+    * (array lambdas, no corpus state), so it runs stateless at scan
+    * speed on an unbounded stream, emits an order-independent row set,
+    * and batch d11 is the exact oracle. This is the dedup stage that
+    * belongs IN the firehose: self-boilerplate dies before storage,
+    * while the corpus-level passes (d9/d10, which need global first
+    * occurrence) run downstream in batch. */
+  def intraDocDedupStreamFromParquet(spark: SparkSession, path: String,
+                                     rawSchema: org.apache.spark.sql.types.StructType,
+                                     queryName: String = "e10_intradoc"): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val base = new java.io.File(path).getName
+    val raw = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", base).parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("e10ckpt").toString
+    val q = graft.ext.Dedup.intraDocDedup(raw)
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.table(queryName)
+  }
+
   /** Streaming sampling admission — [[graft.ext.Sampling.stratifiedSample]]
     * applied AT INGEST: each arriving document is kept or dropped by the
     * same pure hash-of-key decision as the batch sampler (md5-dyadic

@@ -144,6 +144,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming intra-doc dedup emits exactly the batch rows") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = graft.ext.Dedup.intraDocDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    val f = new java.io.File("/root/testdata/sf0.001")
+      .listFiles().filter(_.getName == "documents.parquet").head
+    val streamed = EventStreams.intraDocDedupStreamFromParquet(spark,
+        f.getAbsolutePath, docs.schema, queryName = "e10_spec")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(streamed == batch)
+  }
+
   // --- TIMESTAMP_NTZ regression fixtures: parquet written with
   // isAdjustedToUTC=false (Spark 4 reads it as TIMESTAMP_NTZ) broke the
   // whole event-time surface in round 7. Every event-time entry point
