@@ -21,7 +21,8 @@ if os.environ.get("CHECK_DUCKDB_MEM"):
     con.execute("SET temp_directory='.tmp'")
     # bound the spill too: a quadratic oracle otherwise fills the disk
     # (observed: 76 GB of temp blocks from one sf1 diameter closure)
-    con.execute("SET max_temp_directory_size='20GB'")
+    con.execute("SET max_temp_directory_size='%s'"
+                % os.environ.get("CHECK_DUCKDB_TMP", "20GB"))
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
