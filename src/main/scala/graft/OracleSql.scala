@@ -1358,6 +1358,63 @@ ex AS (SELECT c.probe_id, c.corpus_id,
   JOIN norms na ON na.vec_id = c.probe_id
   JOIN norms nb ON nb.vec_id = c.corpus_id
   WHERE c.arn <= 40)""".drop(1)),
+    // sq8Recall mirrored: the s5 pipeline (20 probes) vs the exact
+    // scan, counted into the one certificate row; TRUE pins the target
+    "s5_sq8_recall" -> eq(raw"""
+SELECT CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
+       round(CAST(hits AS DOUBLE) / tot, 6) AS recall,
+       CAST(hits AS DOUBLE) / tot >= 0.9 AS meets_target
+FROM (SELECT count(s.corpus_id) AS hits, count(*) AS tot
+      FROM bftop b LEFT JOIN sqtop s
+        ON s.probe_id = b.probe_id AND s.corpus_id = b.corpus_id) t""",
+      extra = raw"""
+rng AS (SELECT i, min(x) AS lo, max(x) - min(x) AS span
+  FROM vexp GROUP BY i),
+codes AS (SELECT v.vec_id, v.i, r.lo, r.span,
+    CASE WHEN r.span > 0 THEN least(greatest(
+      floor((v.x - r.lo) / r.span * 255 + 0.5), 0), 255)
+    ELSE 0 END AS c
+  FROM vexp v JOIN rng r USING (i)),
+rec AS (SELECT vec_id, i, c * span / 255.0 + lo AS rx FROM codes),
+recn AS (SELECT vec_id, sqrt(sum(rx * rx)) AS nrm FROM rec GROUP BY vec_id),
+cand AS (SELECT probe_id, corpus_id, row_number() OVER (
+      PARTITION BY probe_id ORDER BY round(approx, 6) DESC, corpus_id)
+      AS arn
+  FROM (SELECT p.vec_id AS probe_id, r.vec_id AS corpus_id,
+          sum(p.x * r.rx) / (pn.nrm * rn.nrm) AS approx
+        FROM vexp p JOIN rec r ON p.i = r.i AND r.vec_id <> p.vec_id
+        JOIN norms pn ON pn.vec_id = p.vec_id
+        JOIN recn rn ON rn.vec_id = r.vec_id
+        WHERE p.vec_id < 20
+        GROUP BY p.vec_id, r.vec_id, pn.nrm, rn.nrm) t),
+ex AS (SELECT c.probe_id, c.corpus_id,
+    list_dot_product(CAST(pa.embedding AS DOUBLE[]),
+                     CAST(pb.embedding AS DOUBLE[])) / (na.nrm * nb.nrm)
+      AS cosine
+  FROM cand c
+  JOIN embeddings pa ON pa.vec_id = c.probe_id
+  JOIN embeddings pb ON pb.vec_id = c.corpus_id
+  JOIN norms na ON na.vec_id = c.probe_id
+  JOIN norms nb ON nb.vec_id = c.corpus_id
+  WHERE c.arn <= 40),
+sqtop AS (SELECT probe_id, corpus_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY round(cosine, 6) DESC, corpus_id) AS rank FROM ex) r
+  WHERE rank <= 10),
+bfd AS (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
+    sum(a.x * b.x) AS dot
+  FROM vexp a JOIN vexp b ON a.i = b.i
+  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+bftop AS (SELECT probe_id, corpus_id FROM (
+  SELECT dd.probe_id, dd.corpus_id, row_number() OVER (
+      PARTITION BY dd.probe_id
+      ORDER BY round(dd.dot/(na.nrm*nb.nrm), 6) DESC, dd.corpus_id)
+      AS rank
+  FROM bfd dd
+  JOIN norms na ON na.vec_id = dd.probe_id
+  JOIN norms nb ON nb.vec_id = dd.corpus_id) r
+  WHERE rank <= 10)""".drop(1)),
     "s1_similarity_bruteforce" -> eq(raw"""
 SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
        round(cosine, 6) AS cosine

@@ -311,6 +311,13 @@ object QueryDefs {
       Similarity.ivfSq8TopK(emb, cb, emb.filter(col("vec_id") < 5),
         k = 10, nProbe = 4)
     }),
+    // SQ8 quality certificate: recall@10 of the quantized scan + exact
+    // re-rank vs brute force over 20 probes; meets_target=TRUE pinned,
+    // so quantization-noise regressions fail the hash gate
+    "s5_sq8_recall" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.sq8Recall(emb, emb.filter(col("vec_id") < 20), k = 10)
+    }),
     "s2_similarity_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val cb = Similarity.codebook(emb, 16)

@@ -847,6 +847,28 @@ object Similarity {
         Num.roundLike(col("__cos"), 6).as("cosine"))
   }
 
+  /** Recall@k of [[sq8TopK]] against [[bruteForceTopK]] — the SQ8
+    * quality certificate, one hash-gated row like [[ivfRecall]]: a
+    * quantization-noise regression that pushes a true neighbor out of
+    * the rerank pool flips `meets_target` and fails the gate. With
+    * `rerank`·k deep pools the exact re-rank recovers brute-force
+    * order unless 8-bit noise reorders past the pool boundary, so the
+    * expected recall is ~1.0 at any corpus scale. */
+  def sq8Recall(corpus: DataFrame, probes: DataFrame, k: Int,
+                rerank: Int = 4, target: Double = 0.9,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val sq = sq8TopK(corpus, probes, k, rerank, idCol, vecCol)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("__hit"))
+    val bf = bruteForceTopK(corpus, probes, k, idCol, vecCol)
+    bf.join(sq, Seq("probe_id", "corpus_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_matched"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_matched"), col("n_total"),
+        Num.roundLike(col("n_matched") / col("n_total"), 6).as("recall"),
+        (col("n_matched") / col("n_total") >= target).as("meets_target"))
+  }
+
   /** The codebook travels with the index it assigned (k rows — one
     * file). */
   def writeCodebook(cb: DataFrame, path: String): Unit =

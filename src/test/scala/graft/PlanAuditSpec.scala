@@ -20,6 +20,8 @@ class PlanAuditSpec extends SparkSpec {
       "query set × corpus: the query frame is a bounded top-k probe set (Similarity.scala:61)",
     "s6_ivfsq8_rerank" ->
       "probe × broadcast coarse codebook + 1-row SQ8 range model; the bucket prune, code fetch and re-rank joins stay equi (Similarity.ivfSq8TopK)",
+    "s5_sq8_recall" ->
+      "recall join of two bounded top-k result sets + the s5 range-model/probe crosses (Similarity.sq8Recall)",
     "s5_sq8_rerank" ->
       "code scan × 1-row broadcast SQ8 range model + bounded probe set; the exact re-rank joins stay equi (Similarity.sq8TopK)",
     "s2_similarity_ivf" ->

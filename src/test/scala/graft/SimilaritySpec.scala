@@ -77,6 +77,13 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.length <= out.length)
   }
 
+  test("SQ8 recall certificate: full pool = exact recall 1.0") {
+    val r = Similarity.sq8Recall(emb, emb.filter(col("vec_id") < 2),
+      k = 2, rerank = 2).collect()(0)
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 1.0 && r.getBoolean(3))
+  }
+
   test("IVF: assignment is total, probe recall covers the near bucket") {
     val cb = Similarity.codebook(emb, 2)
     val assigned = Similarity.ivfAssign(emb, cb)
