@@ -1875,6 +1875,31 @@ FROM dec"""),
 SELECT media_id, kind,
   unnest(generate_series(0, greatest(duration_ms - 1, 0), 60000)) AS frame_ts_ms
 FROM dec WHERE kind IN ('video', 'audio')"""),
+    // frameNearDup mirrored over the planted-copy corpus: same
+    // kind/duration stub arithmetic on the shifted ids, the same
+    // md5(payload-hash : frame-index) fingerprint, pairs by equi-join
+    "m6_frame_neardup" -> raw"""
+WITH m2 AS (SELECT doc_id AS media_id,
+    CASE CAST(doc_id%3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS kind,
+    text, md5(text) AS h
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id%7 = 0)),
+dur AS (SELECT media_id, kind, h,
+    CAST(strlen(text) AS BIGINT)*100 + 1000 AS duration_ms
+  FROM m2 WHERE kind IN ('video', 'audio')),
+sigs AS (SELECT DISTINCT media_id,
+    md5(h || ':' || CAST(ts//10000 AS VARCHAR)) AS sig
+  FROM (SELECT media_id, h,
+          unnest(generate_series(0, greatest(duration_ms - 1, 0), 10000))
+            AS ts
+        FROM dur) f)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       count(*) AS n_shared_frames
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.media_id < b.media_id
+GROUP BY a.media_id, b.media_id
+HAVING count(*) >= 2""",
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql",
     // real-ImageIO pins: Spark DECODES actual PNG bytes; the oracle
     // PREDICTS the metadata from the fixture's id-derived dimension

@@ -672,6 +672,20 @@ object QueryDefs {
         .select(col("media_id"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"))),
+    // frame near-dup: the gate corpus has no exact text dups, so the
+    // query PLANTS payload copies under shifted ids (the d8 pattern) —
+    // pairs survive exactly where original and copy both carry frames
+    "m6_frame_neardup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      // 10s stride: the ~30s stub durations carry 3-6 frames each, so
+      // the minShared=2 bar is a real multi-frame-agreement test (at
+      // the 60s default every gate doc has one frame)
+      Multimodal.frameNearDup(Multimodal.decode(
+        Multimodal.synthesize(docs.unionByName(planted), "doc_id", "text")),
+        everyMs = 10000L)
+    }),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.decode(Multimodal.synthesize(

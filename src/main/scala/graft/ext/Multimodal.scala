@@ -197,6 +197,37 @@ object Multimodal {
           greatest(col("meta.duration_ms") - 1, lit(0L)),
           lit(everyMs))).as("frame_ts_ms"))
 
+  /** Frame-signature near-duplicate detection — the video
+    * copy-detection shape: every sampled frame gets a fingerprint, and
+    * media sharing ≥ `minShared` identical fingerprints pair as
+    * near-dup candidates. The frames EQUI-JOIN on the fingerprint key —
+    * never an all-pairs media join — so a 100 TB video table pairs at
+    * the cost of one frame-key shuffle, exactly [[graft.ext.Dedup.sharedSubstring]]'s
+    * economics with frames standing in for token windows. The
+    * fingerprint is md5(payload-hash : frame-index) — a deterministic,
+    * collision-free stand-in for a perceptual frame hash (pHash /
+    * videohash in a real deployment; this container cannot decode real
+    * video, so per SURVEY stub policy the hash is fake but the plumbing
+    * — sampling, keying, join shape, pair semantics — is real). Image
+    * rows have no frames and never pair. */
+  def frameNearDup(decoded: DataFrame, everyMs: Long = 60000L,
+                   minShared: Long = 2L): DataFrame = {
+    val sig = frameSample(decoded, everyMs)
+      .join(decoded.select(col("media_id"), md5(col("payload")).as("__ph")),
+        Seq("media_id"))
+      .select(col("media_id"),
+        md5(concat(col("__ph"), lit(":"),
+          expr(s"frame_ts_ms div $everyMs").cast("string"))).as("__sig"))
+      .distinct()
+    sig.as("a").join(sig.as("b"),
+        col("a.__sig") === col("b.__sig") &&
+        col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minShared)
+  }
+
   /** Feature extraction (stub): fixed-dim deterministic pseudo-embedding
     * from md5(payload) bytes, scaled to [-1, 1]. dim ≤ 16. The
     * array<float> one-row-in/one-row-out shape is what a real encoder

@@ -165,6 +165,22 @@ class SimilaritySpec extends SparkSpec {
     assert(byId(1L) == 3L)
   }
 
+  test("frame near-dup: identical payloads pair on shared frames, images never pair") {
+    val blob = "x" * 1300                      // 131s stub duration → 3 frames
+    val docs = Seq((0L, blob), (1L, blob), (2L, blob), (4L, "y" * 1300))
+      .toDF("doc_id", "text")                  // 0=image, 1=audio, 2=video, 4=audio
+    val out = Multimodal.frameNearDup(
+        Multimodal.decode(Multimodal.synthesize(docs, "doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the audio/video pair with the SAME payload pairs; the image
+    // copy (id 0) has no frames, the different payload (id 4) no match
+    assert(out.toSeq == Seq((1L, 2L, 3L)))
+    // raising minShared above the shared-frame count empties the result
+    assert(Multimodal.frameNearDup(
+      Multimodal.decode(Multimodal.synthesize(docs, "doc_id", "text")),
+      minShared = 4L).count() == 0L)
+  }
+
   test("feature extraction stub emits fixed-dim float arrays in [-1,1]") {
     val media = Multimodal.synthesize(
       Seq((1L, "abc")).toDF("id", "t"), "id", "t")
