@@ -31,32 +31,48 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(QueryDefs.benchNames)
-    // a failed query records -1 (NOT its elapsed time — a broken query
-    // must not masquerade as a fast one) plus an entry in "errors"
+    // Each lane runs `reps` times in-JVM and reports the MEDIAN (the
+    // box swings ~2x between single-shot repeats — r7's false alarm);
+    // min/max land in "spread" so the variance stays visible. A failed
+    // rep records -1 for the lane (NOT its elapsed time — a broken
+    // query must not masquerade as a fast one) plus an entry in
+    // "errors", and the remaining reps are skipped.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        // NonFatal only: an OOM/LinkageError must crash the bench (the
-        // driver records rc!=0) instead of timing later queries in a
-        // possibly-corrupted JVM
-        case scala.util.control.NonFatal(e) =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) sec else -1.0, err)
+      var err: Option[String] = None
+      val secs = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
+        val t0 = System.nanoTime()
+        err = try { fn(spark, sfDir).count(); None } catch {
+          // NonFatal only: an OOM/LinkageError must crash the bench
+          // (the driver records rc!=0) instead of timing later queries
+          // in a possibly-corrupted JVM
+          case scala.util.control.NonFatal(e) =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.toVector
+      val med = if (err.isDefined) -1.0
+        else secs.sorted.apply((secs.size - 1) / 2)
+      (name, med, if (err.isDefined) Nil else secs, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
+    val spread = results.collect { case (k, _, ss, None) if ss.nonEmpty =>
+      jstr(k) + s":[${ss.min},${ss.max}]" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m)) =>
       jstr(k) + ":" + jstr(m.take(200)) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // the one-line JSON result must be the LAST stdout write (the
+    // driver parses the last bare line); stop Spark first so shutdown
+    // logging cannot trail it
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
