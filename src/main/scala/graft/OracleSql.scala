@@ -1900,6 +1900,15 @@ SELECT a.media_id AS media_a, b.media_id AS media_b,
 FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.media_id < b.media_id
 GROUP BY a.media_id, b.media_id
 HAVING count(*) >= 2""",
+    // real-dHash pin: the fixture guarantees (a) noise-perturbed
+    // re-encoded copies keep the exact hash (every dHash bit has >=14
+    // gray levels of contrast, noise is +/-3) and (b) distinct ids get
+    // independent ~uniform 64-bit hashes (P[hamming<=6] ~ 4e-12/pair),
+    // so the TRUE pair set is exactly the planted copies at hamming 0
+    "m6_phash_neardup" -> raw"""
+SELECT doc_id AS media_a, doc_id + 100000 AS media_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id % 7 = 0""",
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql",
     // real-ImageIO pins: Spark DECODES actual PNG bytes; the oracle
     // PREDICTS the metadata from the fixture's id-derived dimension

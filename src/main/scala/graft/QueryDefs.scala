@@ -686,6 +686,20 @@ object QueryDefs {
         Multimodal.synthesize(docs.unionByName(planted), "doc_id", "text")),
         everyMs = 10000L)
     }),
+    // REAL perceptual near-dup: every doc becomes a synthesized PNG,
+    // every 7th is ALSO planted as a noise-perturbed RE-ENCODED copy
+    // under a shifted id (byte-different file, same picture). The
+    // engine decodes pixels, dHashes, and pairs by hamming-banded
+    // equi-join; the oracle predicts exactly the planted (d, d+100000)
+    // pairs at hamming 0 — an md5-of-payload stand-in (or any decode
+    // stub) pairs NOTHING and fails the hash gate.
+    "m6_phash_neardup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val base = Multimodal.synthesizeCellImages(docs, "doc_id")
+      val planted = Multimodal.perturbImages(
+        base.filter(col("media_id") % 7 === 0), shiftId = 100000L)
+      Multimodal.phashNearDup(base.unionByName(planted), maxHamming = 6)
+    }),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.decode(Multimodal.synthesize(

@@ -172,6 +172,194 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  // ===================================================== perceptual hash
+
+  /** Number of grid columns/rows for [[dHash]]: 9 columns × 8 rows of
+    * box-averaged luminance → 8 left-vs-right comparisons per row =
+    * 64 bits. */
+  private val DHashCols = 9
+  private val DHashRows = 8
+
+  /** REAL perceptual dHash of an image payload: full ImageIO pixel
+    * decode, box-average the luminance ((r+g+b)/3) onto a 9×8 grid,
+    * then one bit per horizontal neighbor pair — bit set iff
+    * left cell is brighter than right. None for non-decodable
+    * payloads. Executor-side only (called from `mapPartitions`).
+    *
+    * Robustness contract: a bit flips only if the two cells' mean
+    * luminances cross, so any perturbation that shifts cell means by
+    * less than half the cells' contrast (re-encode, mild noise,
+    * brightness-preserving rescale) preserves the hash. */
+  private[graft] def dHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length < 4) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < DHashCols || img.getHeight < DHashRows)
+      return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    // box-averaged luminance per grid cell (exact integer box bounds)
+    val cell = Array.ofDim[Double](DHashRows, DHashCols)
+    var i = 0
+    while (i < DHashRows) {
+      val y0 = i * h / DHashRows; val y1 = (i + 1) * h / DHashRows
+      var j = 0
+      while (j < DHashCols) {
+        val x0 = j * w / DHashCols; val x1 = (j + 1) * w / DHashCols
+        var sum = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        cell(i)(j) = sum.toDouble / (3.0 * (y1 - y0) * (x1 - x0))
+        j += 1
+      }
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < DHashRows) {
+      var j = 0
+      while (j < DHashCols - 1) {
+        bits <<= 1
+        if (cell(i)(j) > cell(i)(j + 1)) bits |= 1L
+        j += 1
+      }
+      i += 1
+    }
+    Some(bits)
+  }
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — the entropy
+    * source for the [[synthesizeCellImages]] fixtures. */
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** dHash fixture generator: one 72×64 PNG per source id, built as a
+    * 9×8 grid of 8×8-pixel flat gray cells whose levels are id-derived
+    * pseudo-random 16-step values (16..226) with ADJACENT CELLS IN A
+    * ROW FORCED ≥14 LEVELS APART — so every dHash bit has ≥14 levels
+    * of contrast and survives the ±3 pixel noise of [[perturbImages]]
+    * exactly (planted near-dups land at hamming distance 0, while
+    * distinct ids get independent ~uniform 64-bit hashes). Tests and
+    * benches only. */
+  def synthesizeCellImages(src: DataFrame, idCol: String): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = DHashCols * 8; val h = DHashRows * 8
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < DHashRows) {
+          var prev = -1000
+          var j = 0
+          while (j < DHashCols) {
+            var lvl = 16 + 14 *
+              ((mix64(id * 73L + i * DHashCols + j) & 0x7FFFFFFFL) % 16).toInt
+            if (math.abs(lvl - prev) < 14)           // force row-adjacent
+              lvl = if (lvl <= 128) lvl + 28 else lvl - 28 // contrast >=14
+            prev = lvl
+            val px = (lvl << 16) | (lvl << 8) | lvl
+            var y = i * 8
+            while (y < i * 8 + 8) {
+              var x = j * 8
+              while (x < j * 8 + 8) { img.setRGB(x, y, px); x += 1 }
+              y += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray)
+      })
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Perturbed near-dup planting: decode each payload, add
+    * deterministic per-pixel noise in [-3, 3], RE-ENCODE as fresh PNG
+    * bytes, and shift the id — the output rows are byte-DIFFERENT
+    * files of the same picture (md5-style exact dedup can never pair
+    * them; a working perceptual hash must). Tests and benches only. */
+  def perturbImages(media: DataFrame, shiftId: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val noise = ((x * 31 + y * 17 + id * 7) % 7).toInt - 3
+            def ch(v: Int) = math.min(255, math.max(0, v + noise))
+            val rgb = img.getRGB(x, y)
+            img.setRGB(x, y, (ch((rgb >> 16) & 0xFF) << 16) |
+              (ch((rgb >> 8) & 0xFF) << 8) | ch(rgb & 0xFF))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id + shiftId, r.getString(kindIdx), bos.toByteArray)
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** REAL image near-duplicate detection: per-payload perceptual
+    * [[dHash]] (computed in `mapPartitions` — payload bytes never
+    * shuffle), then hamming-banded pairing: the 64-bit hash splits
+    * into 8 bytes, candidate pairs EQUI-JOIN on any shared (band,
+    * byte) key, and survivors verify `bit_count(xor) <= maxHamming`.
+    * Any pair within hamming 6 differs in at most 6 of the 8 bands,
+    * so at least 2 bands match exactly — banding loses no recall at
+    * this threshold while keeping a 100 TB image table at one
+    * band-key shuffle, never an all-pairs join (the
+    * [[graft.ext.Dedup.minhashCandidates]] economics with hash bytes
+    * as the bands). Non-decodable payloads produce no hash and never
+    * pair. */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val hashes = media.mapPartitions(_.flatMap { r =>
+        dHash(r.getAs[Array[Byte]](payloadIdx))
+          .map(h => (r.getLong(idIdx), h))
+      })
+      .toDF("media_id", "dhash")
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 8).map(b =>
+        shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L))
+          .bitwiseOR(lit(b.toLong << 8))): _*)).as("band_key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Resize stage (stub): recompute metadata for a target box keeping
     * aspect; payload passes through (a real resize rewrites payload in
     * the same mapPartitions). */

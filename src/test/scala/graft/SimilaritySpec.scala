@@ -181,6 +181,45 @@ class SimilaritySpec extends SparkSpec {
       minShared = 4L).count() == 0L)
   }
 
+  test("dHash: perturbed re-encode keeps the hash, distinct ids differ") {
+    val ids = Seq(3L, 10L, 17L, 24L).toDF("id")
+    val base = Multimodal.synthesizeCellImages(ids, "id")
+    val pert = Multimodal.perturbImages(base, shiftId = 1000L)
+    val h = (base.unionByName(pert))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Multimodal.dHash(r.getAs[Array[Byte]](2)).get)
+      .toMap
+    // the perturbed copy is a byte-DIFFERENT file (md5 dedup can't
+    // pair it) ...
+    val bytes = (base.unionByName(pert)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(bytes(3L) != bytes(1003L))
+    // ... but the perceptual hash is EXACTLY preserved
+    for (id <- Seq(3L, 10L, 17L, 24L))
+      assert(h(id) == h(id + 1000L), s"hash drifted for id $id")
+    // distinct ids: ~uniform 64-bit hashes, far beyond hamming 6
+    for (a <- Seq(3L, 10L, 17L); b <- Seq(10L, 17L, 24L) if a < b)
+      assert(java.lang.Long.bitCount(h(a) ^ h(b)) > 6)
+    // non-image payloads produce no hash
+    assert(Multimodal.dHash("not a png".getBytes).isEmpty)
+    assert(Multimodal.dHash(null).isEmpty)
+  }
+
+  test("phashNearDup pairs exactly the planted perturbed copies") {
+    val ids = (0L until 12L).toDF("id")
+    val base = Multimodal.synthesizeCellImages(ids, "id")
+    val planted = Multimodal.perturbImages(
+      base.filter(col("media_id") % 4 === 0), shiftId = 100L)
+    // a non-decodable row must be ignored, not crash the hash stage
+    val junk = Seq((999L, "image", "junk-bytes".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.phashNearDup(
+        base.unionByName(planted).unionByName(junk))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 100L, 0L), (4L, 104L, 0L), (8L, 108L, 0L)))
+  }
+
   test("feature extraction stub emits fixed-dim float arrays in [-1,1]") {
     val media = Multimodal.synthesize(
       Seq((1L, "abc")).toDF("id", "t"), "id", "t")
