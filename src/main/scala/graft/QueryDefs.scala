@@ -665,8 +665,12 @@ object QueryDefs {
           col("meta.height").cast("long").as("height"),
           col("meta.duration_ms").as("duration_ms"),
           col("meta.codec").as("codec"))),
+    // the REAL resize entry point over non-decodable payloads: every
+    // row takes the stub-arithmetic fallback branch (the oracle's
+    // prediction) while the gate still executes the production
+    // decode-attempt + fallback plan every round
     "m2_resize_meta" -> ((s, d) =>
-      Multimodal.resizeStub(
+      Multimodal.resize(
           Multimodal.decode(Multimodal.synthesize(
             table(s, d, "documents"), "doc_id", "text")), 640, 480)
         .select(col("media_id"),
@@ -715,10 +719,16 @@ object QueryDefs {
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
           col("meta.codec").as("codec"))),
+    // REAL pixel resize, certified by RE-DECODING THE OUTPUT PAYLOAD:
+    // the reported dims come from a second ImageIO decode of the bytes
+    // the resize wrote, so a metadata-only stub (payload passthrough)
+    // reports the ORIGINAL dims and fails the hash gate. Oracle =
+    // the floor(dim*min(64/w,48/h,1)) box arithmetic.
     "m5_resize_real" -> ((s, d) =>
-      Multimodal.resizeStub(
-          Multimodal.decode(Multimodal.synthesizeImages(
-            table(s, d, "documents"), "doc_id")), 64, 48)
+      Multimodal.decode(
+          Multimodal.resize(
+            Multimodal.decode(Multimodal.synthesizeImages(
+              table(s, d, "documents"), "doc_id")), 64, 48))
         .select(col("media_id"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"))),

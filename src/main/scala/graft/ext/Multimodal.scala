@@ -361,8 +361,9 @@ object Multimodal {
   }
 
   /** Resize stage (stub): recompute metadata for a target box keeping
-    * aspect; payload passes through (a real resize rewrites payload in
-    * the same mapPartitions). */
+    * aspect; payload passes through (the REAL [[resize]] rewrites the
+    * payload pixels and falls back to exactly this arithmetic for
+    * non-decodable rows). */
   def resizeStub(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val w = col("meta.width").cast("double")
     val h = col("meta.height").cast("double")
@@ -372,6 +373,78 @@ object Multimodal {
       floor(h * scale).cast("int").as("height"),
       col("meta.duration_ms").as("duration_ms"),
       col("meta.codec").as("codec")))
+  }
+
+  /** ===== REAL RESIZE (image formats the JDK ships) =====
+    * Decodable payloads are PIXEL-RESCALED into the `maxW`×`maxH` box
+    * (aspect kept, never upscaled: target dims are
+    * floor(dim · min(maxW/w, maxH/h, 1)) — the same arithmetic as
+    * [[resizeStub]]) and RE-ENCODED as PNG bytes inside
+    * `mapPartitions` (the codec boundary: payloads never shuffle,
+    * never reach the driver). An already-fitting image passes its
+    * payload through untouched. Non-decodable rows keep their payload
+    * and get [[resizeStub]]'s metadata arithmetic — one entry point,
+    * both regimes, identical output schema. */
+  def resize(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val payloadIdx = decoded.schema.fieldIndex("payload")
+    val outSchema = decoded.schema
+      .add("__rw", IntegerType).add("__rh", IntegerType)
+      .add("__rpayload", BinaryType)
+    val resized = decoded.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        // (real dims, rewritten payload): a fitting image keeps its
+        // original payload (and codec) but still reports REAL dims
+        val real: Option[(Int, Int, Array[Byte])] =
+          try {
+            val img = if (payload == null) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val scale = math.min(
+                math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+              if (scale >= 1.0) Some((w, h, null)) // fits: passthrough
+              else {
+                val nw = math.max(1, math.floor(w * scale).toInt)
+                val nh = math.max(1, math.floor(h * scale).toInt)
+                val out = new java.awt.image.BufferedImage(nw, nh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, nw, nh, null)
+                } finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                Some((nw, nh, bos.toByteArray))
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        Row.fromSeq(r.toSeq ++ Seq(
+          real.map(m => Int.box(m._1)).orNull,
+          real.map(m => Int.box(m._2)).orNull,
+          real.map(_._3).orNull))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+    // stub fallback arithmetic on the pre-resize metadata
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(maxW.toDouble) / w, lit(maxH.toDouble) / h, lit(1.0))
+    resized
+      .withColumn("payload", coalesce(col("__rpayload"), col("payload")))
+      .withColumn("meta", struct(
+        coalesce(col("__rw"), floor(w * scale).cast("int")).as("width"),
+        coalesce(col("__rh"), floor(h * scale).cast("int")).as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        when(col("__rpayload").isNotNull, lit("png"))
+          .otherwise(col("meta.codec")).as("codec")))
+      .drop("__rw", "__rh", "__rpayload")
   }
 
   /** Frame sampling: one output row per sampled frame timestamp for

@@ -220,6 +220,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 100L, 0L), (4L, 104L, 0L), (8L, 108L, 0L)))
   }
 
+  test("real resize rewrites payload pixels: output re-decodes at box dims") {
+    // ids 3 (32x32, fits 64x48 -> passthrough) and 10 (88x88 -> scaled)
+    val imgs = Multimodal.synthesizeImages(
+      Seq(3L, 10L).toDF("id"), "id")
+    val out = Multimodal.decode(
+        Multimodal.resize(Multimodal.decode(imgs), 64, 48))
+      .select("media_id", "meta.width", "meta.height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(3L) == ((32, 32)))          // fits: untouched
+    assert(out(10L) == ((48, 48)))         // 88x88 * 48/88 -> floor 48
+    // the scaled payload is genuinely re-encoded (byte-different,
+    // decodes at the new size); the fitting one passes through
+    val pay = Multimodal.resize(Multimodal.decode(imgs), 64, 48)
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val orig = imgs.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(pay(3L).toSeq == orig(3L).toSeq)
+    assert(pay(10L).toSeq != orig(10L).toSeq)
+    assert(Multimodal.sniffImageMeta(pay(10L)).contains((48, 48, "png")))
+  }
+
   test("feature extraction stub emits fixed-dim float arrays in [-1,1]") {
     val media = Multimodal.synthesize(
       Seq((1L, "abc")).toDF("id", "t"), "id", "t")
