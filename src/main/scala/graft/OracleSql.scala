@@ -1920,6 +1920,12 @@ SELECT doc_id AS media_id,
   CAST((doc_id%13 + 1)*8 AS BIGINT) AS height,
   'png' AS codec
 FROM documents""",
+    "m5_decode_audio_real" -> raw"""
+SELECT doc_id AS media_id,
+  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+  CAST((doc_id%50 + 1)*100 AS BIGINT) AS duration_ms,
+  'wav' AS codec
+FROM documents""",
     "m5_resize_real" -> raw"""
 SELECT media_id,
   CAST(floor(w * least(64.0/w, 48.0/h, 1.0)) AS BIGINT) AS width,

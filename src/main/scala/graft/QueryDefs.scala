@@ -732,6 +732,20 @@ object QueryDefs {
         .select(col("media_id"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"))),
+    // REAL WAV pin: payloads are actual RIFF/WAVE bytes with
+    // id-derived frame counts, so the oracle predicts the decoded
+    // duration arithmetically while Spark parses the headers — a wrong
+    // parse (or silent stub fallback: the stub's length-derived
+    // duration differs) fails the hash gate; really-decoded audio
+    // reports NULL dims
+    "m5_decode_audio_real" -> ((s, d) =>
+      Multimodal.decode(
+          Multimodal.synthesizeWavs(table(s, d, "documents"), "doc_id"))
+        .select(col("media_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.codec").as("codec"))),
     "m4_feature_extract" -> ((s, d) =>
       Multimodal.featureExtractStub(
           Multimodal.synthesize(table(s, d, "documents"), "doc_id", "text"), 8)

@@ -105,41 +105,101 @@ object Multimodal {
     finally iis.close()
   }
 
-  /** ===== REAL DECODE (image formats the JDK ships) =====
-    * PNG/JPEG payloads get their TRUE width/height/codec read on the
-    * executors (`mapPartitions` — the codec boundary: payload bytes
-    * never shuffle, never reach the driver; one ImageIO context per
-    * task); everything else falls back to the [[decodeStub]] metadata
-    * column-for-column. Output schema identical to decodeStub. */
+  /** Header-only WAV sniff+decode: RIFF/WAVE magic bytes, then true
+    * duration via `javax.sound.sampled.AudioSystem.getAudioFileFormat`
+    * (header-only — frame count × frame rate, no sample decode). None
+    * for non-WAV bytes or unknown frame counts — the caller falls back
+    * to the stub. Executor-side only. */
+  private[graft] def sniffWavMeta(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length < 12) return None
+    if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+          payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+          payload(10) == 'V' && payload(11) == 'E')) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val frames = aff.getFrameLength
+      val rate = aff.getFormat.getFrameRate
+      if (frames < 0 || rate <= 0f) None
+      else Some(math.round(frames * 1000.0 / rate))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** ===== REAL DECODE (formats the JDK ships a codec for) =====
+    * PNG/JPEG image payloads get their TRUE width/height/codec read on
+    * the executors, and RIFF/WAVE audio payloads their TRUE duration
+    * (`mapPartitions` — the codec boundary: payload bytes never
+    * shuffle, never reach the driver; one codec context per task);
+    * everything else falls back to the [[decodeStub]] metadata
+    * column-for-column. Output schema identical to decodeStub; really-
+    * decoded audio reports NULL width/height (an audio stream has
+    * none — the stub's fake dims exist only to keep the fallback
+    * deterministic). */
   def decode(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     // Row-preserving mapPartitions: every input column (and media_id's
     // original type) survives, exactly like decodeStub's withColumn
     val kindIdx = media.schema.fieldIndex("kind")
     val payloadIdx = media.schema.fieldIndex("payload")
     val outSchema = media.schema
       .add("__w", IntegerType).add("__h", IntegerType)
-      .add("__codec", StringType)
+      .add("__dur", LongType).add("__codec", StringType)
     val sniffed = media.mapPartitions { rows =>
       rows.map { r =>
         val kind = r.getString(kindIdx)
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val real = if (kind == "image") sniffImageMeta(payload) else None
+        val img = if (kind == "image") sniffImageMeta(payload) else None
+        val dur = if (kind == "audio") sniffWavMeta(payload) else None
         Row.fromSeq(r.toSeq ++ Seq(
-          real.map(m => Int.box(m._1)).orNull,
-          real.map(m => Int.box(m._2)).orNull,
-          real.map(_._3).orNull))
+          img.map(m => Int.box(m._1)).orNull,
+          img.map(m => Int.box(m._2)).orNull,
+          dur.map(Long.box).orNull,
+          img.map(_._3).orElse(dur.map(_ => "wav")).orNull))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
     val (sw, sh, sdur, scodec) = stubMetaCols(md5(col("payload")))
     sniffed.withColumn("meta", struct(
-        coalesce(col("__w"), sw).as("width"),
-        coalesce(col("__h"), sh).as("height"),
-        sdur.as("duration_ms"),
+        when(col("__codec") === "wav", lit(null).cast("int"))
+          .otherwise(coalesce(col("__w"), sw)).as("width"),
+        when(col("__codec") === "wav", lit(null).cast("int"))
+          .otherwise(coalesce(col("__h"), sh)).as("height"),
+        coalesce(col("__dur"), sdur).as("duration_ms"),
         coalesce(col("__codec"), scodec).as("codec")))
-      .drop("__w", "__h", "__codec")
+      .drop("__w", "__h", "__dur", "__codec")
+  }
+
+  /** Real-WAV fixture generator: one PCM 16-bit mono 8 kHz WAV per
+    * source id with id-derived frame count ((id%50+1)*800 frames =
+    * (id%50+1)*100 ms) ENCODED AS REAL RIFF/WAVE BYTES on the
+    * executors — the audio twin of [[synthesizeImages]]: the oracle
+    * predicts the decoded duration arithmetically while [[decode]]
+    * actually parses the header. Tests/benches only. */
+  def synthesizeWavs(src: DataFrame, idCol: String): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nFrames = ((id % 50) + 1).toInt * 800
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val pcm = new Array[Byte](nFrames * 2)
+        var k = 0
+        while (k < nFrames) { // deterministic non-constant samples
+          val s = ((k * 2654435761L + id * 40503L) & 0xFFFF).toInt - 32768
+          pcm(2 * k) = (s & 0xFF).toByte
+          pcm(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+          k += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, "audio", bos.toByteArray)
+      })
+      .toDF("media_id", "kind", "payload")
   }
 
   /** Real-PNG fixture generator: one image row per source id with

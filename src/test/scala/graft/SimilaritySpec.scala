@@ -242,6 +242,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.sniffImageMeta(pay(10L)).contains((48, 48, "png")))
   }
 
+  test("real WAV decode: true duration from the header, NULL dims") {
+    val wavs = Multimodal.synthesizeWavs(Seq(2L, 49L).toDF("id"), "id")
+    val out = Multimodal.decode(wavs)
+      .select("media_id", "meta.width", "meta.duration_ms", "meta.codec")
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(2L) == ((true, 300L, "wav")))    // (2%50+1)*100 ms
+    assert(out(49L) == ((true, 5000L, "wav")))  // (49%50+1)*100 ms
+    // non-WAV audio payloads take the stub fallback, not a crash
+    assert(Multimodal.sniffWavMeta("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Multimodal.sniffWavMeta("plain text".getBytes).isEmpty)
+  }
+
   test("feature extraction stub emits fixed-dim float arrays in [-1,1]") {
     val media = Multimodal.synthesize(
       Seq((1L, "abc")).toDF("id", "t"), "id", "t")
