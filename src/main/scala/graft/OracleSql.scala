@@ -2066,7 +2066,11 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
     // distributedDocs=Some(true): chr<c>.json becomes a part-file
     // directory; the logical listing collapses it, so the stream
     // writer's expected file set applies unchanged
-    "s11_tree_write_dist" -> misc("s11_tree_write"))
+    "s11_tree_write_dist" -> misc("s11_tree_write"),
+    // snapshot-SERVED search must be row-identical to rebuilt-served:
+    // the S9 parquet round-trip + inverted-index lookup serve path is
+    // pinned against the rebuild path's exact oracle
+    "q6_search_served" -> graph("q6_search_subnet"))
 
   val all: Map[String, String] =
     graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++

@@ -205,6 +205,14 @@ object QueryDefs {
       val seeds = Search.byGeneName(v, "S7")
       Search.subnetFromSeeds(v, simplified(s, d), seeds, ego = true).nodes
     }),
+    // the INTERACTIVE serving path: S9 snapshot (nodes + edges) + the
+    // persisted inverted name index, opened once per dataset (memoized
+    // below), then Q2→J10→Q6 served from the pinned frames. Pinned to
+    // the SAME oracle as q6_search_subnet — snapshot-served must be
+    // row-identical to rebuilt-served. As a bench lane, rep 1 pays the
+    // build+open, the median reflects the warm serve.
+    "q6_search_served" -> ((s, d) =>
+      Serving.geneSearch(servedDataset(s, d), "S7").nodes),
     // S11 end-to-end: the FULL per-dataset output tree (metadata +
     // suggestions + chromosomes + features_metadata + one streamed
     // Cytoscape document per chromosome) written to a temp dir; the
@@ -216,6 +224,22 @@ object QueryDefs {
     // per-document-lines writer (the 100 TB bulk path) — hash-pinned
     // against the SAME oracle row set as s11 via the logical listing
     "s11_tree_write_dist" -> treeWrite(distributedDocs = Some(true)))
+
+  /** Per-(session, sfDir) memo of the opened serving snapshot: the
+    * build+open cost is paid once; every subsequent q6_search_served
+    * call (later bench reps, repeated interactive queries) serves from
+    * the pinned frames — the deployment shape, where the snapshot
+    * outlives requests. */
+  private val servedCache =
+    new scala.collection.concurrent.TrieMap[String, Serving.ServedDataset]
+  private def servedDataset(s: SparkSession, d: String)
+      : Serving.ServedDataset =
+    servedCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_serving").toString
+      Serving.buildSnapshot(verts(s, d), simplified(s, d), dir)
+      Serving.open(s, dir)
+    })
 
   /** The s11 tree-write body, parameterized by the document-writer
     * regime. The listing reports LOGICAL tree files: the distributed
@@ -767,5 +791,9 @@ object QueryDefs {
     "t2_quality_score", "e1_sessionize", "s11_tree_write",
     // round-8 additions: removal-dedup family + quantized ANN
     "d9_block_dedup", "d10_cdc_dedup", "s5_sq8_rerank",
-    "t13_bloom_decontaminate")
+    "t13_bloom_decontaminate",
+    // round-9 additions: real perceptual near-dup + the snapshot-served
+    // interactive search path (rep 1 builds the snapshot, the median
+    // shows the warm serve)
+    "m6_phash_neardup", "q6_search_served")
 }

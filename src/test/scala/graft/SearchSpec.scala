@@ -115,6 +115,20 @@ class SearchSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("1_100_199"))
   }
 
+  test("snapshot-served search is row-identical to rebuilt search") {
+    val dir = java.nio.file.Files.createTempDirectory("serving_spec").toString
+    graft.core.Serving.buildSnapshot(nodes, edges, dir)
+    val sd = graft.core.Serving.open(spark, dir)
+    val served = graft.core.Serving.geneSearch(sd, "EZH2").nodes
+      .orderBy("fragment").collect().map(_.toSeq)
+    val rebuilt = Search.subnetFromSeeds(nodes, edges,
+        Search.byGeneName(nodes, "EZH2"), ego = true).nodes
+      .orderBy("fragment").collect().map(_.toSeq)
+    assert(served.toSeq == rebuilt.toSeq)
+    assert(served.nonEmpty)
+    Seq(sd.nodes, sd.edges, sd.index).foreach(_.unpersist(blocking = false))
+  }
+
   test("subnetFromSeeds leaves a caller-owned edge cache in place") {
     import org.apache.spark.storage.StorageLevel
     // caller persists at a NON-default level: an unconditional persist
