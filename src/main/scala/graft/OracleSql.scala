@@ -1297,8 +1297,8 @@ FROM (SELECT p.id_a, p.id_b,
 JOIN norms na ON na.vec_id = dd.id_a JOIN norms nb ON nb.vec_id = dd.id_b
 WHERE round(dd.dot/(na.nrm*nb.nrm), 6) >= 0.3""",
       extra = raw"""
-bq AS (SELECT greatest(4, CAST(ceil(log2(CAST(
-    (count(*) + 124) // 125 AS DOUBLE))) AS INT)) AS bits
+bq AS (SELECT greatest(4, CAST(length(bin((count(*) + 124) // 125 - 1))
+    AS INT)) AS bits
   FROM embeddings),
 coefs AS (SELECT tb.b, tj.j, td.d,
   CASE WHEN strpos('01234567', substr(md5(tb.b||':'||tj.j||':'||td.d), 1, 1)) > 0
