@@ -176,6 +176,46 @@ ${deltas.mkString(",\n")},
 lvls AS ($lvls)""")
   }
 
+  /** a7_diameter_cert oracle: re-verify the engine's iFUB certificate
+    * INDEPENDENTLY — a semi-naive unrolled BFS seeded with ONLY the
+    * engine-listed witness sources (2 per component: root pivot +
+    * diameter witness, dumped to the fixture dir by the Spark query),
+    * recomputing each listed source's exact eccentricity and
+    * diameter = max(ecc). Row cost is Σ_sources |reachable| ≤ 2·V
+    * TOTAL (each component contributes its 2 sources only), so this
+    * stays linear-ish at ANY SF — unlike the all-pairs closure of
+    * [[a7CertSql]], which is inherently quadratic and oracle-OOMs at
+    * sf1. Levels capped at [[A7CertCap]] with the standard poison row
+    * (an under-capped compare shows as a row mismatch, never silent
+    * agreement). */
+  private val A7CertCap = 64
+  private val a7DiamCertSql: String = {
+    val deltas = (1 to A7CertCap).flatMap { k => Seq(
+      s"""cd$k AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.dst AS n FROM cd${k - 1} p JOIN tsym e ON p.n = e.src
+  WHERE NOT EXISTS (SELECT 1 FROM cr${k - 1} r WHERE r.s = p.s AND r.n = e.dst))""",
+      s"cr$k AS MATERIALIZED (SELECT s, n FROM cr${k - 1} UNION ALL SELECT s, n FROM cd$k)")
+    }
+    val lvls = (0 to A7CertCap)
+      .map(k => s"SELECT s, $k AS k FROM cd$k")
+      .mkString(" UNION ALL ")
+    gq(s"""
+SELECT source, ecc, CAST(max(ecc) OVER () AS BIGINT) AS diameter FROM eccs""",
+      extra = thinCtes.drop(1) + s""",
+certsrc AS (SELECT source FROM read_csv(
+  '/tmp/graft_fixtures/a7_cert/sources.csv', header=true,
+  columns={'source':'VARCHAR'})),
+cd0 AS MATERIALIZED (SELECT source AS s, source AS n FROM certsrc),
+cr0 AS MATERIALIZED (SELECT s, n FROM cd0),
+${deltas.mkString(",\n")},
+clvl AS ($lvls),
+eccs AS (
+  SELECT s AS source, CAST(max(k) AS BIGINT) AS ecc FROM clvl GROUP BY s
+  UNION ALL
+  SELECT '__UNDERCAPPED__' AS source, CAST(-1 AS BIGINT) AS ecc
+  WHERE EXISTS (SELECT 1 FROM cd$A7CertCap))""")
+  }
+
   private val fintervalsCte: String = raw"""
 fintervals AS (SELECT ${chrSql("k")} AS chr,
   k*1000 + o_orderkey%1500 AS "start",
@@ -378,6 +418,7 @@ FROM (SELECT count(*) AS nodes,
       FROM typed) e"""),
     "a6_components" -> gq("SELECT * FROM comps", extra = thinCtes.drop(1)),
     "a7_diameter" -> a7CertSql,
+    "a7_diameter_cert" -> a7DiamCertSql,
     "a7_diameter_exact" -> gq(raw"""
 SELECT CAST(coalesce(max(md), 0) AS BIGINT) AS diameter FROM (
   SELECT s, n, min(d) AS md FROM bfs GROUP BY s, n) t""",

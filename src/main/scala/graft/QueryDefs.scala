@@ -40,6 +40,22 @@ object QueryDefs {
       val pp = GraphOps.subsetPP(t, t.select(col("src").as("id")))
       s.range(1).select(lit(GraphOps.diameterExact(pp)).as("diameter"))
     }),
+    // the CERTIFICATE form of a7: per component the root pivot + the
+    // diameter witness with their exact eccentricities. The witness
+    // list is dumped as a fixture so the ORACLE re-runs one bounded
+    // BFS per listed source (2 per component — never the all-pairs
+    // closure that is quadratic-OOM at sf1) and independently
+    // recomputes every ecc AND diameter = max(ecc).
+    "a7_diameter_cert" -> ((s, d) => {
+      import s.implicits._
+      val rows = GraphOps.diameterCertificate(thin(s, d))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val dir = java.nio.file.Paths.get(ReaderHarness.fixtureRoot, "a7_cert")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("sources.csv"),
+        "source\n" + rows.map(_._1).distinct.sorted.mkString("\n") + "\n")
+      rows.toSeq.toDF("source", "ecc", "diameter")
+    }),
     "a8_transitivity" -> ((s, d) => GraphOps.transitivity(thin(s, d))),
     "a9_suggestions" -> ((s, d) => Metadata.suggestions(verts(s, d))),
     "a10_chromosomes" -> ((s, d) => Metadata.chromosomes(verts(s, d))),

@@ -168,6 +168,128 @@ object GraphOps {
     } finally bc.destroy()
   }
 
+  /** A7 CERTIFICATE: the independently-checkable witness set behind
+    * the exact diameter. Per component (of ≥2 nodes): the max-degree
+    * root pivot and the witness source whose eccentricity equals the
+    * component diameter, each with its exact eccentricity — so an
+    * external verifier can re-run ONE bounded BFS per listed source
+    * (2 per component, never O(V)) and confirm every number plus
+    * `diameter = max(ecc)`, at ANY scale where a per-source BFS is
+    * tractable — the all-pairs closure an exact-diameter oracle
+    * otherwise needs is quadratic and dies at sf1
+    * (COVERAGE.md a7 exclusion; this certificate closes that gap).
+    * The descent itself is [[diameterLocalSym]]'s parallel iFUB with
+    * per-component argmax tracking (deterministic: batches fold in
+    * ascending source order, strict improvement only), so the
+    * certificate costs nothing beyond the exact computation.
+    * Covers the one-task and broadcast-CSR regimes (≤
+    * [[BroadcastCsrMaxEdges]] sym rows).
+    * Returns (diameter, rows of (source id, ecc)). */
+  private[graft] def diameterCertLocalSym(sym: DataFrame)
+      : (Long, Seq[(String, Long)]) = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    // ONE build task emits the int layout chunks AND the id-string
+    // chunks (the certificate needs vertex names; the plain descent
+    // deliberately strips them)
+    val rows = localPairs(sym)
+      .mapPartitions { it =>
+        val g = LocalGraph.build(it)
+        val l = LocalGraph.diamLayout(g)
+        LocalGraph.chunkLayout(l)
+          .map { case (n, i, a) => (n, i, a, Array.empty[String]) } ++
+          g.ids.grouped(1 << 20).zipWithIndex
+            .map { case (s, i) => ("ids", i, Array.empty[Int], s) }
+      }
+      .collect()
+    if (rows.isEmpty) return (0L, Nil)
+    val layout = LocalGraph.assembleLayout(
+      rows.collect { case (n, i, a, _) if n != "ids" => (n, i, a) })
+    if (layout.n == 0) return (0L, Nil)
+    val ids = rows.iterator.filter(_._1 == "ids").toArray.sortBy(_._2)
+      .flatMap(_._4)
+    val sc = spark.sparkContext
+    val bc = sc.broadcast((layout.off, layout.adj))
+    try {
+      val comp = layout.comp
+      val lb = layout.rootEcc.map(_.toLong)
+      // per-component witnesses, seeded with the root pivots (same
+      // selection as diamLayout: first max-degree node in index order)
+      val root = Array.fill(layout.nComp)(-1)
+      var v = 0
+      while (v < layout.n) {
+        val c = comp(v)
+        def deg(u: Int) = layout.off(u + 1) - layout.off(u)
+        if (root(c) < 0 || deg(v) > deg(root(c))) root(c) = v
+        v += 1
+      }
+      val best = root.clone() // witness source per component
+      var i = layout.maxDepth
+      while (i >= 1) {
+        val batch = new scala.collection.mutable.ArrayBuffer[Int]()
+        v = 0
+        while (v < layout.n) {
+          if (layout.depth(v) == i && lb(comp(v)) < 2L * i) batch += v
+          v += 1
+        }
+        if (batch.nonEmpty) {
+          val slices = math.max(1, math.min(batch.length,
+            sc.defaultParallelism * 4))
+          val eccs = sc.parallelize(batch.toSeq, slices)
+            .mapPartitions { sources =>
+              val (off, adj) = bc.value
+              val n = off.length - 1
+              val dist = new Array[Int](n)
+              val stamp = new Array[Int](n)
+              val queue = new Array[Int](n)
+              var version = 0
+              sources.map { s =>
+                version += 1
+                (s, LocalGraph.eccInto(off, adj, s, dist, stamp, queue,
+                  version))
+              }
+            }.collect()
+          for ((s, e) <- eccs.sortBy(_._1)) { // deterministic fold order
+            val c = comp(s)
+            if (e > lb(c)) { lb(c) = e.toLong; best(c) = s }
+          }
+        }
+        i -= 1
+      }
+      val cert = (0 until layout.nComp).iterator
+        .filter(c => lb(c) > 0L) // isolated nodes witness nothing
+        .flatMap(c => Seq(
+          (ids(root(c)), layout.rootEcc(c).toLong),
+          (ids(best(c)), lb(c))))
+        .toSeq.distinct.sorted
+      ((0L +: lb.toSeq).max, cert)
+    } finally bc.destroy()
+  }
+
+  /** A7 certificate as a DataFrame(source, ecc, diameter): the
+    * serve-shape of [[diameterCertLocalSym]] — one row per witness,
+    * every row carrying the certified diameter (= max ecc over the
+    * witnesses, which iFUB guarantees equals the true diameter). */
+  def diameterCertificate(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sym.count()
+      val (diam, cert) =
+        if (n == 0) (0L, Seq.empty[(String, Long)])
+        else {
+          require(n <= BroadcastCsrMaxEdges,
+            s"diameterCertificate covers the CSR regimes (<= " +
+              s"$BroadcastCsrMaxEdges sym rows); got $n")
+          withShuffleWidthFor(sym, n, staticPlan = true) {
+            diameterCertLocalSym(sym)
+          }
+        }
+      cert.toDF("source", "ecc").withColumn("diameter", lit(diam))
+    } finally sym.unpersist()
+  }
+
   /** A4 degree: per-vertex incident-edge count (self-loops removed
     * upstream by simplify). Reference: network_generator.R:151,235. */
   def degrees(edges: DataFrame): DataFrame =

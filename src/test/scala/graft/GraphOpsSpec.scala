@@ -169,6 +169,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(rb.getBoolean(1) && rb.getLong(0) == 9L)
   }
 
+  test("A7 certificate: every listed ecc is true, max(ecc) = exact diameter") {
+    def check(e: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = GraphOps.diameterCertificate(e).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val truth = GraphOps.diameterExact(e)
+      // every row carries diameter = max listed ecc = the exact value
+      assert(rows.forall(_._3 == truth))
+      assert(rows.map(_._2).max == truth)
+      // independently recompute each listed source's eccentricity
+      // (driver-side BFS over the symmetrized pair list)
+      val pairs = e.select("src", "dst").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      def ecc(s: String): Long = {
+        var frontier = Set(s); var seen = Set(s); var d = -1L
+        while (frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        d
+      }
+      rows.foreach { case (s, e0, _) => assert(ecc(s) == e0, s"ecc($s)") }
+    }
+    check(edgesOf(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")))
+    check(edgesOf(Seq("c" -> "a", "c" -> "b", "c" -> "d")))
+    check(edgesOf(Seq("a" -> "b", "b" -> "c", "a" -> "c",
+      "x" -> "y", "y" -> "z")))
+    check(edgesOf((0 until 9).map(i => s"n$i" -> s"n${i + 1}")))
+    // empty graph: empty certificate, no throw
+    assert(GraphOps.diameterCertificate(
+      edgesOf(Seq.empty)).collect().isEmpty)
+  }
+
   test("A7 local regime (iFUB) is exact and certified on every fixture shape") {
     def cert(e: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
       val r = GraphOps.diameterCertified(e).collect()(0)
