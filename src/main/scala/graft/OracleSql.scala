@@ -190,9 +190,14 @@ lvls AS ($lvls)""")
     * agreement). */
   private val A7CertCap = 64
   private val a7DiamCertSql: String = {
+    // ctsym: the thin symmetrized edge frame materialized ONCE —
+    // plain `tsym` would inline the whole scan→filter→simplify CTE
+    // chain into every one of the 64 level joins (observed: 37 GB of
+    // spill at sf1 for a depth-9 BFS; with the materialization the
+    // same run is seconds-per-level hash probes)
     val deltas = (1 to A7CertCap).flatMap { k => Seq(
       s"""cd$k AS MATERIALIZED (
-  SELECT DISTINCT p.s, e.dst AS n FROM cd${k - 1} p JOIN tsym e ON p.n = e.src
+  SELECT DISTINCT p.s, e.dst AS n FROM cd${k - 1} p JOIN ctsym e ON p.n = e.src
   WHERE NOT EXISTS (SELECT 1 FROM cr${k - 1} r WHERE r.s = p.s AND r.n = e.dst))""",
       s"cr$k AS MATERIALIZED (SELECT s, n FROM cr${k - 1} UNION ALL SELECT s, n FROM cd$k)")
     }
@@ -202,6 +207,7 @@ lvls AS ($lvls)""")
     gq(s"""
 SELECT source, ecc, CAST(max(ecc) OVER () AS BIGINT) AS diameter FROM eccs""",
       extra = thinCtes.drop(1) + s""",
+ctsym AS MATERIALIZED (SELECT src, dst FROM tsym),
 certsrc AS (SELECT source FROM read_csv(
   '/tmp/graft_fixtures/a7_cert/sources.csv', header=true,
   columns={'source':'VARCHAR'})),
@@ -1961,6 +1967,29 @@ SELECT doc_id AS media_id,
   CAST((doc_id%13 + 1)*8 AS BIGINT) AS height,
   'png' AS codec
 FROM documents""",
+    // exact-integer pixel-statistics pin: the oracle re-derives every
+    // (cell, channel) count/sum/sum-of-squares from the fixture's
+    // pixel arithmetic — no codec, no floats, any disagreement in any
+    // decoded pixel value shows in some cell sum
+    "m4_pixel_stats" -> raw"""
+WITH imgs AS (SELECT doc_id AS media_id,
+    (doc_id%19 + 1)*8 AS w, (doc_id%13 + 1)*8 AS h
+  FROM documents WHERE doc_id < 200),
+px AS (SELECT i.media_id, i.w, i.h, y.y, x.x,
+    (x.x*31 + y.y*7 + i.media_id) % 16777216 AS v
+  FROM imgs i,
+    unnest(generate_series(0, i.h - 1)) y(y),
+    unnest(generate_series(0, i.w - 1)) x(x)),
+ch AS (SELECT media_id, (y*2)//h AS cell_i, (x*2)//w AS cell_j,
+    c.c AS channel,
+    CASE c.c WHEN 0 THEN v//65536 WHEN 1 THEN (v%65536)//256
+             ELSE v%256 END AS cv
+  FROM px, (SELECT unnest([0,1,2]) AS c) c)
+SELECT media_id, CAST(cell_i AS BIGINT) AS cell_i,
+  CAST(cell_j AS BIGINT) AS cell_j, CAST(channel AS BIGINT) AS channel,
+  count(*) AS n, CAST(sum(cv) AS BIGINT) AS psum,
+  CAST(sum(cv*cv) AS BIGINT) AS psum_sq
+FROM ch GROUP BY 1, 2, 3, 4""",
     "m5_decode_audio_real" -> raw"""
 SELECT doc_id AS media_id,
   CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,

@@ -786,6 +786,19 @@ object QueryDefs {
           col("meta.height").cast("long").as("height"),
           col("meta.duration_ms").as("duration_ms"),
           col("meta.codec").as("codec"))),
+    // REAL pixel feature extraction, exact-integer pinned: per-channel
+    // grid-cell count/Σ/Σ² over fully decoded PNG pixels. The fixture
+    // pixels are id-derived arithmetic ((x*31+y*7+id) & 0xFFFFFF), so
+    // the oracle recomputes every sum without touching a codec —
+    // agreement proves the decode read the true pixel values. Bounded
+    // doc_id<200 slice: the oracle enumerates pixels (≤15.8k/img), and
+    // the codec path needs no SF-scaled verification (m5_decode_real
+    // covers decode at full SF).
+    "m4_pixel_stats" -> ((s, d) =>
+      Multimodal.imageCellStats(
+        Multimodal.synthesizeImages(
+          table(s, d, "documents").filter(col("doc_id") < 200), "doc_id"),
+        grid = 2)),
     "m4_feature_extract" -> ((s, d) =>
       Multimodal.featureExtractStub(
           Multimodal.synthesize(table(s, d, "documents"), "doc_id", "text"), 8)

@@ -549,6 +549,100 @@ object Multimodal {
       .filter(col("n_shared_frames") >= minShared)
   }
 
+  /** ===== REAL FEATURE EXTRACTION (image formats the JDK ships) =====
+    * Per-channel grid-cell pixel statistics: each decodable payload is
+    * fully pixel-decoded in `mapPartitions` and reduced to EXACT
+    * integer sums per (grid cell, RGB channel) — count, Σvalue,
+    * Σvalue² — from which mean/variance derive exactly (no float
+    * accumulation anywhere, so the result is partitioning- and
+    * engine-independent and can be hash-pinned against an arithmetic
+    * oracle). One output row per (media, cell_i, cell_j, channel);
+    * non-decodable payloads emit nothing (callers wanting a fallback
+    * compose with [[featureExtractStub]]). Cell bounds use the
+    * floor-scaled rule (cell_i = y·grid / h), exact for any dims. */
+  def imageCellStats(media: DataFrame, grid: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          try { if (payload == null) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)) }
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Iterator.empty
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val n = Array.ofDim[Long](grid, grid)
+          val sum = Array.ofDim[Long](grid, grid, 3)
+          val sq = Array.ofDim[Long](grid, grid, 3)
+          var y = 0
+          while (y < h) {
+            val ci = y * grid / h
+            var x = 0
+            while (x < w) {
+              val cj = x * grid / w
+              val rgb = img.getRGB(x, y)
+              n(ci)(cj) += 1L
+              var c = 0
+              while (c < 3) {
+                val v = ((rgb >> (16 - 8 * c)) & 0xFF).toLong
+                sum(ci)(cj)(c) += v
+                sq(ci)(cj)(c) += v * v
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          for (ci <- (0 until grid).iterator; cj <- 0 until grid;
+               c <- 0 until 3)
+            yield (id, ci.toLong, cj.toLong, c.toLong,
+              n(ci)(cj), sum(ci)(cj)(c), sq(ci)(cj)(c))
+        }
+      }
+    }.toDF("media_id", "cell_i", "cell_j", "channel",
+      "n", "psum", "psum_sq")
+  }
+
+  /** Float feature vectors from [[imageCellStats]]: per (cell,
+    * channel) the [0,1]-scaled mean and variance, laid out
+    * ((cell_i·grid + cell_j)·3 + channel)·2 + {0: mean, 1: var} —
+    * grid²·6 dims (24 at the default grid=2), ANN-ready (the
+    * [[graft.ext.Similarity]] ops take any fixed-dim array<float>).
+    * Rows for non-decodable payloads fall back to the md5 stub
+    * embedding, so one entry point serves a mixed 100 TB table. */
+  def featureExtract(media: DataFrame, grid: Int = 2): DataFrame = {
+    val stats = imageCellStats(media, grid)
+      .withColumn("__mean", col("psum").cast("double") / col("n") / 255.0)
+      .withColumn("__var",
+        (col("psum_sq").cast("double") / col("n") -
+          (col("psum").cast("double") / col("n")) *
+          (col("psum").cast("double") / col("n"))) / (255.0 * 255.0))
+      .withColumn("__dim",
+        ((col("cell_i") * grid + col("cell_j")) * 3 + col("channel")) * 2)
+      .select(col("media_id"),
+        explode(array(
+          struct(col("__dim").as("d"), col("__mean").as("v")),
+          struct((col("__dim") + 1).as("d"), col("__var").as("v"))))
+          .as("dv"))
+      .groupBy("media_id")
+      .agg(array_sort(collect_list(struct(col("dv.d"), col("dv.v"))))
+        .as("__sorted"))
+      .select(col("media_id"),
+        transform(col("__sorted"), e => e("v").cast("float"))
+          .as("features"))
+    val h = md5(col("payload"))
+    val stubArr = array((1 to 8).map(i =>
+      (md5Byte(h, i).cast("double") / 127.5 - 1.0).cast("float")): _*)
+    media.join(stats, Seq("media_id"), "left")
+      .withColumn("features", coalesce(col("features"), stubArr))
+  }
+
   /** Feature extraction (stub): fixed-dim deterministic pseudo-embedding
     * from md5(payload) bytes, scaled to [-1, 1]. dim ≤ 16. The
     * array<float> one-row-in/one-row-out shape is what a real encoder

@@ -255,6 +255,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.sniffWavMeta("plain text".getBytes).isEmpty)
   }
 
+  test("real feature extraction: cell stats exact, float vectors ANN-ready") {
+    val imgs = Multimodal.synthesizeImages(Seq(5L).toDF("id"), "id")
+    // 5 -> 48x48; verify one cell/channel sum against driver arithmetic
+    val stats = Multimodal.imageCellStats(imgs, grid = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(stats.size == 12) // 2x2 cells x 3 channels
+    var (n, sum, sq) = (0L, 0L, 0L)
+    for (y <- 0 until 24; x <- 0 until 24) { // cell (0,0)
+      val v = (x * 31 + y * 7 + 5) & 0xFFFFFF
+      val b = v & 0xFF // channel 2 = blue
+      n += 1; sum += b; sq += b.toLong * b
+    }
+    assert(stats((0L, 0L, 2L)) == ((n, sum, sq)))
+    // float features: grid^2*6 = 24 dims, means in [0,1]; a
+    // non-decodable row falls back to the 8-dim md5 stub
+    val mixed = imgs.unionByName(
+      Seq((99L, "image", "not a png".getBytes))
+        .toDF("media_id", "kind", "payload"))
+    val f = Multimodal.featureExtract(mixed, grid = 2)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(5L).length == 24)
+    assert(f(5L).zipWithIndex.filter(_._2 % 2 == 0) // means
+      .forall { case (v, _) => v >= 0f && v <= 1f })
+    assert(f(99L).length == 8)
+  }
+
   test("feature extraction stub emits fixed-dim float arrays in [-1,1]") {
     val media = Multimodal.synthesize(
       Seq((1L, "abc")).toDF("id", "t"), "id", "t")
