@@ -742,7 +742,13 @@ object QueryDefs {
       val base = Multimodal.synthesizeCellImages(docs, "doc_id")
       val planted = Multimodal.perturbImages(
         base.filter(col("media_id") % 7 === 0), shiftId = 100000L)
-      Multimodal.phashNearDup(base.unionByName(planted), maxHamming = 6)
+      // maxHamming=2: the fixture's planted copies land at EXACTLY 0
+      // (cell contrast >= 14 vs +/-3 noise), while the nearest random
+      // pair measured over the 57k-image sf1 corpus sits at hamming 5
+      // (graft.HamProbe: 5:2, 6:1, 7:5, 8:10 — gradient bits are
+      // correlated, so the tail is fatter than iid) — threshold 2
+      // keeps a 3-flip margin on both sides at every SF
+      Multimodal.phashNearDup(base.unionByName(planted), maxHamming = 2)
     }),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
