@@ -1956,6 +1956,18 @@ HAVING count(*) >= 2""",
 SELECT doc_id AS media_a, doc_id + 100000 AS media_b,
        CAST(0 AS BIGINT) AS hamming
 FROM documents WHERE doc_id % 7 = 0""",
+    // cluster arithmetic: each planted copy (any regime) clusters with
+    // its base; label = lpad(min id) = the base id; bases with any
+    // copy list themselves too (cluster size >= 2)
+    "m6_phash_clusters" -> raw"""
+WITH members AS (
+  SELECT doc_id, doc_id AS media_id FROM documents
+    WHERE doc_id%7 = 0 OR doc_id%11 = 0 OR doc_id%13 = 0
+  UNION ALL SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id%7 = 0
+  UNION ALL SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id%11 = 0
+  UNION ALL SELECT doc_id, doc_id + 300000 FROM documents WHERE doc_id%13 = 0)
+SELECT media_id, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS cluster
+FROM members""",
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql",
     // real-ImageIO pins: Spark DECODES actual PNG bytes; the oracle
     // PREDICTS the metadata from the fixture's id-derived dimension

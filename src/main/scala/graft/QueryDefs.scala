@@ -750,6 +750,25 @@ object QueryDefs {
       // keeps a 3-flip margin on both sides at every SF
       Multimodal.phashNearDup(base.unionByName(planted), maxHamming = 2)
     }),
+    // perceptual CLUSTER resolution, all three copy regimes planted:
+    // byte-identical (+200000, every 11th), noise-perturbed re-encode
+    // with the SAME hash (+100000, every 7th — exercises the exact-
+    // hash collapse), and cell-swapped near-miss at hamming 1-2
+    // (+300000, every 13th — exercises the banded near-pairing), with
+    // transitive merges (d divisible by 77/91/143/1001) resolved by
+    // connected components. Oracle = pure arithmetic on the planting
+    // rule: every copy (and its base) labels with lpad(min id) = d.
+    "m6_phash_clusters" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val base = Multimodal.synthesizeCellImages(docs, "doc_id")
+      val planted = Multimodal.perturbImages(
+          base.filter(col("media_id") % 7 === 0), shiftId = 100000L)
+        .unionByName(base.filter(col("media_id") % 11 === 0)
+          .withColumn("media_id", col("media_id") + 200000L))
+        .unionByName(Multimodal.tweakImages(
+          base.filter(col("media_id") % 13 === 0), shiftId = 300000L))
+      Multimodal.phashClusters(base.unionByName(planted), maxHamming = 2)
+    }),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.decode(Multimodal.synthesize(

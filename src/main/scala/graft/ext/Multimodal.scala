@@ -384,6 +384,39 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  /** Near-miss planting: decode, SWAP the first two 8×8 cell blocks of
+    * row 0, re-encode — flips dHash bit 0 deterministically (adjacent
+    * cells are distinct by fixture construction) and possibly bit 1,
+    * nothing else: the copy lands at hamming 1–2 from its base, the
+    * band-join near-dup regime (unlike [[perturbImages]], whose copies
+    * keep the EXACT hash and collapse before pairing). Tests and
+    * benches only. */
+  def tweakImages(media: DataFrame, shiftId: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val a = img.getRGB(x, y); val b = img.getRGB(x + 8, y)
+            img.setRGB(x, y, b); img.setRGB(x + 8, y, a)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (r.getLong(idIdx) + shiftId, r.getString(kindIdx), bos.toByteArray)
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** REAL image near-duplicate detection: per-payload perceptual
     * [[dHash]] (computed in `mapPartitions` — payload bytes never
     * shuffle), then hamming-banded pairing: the 64-bit hash splits
@@ -396,16 +429,27 @@ object Multimodal {
     * [[graft.ext.Dedup.minhashCandidates]] economics with hash bytes
     * as the bands). Non-decodable payloads produce no hash and never
     * pair. */
-  def phashNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def phashNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    bandPairs(dHashes(media), maxHamming)
+
+  /** (media_id, dhash) for every decodable payload — hashing runs in
+    * `mapPartitions` (payload bytes never shuffle; only the 8-byte
+    * hash + id move after this). */
+  private def dHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
-    val hashes = media.mapPartitions(_.flatMap { r =>
+    media.mapPartitions(_.flatMap { r =>
         dHash(r.getAs[Array[Byte]](payloadIdx))
           .map(h => (r.getLong(idIdx), h))
       })
       .toDF("media_id", "dhash")
+  }
+
+  /** Hamming-banded pairing over a (media_id, dhash) frame — see
+    * [[phashNearDup]] for the economics. */
+  private def bandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashes.select(col("media_id"), col("dhash"),
       explode(array((0 until 8).map(b =>
         shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L))
@@ -418,6 +462,39 @@ object Multimodal {
         expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Perceptual near-dup CLUSTER RESOLUTION — the d7-style removal
+    * shape for images, built to survive the 100 TB degenerate case:
+    * a viral image with millions of byte-identical (or re-encoded-
+    * identical-hash) copies would make pairwise output quadratic in
+    * the cluster size, so identical hashes COLLAPSE to their min-id
+    * representative FIRST (one groupBy — cluster membership becomes
+    * linear rep→member edges), only representatives enter the banded
+    * near-pairing, and [[graft.core.GraphOps.connectedComponents]]
+    * resolves transitive near-dup chains into cluster labels. Output:
+    * (media_id, cluster) for every media in a cluster of ≥2, cluster
+    * = zero-padded min media id (deterministic, engine-independent).
+    * Singletons are implicitly kept (not listed). */
+  def phashClusters(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    val hashes = dHashes(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val key = (c: Column) => lpad(c.cast("string"), 12, "0")
+      val rep = hashes.groupBy("dhash")
+        .agg(min(col("media_id")).as("rep"))
+      val exactEdges = hashes.join(rep, "dhash")
+        .filter(col("media_id") =!= col("rep"))
+        .select(key(col("rep")).as("src"), key(col("media_id")).as("dst"))
+      val nearEdges = bandPairs(
+          rep.select(col("rep").as("media_id"), col("dhash")), maxHamming)
+        .select(key(col("media_a")).as("src"), key(col("media_b")).as("dst"))
+      graft.core.GraphOps.connectedComponents(
+          exactEdges.unionByName(nearEdges))
+        .select(col("id").cast("long").as("media_id"),
+          col("comp").as("cluster"))
+    } finally hashes.unpersist(blocking = false)
   }
 
   /** Resize stage (stub): recompute metadata for a target box keeping

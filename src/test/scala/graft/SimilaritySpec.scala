@@ -255,6 +255,32 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.sniffWavMeta("plain text".getBytes).isEmpty)
   }
 
+  test("phashClusters: exact collapse + near pairing + transitive merge") {
+    val ids = (0L until 6L).toDF("id")
+    val base = Multimodal.synthesizeCellImages(ids, "id")
+    // id 2: byte-identical copy (102) AND near-miss tweak (202) ->
+    // one transitive 3-member cluster; id 4: perturbed same-hash copy
+    val planted =
+      base.filter(col("media_id") === 2)
+        .withColumn("media_id", col("media_id") + 100L)
+        .unionByName(Multimodal.tweakImages(
+          base.filter(col("media_id") === 2), shiftId = 200L))
+        .unionByName(Multimodal.perturbImages(
+          base.filter(col("media_id") === 4), shiftId = 100L))
+    val out = Multimodal.phashClusters(base.unionByName(planted))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      2L -> "000000000002", 102L -> "000000000002", 202L -> "000000000002",
+      4L -> "000000000004", 104L -> "000000000004"))
+    // the tweak really is a near-MISS, not an exact hash match
+    val h = base.unionByName(planted).collect()
+      .map(r => r.getLong(0) ->
+        Multimodal.dHash(r.getAs[Array[Byte]](2)).get).toMap
+    val d = java.lang.Long.bitCount(h(2L) ^ h(202L))
+    assert(d >= 1 && d <= 2, s"tweak hamming $d")
+    assert(h(2L) == h(102L))
+  }
+
   test("real feature extraction: cell stats exact, float vectors ANN-ready") {
     val imgs = Multimodal.synthesizeImages(Seq(5L).toDF("id"), "id")
     // 5 -> 48x48; verify one cell/channel sum against driver arithmetic
