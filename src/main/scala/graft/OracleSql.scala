@@ -1968,6 +1968,15 @@ WITH members AS (
   UNION ALL SELECT doc_id, doc_id + 300000 FROM documents WHERE doc_id%13 = 0)
 SELECT media_id, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS cluster
 FROM members""",
+    // real-video pin: perturbed re-encoded copies preserve all 4
+    // per-frame dHashes (>=14 gray levels of cell contrast vs +/-3
+    // noise), distinct videos' frames get independent ~uniform hashes
+    // (exact 64-bit equality required), so the TRUE pair set is
+    // exactly the planted copies sharing all 4 frames
+    "m7_video_neardup" -> raw"""
+SELECT doc_id AS media_a, doc_id + 100000 AS media_b,
+       CAST(4 AS BIGINT) AS n_shared_frames
+FROM documents WHERE doc_id % 7 = 0""",
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql",
     // real-ImageIO pins: Spark DECODES actual PNG bytes; the oracle
     // PREDICTS the metadata from the fixture's id-derived dimension

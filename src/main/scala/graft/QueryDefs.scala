@@ -769,6 +769,20 @@ object QueryDefs {
           base.filter(col("media_id") % 13 === 0), shiftId = 300000L))
       Multimodal.phashClusters(base.unionByName(planted), maxHamming = 2)
     }),
+    // REAL video near-dup: every doc becomes a 4-frame animated GIF
+    // (real container, real frames — the one multi-frame format the
+    // JDK decodes); every 7th is planted as a per-frame noise-
+    // perturbed RE-ENCODED copy. The engine parses the container,
+    // dHashes every frame, and pairs videos sharing >=2 true
+    // perceptual frame hashes — the m6 frame-signature plumbing with
+    // the fake md5 fingerprint replaced by a real codec + real hash.
+    "m7_video_neardup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val base = Multimodal.synthesizeGifs(docs, "doc_id")
+      val planted = Multimodal.perturbGifs(
+        base.filter(col("media_id") % 7 === 0), shiftId = 100000L)
+      Multimodal.videoNearDup(base.unionByName(planted))
+    }),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.decode(Multimodal.synthesize(

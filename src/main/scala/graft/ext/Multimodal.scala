@@ -255,6 +255,13 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
+    dHashOf(img)
+  }
+
+  /** [[dHash]] over an already-decoded frame (shared by the image path
+    * and the per-frame video path). */
+  private[graft] def dHashOf(img: java.awt.image.BufferedImage)
+      : Option[Long] = {
     if (img == null || img.getWidth < DHashCols || img.getHeight < DHashRows)
       return None
     val (w, h) = (img.getWidth, img.getHeight)
@@ -317,35 +324,41 @@ object Multimodal {
     import spark.implicits._
     src.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map { id =>
-        val w = DHashCols * 8; val h = DHashRows * 8
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < DHashRows) {
-          var prev = -1000
-          var j = 0
-          while (j < DHashCols) {
-            var lvl = 16 + 14 *
-              ((mix64(id * 73L + i * DHashCols + j) & 0x7FFFFFFFL) % 16).toInt
-            if (math.abs(lvl - prev) < 14)           // force row-adjacent
-              lvl = if (lvl <= 128) lvl + 28 else lvl - 28 // contrast >=14
-            prev = lvl
-            val px = (lvl << 16) | (lvl << 8) | lvl
-            var y = i * 8
-            while (y < i * 8 + 8) {
-              var x = j * 8
-              while (x < j * 8 + 8) { img.setRGB(x, y, px); x += 1 }
-              y += 1
-            }
-            j += 1
-          }
-          i += 1
-        }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(cellImage(id), "png", bos)
         (id, "image", bos.toByteArray)
       })
       .toDF("media_id", "kind", "payload")
+  }
+
+  /** One 72×64 cell frame for `seed` — the [[synthesizeCellImages]]
+    * pixel rule, shared with the GIF video fixtures. */
+  private def cellImage(seed: Long): java.awt.image.BufferedImage = {
+    val w = DHashCols * 8; val h = DHashRows * 8
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < DHashRows) {
+      var prev = -1000
+      var j = 0
+      while (j < DHashCols) {
+        var lvl = 16 + 14 *
+          ((mix64(seed * 73L + i * DHashCols + j) & 0x7FFFFFFFL) % 16).toInt
+        if (math.abs(lvl - prev) < 14)               // force row-adjacent
+          lvl = if (lvl <= 128) lvl + 28 else lvl - 28 // contrast >=14
+        prev = lvl
+        val px = (lvl << 16) | (lvl << 8) | lvl
+        var y = i * 8
+        while (y < i * 8 + 8) {
+          var x = j * 8
+          while (x < j * 8 + 8) { img.setRGB(x, y, px); x += 1 }
+          y += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    img
   }
 
   /** Perturbed near-dup planting: decode each payload, add
@@ -495,6 +508,127 @@ object Multimodal {
         .select(col("id").cast("long").as("media_id"),
           col("comp").as("cluster"))
     } finally hashes.unpersist(blocking = false)
+  }
+
+  // ============================================== real multi-frame video
+
+  /** Encode frames as one animated-GIF payload (the JDK's only
+    * multi-frame container — real bytes, real frames; our ≤16-gray-
+    * level fixtures fit the 256-color palette losslessly). */
+  private def encodeGif(frames: Seq[java.awt.image.BufferedImage])
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach(f =>
+        w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode a GIF payload into its frames; Nil for non-GIF bytes. */
+  private def decodeGif(payload: Array[Byte])
+      : Seq[java.awt.image.BufferedImage] = {
+    if (payload == null || payload.length < 6 || payload(0) != 'G' ||
+        payload(1) != 'I' || payload(2) != 'F') return Nil
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      r.setInput(iis)
+      (0 until r.getNumImages(true)).map(r.read(_))
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+    finally { r.dispose(); iis.close() }
+  }
+
+  /** Real-VIDEO fixture generator: one animated GIF per source id,
+    * `nFrames` cell-image frames (frame f's pixel seed = id·nFrames+f).
+    * Tests/benches only. */
+  def synthesizeGifs(src: DataFrame, idCol: String,
+                     nFrames: Int = 4): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, "video",
+          encodeGif((0 until nFrames).map(f => cellImage(id * nFrames + f))))
+      })
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Noise-perturbed re-encoded GIF copies (the video twin of
+    * [[perturbImages]]): every frame gets ±3 deterministic pixel
+    * noise, the container is re-encoded — byte-different files whose
+    * per-frame dHashes are exactly preserved. Tests/benches only. */
+  def perturbGifs(media: DataFrame, shiftId: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.map { r =>
+        val id = r.getLong(idIdx)
+        val frames = decodeGif(r.getAs[Array[Byte]](payloadIdx)).map { img =>
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val noise = ((x * 31 + y * 17 + id * 7) % 7).toInt - 3
+              def ch(v: Int) = math.min(255, math.max(0, v + noise))
+              val rgb = img.getRGB(x, y)
+              img.setRGB(x, y, (ch((rgb >> 16) & 0xFF) << 16) |
+                (ch((rgb >> 8) & 0xFF) << 8) | ch(rgb & 0xFF))
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        (id + shiftId, r.getString(kindIdx), encodeGif(frames))
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** (media_id, frame_idx, dhash) for every frame of every decodable
+    * multi-frame payload — the REAL form of the frame-signature table:
+    * container parse + per-frame perceptual hash, all inside
+    * `mapPartitions` (payloads never shuffle; only 16 bytes/frame move
+    * on). */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions(_.flatMap { r =>
+        val id = r.getLong(idIdx)
+        decodeGif(r.getAs[Array[Byte]](payloadIdx)).iterator.zipWithIndex
+          .flatMap { case (img, f) =>
+            dHashOf(img).map(h => (id, f.toLong, h)) }
+      })
+      .toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** REAL video near-duplicate detection: videos pair when ≥
+    * `minShared` of their frames agree on the PERCEPTUAL frame hash —
+    * [[frameNearDup]]'s equi-join economics (one frame-hash shuffle,
+    * never an all-pairs video join), but with the fake payload-md5
+    * fingerprint replaced by the true per-frame [[dHash]], so
+    * re-encoded / noise-perturbed copies pair and disjoint videos
+    * don't. */
+  def videoNearDup(media: DataFrame, minShared: Long = 2L): DataFrame = {
+    val sig = videoFrameHashes(media)
+      .select(col("media_id"), col("dhash")).distinct()
+    sig.as("a").join(sig.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+        col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minShared)
   }
 
   /** Resize stage (stub): recompute metadata for a target box keeping

@@ -281,6 +281,28 @@ class SimilaritySpec extends SparkSpec {
     assert(h(2L) == h(102L))
   }
 
+  test("real video near-dup: GIF frames decode, perturbed copies pair") {
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    val base = Multimodal.synthesizeGifs(ids, "id", nFrames = 3)
+    val planted = Multimodal.perturbGifs(
+      base.filter(col("media_id") === 2), shiftId = 100L)
+    // payloads are real multi-frame GIFs: 3 hashes per video
+    val fh = Multimodal.videoFrameHashes(base.unionByName(planted))
+    assert(fh.groupBy("media_id").count().collect()
+      .forall(_.getLong(1) == 3L))
+    // the perturbed copy is byte-different but pairs on ALL 3 frames
+    val bytes = base.unionByName(planted).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(bytes(2L) != bytes(102L))
+    val out = Multimodal.videoNearDup(base.unionByName(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 102L, 3L)))
+    // junk payloads decode to no frames, not a crash
+    assert(Multimodal.videoFrameHashes(
+      Seq((9L, "video", "GIF8junk".getBytes))
+        .toDF("media_id", "kind", "payload")).count() == 0L)
+  }
+
   test("real feature extraction: cell stats exact, float vectors ANN-ready") {
     val imgs = Multimodal.synthesizeImages(Seq(5L).toDF("id"), "id")
     // 5 -> 48x48; verify one cell/channel sum against driver arithmetic
