@@ -56,4 +56,22 @@ object Serving {
   def geneSearch(sd: ServedDataset, term: String): Search.Subnet =
     Search.subnetFromSeeds(sd.nodes, sd.edges,
       Search.byGeneNameIndexed(sd.index, sd.nodes, term), ego = true)
+
+  /** The FULL reference dispatcher served from a snapshot: fragment-id
+    * / ensembl / range / gene-list / gene-name forms all route over
+    * the pinned frames ([[Search.search]] semantics verbatim); the
+    * single-term name form additionally takes the inverted-index fast
+    * path. One entry point = the reference's per-request API
+    * (search_query.R:19-27) minus the rebuild. */
+  def search(sd: ServedDataset, query: String,
+             ensembl2name: Option[DataFrame] = None,
+             expand: Long = 0L, nearest: Boolean = false): Search.Subnet = {
+    val q = query.trim
+    val isPlainName = !q.matches(Search.FragmentIdRe) &&
+      !q.toLowerCase.matches(Search.EnsemblRe) &&
+      !q.matches(Search.RangeRe) &&
+      q.split(Search.ListSplitRe).length == 1
+    if (isPlainName) geneSearch(sd, q)
+    else Search.search(sd.nodes, sd.edges, ensembl2name, q, expand, nearest)
+  }
 }

@@ -129,6 +129,24 @@ class SearchSpec extends SparkSpec {
     Seq(sd.nodes, sd.edges, sd.index).foreach(_.unpersist(blocking = false))
   }
 
+  test("served dispatcher routes every query form like the rebuild path") {
+    val dir = java.nio.file.Files.createTempDirectory("serving_disp").toString
+    graft.core.Serving.buildSnapshot(nodes, edges, dir)
+    val sd = graft.core.Serving.open(spark, dir)
+    def ids(s: Search.Subnet): Set[String] =
+      s.nodes.select("fragment").collect().map(_.getString(0)).toSet
+    // fragment-id, range, list, and plain-name forms
+    assert(ids(graft.core.Serving.search(sd, "2_100_199")) ==
+      ids(Search.search(nodes, edges, None, "2_100_199")))
+    assert(ids(graft.core.Serving.search(sd, "1:100-600")) ==
+      ids(Search.search(nodes, edges, None, "1:100-600")))
+    assert(ids(graft.core.Serving.search(sd, "KRAS,BRAF")) ==
+      ids(Search.search(nodes, edges, None, "KRAS,BRAF")))
+    assert(ids(graft.core.Serving.search(sd, "EZH2")) ==
+      ids(Search.search(nodes, edges, None, "EZH2")))
+    Seq(sd.nodes, sd.edges, sd.index).foreach(_.unpersist(blocking = false))
+  }
+
   test("subnetFromSeeds leaves a caller-owned edge cache in place") {
     import org.apache.spark.storage.StorageLevel
     // caller persists at a NON-default level: an unconditional persist
