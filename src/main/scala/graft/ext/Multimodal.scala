@@ -462,7 +462,11 @@ object Multimodal {
 
   /** Hamming-banded pairing over a (media_id, dhash) frame — see
     * [[phashNearDup]] for the economics. */
-  private def bandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  private def bandPairs(hashesIn: DataFrame, maxHamming: Int): DataFrame = {
+    // the self-join consumes the hash frame TWICE: materialize it once
+    // (16 bytes + id per image) so a 100 TB corpus decodes once, not
+    // twice — the decode dominates everything downstream
+    val hashes = hashesIn.localCheckpoint(true)
     val banded = hashes.select(col("media_id"), col("dhash"),
       explode(array((0 until 8).map(b =>
         shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L))
@@ -620,8 +624,11 @@ object Multimodal {
     * re-encoded / noise-perturbed copies pair and disjoint videos
     * don't. */
   def videoNearDup(media: DataFrame, minShared: Long = 2L): DataFrame = {
+    // the self-join consumes the signature frame twice — materialize
+    // so every container parses once (dHash economics, see bandPairs)
     val sig = videoFrameHashes(media)
       .select(col("media_id"), col("dhash")).distinct()
+      .localCheckpoint(true)
     sig.as("a").join(sig.as("b"),
         col("a.dhash") === col("b.dhash") &&
         col("a.media_id") < col("b.media_id"))
