@@ -2011,6 +2011,12 @@ SELECT media_id, CAST(cell_i AS BIGINT) AS cell_i,
   count(*) AS n, CAST(sum(cv) AS BIGINT) AS psum,
   CAST(sum(cv*cv) AS BIGINT) AS psum_sq
 FROM ch GROUP BY 1, 2, 3, 4""",
+    "m5_decode_video_real" -> raw"""
+SELECT doc_id AS media_id,
+  CAST(72 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+  CAST(4*(doc_id%20 + 1)*50 AS BIGINT) AS duration_ms,
+  'gif' AS codec
+FROM documents""",
     "m5_decode_audio_real" -> raw"""
 SELECT doc_id AS media_id,
   CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,

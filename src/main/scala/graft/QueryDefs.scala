@@ -838,6 +838,18 @@ object QueryDefs {
         Multimodal.synthesizeImages(
           table(s, d, "documents").filter(col("doc_id") < 200), "doc_id"),
         grid = 2)),
+    // REAL GIF video pin: payloads are actual animated GIFs with
+    // id-derived per-frame delays, so the oracle predicts dims
+    // (72x64 cell frames) and duration (4 frames x (id%20+1)*50 ms)
+    // arithmetically while Spark parses the container metadata
+    "m5_decode_video_real" -> ((s, d) =>
+      Multimodal.decode(
+          Multimodal.synthesizeGifs(table(s, d, "documents"), "doc_id"))
+        .select(col("media_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.codec").as("codec"))),
     "m4_feature_extract" -> ((s, d) =>
       Multimodal.featureExtractStub(
           Multimodal.synthesize(table(s, d, "documents"), "doc_id", "text"), 8)

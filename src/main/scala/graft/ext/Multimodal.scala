@@ -127,7 +127,8 @@ object Multimodal {
 
   /** ===== REAL DECODE (formats the JDK ships a codec for) =====
     * PNG/JPEG image payloads get their TRUE width/height/codec read on
-    * the executors, and RIFF/WAVE audio payloads their TRUE duration
+    * the executors, GIF video payloads their TRUE dims + duration
+    * (Σ per-frame delays), and RIFF/WAVE audio payloads their TRUE duration
     * (`mapPartitions` — the codec boundary: payload bytes never
     * shuffle, never reach the driver; one codec context per task);
     * everything else falls back to the [[decodeStub]] metadata
@@ -150,12 +151,16 @@ object Multimodal {
         val kind = r.getString(kindIdx)
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val img = if (kind == "image") sniffImageMeta(payload) else None
-        val dur = if (kind == "audio") sniffWavMeta(payload) else None
+        val aud = if (kind == "audio") sniffWavMeta(payload) else None
+        val vid = if (kind == "video") sniffGifMeta(payload) else None
         Row.fromSeq(r.toSeq ++ Seq(
-          img.map(m => Int.box(m._1)).orNull,
-          img.map(m => Int.box(m._2)).orNull,
-          dur.map(Long.box).orNull,
-          img.map(_._3).orElse(dur.map(_ => "wav")).orNull))
+          img.map(m => Int.box(m._1))
+            .orElse(vid.map(m => Int.box(m._1))).orNull,
+          img.map(m => Int.box(m._2))
+            .orElse(vid.map(m => Int.box(m._2))).orNull,
+          aud.map(Long.box).orElse(vid.map(m => Long.box(m._3))).orNull,
+          img.map(_._3).orElse(aud.map(_ => "wav"))
+            .orElse(vid.map(_ => "gif")).orNull))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
@@ -518,20 +523,87 @@ object Multimodal {
 
   /** Encode frames as one animated-GIF payload (the JDK's only
     * multi-frame container — real bytes, real frames; our ≤16-gray-
-    * level fixtures fit the 256-color palette losslessly). */
-  private def encodeGif(frames: Seq[java.awt.image.BufferedImage])
-      : Array[Byte] = {
+    * level fixtures fit the 256-color palette losslessly). `delayCs`
+    * > 0 writes a real per-frame GraphicControlExtension delay
+    * (centiseconds), making the container carry true timing metadata
+    * ([[sniffGifMeta]] reads it back as the video duration). */
+  private def encodeGif(frames: Seq[java.awt.image.BufferedImage],
+                        delayCs: Int = 0): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
       w.setOutput(ios)
       w.prepareWriteSequence(null)
-      frames.foreach(f =>
-        w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      frames.foreach { f =>
+        val meta = if (delayCs <= 0) null else {
+          val spec = javax.imageio.ImageTypeSpecifier
+            .createFromBufferedImageType(
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val m = w.getDefaultImageMetadata(spec, null)
+          val fmt = m.getNativeMetadataFormatName
+          val root = m.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = (0 until root.getLength)
+            .map(root.item(_))
+            .collectFirst { case n: javax.imageio.metadata.IIOMetadataNode
+                if n.getNodeName == "GraphicControlExtension" => n }
+            .getOrElse {
+              val n = new javax.imageio.metadata.IIOMetadataNode(
+                "GraphicControlExtension")
+              root.appendChild(n); n
+            }
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("transparentColorIndex", "0")
+          gce.setAttribute("delayTime", delayCs.toString)
+          m.setFromTree(fmt, root)
+          m
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(f, null, meta), null)
+      }
       w.endWriteSequence()
     } finally { w.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** Header-ish GIF sniff+decode: magic bytes, then frame count, first-
+    * frame dims, and TRUE duration = Σ per-frame GraphicControl delays
+    * (centiseconds → ms) via the gif reader's metadata — no pixel
+    * decode. None for non-GIF bytes. Executor-side only. */
+  private[graft] def sniffGifMeta(payload: Array[Byte])
+      : Option[(Int, Int, Long)] = {
+    if (payload == null || payload.length < 6 || payload(0) != 'G' ||
+        payload(1) != 'I' || payload(2) != 'F') return None
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      r.setInput(iis)
+      val n = r.getNumImages(true)
+      if (n <= 0) None
+      else {
+        var durCs = 0L
+        var i = 0
+        while (i < n) {
+          val m = r.getImageMetadata(i)
+          val root = m.getAsTree(m.getNativeMetadataFormatName)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          var j = 0
+          while (j < root.getLength) {
+            val node = root.item(j)
+            if (node.getNodeName == "GraphicControlExtension")
+              durCs += node.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                .getAttribute("delayTime").toLong
+            j += 1
+          }
+          i += 1
+        }
+        Some((r.getWidth(0), r.getHeight(0), durCs * 10L))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally { r.dispose(); iis.close() }
   }
 
   /** Decode a GIF payload into its frames; Nil for non-GIF bytes. */
@@ -550,8 +622,10 @@ object Multimodal {
   }
 
   /** Real-VIDEO fixture generator: one animated GIF per source id,
-    * `nFrames` cell-image frames (frame f's pixel seed = id·nFrames+f).
-    * Tests/benches only. */
+    * `nFrames` cell-image frames (frame f's pixel seed = id·nFrames+f)
+    * with an id-derived REAL per-frame delay ((id%20+1)·5 cs), so the
+    * oracle predicts the decoded duration arithmetically:
+    * nFrames·(id%20+1)·50 ms. Tests/benches only. */
   def synthesizeGifs(src: DataFrame, idCol: String,
                      nFrames: Int = 4): DataFrame = {
     val spark = src.sparkSession
@@ -559,7 +633,8 @@ object Multimodal {
     src.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map { id =>
         (id, "video",
-          encodeGif((0 until nFrames).map(f => cellImage(id * nFrames + f))))
+          encodeGif((0 until nFrames).map(f => cellImage(id * nFrames + f)),
+            delayCs = ((id % 20) + 1).toInt * 5))
       })
       .toDF("media_id", "kind", "payload")
   }
