@@ -301,6 +301,13 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.videoFrameHashes(
       Seq((9L, "video", "GIF8junk".getBytes))
         .toDF("media_id", "kind", "payload")).count() == 0L)
+    // real container metadata: dims + duration = nFrames * delay
+    val meta = Multimodal.decode(base)
+      .select("media_id", "meta.width", "meta.height", "meta.duration_ms",
+        "meta.codec").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4))).toMap
+    assert(meta(3L) == ((72, 64, 3L * (3 % 20 + 1) * 50, "gif")))
   }
 
   test("real feature extraction: cell stats exact, float vectors ANN-ready") {
