@@ -686,6 +686,173 @@ JOIN nodeids n ON v.fragment = n.id
 LEFT JOIN (SELECT DISTINCT id FROM seeds) s ON v.fragment = s.id
 LEFT JOIN sdeg d ON v.fragment = d.id"""))
 
+  // -------------------------------------------------- G8 layout oracles
+  /** The served subnet (same derivation as q6_search_subnet) plus its
+    * connected components by recursive closure — tractable because the
+    * layout contract is the reference's: layouts run on SERVED
+    * documents (a few hundred nodes), never the whole chromnet. */
+  private val layoutCtes: String = raw"""
+, seeds AS (SELECT fragment AS id FROM verts
+    WHERE regexp_matches(lower(gene_names || ' '), '\bs7\b')),
+esym AS (SELECT src, dst FROM simplified UNION ALL SELECT dst, src FROM simplified),
+ehop AS (SELECT DISTINCT id FROM (
+  SELECT e.dst AS id FROM esym e JOIN seeds s ON e.src = s.id
+  UNION ALL SELECT id FROM seeds) u),
+sedges AS MATERIALIZED (SELECT e.src, e.dst FROM simplified e
+  JOIN ehop h1 ON e.src = h1.id JOIN ehop h2 ON e.dst = h2.id),
+nodeids AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM sedges UNION ALL SELECT dst FROM sedges
+  UNION ALL SELECT id FROM seeds) u),
+sdeg AS (SELECT id, count(*) AS degree FROM (
+  SELECT src AS id FROM sedges UNION ALL SELECT dst FROM sedges) u GROUP BY id),
+ssym AS MATERIALIZED (SELECT src, dst FROM sedges UNION ALL SELECT dst, src FROM sedges),
+creach AS (SELECT id AS s, id AS n FROM nodeids
+  UNION SELECT r.s, e.dst FROM creach r JOIN ssym e ON e.src = r.n),
+lcomp AS MATERIALIZED (SELECT s AS id, min(n) AS component
+  FROM creach GROUP BY s)"""
+
+  /** Component packing tail shared by every layout: mirrors
+    * Layout.pack micro-for-micro (uniform cells of max extent +
+    * spacing, components ordered by size desc then label; every offset
+    * integer micro, 100·1e6 = the 100-unit componentSpacing of
+    * layout_enricher:72). */
+  private def g8PackSql(rel: String): String = raw"""
+ext AS (SELECT component, min(x_micro) AS minx, max(x_micro) AS maxx,
+  min(y_micro) AS miny, max(y_micro) AS maxy, count(*) AS cnt
+  FROM $rel GROUP BY component),
+gstats AS (SELECT max(maxx - minx) AS maxw, max(maxy - miny) AS maxh,
+  count(*) AS ncomp FROM ext),
+cells AS (SELECT component, minx, miny,
+  row_number() OVER (ORDER BY cnt DESC, component) - 1 AS idx FROM ext),
+offs AS (SELECT c.component,
+  (c.idx % g.ncols) * g.cellw - c.minx AS offx,
+  CAST(floor(CAST(c.idx AS DOUBLE) / g.ncols) AS BIGINT) * g.cellh - c.miny AS offy
+  FROM cells c CROSS JOIN (SELECT
+     CAST(ceil(sqrt(CAST(ncomp AS DOUBLE))) AS BIGINT) AS ncols,
+     maxw + 100000000 AS cellw, maxh + 100000000 AS cellh FROM gstats) g)
+SELECT r.id, r.component,
+  CAST(r.x_micro + o.offx AS DOUBLE)/1000000.0 AS x,
+  CAST(r.y_micro + o.offy AS DOUBLE)/1000000.0 AS y
+FROM $rel r JOIN offs o ON o.component = r.component"""
+
+  /** One CoSE/FR iteration as CTE stages: centroid (c), integer-micro
+    * repulsion sums (r), attraction sums (t), temperature-capped move
+    * (p) — every double expression copied shape-for-shape from
+    * Layout.coseLocal so each op is the identical correctly-rounded
+    * IEEE step, and every cross-row sum is a BIGINT of pre-quantized
+    * micro terms (order-free), which is what makes an ITERATED float
+    * algorithm hash-exact across engines. */
+  private def g8CoseStage(k: Int, temp: Double): String = {
+    val p = s"p${k - 1}"
+    val t = temp.toString
+    raw"""
+c$k AS MATERIALIZED (SELECT component, (CAST(sum(xm) AS DOUBLE)/count(*))/1000000.0 AS cx,
+  (CAST(sum(ym) AS DOUBLE)/count(*))/1000000.0 AS cy FROM $p GROUP BY component),
+r$k AS MATERIALIZED (SELECT component, id,
+  CAST(sum(CAST(floor(dx*10000.0/greatest(dx*dx+dy*dy,0.01)*1000000.0+0.5) AS BIGINT)) AS BIGINT) AS rx,
+  CAST(sum(CAST(floor(dy*10000.0/greatest(dx*dx+dy*dy,0.01)*1000000.0+0.5) AS BIGINT)) AS BIGINT) AS ry
+ FROM (SELECT a.component, a.id,
+    CAST(a.xm AS DOUBLE)/1000000.0 - CAST(b.xm AS DOUBLE)/1000000.0 AS dx,
+    CAST(a.ym AS DOUBLE)/1000000.0 - CAST(b.ym AS DOUBLE)/1000000.0 AS dy
+  FROM $p a JOIN $p b ON b.component = a.component AND b.id <> a.id) q0
+ GROUP BY component, id),
+t$k AS MATERIALIZED (SELECT id,
+  CAST(sum(CASE WHEN d2 = 0 THEN 0 ELSE CAST(floor(-(dx*sqrt(d2)/100.0)*1000000.0+0.5) AS BIGINT) END) AS BIGINT) AS tx,
+  CAST(sum(CASE WHEN d2 = 0 THEN 0 ELSE CAST(floor(-(dy*sqrt(d2)/100.0)*1000000.0+0.5) AS BIGINT) END) AS BIGINT) AS ty
+ FROM (SELECT id, dx, dy, dx*dx + dy*dy AS d2
+   FROM (SELECT e.src AS id,
+      CAST(pa.xm AS DOUBLE)/1000000.0 - CAST(pb.xm AS DOUBLE)/1000000.0 AS dx,
+      CAST(pa.ym AS DOUBLE)/1000000.0 - CAST(pb.ym AS DOUBLE)/1000000.0 AS dy
+    FROM ssym e JOIN $p pa ON pa.id = e.src JOIN $p pb ON pb.id = e.dst) q0) q1
+ GROUP BY id),
+p$k AS MATERIALIZED (SELECT component, id,
+  CAST(floor((x + fdx*scale)*1000000.0+0.5) AS BIGINT) AS xm,
+  CAST(floor((y + fdy*scale)*1000000.0+0.5) AS BIGINT) AS ym
+ FROM (SELECT component, id, x, y, fdx, fdy,
+    CASE WHEN len > $t THEN $t/len ELSE 1.0 END AS scale
+  FROM (SELECT component, id, x, y,
+     CAST(fxm AS DOUBLE)/1000000.0 AS fdx, CAST(fym AS DOUBLE)/1000000.0 AS fdy,
+     sqrt((CAST(fxm AS DOUBLE)/1000000.0)*(CAST(fxm AS DOUBLE)/1000000.0) +
+          (CAST(fym AS DOUBLE)/1000000.0)*(CAST(fym AS DOUBLE)/1000000.0)) AS len
+   FROM (SELECT p.component, p.id,
+      CAST(p.xm AS DOUBLE)/1000000.0 AS x, CAST(p.ym AS DOUBLE)/1000000.0 AS y,
+      coalesce(r.rx, 0) + coalesce(t.tx, 0) +
+        CAST(floor(-((CAST(p.xm AS DOUBLE)/1000000.0 - c.cx)*0.25)*1000000.0+0.5) AS BIGINT) AS fxm,
+      coalesce(r.ry, 0) + coalesce(t.ty, 0) +
+        CAST(floor(-((CAST(p.ym AS DOUBLE)/1000000.0 - c.cy)*0.25)*1000000.0+0.5) AS BIGINT) AS fym
+    FROM $p p LEFT JOIN r$k r ON r.component = p.component AND r.id = p.id
+      LEFT JOIN t$k t ON t.id = p.id
+      JOIN c$k c ON c.component = p.component) f0) f1) f2)"""
+  }
+
+  private val g8CoseSql: String = {
+    val params = graft.core.Layout.CoseParams()
+    val init = raw"""
+p0 AS MATERIALIZED (SELECT l.component, l.id,
+  CAST(('0x'||substr(md5(l.id),1,12)) AS BIGINT) % n.span AS xm,
+  CAST(('0x'||substr(md5(l.id),13,12)) AS BIGINT) % n.span AS ym
+ FROM lcomp l JOIN (SELECT component,
+    CAST(floor(ceil(sqrt(CAST(count(*) AS DOUBLE)))*100.0*1000000.0+0.5) AS BIGINT) AS span
+  FROM lcomp GROUP BY component) n ON n.component = l.component)"""
+    val stages = graft.core.Layout.temps(params).zipWithIndex
+      .map { case (t, i) => g8CoseStage(i + 1, t) }.mkString(",")
+    val rel = s""",
+lrel AS (SELECT component, id, xm AS x_micro, ym AS y_micro
+  FROM p${params.iters}),"""
+    gq(layoutCtes + "," + init + "," + stages + rel + g8PackSql("lrel"))
+  }
+
+  private val g8GridSql: String = gq(layoutCtes + raw""",
+grel AS (SELECT component, id,
+  (rn % cc) * 100000000 AS x_micro,
+  CAST(floor(CAST(rn AS DOUBLE)/cc) AS BIGINT) * 100000000 AS y_micro
+ FROM (SELECT component, id,
+    row_number() OVER (PARTITION BY component ORDER BY id) - 1 AS rn,
+    CAST(ceil(sqrt(CAST(count(*) OVER (PARTITION BY component) AS DOUBLE))) AS BIGINT) AS cc
+  FROM lcomp) q0),
+""" + g8PackSql("grel"))
+
+  private val g8CircleSql: String = gq(layoutCtes + raw""",
+crel AS (SELECT component, id,
+  CASE WHEN cnti = 1 THEN 0
+    ELSE CAST(floor(greatest(100.0, cnt*100.0/(2*pi())) * cos(2*pi()*rn/cnt) * 1000000.0 + 0.5) AS BIGINT) END AS x_micro,
+  CASE WHEN cnti = 1 THEN 0
+    ELSE CAST(floor(greatest(100.0, cnt*100.0/(2*pi())) * sin(2*pi()*rn/cnt) * 1000000.0 + 0.5) AS BIGINT) END AS y_micro
+ FROM (SELECT component, id,
+    CAST(row_number() OVER (PARTITION BY component ORDER BY id) - 1 AS DOUBLE) AS rn,
+    CAST(count(*) OVER (PARTITION BY component) AS DOUBLE) AS cnt,
+    count(*) OVER (PARTITION BY component) AS cnti
+  FROM lcomp) q0),
+""" + g8PackSql("crel"))
+
+  private val g8ConcentricSql: String = gq(layoutCtes + raw""",
+korel AS (SELECT component, id,
+  CAST(floor(rr * cos(2*pi()*jj/mm) * 1000000.0 + 0.5) AS BIGINT) AS x_micro,
+  CAST(floor(rr * sin(2*pi()*jj/mm) * 1000000.0 + 0.5) AS BIGINT) AS y_micro
+ FROM (SELECT component, id, jj, mm,
+    CASE WHEN ring = 0 AND mi = 1 THEN 0.0
+      ELSE CAST(ring + 1 AS DOUBLE) * 100.0 END AS rr
+  FROM (SELECT component, id, ring,
+     CAST(row_number() OVER (PARTITION BY component, ring ORDER BY id) - 1 AS DOUBLE) AS jj,
+     CAST(count(*) OVER (PARTITION BY component, ring) AS DOUBLE) AS mm,
+     count(*) OVER (PARTITION BY component, ring) AS mi
+   FROM (SELECT l.component, l.id,
+      dense_rank() OVER (PARTITION BY l.component
+        ORDER BY coalesce(d.degree, 0) DESC) - 1 AS ring
+     FROM lcomp l LEFT JOIN sdeg d ON d.id = l.id) q0) q1) q2),
+""" + g8PackSql("korel"))
+
+  /** G8 layout oracles: grid/circle/concentric closed forms plus the
+    * macro-expanded CoSE iteration; the _dist entry pins the
+    * distributed iteration twin to the SAME oracle (regime
+    * bit-identity, like a6/g6). */
+  val layouts: Map[String, String] = Map(
+    "g8_layout_grid" -> g8GridSql,
+    "g8_layout_circle" -> g8CircleSql,
+    "g8_layout_concentric" -> g8ConcentricSql,
+    "g8_layout_cose" -> g8CoseSql,
+    "g8_layout_cose_dist" -> g8CoseSql)
+
   // -------------------------------------------------- documents oracles
   private val docCtes: String = raw"""
 toks AS (SELECT doc_id, text,
@@ -2171,5 +2338,5 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
 
   val all: Map[String, String] =
     graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++
-      distRegime
+      distRegime ++ layouts
 }

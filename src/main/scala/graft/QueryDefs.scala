@@ -229,6 +229,28 @@ object QueryDefs {
     // build+open, the median reflects the warm serve.
     "q6_search_served" -> ((s, d) =>
       Serving.geneSearch(servedDataset(s, d), "S7").nodes),
+    // G8 layouts over the SERVED subnet (the reference's own layout
+    // input: layout_enricher runs on search responses, never the whole
+    // chromnet). grid is exact integer arithmetic; circle/concentric
+    // micro-quantize away cross-engine trig ulps; cose is the
+    // integer-micro FR iteration whose oracle macro-expands the same
+    // 30 rounds as CTEs; _dist pins the distributed iteration twin to
+    // the SAME oracle (regime bit-identity, like a6/g6).
+    "g8_layout_grid" -> ((s, d) => {
+      val (n, e) = subnetGraph(s, d); Layout.grid(n, e)
+    }),
+    "g8_layout_circle" -> ((s, d) => {
+      val (n, e) = subnetGraph(s, d); Layout.circle(n, e)
+    }),
+    "g8_layout_concentric" -> ((s, d) => {
+      val (n, e) = subnetGraph(s, d); Layout.concentric(n, e)
+    }),
+    "g8_layout_cose" -> ((s, d) => {
+      val (n, e) = subnetGraph(s, d); Layout.cose(n, e)
+    }),
+    "g8_layout_cose_dist" -> ((s, d) => {
+      val (n, e) = subnetGraph(s, d); Layout.coseDistributed(n, e)
+    }),
     // S11 end-to-end: the FULL per-dataset output tree (metadata +
     // suggestions + chromosomes + features_metadata + one streamed
     // Cytoscape document per chromosome) written to a temp dir; the
@@ -240,6 +262,17 @@ object QueryDefs {
     // per-document-lines writer (the 100 TB bulk path) — hash-pinned
     // against the SAME oracle row set as s11 via the logical listing
     "s11_tree_write_dist" -> treeWrite(distributedDocs = Some(true)))
+
+  /** The served subnet as a bare (nodes(id), edges(src,dst)) graph —
+    * the G8 layout input (reference layout_enricher's stdin). */
+  private def subnetGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val v = verts(s, d).localCheckpoint(eager = true)
+    val seeds = Search.byGeneName(v, "S7")
+    val sub = Search.subnetFromSeeds(v, simplified(s, d), seeds, ego = true)
+    (sub.nodes.select(col("fragment").as("id")),
+      sub.edges.select("src", "dst"))
+  }
 
   /** Per-(session, sfDir) memo of the opened serving snapshot: the
     * build+open cost is paid once; every subsequent q6_search_served
@@ -875,5 +908,7 @@ object QueryDefs {
     // round-9 additions: real perceptual near-dup + the snapshot-served
     // interactive search path (rep 1 builds the snapshot, the median
     // shows the warm serve)
-    "m6_phash_neardup", "q6_search_served")
+    "m6_phash_neardup", "q6_search_served",
+    // G8: the full serve-with-layout path (subnet + 30-iteration CoSE)
+    "g8_layout_cose")
 }

@@ -1,0 +1,440 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G8: network layout — the reference enriches every served Cytoscape
+  * document with `position {x,y}` by piping it through cytoscape.js's
+  * CoSE force layout (layout_enricher/layout_enricher:50-94, with
+  * idealEdgeLength 100, gravity, cooling 0.95, initialTemp 200) or a
+  * Cytoscape-desktop "force-directed" REST call
+  * (layout_api_enricher:62-77). Both are single-process and, in the
+  * reference, RANDOMIZED (`randomize: true`) — so the semantics to
+  * reproduce are "deterministic per-component force-directed positions,
+  * non-degenerate, components packed apart", not any byte output.
+  *
+  * Spark-first design:
+  *   - every layout is computed PER CONNECTED COMPONENT and the
+  *     component fields are then packed onto a grid — both stages are
+  *     plain relational plans (window functions + one broadcast-sized
+  *     per-component aggregate), so a corpus of millions of small
+  *     documents lays out embarrassingly parallel;
+  *   - the force (CoSE-style Fruchterman–Reingold) layout quantizes
+  *     every per-pair force term and every post-iteration position to
+  *     integer MICRO-units (1e-6) and sums forces as Longs. Integer
+  *     sums are associativity-free, so the result is bit-identical
+  *     under any partitioning, between the one-task-per-component
+  *     regime and the distributed iteration twin, and between the
+  *     engine and a DuckDB replay of the same arithmetic — which is
+  *     what lets an ITERATED float algorithm carry a full hash oracle
+  *     (OracleSql.g8CoseSql macro-expands the same iterations as CTEs);
+  *   - closed-form layouts (grid / circle / concentric) mirror
+  *     cytoscape.js's deterministic layouts of the same names and are
+  *     single-pass window-function plans.
+  *
+  * Scale note: exact FR repulsion is O(n²) per component per iteration
+  * — the honest cost of the reference's own algorithm, bounded here by
+  * the served-document contract (layouts run on search responses and
+  * per-chromosome documents, as in the reference, never on the whole
+  * chromnet). For a pathological giant component the distributed twin
+  * keeps every stage a keyed shuffle (no driver state); swapping the
+  * all-pairs stage for grid-binned far-field aggregation (Barnes-Hut
+  * style) is a drop-in on the same plan shape.
+  */
+object Layout {
+
+  /** CoSE-style parameters (defaults mirror layout_enricher:63-81:
+    * idealEdgeLength 100, initialTemp 200, coolingFactor 0.95; gravity
+    * rescaled for the unit-free plane; iterations bounded so the hash
+    * oracle's macro-expansion stays readable — convergence at 30 is
+    * asserted by LayoutSpec's edge-length contraction check). */
+  final case class CoseParams(
+      idealEdge: Double = 100.0,
+      gravity: Double = 0.25,
+      iters: Int = 30,
+      temp0: Double = 200.0,
+      cool: Double = 0.95,
+      minDist2: Double = 0.01,
+      spacing: Long = 100L)
+
+  val Micro = 1000000L
+  private val MicroD = 1000000.0
+
+  /** Deterministic seed coordinate: 12 hex chars of md5(id) → Long.
+    * Cross-engine: DuckDB `('0x'||substr(md5(id),1,12))::BIGINT`,
+    * local `java.lang.Long.parseLong(hex.substring(..), 16)`. */
+  private def seedCol(id: Column, off: Int): Column =
+    conv(substring(md5(id), off, 12), 16, 10).cast("long")
+
+  private def seedLocal(id: String, off: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(id.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(off - 1, off - 1 + 12), 16)
+  }
+
+  /** Component field width in micro-units: ceil(sqrt(n))·idealEdge.
+    * floor(x+0.5) on an exact product — identical in SQL. */
+  private def spanMicroLocal(n: Int, idealEdge: Double): Long =
+    math.floor(math.ceil(math.sqrt(n.toDouble)) * idealEdge * MicroD + 0.5)
+      .toLong
+
+  private def spanMicroCol(cnt: Column, idealEdge: Double): Column =
+    floor(ceil(sqrt(cnt.cast("double"))) * lit(idealEdge) * lit(MicroD) +
+      lit(0.5)).cast("long")
+
+  // ---------------------------------------------------------------------
+  // component assignment: edges' components plus isolated nodes as their
+  // own singleton component (a search subnet keeps isolated seeds)
+  // ---------------------------------------------------------------------
+
+  /** DF(id, component) for every node: connected-component label from
+    * the edge list, the node's own id for isolated nodes. */
+  def components(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val cc = GraphOps.connectedComponents(edges)
+    nodes.select(col("id"))
+      .join(cc.withColumnRenamed("comp", "component"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id"))
+        .as("component"))
+  }
+
+  // ---------------------------------------------------------------------
+  // closed-form layouts (cytoscape.js 'grid' / 'circle' / 'concentric')
+  // ---------------------------------------------------------------------
+
+  /** Grid layout: per component, nodes in id order fill a
+    * ceil(sqrt(n))-wide grid at `spacing` pitch. Pure integer
+    * arithmetic end to end. */
+  def grid(nodes: DataFrame, edges: DataFrame,
+           spacing: Long = 100L): DataFrame = {
+    val comp = components(nodes, edges)
+    val w = Window.partitionBy("component").orderBy("id")
+    val n = Window.partitionBy("component")
+    val rel = comp
+      .withColumn("__j", row_number().over(w) - lit(1))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("__c", ceil(sqrt(col("__n").cast("double"))).cast("long"))
+      .select(col("component"), col("id"),
+        (pmod(col("__j"), col("__c")) * lit(spacing * Micro))
+          .as("x_micro"),
+        (floor(col("__j").cast("double") / col("__c")).cast("long") *
+          lit(spacing * Micro)).as("y_micro"))
+    pack(rel, spacing)
+  }
+
+  /** Circle layout: per component, nodes in id order on a circle of
+    * radius max(idealEdge, n·idealEdge/2π); singletons at the origin.
+    * Positions micro-quantized so cross-engine trig ulps vanish. */
+  def circle(nodes: DataFrame, edges: DataFrame,
+             idealEdge: Double = 100.0, spacing: Long = 100L): DataFrame = {
+    val comp = components(nodes, edges)
+    val w = Window.partitionBy("component").orderBy("id")
+    val n = Window.partitionBy("component")
+    val cnt = count(lit(1)).over(n).cast("double")
+    val j = (row_number().over(w) - lit(1)).cast("double")
+    val r = greatest(lit(idealEdge), cnt * lit(idealEdge) / (lit(2) * lit(math.Pi)))
+    val a = lit(2) * lit(math.Pi) * j / cnt
+    val rel = comp.select(col("component"), col("id"),
+      when(count(lit(1)).over(n) === 1, lit(0L))
+        .otherwise(floor(r * cos(a) * lit(MicroD) + lit(0.5)).cast("long"))
+        .as("x_micro"),
+      when(count(lit(1)).over(n) === 1, lit(0L))
+        .otherwise(floor(r * sin(a) * lit(MicroD) + lit(0.5)).cast("long"))
+        .as("y_micro"))
+    pack(rel, spacing)
+  }
+
+  /** Concentric layout (cytoscape.js 'concentric' keyed on degree):
+    * per component, ring = dense_rank of degree descending; a ring's
+    * radius is (ring+1)·idealEdge except a singleton innermost ring,
+    * which sits at the centre; within a ring, id order sets the angle. */
+  def concentric(nodes: DataFrame, edges: DataFrame,
+                 idealEdge: Double = 100.0,
+                 spacing: Long = 100L): DataFrame = {
+    val comp = components(nodes, edges)
+    val deg = GraphOps.degrees(edges)
+    val g = comp.join(deg, Seq("id"), "left")
+      .select(col("component"), col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+    val ringW = Window.partitionBy("component")
+      .orderBy(col("degree").desc)
+    val inRing = Window.partitionBy("component", "__ring").orderBy("id")
+    val ringN = Window.partitionBy("component", "__ring")
+    val ringed = g.withColumn("__ring", dense_rank().over(ringW) - lit(1))
+      .withColumn("__j", (row_number().over(inRing) - lit(1)).cast("double"))
+      .withColumn("__m", count(lit(1)).over(ringN))
+    val r = when(col("__ring") === 0 && col("__m") === 1, lit(0.0))
+      .otherwise((col("__ring") + lit(1)).cast("double") * lit(idealEdge))
+    val a = lit(2) * lit(math.Pi) * col("__j") / col("__m").cast("double")
+    val rel = ringed.select(col("component"), col("id"),
+      floor(r * cos(a) * lit(MicroD) + lit(0.5)).cast("long").as("x_micro"),
+      floor(r * sin(a) * lit(MicroD) + lit(0.5)).cast("long").as("y_micro"))
+    pack(rel, spacing)
+  }
+
+  // ---------------------------------------------------------------------
+  // CoSE force layout — one task per component (the serving regime)
+  // ---------------------------------------------------------------------
+
+  /** Per-iteration temperatures: temp0·cool^i via repeated
+    * multiplication; the SQL replay inlines each value's shortest
+    * round-trip decimal, which parses back to the identical double. */
+  private[graft] def temps(p: CoseParams): Array[Double] = {
+    val t = new Array[Double](p.iters)
+    var cur = p.temp0
+    var i = 0
+    while (i < p.iters) { t(i) = cur; cur = cur * p.cool; i += 1 }
+    t
+  }
+
+  /** The deterministic FR loop for ONE component. `ids` sorted;
+    * `edges` are index pairs, one entry per undirected edge. Every
+    * arithmetic step mirrors OracleSql.g8CoseSql term for term. */
+  private[graft] def coseLocal(ids: Array[String],
+                               edges: Array[(Int, Int)],
+                               p: CoseParams): Array[(Long, Long)] = {
+    val n = ids.length
+    val k = p.idealEdge
+    val k2 = k * k
+    val span = spanMicroLocal(n, k)
+    val xm = new Array[Long](n)
+    val ym = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      xm(i) = seedLocal(ids(i), 1) % span
+      ym(i) = seedLocal(ids(i), 13) % span
+      i += 1
+    }
+    // symmetrized adjacency for the attraction pass
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val ts = temps(p)
+    var it = 0
+    while (it < p.iters) {
+      val temp = ts(it)
+      var sx = 0L; var sy = 0L
+      i = 0
+      while (i < n) { sx += xm(i); sy += ym(i); i += 1 }
+      val cx = (sx.toDouble / n) / MicroD
+      val cy = (sy.toDouble / n) / MicroD
+      val fx = new Array[Long](n)
+      val fy = new Array[Long](n)
+      // repulsion: every ordered pair u≠v in the component
+      var u = 0
+      while (u < n) {
+        val xu = xm(u).toDouble / MicroD
+        val yu = ym(u).toDouble / MicroD
+        var rx = 0L; var ry = 0L
+        var v = 0
+        while (v < n) {
+          if (v != u) {
+            val dx = xu - xm(v).toDouble / MicroD
+            val dy = yu - ym(v).toDouble / MicroD
+            val d2 = dx * dx + dy * dy
+            val d2c = math.max(d2, p.minDist2)
+            rx += math.floor(dx * k2 / d2c * MicroD + 0.5).toLong
+            ry += math.floor(dy * k2 / d2c * MicroD + 0.5).toLong
+          }
+          v += 1
+        }
+        fx(u) = rx; fy(u) = ry
+        u += 1
+      }
+      // attraction along edges (both directions of each undirected edge)
+      var e = 0
+      while (e < sym.length) {
+        val (a, b) = sym(e)
+        val dx = xm(a).toDouble / MicroD - xm(b).toDouble / MicroD
+        val dy = ym(a).toDouble / MicroD - ym(b).toDouble / MicroD
+        val d2 = dx * dx + dy * dy
+        if (d2 != 0.0) {
+          val d = math.sqrt(d2)
+          fx(a) += math.floor(-(dx * d / k) * MicroD + 0.5).toLong
+          fy(a) += math.floor(-(dy * d / k) * MicroD + 0.5).toLong
+        }
+        e += 1
+      }
+      // gravity toward the component centroid + temperature-capped move
+      u = 0
+      while (u < n) {
+        val xu = xm(u).toDouble / MicroD
+        val yu = ym(u).toDouble / MicroD
+        val gx = math.floor(-((xu - cx) * p.gravity) * MicroD + 0.5).toLong
+        val gy = math.floor(-((yu - cy) * p.gravity) * MicroD + 0.5).toLong
+        val dxp = (fx(u) + gx).toDouble / MicroD
+        val dyp = (fy(u) + gy).toDouble / MicroD
+        val len = math.sqrt(dxp * dxp + dyp * dyp)
+        val scale = if (len > temp) temp / len else 1.0
+        xm(u) = math.floor((xu + dxp * scale) * MicroD + 0.5).toLong
+        ym(u) = math.floor((yu + dyp * scale) * MicroD + 0.5).toLong
+        u += 1
+      }
+      it += 1
+    }
+    xm.zip(ym)
+  }
+
+  /** CoSE layout, one task per component: components stream through a
+    * cogroup (nodes, edges keyed by component label), each laid out by
+    * [[coseLocal]] in its own task — parallel across components, no
+    * driver state — then packed. */
+  def cose(nodes: DataFrame, edges: DataFrame,
+           p: CoseParams = CoseParams()): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val comp = components(nodes, edges)
+      .localCheckpoint(eager = true) // used for nodes AND the edge keying
+    val nodesC = comp.as[(String, String)] // (id, component)
+    val edgesC = edges.select(col("src"), col("dst"))
+      .join(comp.withColumnRenamed("id", "src"), Seq("src"))
+      .as[(String, String, String)] // (src, dst, component)
+    val rel = nodesC.groupByKey(_._2)
+      .cogroup(edgesC.groupByKey(_._3)) { (key, ns, es) =>
+        val ids = ns.map(_._1).toArray.sorted
+        val idx = ids.zipWithIndex.toMap
+        val eIdx = es.map(t => (idx(t._1), idx(t._2))).toArray
+        coseLocal(ids, eIdx, p).zip(ids).iterator.map {
+          case ((x, y), id) => (key, id, x, y)
+        }
+      }
+      .toDF("component", "id", "x_micro", "y_micro")
+    pack(rel, p.spacing)
+  }
+
+  /** Per-round lineage AND stats truncation. A bare
+    * `localCheckpoint(eager = true)` cuts lineage but its LogicalRDD
+    * carries the ORIGIN plan's size estimate forward — and a loop whose
+    * round plan joins the previous round's output to itself then
+    * SQUARES that estimate every round: by round 30 the size-only stats
+    * visitor is multiplying billion-bit BigIntegers and planning time
+    * explodes (measured: statsBits 26→3026 in 8 rounds, ToomCook3 by
+    * round ~15). Rewrapping the checkpointed RDD through
+    * createDataFrame resets the stats to the session default each
+    * round, so planning cost stays constant; AQE re-plans from REAL
+    * runtime sizes anyway, so nothing is lost. */
+  private def truncatePlan(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = true)
+    df.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Distributed twin of [[cose]]: the same micro-quantized iteration
+    * as relational stages (all-pairs repulsion = per-component self
+    * join; attraction = edge join; gravity = per-component aggregate),
+    * positions checkpointed per round. Bit-identical to [[cose]] —
+    * integer force sums make the result partitioning-independent — and
+    * pinned to the same oracle; this is the plan shape a giant
+    * component runs at cluster scale. */
+  def coseDistributed(nodes: DataFrame, edges: DataFrame,
+                      p: CoseParams = CoseParams()): DataFrame = {
+    val comp = components(nodes, edges).localCheckpoint(eager = true)
+    val k = p.idealEdge
+    val k2 = k * k
+    val counts = comp.groupBy("component").agg(count(lit(1)).as("__n"))
+    var pos = comp.join(counts, Seq("component"))
+      .select(col("component"), col("id"),
+        (seedCol(col("id"), 1) % spanMicroCol(col("__n"), k)).as("x_micro"),
+        (seedCol(col("id"), 13) % spanMicroCol(col("__n"), k)).as("y_micro"))
+      .localCheckpoint(eager = true)
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    def xd(c: Column): Column = c.cast("double") / lit(MicroD)
+    def q(c: Column): Column =
+      floor(c * lit(MicroD) + lit(0.5)).cast("long")
+    for (temp <- temps(p)) {
+      val cent = pos.groupBy("component").agg(
+        sum("x_micro").as("__sx"), sum("y_micro").as("__sy"),
+        count(lit(1)).as("__n"))
+        .select(col("component"),
+          (col("__sx").cast("double") / col("__n") / lit(MicroD)).as("cx"),
+          (col("__sy").cast("double") / col("__n") / lit(MicroD)).as("cy"))
+      val a = pos.select(col("component"), col("id"),
+        col("x_micro").as("ax"), col("y_micro").as("ay"))
+      val b = pos.select(col("component"), col("id").as("vid"),
+        col("x_micro").as("bx"), col("y_micro").as("by"))
+      val dxr = xd(col("ax")) - xd(col("bx"))
+      val dyr = xd(col("ay")) - xd(col("by"))
+      val d2r = dxr * dxr + dyr * dyr
+      val d2c = greatest(d2r, lit(p.minDist2))
+      val rep = a.join(b, Seq("component"))
+        .filter(col("id") =!= col("vid"))
+        .groupBy(col("component"), col("id"))
+        .agg(sum(q(dxr * lit(k2) / d2c)).as("rx"),
+             sum(q(dyr * lit(k2) / d2c)).as("ry"))
+      val pa = pos.select(col("id").as("src"),
+        col("x_micro").as("ax"), col("y_micro").as("ay"))
+      val pb = pos.select(col("id").as("dst"),
+        col("x_micro").as("bx"), col("y_micro").as("by"))
+      val dxa = xd(col("ax")) - xd(col("bx"))
+      val dya = xd(col("ay")) - xd(col("by"))
+      val d2a = dxa * dxa + dya * dya
+      val att = sym.join(pa, Seq("src")).join(pb, Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(when(d2a === 0, lit(0L))
+               .otherwise(q(-(dxa * sqrt(d2a) / lit(k))))).as("tx"),
+             sum(when(d2a === 0, lit(0L))
+               .otherwise(q(-(dya * sqrt(d2a) / lit(k))))).as("ty"))
+      val withF = pos
+        .join(rep, Seq("component", "id"), "left")
+        .join(att, Seq("id"), "left")
+        .join(cent, Seq("component"))
+        .select(col("component"), col("id"), col("x_micro"), col("y_micro"),
+          (coalesce(col("rx"), lit(0L)) + coalesce(col("tx"), lit(0L)) +
+            q(-((xd(col("x_micro")) - col("cx")) * lit(p.gravity))))
+            .as("fxm"),
+          (coalesce(col("ry"), lit(0L)) + coalesce(col("ty"), lit(0L)) +
+            q(-((xd(col("y_micro")) - col("cy")) * lit(p.gravity))))
+            .as("fym"))
+      val dxp = col("fxm").cast("double") / lit(MicroD)
+      val dyp = col("fym").cast("double") / lit(MicroD)
+      val len = sqrt(dxp * dxp + dyp * dyp)
+      val scale = when(len > lit(temp), lit(temp) / len).otherwise(lit(1.0))
+      val next = truncatePlan(withF.select(col("component"), col("id"),
+        q(xd(col("x_micro")) + dxp * scale).as("x_micro"),
+        q(xd(col("y_micro")) + dyp * scale).as("y_micro")))
+      pos = next
+    }
+    pack(pos, p.spacing)
+  }
+
+  // ---------------------------------------------------------------------
+  // component packing
+  // ---------------------------------------------------------------------
+
+  /** Pack per-component relative positions onto a component grid:
+    * components ordered by (size desc, label), placed into uniform
+    * cells of (max extent + spacing); every offset is integer micro,
+    * so packing never perturbs the layout hash. Final coordinates are
+    * micro/1e6 doubles. */
+  private[graft] def pack(rel: DataFrame, spacing: Long): DataFrame = {
+    val ext = rel.groupBy("component").agg(
+      min("x_micro").as("minx"), max("x_micro").as("maxx"),
+      min("y_micro").as("miny"), max("y_micro").as("maxy"),
+      count(lit(1)).as("cnt"))
+    val ordW = Window.orderBy(col("cnt").desc, col("component"))
+    val glob = ext.agg(
+      max(col("maxx") - col("minx")).as("maxw"),
+      max(col("maxy") - col("miny")).as("maxh"),
+      count(lit(1)).as("ncomp"))
+    val cells = ext
+      .withColumn("__idx", (row_number().over(ordW) - lit(1)).cast("long"))
+      .crossJoin(broadcast(glob))
+      .select(col("component"),
+        col("minx"), col("miny"),
+        col("__idx"),
+        ceil(sqrt(col("ncomp").cast("double"))).cast("long").as("ncols"),
+        (col("maxw") + lit(spacing * Micro)).as("cellw"),
+        (col("maxh") + lit(spacing * Micro)).as("cellh"))
+      .select(col("component"),
+        (pmod(col("__idx"), col("ncols")) * col("cellw") - col("minx"))
+          .as("offx"),
+        (floor(col("__idx").cast("double") / col("ncols")).cast("long") *
+          col("cellh") - col("miny")).as("offy"))
+    rel.join(broadcast(cells), Seq("component"))
+      .select(col("id"), col("component"),
+        ((col("x_micro") + col("offx")).cast("double") / lit(MicroD))
+          .as("x"),
+        ((col("y_micro") + col("offy")).cast("double") / lit(MicroD))
+          .as("y"))
+  }
+}

@@ -46,6 +46,24 @@ object CytoscapeJson {
   def nodeElements(nodes: DataFrame): DataFrame =
     nodes.select(to_json(nodeStruct(nodes)).as("element"))
 
+  /** Node elements enriched with layout coordinates — the reference's
+    * served shape, where every node element carries `position {x,y}`
+    * (layout_enricher:91 `elements().jsons()`;
+    * layout_api_enricher:62-77). `positions` is a
+    * [[graft.core.Layout]] frame DF(id, component, x, y). */
+  def positionedNodeElements(nodes: DataFrame,
+                             positions: DataFrame): DataFrame = {
+    val joined = nodes.join(
+      positions.select(col("id").as("fragment"), col("x").as("__px"),
+        col("y").as("__py")), Seq("fragment"), "left")
+    val inner = nodeStruct(nodes)
+    joined.select(to_json(struct(
+      inner.getField("data").as("data"),
+      lit("nodes").as("group"),
+      struct(col("__px").as("x"), col("__py").as("y")).as("position")))
+      .as("element"))
+  }
+
   /** Edge elements: id = "source~target". */
   def edgeElements(edges: DataFrame): DataFrame =
     edges.select(to_json(edgeStruct(edges)).as("element"))

@@ -30,6 +30,26 @@ class CytoscapeJsonSpec extends SparkSpec {
     assert(oe.contains("\"start\":500"))
   }
 
+  test("positioned node elements carry the reference's position{x,y}") {
+    val ids = nodes.select(
+      org.apache.spark.sql.functions.col("fragment").as("id"))
+    val layout = graft.core.Layout.cose(ids,
+      edges.select("src", "dst"))
+    val els = CytoscapeJson.positionedNodeElements(nodes, layout)
+      .collect().map(_.getString(0))
+    assert(els.length == 2)
+    els.foreach { e =>
+      assert(e.contains("\"group\":\"nodes\""))
+      assert(e.matches(""".*"position":\{"x":-?\d+(\.\d+)?(E-?\d+)?,"y":-?\d+(\.\d+)?(E-?\d+)?\}.*"""), e)
+    }
+    // the coordinates are the layout's, keyed by fragment
+    val want = layout.collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val seed = els.find(_.contains("\"id\":\"1_100_199\"")).get
+    val (x, _) = want("1_100_199")
+    assert(seed.contains(s""""position":{"x":$x"""), s"$seed vs $x")
+  }
+
   test("edge elements use source~target ids") {
     val el = CytoscapeJson.edgeElements(edges).collect()(0).getString(0)
     assert(el.contains("\"id\":\"1_100_199~1_500_599\""))

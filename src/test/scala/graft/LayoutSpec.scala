@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Layout
+import graft.core.Layout.CoseParams
+
+/** G8 layouts (reference layout_enricher:50-94): per-component
+  * positions, deterministic under partitioning, regime-identical
+  * (one-task-per-component vs distributed iteration), non-degenerate,
+  * and actually force-directed (edge lengths contract toward the
+  * ideal length, connected pairs end up nearer than unconnected). */
+class LayoutSpec extends SparkSpec {
+
+  // triangle + pair + isolated node — three components
+  private def nodes = {
+    import spark.implicits._
+    Seq("a", "b", "c", "x", "y", "lone").toDF("id")
+  }
+  private def edges = edgesOf(Seq(
+    "a" -> "b", "b" -> "c", "a" -> "c", "x" -> "y"))
+
+  private def posMap(df: DataFrame): Map[String, (Double, Double)] =
+    df.collect().map(r => r.getString(0) ->
+      (r.getDouble(2), r.getDouble(3))).toMap
+
+  private def dist(p: Map[String, (Double, Double)], a: String, b: String) = {
+    val (ax, ay) = p(a); val (bx, by) = p(b)
+    math.hypot(ax - bx, ay - by)
+  }
+
+  test("G8 components: edge components plus singleton isolates") {
+    val c = Layout.components(nodes, edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(c("a") == c("b") && c("b") == c("c"))
+    assert(c("x") == c("y") && c("x") != c("a"))
+    assert(c("lone") == "lone")
+  }
+
+  test("G8 grid: distinct integer positions, components disjoint") {
+    val p = posMap(Layout.grid(nodes, edges))
+    assert(p.size == 6)
+    assert(p.values.toSet.size == 6, "all positions distinct")
+    // grid positions are exact multiples of the spacing after packing
+    p.values.foreach { case (x, y) =>
+      assert(x == math.rint(x) && y == math.rint(y))
+    }
+  }
+
+  test("G8 circle: component nodes equidistant from their centre") {
+    val p = posMap(Layout.circle(nodes, edges))
+    assert(p.values.toSet.size == 6)
+    val tri = Seq("a", "b", "c").map(p)
+    val cx = tri.map(_._1).sum / 3
+    val cy = tri.map(_._2).sum / 3
+    val rs = tri.map { case (x, y) => math.hypot(x - cx, y - cy) }
+    assert(rs.max - rs.min < 1e-3, s"radii $rs")
+  }
+
+  test("G8 concentric: max-degree node innermost") {
+    import spark.implicits._
+    // star: h has degree 4, leaves degree 1
+    val star = edgesOf(Seq("h" -> "l1", "h" -> "l2", "h" -> "l3", "h" -> "l4"))
+    val n = Seq("h", "l1", "l2", "l3", "l4").toDF("id")
+    val p = posMap(Layout.concentric(n, star))
+    val cx = p("h")._1; val cy = p("h")._2
+    val leafR = Seq("l1", "l2", "l3", "l4")
+      .map(l => math.hypot(p(l)._1 - cx, p(l)._2 - cy))
+    assert(leafR.forall(_ > 50), s"leaves on an outer ring: $leafR")
+  }
+
+  test("G8 cose: deterministic, non-degenerate, force-directed") {
+    val p1 = posMap(Layout.cose(nodes, edges))
+    val p2 = posMap(Layout.cose(
+      nodes.repartition(7), edges.repartition(5)))
+    assert(p1 == p2, "bit-identical under any partitioning")
+    assert(p1.values.toSet.size == 6, "all positions distinct")
+    // connected pairs sit nearer than cross-component pairs
+    val connected = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .map { case (u, v) => dist(p1, u, v) }
+    val cross = Seq(("a", "x"), ("c", "y"), ("b", "lone"))
+      .map { case (u, v) => dist(p1, u, v) }
+    assert(connected.max < cross.min,
+      s"connected $connected vs cross $cross")
+  }
+
+  test("G8 cose converges: edge lengths approach the ideal length") {
+    // a 12-node cycle: equilibrium edge length is near idealEdge
+    val ids = (0 until 12).map(i => f"n$i%02d")
+    val cyc = edgesOf(ids.zip(ids.tail :+ ids.head))
+    import spark.implicits._
+    val p = posMap(Layout.cose(ids.toDF("id"), cyc,
+      CoseParams(iters = 60)))
+    val lens = ids.zip(ids.tail :+ ids.head)
+      .map { case (u, v) => dist(p, u, v) }
+    assert(lens.forall(l => l > 30 && l < 300),
+      s"edge lengths near ideal: $lens")
+  }
+
+  test("G8 regime equality: distributed twin is bit-identical") {
+    val local = posMap(Layout.cose(nodes, edges))
+    val dist = posMap(Layout.coseDistributed(nodes, edges))
+    assert(local == dist)
+  }
+
+  test("G8 packing: component bounding boxes never overlap") {
+    val df = Layout.cose(nodes, edges)
+    val boxes = df.groupBy("component")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    for (Seq(a, b) <- boxes.toSeq.combinations(2)) {
+      val apart = a._2 < b._1 || b._2 < a._1 || a._4 < b._3 || b._4 < a._3
+      assert(apart, s"boxes $a and $b overlap")
+    }
+  }
+}

@@ -46,6 +46,16 @@ class PlanAuditSpec extends SparkSpec {
       "two bounded recall rows crossed + per-iter Lloyd broadcasts (Similarity.pqCodebookKMeans/pqRecall)",
     "a8_transitivity" ->
       "1-row triangle count × 1-row triad count (GraphOps.scala:656)",
+    "g8_layout_grid" ->
+      "component packing × 1-row global-extent aggregate (Layout.pack)",
+    "g8_layout_circle" ->
+      "component packing × 1-row global-extent aggregate (Layout.pack)",
+    "g8_layout_concentric" ->
+      "component packing × 1-row global-extent aggregate (Layout.pack)",
+    "g8_layout_cose" ->
+      "component packing × 1-row global-extent aggregate (Layout.pack)",
+    "g8_layout_cose_dist" ->
+      "component packing × 1-row global-extent aggregate (Layout.pack)",
     "a15_feature_agg_mean" ->
       "fragment frame × broadcast feature-name list (a handful of column names; Chas.scala:159)",
     "a15_feature_agg_min" ->
