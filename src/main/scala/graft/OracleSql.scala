@@ -686,6 +686,31 @@ JOIN nodeids n ON v.fragment = n.id
 LEFT JOIN (SELECT DISTINCT id FROM seeds) s ON v.fragment = s.id
 LEFT JOIN sdeg d ON v.fragment = d.id"""))
 
+  /** S12: the response memo-cache batch semantics — memo hits keep the
+    * STORED response (so a recompute would hash-mismatch), distinct
+    * miss keys get one token-index lookup each. */
+  private val s12Sql: String = gq(raw"""
+, reqs AS (SELECT o_orderkey AS request_id,
+    'S'||(o_orderkey%150) AS key FROM orders),
+memo AS (SELECT DISTINCT key, 'memo:'||key AS response
+  FROM reqs WHERE request_id%3=0),
+tok AS (SELECT DISTINCT fragment, token FROM (
+  SELECT fragment, unnest(list_filter(string_split_regex(
+    lower(gene_names || ' '), '\W+'), t -> t <> '')) AS token
+  FROM verts) u),
+misskeys AS (SELECT DISTINCT key FROM reqs
+  WHERE key NOT IN (SELECT key FROM memo)),
+fresh AS (SELECT k.key,
+    'hits:'||coalesce(string_agg(DISTINCT t.fragment, ','
+      ORDER BY t.fragment), '') AS response
+  FROM misskeys k LEFT JOIN tok t ON t.token = lower(k.key)
+  GROUP BY k.key)
+SELECT r.request_id, r.key,
+       coalesce(m.response, f.response) AS response,
+       (m.key IS NOT NULL) AS cached
+FROM reqs r LEFT JOIN memo m ON m.key = r.key
+LEFT JOIN fresh f ON f.key = r.key""")
+
   // -------------------------------------------------- G8 layout oracles
   /** The served subnet (same derivation as q6_search_subnet) plus its
     * connected components by recursive closure — tractable because the
@@ -847,6 +872,7 @@ korel AS (SELECT component, id,
     * distributed iteration twin to the SAME oracle (regime
     * bit-identity, like a6/g6). */
   val layouts: Map[String, String] = Map(
+    "s12_response_cache" -> s12Sql,
     "g8_layout_grid" -> g8GridSql,
     "g8_layout_circle" -> g8CircleSql,
     "g8_layout_concentric" -> g8ConcentricSql,

@@ -229,6 +229,29 @@ object QueryDefs {
     // build+open, the median reflects the warm serve.
     "q6_search_served" -> ((s, d) =>
       Serving.geneSearch(servedDataset(s, d), "S7").nodes),
+    // S12 response memo-cache (backend.py:51-99) as batch semantics:
+    // a request batch with duplicate keys and a pre-seeded memo —
+    // memo hits serve the STORED response (provably not recomputed:
+    // the stored text differs from what compute would produce), the
+    // distinct miss keys run ONE indexed gene lookup each, and every
+    // request row gets its response + cached flag
+    "s12_response_cache" -> ((s, d) => {
+      val v = verts(s, d).localCheckpoint(eager = true)
+      val reqs = table(s, d, "orders").select(
+        col("o_orderkey").as("request_id"),
+        concat(lit("S"), (col("o_orderkey") % 150).cast("string")).as("key"))
+      val memo = reqs.filter(col("request_id") % 3 === 0)
+        .select("key").distinct()
+        .withColumn("response", concat(lit("memo:"), col("key")))
+      val idx = Search.buildNameIndex(v)
+      val (resp, _) = Serving.serveCached(reqs, memo, keys =>
+        keys.join(idx, lower(keys("key")) === idx("token"), "left")
+          .groupBy("key")
+          .agg(concat(lit("hits:"),
+            array_join(sort_array(collect_set(col("fragment"))), ","))
+            .as("response")))
+      resp
+    }),
     // G8 layouts over the SERVED subnet (the reference's own layout
     // input: layout_enricher runs on search responses, never the whole
     // chromnet). grid is exact integer arithmetic; circle/concentric

@@ -74,4 +74,68 @@ object Serving {
     if (isPlainName) geneSearch(sd, q)
     else Search.search(sd.nodes, sd.edges, ensembl2name, q, expand, nearest)
   }
+
+  // -------------------------------------------------------------------
+  // S12: response memo-cache
+  // -------------------------------------------------------------------
+
+  /** S12 — the reference's HTTP response cache (backend.py:51-99: a
+    * shelve keyed `search|organism|cell_type`; a miss runs the whole
+    * R-pipeline command and stores its output, a hit serves the stored
+    * bytes) re-expressed relationally for BATCHES of requests:
+    * distinct request keys are anti-joined against the memo, `compute`
+    * runs over ONLY the novel key set (one compute per key — cache
+    * hits never re-enter the pipeline, the exact semantics of the
+    * reference's `if key not in shelve_cache`), and responses join
+    * back to every request.
+    *
+    * @param requests DF(request_id, key) — duplicates expected
+    * @param memo     DF(key, response) — prior responses
+    * @param compute  missing-keys DF(key) → DF(key, response)
+    * @return (DF(request_id, key, response, cached), fresh entries) —
+    *         append the fresh frame to the memo store for the next batch
+    */
+  def serveCached(requests: DataFrame, memo: DataFrame,
+                  compute: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val misses = requests.select("key").distinct()
+      .join(memo.select("key"), Seq("key"), "left_anti")
+    val fresh = compute(misses)
+    val responses = requests
+      .join(memo.select(col("key"), col("response"),
+        lit(true).as("__hit")), Seq("key"), "left")
+      .join(fresh.select(col("key"),
+        col("response").as("__fresh")), Seq("key"), "left")
+      .select(col("request_id"), col("key"),
+        coalesce(col("response"), col("__fresh")).as("response"),
+        coalesce(col("__hit"), lit(false)).as("cached"))
+    (responses, fresh)
+  }
+
+  /** Parquet-backed memo — the durable, cluster-shared analogue of the
+    * reference's `.shelve_cache` file. Missing/empty dir = cold cache. */
+  def openMemo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p) &&
+        java.nio.file.Files.list(p).findFirst().isPresent)
+      spark.read.parquet(dir)
+    else
+      spark.range(0).select(col("id").cast("string").as("key"),
+        col("id").cast("string").as("response"))
+  }
+
+  /** One serve-and-remember round against a parquet memo dir: open,
+    * serve, append the fresh entries (so the NEXT batch — or a
+    * restarted service — skips every key this one computed). */
+  def serveCachedDir(requests: DataFrame, dir: String,
+                     compute: DataFrame => DataFrame): DataFrame = {
+    val spark = requests.sparkSession
+    val (responses, fresh) = serveCached(requests, openMemo(spark, dir),
+      compute)
+    val out = responses.localCheckpoint(eager = true)
+    fresh.write.mode("append").parquet(dir)
+    out
+  }
 }

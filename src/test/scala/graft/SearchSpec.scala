@@ -147,6 +147,50 @@ class SearchSpec extends SparkSpec {
     Seq(sd.nodes, sd.edges, sd.index).foreach(_.unpersist(blocking = false))
   }
 
+  test("S12 response cache: hits served from memo, one compute per key") {
+    import spark.implicits._
+    val reqs = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("request_id", "key")
+    val memo = Seq(("a", "memo:a")).toDF("key", "response")
+    val computedKeys = new java.util.concurrent.atomic.AtomicReference[Set[String]](Set())
+    val (resp, fresh) = graft.core.Serving.serveCached(reqs, memo, { keys =>
+      computedKeys.set(keys.collect().map(_.getString(0)).toSet)
+      keys.withColumn("response",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("fresh:"),
+          org.apache.spark.sql.functions.col("key")))
+    })
+    val rows = resp.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    // cached key served from memo (never recomputed), misses computed
+    assert(computedKeys.get() == Set("b", "c"))
+    assert(rows(1L) == ("memo:a", true) && rows(3L) == ("memo:a", true))
+    assert(rows(2L) == ("fresh:b", false) && rows(4L) == ("fresh:c", false))
+    assert(fresh.collect().map(_.getString(0)).toSet == Set("b", "c"))
+  }
+
+  test("S12 parquet memo dir: a second batch skips every stored key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s12_memo").toString +
+      "/memo"
+    def compute(tag: String)(keys: org.apache.spark.sql.DataFrame) =
+      keys.withColumn("response",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(tag + ":"),
+          org.apache.spark.sql.functions.col("key")))
+    val b1 = graft.core.Serving.serveCachedDir(
+      Seq((1L, "x"), (2L, "y")).toDF("request_id", "key"), dir, compute("b1"))
+    assert(b1.collect().map(r => r.getString(2)).toSet ==
+      Set("b1:x", "b1:y"))
+    // batch 2 reuses x and y from the parquet memo; only z computes
+    val b2 = graft.core.Serving.serveCachedDir(
+      Seq((3L, "x"), (4L, "z")).toDF("request_id", "key"), dir, compute("b2"))
+    val m = b2.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(m(3L) == ("b1:x", true), "restart-durable hit")
+    assert(m(4L) == ("b2:z", false))
+  }
+
   test("subnetFromSeeds leaves a caller-owned edge cache in place") {
     import org.apache.spark.storage.StorageLevel
     // caller persists at a NON-default level: an unconditional persist
