@@ -15,6 +15,11 @@ run / fork := true
 // driver parses graft.Bench's one-line JSON from the last bare stdout
 // line, and LoggedOutput would prefix it into unparseability.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep sbt's "[success] Total time" trailer off stdout for the
+// same reason: it would print AFTER the JSON line and displace it from
+// the driver's bounded tail capture (r9's null `parsed`).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

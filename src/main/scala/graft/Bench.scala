@@ -61,18 +61,35 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
+    // 4-decimal rounding keeps the stdout line compact: the driver
+    // captures only the last ~1.3 KB of stdout, and an over-long line
+    // arrives head-truncated and unparseable (r8/r9's null `parsed`)
+    def sec(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + sec(v) }
       .mkString("{", ",", "}")
     val spread = results.collect { case (k, _, ss, None) if ss.nonEmpty =>
-      jstr(k) + s":[${ss.min},${ss.max}]" }.mkString("{", ",", "}")
+      jstr(k) + s":[${sec(ss.min)},${sec(ss.max)}]" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(m)) =>
       jstr(k) + ":" + jstr(m.take(200)) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // the one-line JSON result must be the LAST stdout write (the
-    // driver parses the last bare line); stop Spark first so shutdown
-    // logging cannot trail it
+    val total = sec(results.map(_._2).filter(_ >= 0).sum)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // the FULL result (incl. per-lane spreads) goes to a file the
+    // driver/judge can always read whole...
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), full + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // ...while stdout carries a line WITHOUT the spread map (roughly
+    // half the bytes — fits the driver's tail window; spreads live in
+    // the file). It must be the LAST stdout write: stop Spark first so
+    // shutdown logging cannot trail it, and build.sbt suppresses sbt's
+    // own "[success]" trailer.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
     System.out.flush()
   }
 }

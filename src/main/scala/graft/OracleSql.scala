@@ -2115,61 +2115,54 @@ FROM dec"""),
 SELECT media_id, kind,
   unnest(generate_series(0, greatest(duration_ms - 1, 0), 60000)) AS frame_ts_ms
 FROM dec WHERE kind IN ('video', 'audio')"""),
-    // frameNearDup mirrored over the planted-copy corpus: same
-    // kind/duration stub arithmetic on the shifted ids, the same
-    // md5(payload-hash : frame-index) fingerprint, pairs by equi-join
-    "m6_frame_neardup" -> raw"""
-WITH m2 AS (SELECT doc_id AS media_id,
-    CASE CAST(doc_id%3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-         ELSE 'video' END AS kind,
-    text, md5(text) AS h
-  FROM (SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, text FROM documents WHERE doc_id%7 = 0)),
-dur AS (SELECT media_id, kind, h,
-    CAST(strlen(text) AS BIGINT)*100 + 1000 AS duration_ms
-  FROM m2 WHERE kind IN ('video', 'audio')),
-sigs AS (SELECT DISTINCT media_id,
-    md5(h || ':' || CAST(ts//10000 AS VARCHAR)) AS sig
-  FROM (SELECT media_id, h,
-          unnest(generate_series(0, greatest(duration_ms - 1, 0), 10000))
-            AS ts
-        FROM dur) f)
-SELECT a.media_id AS media_a, b.media_id AS media_b,
-       count(*) AS n_shared_frames
-FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.media_id < b.media_id
-GROUP BY a.media_id, b.media_id
-HAVING count(*) >= 2""",
     // real-dHash pin: the fixture guarantees (a) noise-perturbed
     // re-encoded copies keep the exact hash (every dHash bit has >=14
     // gray levels of contrast, noise is +/-3) and (b) distinct ids get
     // independent ~uniform 64-bit hashes (P[hamming<=6] ~ 4e-12/pair),
-    // so the TRUE pair set is exactly the planted copies at hamming 0
+    // so the TRUE pair set is exactly the planted copies at hamming 0.
+    // The planted-id shift is max(doc_id)+1, mirroring plantShift —
+    // SF-safe (shifted ids never collide with base ids).
     "m6_phash_neardup" -> raw"""
-SELECT doc_id AS media_a, doc_id + 100000 AS media_b,
+WITH s AS (SELECT max(doc_id) + 1 AS v FROM documents)
+SELECT doc_id AS media_a, doc_id + (SELECT v FROM s) AS media_b,
        CAST(0 AS BIGINT) AS hamming
 FROM documents WHERE doc_id % 7 = 0""",
     // cluster arithmetic: each planted copy (any regime) clusters with
     // its base; label = lpad(min id) = the base id; bases with any
     // copy list themselves too (cluster size >= 2)
     "m6_phash_clusters" -> raw"""
-WITH members AS (
+WITH s AS (SELECT max(doc_id) + 1 AS v FROM documents),
+members AS (
   SELECT doc_id, doc_id AS media_id FROM documents
     WHERE doc_id%7 = 0 OR doc_id%11 = 0 OR doc_id%13 = 0
-  UNION ALL SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id%7 = 0
-  UNION ALL SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id%11 = 0
-  UNION ALL SELECT doc_id, doc_id + 300000 FROM documents WHERE doc_id%13 = 0)
+  UNION ALL SELECT doc_id, doc_id + (SELECT v FROM s)
+    FROM documents WHERE doc_id%7 = 0
+  UNION ALL SELECT doc_id, doc_id + 2*(SELECT v FROM s)
+    FROM documents WHERE doc_id%11 = 0
+  UNION ALL SELECT doc_id, doc_id + 3*(SELECT v FROM s)
+    FROM documents WHERE doc_id%13 = 0)
 SELECT media_id, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS cluster
 FROM members""",
-    // real-video pin: perturbed re-encoded copies preserve all 4
-    // per-frame dHashes (>=14 gray levels of cell contrast vs +/-3
-    // noise), distinct videos' frames get independent ~uniform hashes
-    // (exact 64-bit equality required), so the TRUE pair set is
-    // exactly the planted copies sharing all 4 frames
+    // real-video pin, hamming-tolerant: perturbed re-encoded copies
+    // (+S, every 7th) preserve all 4 per-frame dHashes exactly;
+    // cell-swapped copies (+2S, every 13th) put every frame at
+    // hamming 1-2 — band-verified near-equal, so they pair too (an
+    // exact-equality matcher misses them and fails this gate); for
+    // d % 91 = 0 the two plants also pair with each other. Distinct
+    // videos' frames sit >= hamming 5 apart (HamProbe) — no false
+    // pairs at threshold 2.
     "m7_video_neardup" -> raw"""
-SELECT doc_id AS media_a, doc_id + 100000 AS media_b,
+WITH s AS (SELECT max(doc_id) + 1 AS v FROM documents)
+SELECT doc_id AS media_a, doc_id + (SELECT v FROM s) AS media_b,
        CAST(4 AS BIGINT) AS n_shared_frames
-FROM documents WHERE doc_id % 7 = 0""",
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, doc_id + 2*(SELECT v FROM s), CAST(4 AS BIGINT)
+FROM documents WHERE doc_id % 13 = 0
+UNION ALL
+SELECT doc_id + (SELECT v FROM s), doc_id + 2*(SELECT v FROM s),
+       CAST(4 AS BIGINT)
+FROM documents WHERE doc_id % 91 = 0""",
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql",
     // real-ImageIO pins: Spark DECODES actual PNG bytes; the oracle
     // PREDICTS the metadata from the fixture's id-derived dimension

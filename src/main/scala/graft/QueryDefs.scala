@@ -286,6 +286,15 @@ object QueryDefs {
     // against the SAME oracle row set as s11 via the logical listing
     "s11_tree_write_dist" -> treeWrite(distributedDocs = Some(true)))
 
+  /** SF-safe planted-copy id shift: max(doc_id)+1, so shifted ids can
+    * never collide with real ids at any scale factor (a fixed 100000
+    * collides once a SF yields doc_id >= 100000). One-row aggregate —
+    * fixture construction only, never a data-plane collect. The
+    * paired oracles compute the same shift as (SELECT max(doc_id)+1
+    * FROM documents). */
+  private def plantShift(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1
+
   /** The served subnet as a bare (nodes(id), edges(src,dst)) graph —
     * the G8 layout input (reference layout_enricher's stdin). */
   private def subnetGraph(s: SparkSession, d: String)
@@ -772,32 +781,21 @@ object QueryDefs {
         .select(col("media_id"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"))),
-    // frame near-dup: the gate corpus has no exact text dups, so the
-    // query PLANTS payload copies under shifted ids (the d8 pattern) —
-    // pairs survive exactly where original and copy both carry frames
-    "m6_frame_neardup" -> ((s, d) => {
-      val docs = table(s, d, "documents")
-      val planted = docs.filter(col("doc_id") % 7 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000)
-      // 10s stride: the ~30s stub durations carry 3-6 frames each, so
-      // the minShared=2 bar is a real multi-frame-agreement test (at
-      // the 60s default every gate doc has one frame)
-      Multimodal.frameNearDup(Multimodal.decode(
-        Multimodal.synthesize(docs.unionByName(planted), "doc_id", "text")),
-        everyMs = 10000L)
-    }),
     // REAL perceptual near-dup: every doc becomes a synthesized PNG,
     // every 7th is ALSO planted as a noise-perturbed RE-ENCODED copy
     // under a shifted id (byte-different file, same picture). The
     // engine decodes pixels, dHashes, and pairs by hamming-banded
-    // equi-join; the oracle predicts exactly the planted (d, d+100000)
+    // equi-join; the oracle predicts exactly the planted (d, d+S)
     // pairs at hamming 0 — an md5-of-payload stand-in (or any decode
-    // stub) pairs NOTHING and fails the hash gate.
+    // stub) pairs NOTHING and fails the hash gate. S = max(doc_id)+1
+    // (plantShift), so planted ids never collide with base ids at ANY
+    // scale factor; the oracle computes the same shift in SQL.
     "m6_phash_neardup" -> ((s, d) => {
       val docs = table(s, d, "documents")
+      val shift = plantShift(docs)
       val base = Multimodal.synthesizeCellImages(docs, "doc_id")
       val planted = Multimodal.perturbImages(
-        base.filter(col("media_id") % 7 === 0), shiftId = 100000L)
+        base.filter(col("media_id") % 7 === 0), shiftId = shift)
       // maxHamming=2: the fixture's planted copies land at EXACTLY 0
       // (cell contrast >= 14 vs +/-3 noise), while the nearest random
       // pair measured over the 57k-image sf1 corpus sits at hamming 5
@@ -806,38 +804,45 @@ object QueryDefs {
       // keeps a 3-flip margin on both sides at every SF
       Multimodal.phashNearDup(base.unionByName(planted), maxHamming = 2)
     }),
-    // perceptual CLUSTER resolution, all three copy regimes planted:
-    // byte-identical (+200000, every 11th), noise-perturbed re-encode
-    // with the SAME hash (+100000, every 7th — exercises the exact-
-    // hash collapse), and cell-swapped near-miss at hamming 1-2
-    // (+300000, every 13th — exercises the banded near-pairing), with
-    // transitive merges (d divisible by 77/91/143/1001) resolved by
-    // connected components. Oracle = pure arithmetic on the planting
-    // rule: every copy (and its base) labels with lpad(min id) = d.
+    // perceptual CLUSTER resolution, all three copy regimes planted
+    // (S = plantShift — SF-safe): byte-identical (+2S, every 11th),
+    // noise-perturbed re-encode with the SAME hash (+S, every 7th —
+    // exercises the exact-hash collapse), and cell-swapped near-miss
+    // at hamming 1-2 (+3S, every 13th — exercises the banded
+    // near-pairing), with transitive merges (d divisible by
+    // 77/91/143/1001) resolved by connected components. Oracle = pure
+    // arithmetic on the planting rule: every copy (and its base)
+    // labels with lpad(min id) = d.
     "m6_phash_clusters" -> ((s, d) => {
       val docs = table(s, d, "documents")
+      val shift = plantShift(docs)
       val base = Multimodal.synthesizeCellImages(docs, "doc_id")
       val planted = Multimodal.perturbImages(
-          base.filter(col("media_id") % 7 === 0), shiftId = 100000L)
+          base.filter(col("media_id") % 7 === 0), shiftId = shift)
         .unionByName(base.filter(col("media_id") % 11 === 0)
-          .withColumn("media_id", col("media_id") + 200000L))
+          .withColumn("media_id", col("media_id") + lit(2 * shift)))
         .unionByName(Multimodal.tweakImages(
-          base.filter(col("media_id") % 13 === 0), shiftId = 300000L))
+          base.filter(col("media_id") % 13 === 0), shiftId = 3 * shift))
       Multimodal.phashClusters(base.unionByName(planted), maxHamming = 2)
     }),
     // REAL video near-dup: every doc becomes a 4-frame animated GIF
     // (real container, real frames — the one multi-frame format the
     // JDK decodes); every 7th is planted as a per-frame noise-
-    // perturbed RE-ENCODED copy. The engine parses the container,
-    // dHashes every frame, and pairs videos sharing >=2 true
-    // perceptual frame hashes — the m6 frame-signature plumbing with
-    // the fake md5 fingerprint replaced by a real codec + real hash.
+    // perturbed RE-ENCODED copy (exact frame hashes), every 13th as a
+    // per-frame CELL-SWAPPED near-miss (each frame at hamming 1-2) —
+    // the tolerance regime: exact-equality frame matching pairs the
+    // first plant but silently misses the second and fails the gate.
+    // Videos pair on >=2 band-verified near-equal frame hashes; for
+    // d % 91 == 0 both plants exist and ALSO pair with each other.
     "m7_video_neardup" -> ((s, d) => {
       val docs = table(s, d, "documents")
+      val shift = plantShift(docs)
       val base = Multimodal.synthesizeGifs(docs, "doc_id")
       val planted = Multimodal.perturbGifs(
-        base.filter(col("media_id") % 7 === 0), shiftId = 100000L)
-      Multimodal.videoNearDup(base.unionByName(planted))
+          base.filter(col("media_id") % 7 === 0), shiftId = shift)
+        .unionByName(Multimodal.tweakGifs(
+          base.filter(col("media_id") % 13 === 0), shiftId = 2 * shift))
+      Multimodal.videoNearDup(base.unionByName(planted), maxHamming = 2)
     }),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(

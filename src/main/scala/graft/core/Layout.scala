@@ -292,7 +292,11 @@ object Layout {
       .cogroup(edgesC.groupByKey(_._3)) { (key, ns, es) =>
         val ids = ns.map(_._1).toArray.sorted
         val idx = ids.zipWithIndex.toMap
-        val eIdx = es.map(t => (idx(t._1), idx(t._2))).toArray
+        // dangling dst (edge endpoint absent from `nodes`) is DROPPED,
+        // matching the distributed twin's inner join on pb — the two
+        // regimes must diverge on no input, sanitized or not
+        val eIdx = es.flatMap(t => idx.get(t._2).map(b => (idx(t._1), b)))
+          .toArray
         coseLocal(ids, eIdx, p).zip(ids).iterator.map {
           case ((x, y), id) => (key, id, x, y)
         }

@@ -118,8 +118,11 @@ object Serving {
   def openMemo(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p) &&
-        java.nio.file.Files.list(p).findFirst().isPresent)
+    def nonEmptyDir: Boolean = {
+      val s = java.nio.file.Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (java.nio.file.Files.exists(p) && nonEmptyDir)
       spark.read.parquet(dir)
     else
       spark.range(0).select(col("id").cast("string").as("key"),
@@ -128,12 +131,17 @@ object Serving {
 
   /** One serve-and-remember round against a parquet memo dir: open,
     * serve, append the fresh entries (so the NEXT batch — or a
-    * restarted service — skips every key this one computed). */
+    * restarted service — skips every key this one computed). The
+    * compute plan is materialized ONCE via localCheckpoint before
+    * anything downstream touches it: both the served responses and the
+    * memo append read the same checkpointed frame, so a
+    * nondeterministic compute (the reference's R-pipeline analogue)
+    * cannot store a response that differs from the one served. */
   def serveCachedDir(requests: DataFrame, dir: String,
                      compute: DataFrame => DataFrame): DataFrame = {
     val spark = requests.sparkSession
     val (responses, fresh) = serveCached(requests, openMemo(spark, dir),
-      compute)
+      misses => compute(misses).localCheckpoint(eager = true))
     val out = responses.localCheckpoint(eager = true)
     fresh.write.mode("append").parquet(dir)
     out

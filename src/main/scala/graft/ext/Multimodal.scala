@@ -467,15 +467,21 @@ object Multimodal {
 
   /** Hamming-banded pairing over a (media_id, dhash) frame — see
     * [[phashNearDup]] for the economics. */
+  /** Adds the 8 exploded hamming-band keys (one per hash byte, tagged
+    * with the byte index) to a frame carrying a `dhash` column —
+    * shared by [[bandPairs]] and [[videoNearDup]]. */
+  private def withBandKeys(hashes: DataFrame): DataFrame =
+    hashes.withColumn("band_key",
+      explode(array((0 until 8).map(b =>
+        shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L))
+          .bitwiseOR(lit(b.toLong << 8))): _*)))
+
   private def bandPairs(hashesIn: DataFrame, maxHamming: Int): DataFrame = {
     // the self-join consumes the hash frame TWICE: materialize it once
     // (16 bytes + id per image) so a 100 TB corpus decodes once, not
     // twice — the decode dominates everything downstream
     val hashes = hashesIn.localCheckpoint(true)
-    val banded = hashes.select(col("media_id"), col("dhash"),
-      explode(array((0 until 8).map(b =>
-        shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L))
-          .bitwiseOR(lit(b.toLong << 8))): _*)).as("band_key"))
+    val banded = withBandKeys(hashes.select("media_id", "dhash"))
     banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
         col("a.media_id") < col("b.media_id"))
@@ -672,6 +678,37 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  /** Near-miss GIF planting (the video twin of [[tweakImages]]): EVERY
+    * frame gets its first two 8×8 row-0 cells swapped before the
+    * container re-encodes — each frame's dHash lands at hamming 1–2
+    * from its base frame, the band-join near-pairing regime (unlike
+    * [[perturbGifs]], whose frames keep the EXACT hash). Tests and
+    * benches only. */
+  def tweakGifs(media: DataFrame, shiftId: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.map { r =>
+        val frames = decodeGif(r.getAs[Array[Byte]](payloadIdx)).map { img =>
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val a = img.getRGB(x, y); val b = img.getRGB(x + 8, y)
+              img.setRGB(x, y, b); img.setRGB(x + 8, y, a)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        (r.getLong(idIdx) + shiftId, r.getString(kindIdx), encodeGif(frames))
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** (media_id, frame_idx, dhash) for every frame of every decodable
     * multi-frame payload — the REAL form of the frame-signature table:
     * container parse + per-frame perceptual hash, all inside
@@ -692,23 +729,32 @@ object Multimodal {
   }
 
   /** REAL video near-duplicate detection: videos pair when ≥
-    * `minShared` of their frames agree on the PERCEPTUAL frame hash —
-    * [[frameNearDup]]'s equi-join economics (one frame-hash shuffle,
-    * never an all-pairs video join), but with the fake payload-md5
-    * fingerprint replaced by the true per-frame [[dHash]], so
-    * re-encoded / noise-perturbed copies pair and disjoint videos
-    * don't. */
-  def videoNearDup(media: DataFrame, minShared: Long = 2L): DataFrame = {
+    * `minShared` of their frames agree on the PERCEPTUAL frame hash
+    * within hamming ≤ `maxHamming` — one frame-hash shuffle, never an
+    * all-pairs video join, with the true per-frame [[dHash]] as the
+    * signature. Frame agreement uses the SAME hamming-banded pairing
+    * economics as [[phashNearDup]] (candidates equi-join on any shared
+    * hash-byte band, survivors verify `bit_count(xor)`), so a
+    * re-encode that flips a bit or two on a frame still pairs —
+    * exact-equality matching would silently miss it. The count is over
+    * DISTINCT matched (frame-hash-of-a, frame-hash-of-b) pairs. */
+  def videoNearDup(media: DataFrame, minShared: Long = 2L,
+                   maxHamming: Int = 2): DataFrame = {
     // the self-join consumes the signature frame twice — materialize
     // so every container parses once (dHash economics, see bandPairs)
     val sig = videoFrameHashes(media)
       .select(col("media_id"), col("dhash")).distinct()
       .localCheckpoint(true)
-    sig.as("a").join(sig.as("b"),
-        col("a.dhash") === col("b.dhash") &&
+    val banded = withBandKeys(sig)
+    banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
         col("a.media_id") < col("b.media_id"))
-      .groupBy(col("a.media_id").as("media_a"),
-        col("b.media_id").as("media_b"))
+      .filter(expr("bit_count(a.dhash ^ b.dhash)") <= maxHamming)
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        col("a.dhash").as("__ha"), col("b.dhash").as("__hb"))
+      .distinct() // a pair found via several bands counts once
+      .groupBy("media_a", "media_b")
       .agg(count(lit(1)).as("n_shared_frames"))
       .filter(col("n_shared_frames") >= minShared)
   }
@@ -811,37 +857,6 @@ object Multimodal {
           greatest(col("meta.duration_ms") - 1, lit(0L)),
           lit(everyMs))).as("frame_ts_ms"))
 
-  /** Frame-signature near-duplicate detection — the video
-    * copy-detection shape: every sampled frame gets a fingerprint, and
-    * media sharing ≥ `minShared` identical fingerprints pair as
-    * near-dup candidates. The frames EQUI-JOIN on the fingerprint key —
-    * never an all-pairs media join — so a 100 TB video table pairs at
-    * the cost of one frame-key shuffle, exactly [[graft.ext.Dedup.sharedSubstring]]'s
-    * economics with frames standing in for token windows. The
-    * fingerprint is md5(payload-hash : frame-index) — a deterministic,
-    * collision-free stand-in for a perceptual frame hash (pHash /
-    * videohash in a real deployment; this container cannot decode real
-    * video, so per SURVEY stub policy the hash is fake but the plumbing
-    * — sampling, keying, join shape, pair semantics — is real). Image
-    * rows have no frames and never pair. */
-  def frameNearDup(decoded: DataFrame, everyMs: Long = 60000L,
-                   minShared: Long = 2L): DataFrame = {
-    val sig = frameSample(decoded, everyMs)
-      .join(decoded.select(col("media_id"), md5(col("payload")).as("__ph")),
-        Seq("media_id"))
-      .select(col("media_id"),
-        md5(concat(col("__ph"), lit(":"),
-          expr(s"frame_ts_ms div $everyMs").cast("string"))).as("__sig"))
-      .distinct()
-    sig.as("a").join(sig.as("b"),
-        col("a.__sig") === col("b.__sig") &&
-        col("a.media_id") < col("b.media_id"))
-      .groupBy(col("a.media_id").as("media_a"),
-        col("b.media_id").as("media_b"))
-      .agg(count(lit(1)).as("n_shared_frames"))
-      .filter(col("n_shared_frames") >= minShared)
-  }
-
   /** ===== REAL FEATURE EXTRACTION (image formats the JDK ships) =====
     * Per-channel grid-cell pixel statistics: each decodable payload is
     * fully pixel-decoded in `mapPartitions` and reduced to EXACT
@@ -929,9 +944,19 @@ object Multimodal {
       .select(col("media_id"),
         transform(col("__sorted"), e => e("v").cast("float"))
           .as("features"))
+    // the stub fallback must honor the SAME grid²·6 dimensionality as
+    // the real vectors — the Similarity/ANN ops assume one fixed dim
+    // per table, and a mixed 8/24-dim column breaks every distance
+    // computation downstream. md5 yields 16 bytes; dims past 16 draw
+    // from md5(md5hex) (deterministic second digest).
+    val dims = grid * grid * 6
     val h = md5(col("payload"))
-    val stubArr = array((1 to 8).map(i =>
-      (md5Byte(h, i).cast("double") / 127.5 - 1.0).cast("float")): _*)
+    val h2 = md5(h)
+    val stubArr = array((0 until dims).map { i =>
+      val b = if (i < 16) md5Byte(h, i + 1)
+              else md5Byte(h2, (i - 16) % 16 + 1)
+      (b.cast("double") / 127.5 - 1.0).cast("float")
+    }: _*)
     media.join(stats, Seq("media_id"), "left")
       .withColumn("features", coalesce(col("features"), stubArr))
   }

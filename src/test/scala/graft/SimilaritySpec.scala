@@ -165,20 +165,27 @@ class SimilaritySpec extends SparkSpec {
     assert(byId(1L) == 3L)
   }
 
-  test("frame near-dup: identical payloads pair on shared frames, images never pair") {
-    val blob = "x" * 1300                      // 131s stub duration → 3 frames
-    val docs = Seq((0L, blob), (1L, blob), (2L, blob), (4L, "y" * 1300))
-      .toDF("doc_id", "text")                  // 0=image, 1=audio, 2=video, 4=audio
-    val out = Multimodal.frameNearDup(
-        Multimodal.decode(Multimodal.synthesize(docs, "doc_id", "text")))
+  test("video near-dup tolerates per-frame hamming: tweaked copies pair, exact matching would miss them") {
+    val ids = Seq(2L, 5L).toDF("id")
+    val base = Multimodal.synthesizeGifs(ids, "id", nFrames = 3)
+    // every frame cell-swapped: each frame hash lands at hamming 1-2
+    // from its base frame — NO frame hash is exactly equal
+    val tweaked = Multimodal.tweakGifs(
+      base.filter(col("media_id") === 2), shiftId = 100L)
+    val all = base.unionByName(tweaked)
+    val fh = Multimodal.videoFrameHashes(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (f <- 0L until 3L) {
+      val d = java.lang.Long.bitCount(fh((2L, f)) ^ fh((102L, f)))
+      assert(d >= 1 && d <= 2, s"frame $f tweak hamming $d")
+    }
+    // banded hamming<=2 matching pairs all 3 frames; raising the bar
+    // to exact equality (maxHamming=0) finds nothing — the regression
+    // the tolerant matcher exists to prevent
+    val out = Multimodal.videoNearDup(all, maxHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // only the audio/video pair with the SAME payload pairs; the image
-    // copy (id 0) has no frames, the different payload (id 4) no match
-    assert(out.toSeq == Seq((1L, 2L, 3L)))
-    // raising minShared above the shared-frame count empties the result
-    assert(Multimodal.frameNearDup(
-      Multimodal.decode(Multimodal.synthesize(docs, "doc_id", "text")),
-      minShared = 4L).count() == 0L)
+    assert(out.toSeq == Seq((2L, 102L, 3L)))
+    assert(Multimodal.videoNearDup(all, maxHamming = 0).count() == 0L)
   }
 
   test("dHash: perturbed re-encode keeps the hash, distinct ids differ") {
@@ -325,7 +332,8 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(stats((0L, 0L, 2L)) == ((n, sum, sq)))
     // float features: grid^2*6 = 24 dims, means in [0,1]; a
-    // non-decodable row falls back to the 8-dim md5 stub
+    // non-decodable row falls back to an md5 stub padded to the SAME
+    // 24 dims — a mixed table stays one fixed-dim ANN-ready column
     val mixed = imgs.unionByName(
       Seq((99L, "image", "not a png".getBytes))
         .toDF("media_id", "kind", "payload"))
@@ -335,7 +343,8 @@ class SimilaritySpec extends SparkSpec {
     assert(f(5L).length == 24)
     assert(f(5L).zipWithIndex.filter(_._2 % 2 == 0) // means
       .forall { case (v, _) => v >= 0f && v <= 1f })
-    assert(f(99L).length == 8)
+    assert(f(99L).length == 24)
+    assert(f(99L).forall(v => v >= -1.0f && v <= 1.0f))
   }
 
   test("feature extraction stub emits fixed-dim float arrays in [-1,1]") {
