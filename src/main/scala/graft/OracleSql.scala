@@ -686,9 +686,13 @@ JOIN nodeids n ON v.fragment = n.id
 LEFT JOIN (SELECT DISTINCT id FROM seeds) s ON v.fragment = s.id
 LEFT JOIN sdeg d ON v.fragment = d.id"""))
 
-  /** S12: the response memo-cache batch semantics — memo hits keep the
-    * STORED response (so a recompute would hash-mismatch), distinct
-    * miss keys get one token-index lookup each. */
+  /** S12: the response memo-cache batch semantics over the REAL
+    * serving payload — memo hits keep the STORED response (so a
+    * recompute would hash-mismatch), distinct miss keys each get the
+    * full served search → rendered Cytoscape document (the
+    * q6_search_subnet derivation keyed per request key, assembled into
+    * the byte-exact document string; "{}" for keys matching ≤1 node,
+    * the empty-result guard). */
   private val s12Sql: String = gq(raw"""
 , reqs AS (SELECT o_orderkey AS request_id,
     'S'||(o_orderkey%150) AS key FROM orders),
@@ -700,15 +704,48 @@ tok AS (SELECT DISTINCT fragment, token FROM (
   FROM verts) u),
 misskeys AS (SELECT DISTINCT key FROM reqs
   WHERE key NOT IN (SELECT key FROM memo)),
-fresh AS (SELECT k.key,
-    'hits:'||coalesce(string_agg(DISTINCT t.fragment, ','
-      ORDER BY t.fragment), '') AS response
-  FROM misskeys k LEFT JOIN tok t ON t.token = lower(k.key)
-  GROUP BY k.key)
+seeds AS (SELECT k.key, t.fragment AS id
+  FROM misskeys k JOIN tok t ON t.token = lower(k.key)),
+esym AS (SELECT src, dst FROM simplified
+  UNION ALL SELECT dst, src FROM simplified),
+ehop AS (SELECT DISTINCT key, id FROM (
+  SELECT s.key, e.dst AS id FROM esym e JOIN seeds s ON e.src = s.id
+  UNION ALL SELECT key, id FROM seeds) u),
+sedges AS MATERIALIZED (SELECT h1.key, e.src, e.dst FROM simplified e
+  JOIN ehop h1 ON e.src = h1.id
+  JOIN ehop h2 ON e.dst = h2.id AND h2.key = h1.key),
+nodeids AS (SELECT DISTINCT key, id FROM (
+  SELECT key, src AS id FROM sedges UNION ALL SELECT key, dst FROM sedges
+  UNION ALL SELECT key, id FROM seeds) u),
+sdeg AS (SELECT key, id, count(*) AS degree FROM (
+  SELECT key, src AS id FROM sedges
+  UNION ALL SELECT key, dst FROM sedges) u GROUP BY key, id),
+nels AS (SELECT n.key, 0 AS g, v.fragment AS k1, '' AS k2,
+    '{"data":{"id":"'||v.fragment||'","names":"'||v.gene_names
+    ||'","chr":"'||v.chr||'","start":'||v."start"||',"end":'||v."end"
+    ||',"type":"'||v.type||'","searched":"'
+    ||CASE WHEN s.id IS NOT NULL THEN 'true' ELSE 'false' END
+    ||'","degree":'||coalesce(d.degree, 0)||'},"group":"nodes"}' AS element
+  FROM nodeids n JOIN verts v ON v.fragment = n.id
+  LEFT JOIN (SELECT DISTINCT key, id FROM seeds) s
+    ON s.key = n.key AND s.id = n.id
+  LEFT JOIN sdeg d ON d.key = n.key AND d.id = n.id),
+eels AS (SELECT key, 1 AS g, src AS k1, dst AS k2,
+    '{"data":{"source":"'||src||'","target":"'||dst||'","id":"'
+    ||src||'~'||dst||'"},"group":"edges"}' AS element
+  FROM sedges),
+docs AS (SELECT key,
+    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS nn,
+    string_agg(element, ',' ORDER BY g, k1, k2) AS body
+  FROM (SELECT * FROM nels UNION ALL SELECT * FROM eels) a GROUP BY key),
+fresh AS (SELECT m.key,
+    CASE WHEN coalesce(d.nn, 0) <= 1 THEN '{}'
+         ELSE '['||d.body||']' END AS response
+  FROM misskeys m LEFT JOIN docs d ON d.key = m.key)
 SELECT r.request_id, r.key,
-       coalesce(m.response, f.response) AS response,
-       (m.key IS NOT NULL) AS cached
-FROM reqs r LEFT JOIN memo m ON m.key = r.key
+       coalesce(mm.response, f.response) AS response,
+       (mm.key IS NOT NULL) AS cached
+FROM reqs r LEFT JOIN memo mm ON mm.key = r.key
 LEFT JOIN fresh f ON f.key = r.key""")
 
   // -------------------------------------------------- G8 layout oracles
@@ -2353,7 +2390,10 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
     // snapshot-SERVED search must be row-identical to rebuilt-served:
     // the S9 parquet round-trip + inverted-index lookup serve path is
     // pinned against the rebuild path's exact oracle
-    "q6_search_served" -> graph("q6_search_subnet"))
+    "q6_search_served" -> graph("q6_search_subnet"),
+    // the served Q5 range form: snapshot-served must be row-identical
+    // to the rebuilt range search (induced-only subnet = the seed set)
+    "q5_range_served" -> graph("q5_range_search"))
 
   val all: Map[String, String] =
     graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++

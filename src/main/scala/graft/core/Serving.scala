@@ -75,6 +75,55 @@ object Serving {
     else Search.search(sd.nodes, sd.edges, ensembl2name, q, expand, nearest)
   }
 
+  /** A BATCH of gene-name searches served end-to-end as ONE relational
+    * plan: every key (a single-token gene name) resolves through the
+    * inverted index to its seed set, per-key ego subnets derive in one
+    * keyed pass over the pinned edges, and each key's Cytoscape
+    * document renders distributedly
+    * ([[graft.io.CytoscapeJson.renderPerKey]]) — the reference's
+    * per-request R-pipeline + JSON response (search_query.R:19-30),
+    * but N requests cost one plan, not N processes. Keys matching
+    * nothing get the "{}" empty-result guard, exactly like a served
+    * single search. Output: DF(key, response). */
+  def geneSearchDocs(sd: ServedDataset, keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ks = keys.select("key").distinct().localCheckpoint(eager = true)
+    val seeds = ks.join(sd.index, lower(ks("key")) === sd.index("token"))
+      .select(col("key"), col("fragment").as("id")).distinct()
+      .localCheckpoint(eager = true) // read 4x below (hop/induced/flag)
+    val edges = sd.edges.select("src", "dst")
+    val sym = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // per-key 1-hop closure, then the induced edge set on it — the
+    // subnetFromSeeds(ego = true) semantics with `key` riding along
+    val hop = sym.join(seeds.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("key"), col("dst").as("id"))
+      .unionAll(seeds)
+      .distinct()
+    val sedges = edges
+      .join(hop.select(col("key"), col("id").as("src")), Seq("src"))
+      .join(hop.select(col("key"), col("id").as("dst")), Seq("key", "dst"))
+      .select(col("key"), col("src"), col("dst"))
+      .localCheckpoint(eager = true) // endpoints read 2x (ids + degree)
+    val ends = sedges.select(col("key"), col("src").as("id"))
+      .unionAll(sedges.select(col("key"), col("dst").as("id")))
+    val nodeIds = ends.unionAll(seeds).distinct()
+    val deg = ends.groupBy("key", "id").agg(count(lit(1)).as("degree"))
+    val nodes = sd.nodes
+      .join(nodeIds.withColumnRenamed("id", "fragment"), Seq("fragment"))
+      .join(seeds.select(col("key"), col("id").as("fragment"),
+        lit(true).as("__seed")), Seq("key", "fragment"), "left")
+      .withColumn("searched", coalesce(col("__seed"), lit(false)))
+      .drop("__seed")
+      .join(deg.withColumnRenamed("id", "fragment"),
+        Seq("key", "fragment"), "left")
+      .na.fill(0L, Seq("degree"))
+    // every requested key gets a response — "{}" when nothing matched
+    ks.join(graft.io.CytoscapeJson.renderPerKey(nodes, sedges, "key"),
+        Seq("key"), "left")
+      .select(col("key"), coalesce(col("doc"), lit("{}")).as("response"))
+  }
+
   // -------------------------------------------------------------------
   // S12: response memo-cache
   // -------------------------------------------------------------------

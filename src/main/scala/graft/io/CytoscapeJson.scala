@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
 object CytoscapeJson {
 
   /** The node `data` struct (shared by every sink form). Extra columns
-    * (features, degree, …) are carried into `data` automatically. */
-  private def nodeStruct(nodes: DataFrame): Column = {
+    * (features, degree, …) are carried into `data` automatically;
+    * `exclude` names plumbing columns (e.g. a request key) that must
+    * NOT leak into the document. */
+  private def nodeStruct(nodes: DataFrame,
+                         exclude: Set[String] = Set.empty): Column = {
     val base = Seq("fragment", "gene_names", "chr", "start", "end", "type")
     val extras = nodes.columns.filterNot(base.contains)
+      .filterNot(exclude.contains)
     val searched =
       if (nodes.columns.contains("searched"))
         Seq(when(col("searched"), lit("true")).otherwise(lit("false"))
@@ -67,6 +71,37 @@ object CytoscapeJson {
   /** Edge elements: id = "source~target". */
   def edgeElements(edges: DataFrame): DataFrame =
     edges.select(to_json(edgeStruct(edges)).as("element"))
+
+  /** ONE rendered document per key, fully distributed: nodes and edges
+    * carry a request-key column, elements render per (key, element)
+    * with [[render]]'s exact semantics (nodes sorted by fragment, then
+    * edges by (src, dst); "{}" for ≤1 node element), and each key's
+    * document assembles inside ONE aggregation — no driver loop over
+    * keys, no per-key plan. A whole BATCH of interactive requests is
+    * thus one relational plan whose output is DF(keyCol, doc). Each
+    * document materializes in a single aggregation buffer, which is the
+    * serving contract's bound (documents are search responses, not the
+    * whole chromnet); keys absent from `nodes` produce no row — callers
+    * wanting the "{}" guard for them left-join against their key set. */
+  def renderPerKey(nodes: DataFrame, edges: DataFrame,
+                   keyCol: String): DataFrame = {
+    val nEls = nodes.select(col(keyCol), lit(0).as("__g"),
+      col("fragment").as("__k1"), lit("").as("__k2"),
+      to_json(nodeStruct(nodes, exclude = Set(keyCol))).as("element"))
+    val eEls = edges.select(col(keyCol), lit(1).as("__g"),
+      col("src").as("__k1"), col("dst").as("__k2"),
+      to_json(edgeStruct(edges)).as("element"))
+    nEls.unionAll(eEls)
+      .groupBy(keyCol)
+      .agg(sum(when(col("__g") === 0, 1L).otherwise(0L)).as("__n"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("__g"), col("__k1"), col("__k2"), col("element")))),
+          e => e.getField("element")), ",").as("__body"))
+      .select(col(keyCol),
+        when(col("__n") <= 1L, lit("{}"))
+          .otherwise(concat(lit("["), col("__body"), lit("]"))).as("doc"))
+  }
 
   /** All document elements with their document-order sort key
     * (nodes by fragment, then edges by (src, dst)) — the distributed

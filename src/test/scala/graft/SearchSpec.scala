@@ -147,6 +147,29 @@ class SearchSpec extends SparkSpec {
     Seq(sd.nodes, sd.edges, sd.index).foreach(_.unpersist(blocking = false))
   }
 
+  test("batched served documents are byte-identical to per-key render") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("serving_docs").toString
+    graft.core.Serving.buildSnapshot(nodes, edges, dir)
+    val sd = graft.core.Serving.open(spark, dir)
+    val keys = Seq("EZH2", "KRAS", "NOSUCHGENE").toDF("key")
+    val batch = graft.core.Serving.geneSearchDocs(sd, keys)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch.keySet == Set("EZH2", "KRAS", "NOSUCHGENE"))
+    // each batched document == the single-request serve + render bytes
+    // (render in document order — nodes by fragment, edges by
+    // (src, dst), the writeDocument/renderPerKey canonical order)
+    for (k <- Seq("EZH2", "KRAS")) {
+      val single = graft.core.Serving.geneSearch(sd, k)
+      assert(batch(k) == graft.io.CytoscapeJson.render(
+        single.nodes.orderBy("fragment"),
+        single.edges.orderBy("src", "dst")), s"doc mismatch for $k")
+    }
+    // a key matching nothing gets the empty-result guard
+    assert(batch("NOSUCHGENE") == "{}")
+    Seq(sd.nodes, sd.edges, sd.index).foreach(_.unpersist(blocking = false))
+  }
+
   test("S12 response cache: hits served from memo, one compute per key") {
     import spark.implicits._
     val reqs = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
