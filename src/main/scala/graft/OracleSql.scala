@@ -847,21 +847,125 @@ p$k AS MATERIALIZED (SELECT component, id,
       JOIN c$k c ON c.component = p.component) f0) f1) f2)"""
   }
 
-  private val g8CoseSql: String = {
-    val params = graft.core.Layout.CoseParams()
-    val init = raw"""
+  private val g8CoseInit = raw"""
 p0 AS MATERIALIZED (SELECT l.component, l.id,
   CAST(('0x'||substr(md5(l.id),1,12)) AS BIGINT) % n.span AS xm,
   CAST(('0x'||substr(md5(l.id),13,12)) AS BIGINT) % n.span AS ym
  FROM lcomp l JOIN (SELECT component,
     CAST(floor(ceil(sqrt(CAST(count(*) AS DOUBLE)))*100.0*1000000.0+0.5) AS BIGINT) AS span
   FROM lcomp GROUP BY component) n ON n.component = l.component)"""
+
+  private val g8CoseSql: String = {
+    val params = graft.core.Layout.CoseParams()
     val stages = graft.core.Layout.temps(params).zipWithIndex
       .map { case (t, i) => g8CoseStage(i + 1, t) }.mkString(",")
     val rel = s""",
 lrel AS (SELECT component, id, xm AS x_micro, ym AS y_micro
   FROM p${params.iters}),"""
-    gq(layoutCtes + "," + init + "," + stages + rel + g8PackSql("lrel"))
+    gq(layoutCtes + "," + g8CoseInit + "," + stages + rel + g8PackSql("lrel"))
+  }
+
+  // -------------------------------------------- G8 Barnes-Hut far field
+  /** Negative-safe floor division (exact-multiple numerator → integer
+    * division is exact): mirrors Layout.fdivSql with DuckDB's `//`. */
+  private def bhFdiv(a: String, s: String): String =
+    s"(($a - ((($a % $s) + $s) % $s)) // $s)"
+
+  /** One grid-binned far-field iteration: per-level cell monopoles
+    * (count + integer-floor centroid), near field exact over the
+    * level-0 3×3 neighborhood, far field as parent-adjacent /
+    * self-non-adjacent monopole terms per level plus the top-level
+    * catch-all — every force term micro-quantized exactly like
+    * Layout.coseBarnesHut, so the iterated result is hash-exact. */
+  private def g8CoseBhStage(k: Int, temp: Double, levels: Int): String = {
+    val p = s"p${k - 1}"
+    val t = temp.toString
+    def s(l: Int): String = (100000000L << l).toString
+    val cellCtes = (0 to levels).map { l =>
+      raw"""
+bl${l}_$k AS MATERIALIZED (SELECT component, cx, cy, n,
+  ${bhFdiv("sx", "n")} AS cmx, ${bhFdiv("sy", "n")} AS cmy
+ FROM (SELECT component, ${bhFdiv("xm", s(l))} AS cx,
+    ${bhFdiv("ym", s(l))} AS cy, count(*) AS n,
+    CAST(sum(xm) AS BIGINT) AS sx, CAST(sum(ym) AS BIGINT) AS sy
+  FROM $p GROUP BY 1, 2, 3) g)"""
+    }.mkString(",")
+    val nearSql = raw"""
+  SELECT component, id,
+    CAST(floor(dx*10000.0/greatest(dx*dx+dy*dy,0.01)*1000000.0+0.5) AS BIGINT) AS tx,
+    CAST(floor(dy*10000.0/greatest(dx*dx+dy*dy,0.01)*1000000.0+0.5) AS BIGINT) AS ty
+  FROM (SELECT u.component AS component, u.id AS id,
+      CAST(u.xm AS DOUBLE)/1000000.0 - CAST(v.xm AS DOUBLE)/1000000.0 AS dx,
+      CAST(u.ym AS DOUBLE)/1000000.0 - CAST(v.ym AS DOUBLE)/1000000.0 AS dy
+    FROM $p u JOIN $p v ON v.component = u.component AND v.id <> u.id
+      AND abs(${bhFdiv("v.xm", s(0))} - ${bhFdiv("u.xm", s(0))}) <= 1
+      AND abs(${bhFdiv("v.ym", s(0))} - ${bhFdiv("u.ym", s(0))}) <= 1) qn"""
+    def monoSql(src: String, cond: String): String = raw"""
+  SELECT component, id,
+    CAST(floor(dx*10000.0/greatest(dx*dx+dy*dy,0.01)*CAST(n AS DOUBLE)*1000000.0+0.5) AS BIGINT) AS tx,
+    CAST(floor(dy*10000.0/greatest(dx*dx+dy*dy,0.01)*CAST(n AS DOUBLE)*1000000.0+0.5) AS BIGINT) AS ty
+  FROM (SELECT u.component AS component, u.id AS id, c.n AS n,
+      CAST(u.xm AS DOUBLE)/1000000.0 - CAST(c.cmx AS DOUBLE)/1000000.0 AS dx,
+      CAST(u.ym AS DOUBLE)/1000000.0 - CAST(c.cmy AS DOUBLE)/1000000.0 AS dy
+    FROM $p u JOIN $src c ON c.component = u.component
+      AND ($cond)) qm"""
+    val farSqls = (0 until levels).map { l =>
+      monoSql(s"bl${l}_$k", raw"""
+        abs(${bhFdiv("c.cx", "2")} - ${bhFdiv("u.xm", s(l + 1))}) <= 1
+        AND abs(${bhFdiv("c.cy", "2")} - ${bhFdiv("u.ym", s(l + 1))}) <= 1
+        AND (abs(c.cx - ${bhFdiv("u.xm", s(l))}) > 1
+             OR abs(c.cy - ${bhFdiv("u.ym", s(l))}) > 1)""")
+    }
+    val topSql = monoSql(s"bl${levels}_$k", raw"""
+        abs(c.cx - ${bhFdiv("u.xm", s(levels))}) > 1
+        OR abs(c.cy - ${bhFdiv("u.ym", s(levels))}) > 1""")
+    val repSql = raw"""
+r$k AS MATERIALIZED (SELECT component, id,
+  CAST(sum(tx) AS BIGINT) AS rx, CAST(sum(ty) AS BIGINT) AS ry
+ FROM (${(nearSql +: farSqls :+ topSql).mkString("\n  UNION ALL\n")}) allt
+ GROUP BY component, id)"""
+    val tailSql = raw"""
+c$k AS MATERIALIZED (SELECT component, (CAST(sum(xm) AS DOUBLE)/count(*))/1000000.0 AS cx,
+  (CAST(sum(ym) AS DOUBLE)/count(*))/1000000.0 AS cy FROM $p GROUP BY component),
+t$k AS MATERIALIZED (SELECT id,
+  CAST(sum(CASE WHEN d2 = 0 THEN 0 ELSE CAST(floor(-(dx*sqrt(d2)/100.0)*1000000.0+0.5) AS BIGINT) END) AS BIGINT) AS tx,
+  CAST(sum(CASE WHEN d2 = 0 THEN 0 ELSE CAST(floor(-(dy*sqrt(d2)/100.0)*1000000.0+0.5) AS BIGINT) END) AS BIGINT) AS ty
+ FROM (SELECT id, dx, dy, dx*dx + dy*dy AS d2
+   FROM (SELECT e.src AS id,
+      CAST(pa.xm AS DOUBLE)/1000000.0 - CAST(pb.xm AS DOUBLE)/1000000.0 AS dx,
+      CAST(pa.ym AS DOUBLE)/1000000.0 - CAST(pb.ym AS DOUBLE)/1000000.0 AS dy
+    FROM ssym e JOIN $p pa ON pa.id = e.src JOIN $p pb ON pb.id = e.dst) q0) q1
+ GROUP BY id),
+p$k AS MATERIALIZED (SELECT component, id,
+  CAST(floor((x + fdx*scale)*1000000.0+0.5) AS BIGINT) AS xm,
+  CAST(floor((y + fdy*scale)*1000000.0+0.5) AS BIGINT) AS ym
+ FROM (SELECT component, id, x, y, fdx, fdy,
+    CASE WHEN len > $t THEN $t/len ELSE 1.0 END AS scale
+  FROM (SELECT component, id, x, y,
+     CAST(fxm AS DOUBLE)/1000000.0 AS fdx, CAST(fym AS DOUBLE)/1000000.0 AS fdy,
+     sqrt((CAST(fxm AS DOUBLE)/1000000.0)*(CAST(fxm AS DOUBLE)/1000000.0) +
+          (CAST(fym AS DOUBLE)/1000000.0)*(CAST(fym AS DOUBLE)/1000000.0)) AS len
+   FROM (SELECT p.component, p.id,
+      CAST(p.xm AS DOUBLE)/1000000.0 AS x, CAST(p.ym AS DOUBLE)/1000000.0 AS y,
+      coalesce(r.rx, 0) + coalesce(t.tx, 0) +
+        CAST(floor(-((CAST(p.xm AS DOUBLE)/1000000.0 - c.cx)*0.25)*1000000.0+0.5) AS BIGINT) AS fxm,
+      coalesce(r.ry, 0) + coalesce(t.ty, 0) +
+        CAST(floor(-((CAST(p.ym AS DOUBLE)/1000000.0 - c.cy)*0.25)*1000000.0+0.5) AS BIGINT) AS fym
+    FROM $p p LEFT JOIN r$k r ON r.component = p.component AND r.id = p.id
+      LEFT JOIN t$k t ON t.id = p.id
+      JOIN c$k c ON c.component = p.component) f0) f1) f2)"""
+    cellCtes + "," + repSql + "," + tailSql
+  }
+
+  private val g8CoseBhSql: String = {
+    val params = graft.core.Layout.CoseParams(iters = 12)
+    val stages = graft.core.Layout.temps(params).zipWithIndex
+      .map { case (t, i) => g8CoseBhStage(i + 1, t, levels = 3) }
+      .mkString(",")
+    val rel = s""",
+lrel AS (SELECT component, id, xm AS x_micro, ym AS y_micro
+  FROM p${params.iters}),"""
+    gq(layoutCtes + "," + g8CoseInit + "," + stages + rel + g8PackSql("lrel"))
   }
 
   private val g8GridSql: String = gq(layoutCtes + raw""",
@@ -914,7 +1018,8 @@ korel AS (SELECT component, id,
     "g8_layout_circle" -> g8CircleSql,
     "g8_layout_concentric" -> g8ConcentricSql,
     "g8_layout_cose" -> g8CoseSql,
-    "g8_layout_cose_dist" -> g8CoseSql)
+    "g8_layout_cose_dist" -> g8CoseSql,
+    "g8_layout_cose_bh" -> g8CoseBhSql)
 
   // -------------------------------------------------- documents oracles
   private val docCtes: String = raw"""

@@ -280,6 +280,14 @@ object QueryDefs {
     "g8_layout_cose_dist" -> ((s, d) => {
       val (n, e) = subnetGraph(s, d); Layout.coseDistributed(n, e)
     }),
+    // the FAR-FIELD regime: grid-binned (Barnes-Hut style) repulsion —
+    // O(n·levels) per iteration instead of the exact twins' O(n²) —
+    // with its own macro-expanded hash oracle replaying the same
+    // cells, interaction lists, and floor arithmetic (iters=12 keeps
+    // the 12-stage expansion tractable in DuckDB)
+    "g8_layout_cose_bh" -> ((s, d) => {
+      val (n, e) = subnetGraph(s, d); Layout.coseBarnesHut(n, e)
+    }),
     // S11 end-to-end: the FULL per-dataset output tree (metadata +
     // suggestions + chromosomes + features_metadata + one streamed
     // Cytoscape document per chromosome) written to a temp dir; the

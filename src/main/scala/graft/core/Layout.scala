@@ -402,6 +402,248 @@ object Layout {
   }
 
   // ---------------------------------------------------------------------
+  // per-document layouts (the S11 tree enrichment)
+  // ---------------------------------------------------------------------
+
+  /** Whole-document grid positions for a CORPUS of documents in one
+    * plan: per document, nodes in id order fill a ceil(sqrt(n))-wide
+    * row-major grid at `spacing` pitch (cytoscape.js 'grid' over the
+    * full document). One window pass partitioned by document — the
+    * layout a million-document tree can afford; positions are exact
+    * LONG multiples of the spacing (never exponent-formatted in JSON,
+    * the reference's sed-fixed failure mode). Output:
+    * DF(doc, id, x, y). */
+  def gridPerDoc(members: DataFrame, spacing: Long = 100L): DataFrame = {
+    val doc = members.columns(0)
+    val id = members.columns(1)
+    val w = Window.partitionBy(doc).orderBy(id)
+    val n = Window.partitionBy(doc)
+    members
+      .withColumn("__j", (row_number().over(w) - lit(1)).cast("long"))
+      .withColumn("__c",
+        ceil(sqrt(count(lit(1)).over(n).cast("double"))).cast("long"))
+      .select(col(doc), col(id),
+        // origin-offset by one pitch: a node at exactly (0,0) is the
+        // reference checker's "not generated positions" sentinel
+        // (chromosomes_positions_checker.sh:12-14)
+        ((pmod(col("__j"), col("__c")) + lit(1L)) * lit(spacing)).as("x"),
+        (((col("__j") - pmod(col("__j"), col("__c"))) / col("__c") +
+          lit(1L)) * lit(spacing)).cast("long").as("y"))
+  }
+
+  /** Per-document CoSE positions for a corpus of documents as ONE
+    * layout call: documents disjoint-union under doc-prefixed ids
+    * ("doc|id" — fragments and chromosome names never contain '|'),
+    * so every (document, component) lays out in its own task and the
+    * packing keeps all fields disjoint; per document the positions are
+    * force-directed and non-degenerate. O(n²·iters) per component —
+    * use for trees of interactively-sized documents; the grid form is
+    * the any-scale default. Output: DF(doc, id, x, y). */
+  def cosePerDoc(members: DataFrame, edges: DataFrame,
+                 p: CoseParams = CoseParams()): DataFrame = {
+    val dCol = members.columns(0)
+    val iCol = members.columns(1)
+    val n2 = members.select(
+      concat_ws("|", col(dCol), col(iCol)).as("id"))
+    val e2 = edges.select(
+      concat_ws("|", col(edges.columns(0)), col(edges.columns(1))).as("src"),
+      concat_ws("|", col(edges.columns(0)), col(edges.columns(2))).as("dst"))
+    cose(n2, e2, p).select(
+      substring_index(col("id"), "|", 1).as("doc"),
+      expr("substring(id, instr(id, '|') + 1)").as("id"),
+      col("x"), col("y"))
+  }
+
+  // ---------------------------------------------------------------------
+  // CoSE far-field regime: grid-binned (Barnes-Hut-style) repulsion
+  // ---------------------------------------------------------------------
+
+  /** Negative-safe integer floor division as a SQL fragment — the ONE
+    * arithmetic primitive the far-field binning adds. Both engines
+    * evaluate the identical formula ((a - ((a%s)+s)%s) intdiv s); the
+    * numerator is an exact multiple of s, so truncating integer
+    * division equals floor division with no float anywhere (a double
+    * path would lose exactness once |a| nears 2^53 — a real sum of
+    * micro-coordinates over a dense cell at cluster scale). */
+  private def fdivSql(a: String, s: String): String =
+    s"(($a - ((($a % $s) + $s) % $s)) div $s)"
+
+  /** Measured one-task-vs-BH crossover (graft.BhProbe, local[32],
+    * single ring component, iters=12/levels=3): exact coseLocal wins
+    * below ~2k nodes (3.5 s at 2k vs BH's ~12 s of fixed per-round
+    * stage overhead), the curves cross at ~4k (11.1 s vs 12.3 s), and
+    * exact's quadratic term then runs away — 40.9 s vs 14.5 s at 8k,
+    * 158.9 s vs 28.0 s at 16k (~4x per doubling vs BH's ~2x).
+    * Components above this size should take the far-field regime. */
+  val BhMinNodes = 4000L
+
+  /** CoSE with GRID-BINNED far-field repulsion — the 100 TB regime for
+    * a pathological giant component, replacing the per-component
+    * all-pairs self-join (O(n²) per iteration) with an FMM-style
+    * interaction-list scheme that is O(n·levels) per iteration:
+    *
+    *   - the plane is binned at `levels`+1 dyadic cell sizes,
+    *     S_l = idealEdge·2^l micro-units;
+    *   - NEAR field (Chebyshev cell distance ≤ 1 at level 0) stays
+    *     exact pairwise — one equi-join on the 9 exploded neighbor
+    *     cell keys, bounded by local density, never all-pairs;
+    *   - FAR field: each level-l cell whose PARENT (level l+1) is
+    *     within the 3×3 neighborhood of the node's parent cell, but
+    *     which is itself OUTSIDE the node's level-l 3×3 neighborhood,
+    *     acts as one monopole (count n, integer-floor centroid) —
+    *     ≤ 27 cells per level per node; cells not adjacent at the TOP
+    *     level interact as top-level monopoles. Standard FMM
+    *     telescoping: every other node is counted exactly once;
+    *   - every force term micro-quantizes exactly like the exact
+    *     regimes (the monopole term is the pair term × cell count,
+    *     quantized once), so the iteration stays integer-sum
+    *     deterministic under any partitioning and carries a full hash
+    *     oracle (OracleSql.g8CoseBhSql replays the same cells, the
+    *     same interaction lists, the same floor arithmetic).
+    *
+    * The result APPROXIMATES the exact layout (far mass collapses to
+    * centroids) — LayoutSpec pins the deviation on small fixtures; the
+    * layout semantics (non-degenerate force-directed positions) are
+    * what the reference contract needs. Default iters=12 keeps the
+    * macro-expanded oracle tractable; [[BhMinNodes]] documents the
+    * measured component size where this regime overtakes the exact
+    * one-task regime. */
+  def coseBarnesHut(nodes: DataFrame, edges: DataFrame,
+                    p: CoseParams = CoseParams(iters = 12),
+                    levels: Int = 3): DataFrame = {
+    val comp = components(nodes, edges).localCheckpoint(eager = true)
+    val k = p.idealEdge
+    val k2 = k * k
+    val s0 = math.floor(k * MicroD + 0.5).toLong
+    val counts = comp.groupBy("component").agg(count(lit(1)).as("__n"))
+    var pos = comp.join(counts, Seq("component"))
+      .select(col("component"), col("id"),
+        (seedCol(col("id"), 1) % spanMicroCol(col("__n"), k)).as("x_micro"),
+        (seedCol(col("id"), 13) % spanMicroCol(col("__n"), k)).as("y_micro"))
+      .localCheckpoint(eager = true)
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    def xd(c: Column): Column = c.cast("double") / lit(MicroD)
+    def q(c: Column): Column =
+      floor(c * lit(MicroD) + lit(0.5)).cast("long")
+    val offs = for (di <- -1L to 1L; dj <- -1L to 1L) yield (di, dj)
+    for (temp <- temps(p)) {
+      // positions + their cell coordinates at every level
+      val pc = (0 to levels).foldLeft(pos) { (d, l) =>
+        val s = s0 << l
+        d.withColumn(s"c${l}x", expr(fdivSql("x_micro", s.toString)))
+          .withColumn(s"c${l}y", expr(fdivSql("y_micro", s.toString)))
+      }
+      // per-level cell monopoles: count + integer-floor centroid
+      val cells = (0 to levels).map { l =>
+        pc.groupBy(col("component"), col(s"c${l}x").as("cx"),
+            col(s"c${l}y").as("cy"))
+          .agg(count(lit(1)).as("n"), sum("x_micro").as("sx"),
+            sum("y_micro").as("sy"))
+          .select(col("component"), col("cx"), col("cy"), col("n"),
+            expr(fdivSql("sx", "n")).as("cmx"),
+            expr(fdivSql("sy", "n")).as("cmy"))
+      }
+      // near field: exact pair terms over the 9-cell neighborhood
+      val uN = pc.select(col("component"), col("id"), col("x_micro"),
+        col("y_micro"),
+        explode(array(offs.map { case (di, dj) =>
+          struct((col("c0x") + lit(di)).as("kx"),
+            (col("c0y") + lit(dj)).as("ky")) }: _*)).as("nb"))
+        .select(col("component"), col("id"), col("x_micro"), col("y_micro"),
+          col("nb.kx").as("kx"), col("nb.ky").as("ky"))
+      val vN = pc.select(col("component"), col("c0x").as("kx"),
+        col("c0y").as("ky"), col("id").as("vid"),
+        col("x_micro").as("vxm"), col("y_micro").as("vym"))
+      val dxN = xd(col("x_micro")) - xd(col("vxm"))
+      val dyN = xd(col("y_micro")) - xd(col("vym"))
+      val d2cN = greatest(dxN * dxN + dyN * dyN, lit(p.minDist2))
+      val nearT = uN.join(vN, Seq("component", "kx", "ky"))
+        .filter(col("id") =!= col("vid"))
+        .select(col("component"), col("id"),
+          q(dxN * lit(k2) / d2cN).as("tx"),
+          q(dyN * lit(k2) / d2cN).as("ty"))
+      // far field per level: parent-adjacent, self-non-adjacent cells
+      val dxF = xd(col("x_micro")) - xd(col("cmx"))
+      val dyF = xd(col("y_micro")) - xd(col("cmy"))
+      val d2cF = greatest(dxF * dxF + dyF * dyF, lit(p.minDist2))
+      val mono = Seq(
+        q(dxF * lit(k2) / d2cF * col("n").cast("double")).as("tx"),
+        q(dyF * lit(k2) / d2cF * col("n").cast("double")).as("ty"))
+      val farTs = (0 until levels).map { l =>
+        val cl = cells(l).select(col("component"),
+          expr(fdivSql("cx", "2")).as("pkx"),
+          expr(fdivSql("cy", "2")).as("pky"),
+          col("cx"), col("cy"), col("n"), col("cmx"), col("cmy"))
+        val uF = pc.select(col("component"), col("id"), col("x_micro"),
+          col("y_micro"), col(s"c${l}x").as("ucx"), col(s"c${l}y").as("ucy"),
+          explode(array(offs.map { case (di, dj) =>
+            struct((col(s"c${l + 1}x") + lit(di)).as("pkx"),
+              (col(s"c${l + 1}y") + lit(dj)).as("pky")) }: _*)).as("pb"))
+          .select(col("component"), col("id"), col("x_micro"),
+            col("y_micro"), col("ucx"), col("ucy"),
+            col("pb.pkx").as("pkx"), col("pb.pky").as("pky"))
+        uF.join(cl, Seq("component", "pkx", "pky"))
+          .filter(abs(col("cx") - col("ucx")) > 1 ||
+            abs(col("cy") - col("ucy")) > 1)
+          .select(col("component") +: col("id") +: mono: _*)
+      }
+      // top level: any cell not adjacent at the coarsest grid
+      val topT = pc.select(col("component"), col("id"), col("x_micro"),
+          col("y_micro"), col(s"c${levels}x").as("ucx"),
+          col(s"c${levels}y").as("ucy"))
+        .join(cells(levels), Seq("component"))
+        .filter(abs(col("cx") - col("ucx")) > 1 ||
+          abs(col("cy") - col("ucy")) > 1)
+        .select(col("component") +: col("id") +: mono: _*)
+      val rep = (nearT +: farTs :+ topT).reduce(_ unionAll _)
+        .groupBy("component", "id")
+        .agg(sum("tx").as("rx"), sum("ty").as("ry"))
+      // attraction, gravity, temperature-capped move — identical to
+      // the exact distributed twin
+      val cent = pos.groupBy("component").agg(
+        sum("x_micro").as("__sx"), sum("y_micro").as("__sy"),
+        count(lit(1)).as("__n"))
+        .select(col("component"),
+          (col("__sx").cast("double") / col("__n") / lit(MicroD)).as("cx"),
+          (col("__sy").cast("double") / col("__n") / lit(MicroD)).as("cy"))
+      val pa = pos.select(col("id").as("src"),
+        col("x_micro").as("ax"), col("y_micro").as("ay"))
+      val pb = pos.select(col("id").as("dst"),
+        col("x_micro").as("bx"), col("y_micro").as("by"))
+      val dxa = xd(col("ax")) - xd(col("bx"))
+      val dya = xd(col("ay")) - xd(col("by"))
+      val d2a = dxa * dxa + dya * dya
+      val att = sym.join(pa, Seq("src")).join(pb, Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(when(d2a === 0, lit(0L))
+               .otherwise(q(-(dxa * sqrt(d2a) / lit(k))))).as("tx"),
+             sum(when(d2a === 0, lit(0L))
+               .otherwise(q(-(dya * sqrt(d2a) / lit(k))))).as("ty"))
+      val withF = pos
+        .join(rep, Seq("component", "id"), "left")
+        .join(att, Seq("id"), "left")
+        .join(cent, Seq("component"))
+        .select(col("component"), col("id"), col("x_micro"), col("y_micro"),
+          (coalesce(col("rx"), lit(0L)) + coalesce(col("tx"), lit(0L)) +
+            q(-((xd(col("x_micro")) - col("cx")) * lit(p.gravity))))
+            .as("fxm"),
+          (coalesce(col("ry"), lit(0L)) + coalesce(col("ty"), lit(0L)) +
+            q(-((xd(col("y_micro")) - col("cy")) * lit(p.gravity))))
+            .as("fym"))
+      val dxp = col("fxm").cast("double") / lit(MicroD)
+      val dyp = col("fym").cast("double") / lit(MicroD)
+      val len = sqrt(dxp * dxp + dyp * dyp)
+      val scale = when(len > lit(temp), lit(temp) / len).otherwise(lit(1.0))
+      pos = truncatePlan(withF.select(col("component"), col("id"),
+        q(xd(col("x_micro")) + dxp * scale).as("x_micro"),
+        q(xd(col("y_micro")) + dyp * scale).as("y_micro")))
+    }
+    pack(pos, p.spacing)
+  }
+
+  // ---------------------------------------------------------------------
   // component packing
   // ---------------------------------------------------------------------
 

@@ -159,11 +159,22 @@ object Pipeline {
     * into minutes of serial tail. */
   val DocStreamMaxEdges = 20000000L
 
+  /** `docLayout` selects the per-document position enrichment
+    * (pipeline.sh:109-118 / layout_api_enricher:62-77 — the reference
+    * pipes every chr<c>.json through a layout and serves
+    * `position{x,y}` on every node): "grid" (default) is the
+    * whole-document closed form — one window pass, integer coordinates
+    * (never exponent-formatted, the failure mode
+    * chromosomes_positions_checker.sh:9-27 guards), affordable at any
+    * tree scale; "cose" runs the per-document force layout
+    * (Layout.cosePerDoc — interactively-sized documents only, the
+    * reference's own enricher contract); None skips enrichment. */
   def writeDatasetTree(ds: BuiltDataset, outDir: String,
                        features: Option[DataFrame] = None,
                        nReplicates: Int = 3, seed: Long = 42L,
                        chromosomesToWrite: Option[Seq[String]] = None,
-                       distributedDocs: Option[Boolean] = None): Unit = {
+                       distributedDocs: Option[Boolean] = None,
+                       docLayout: Option[String] = Some("grid")): Unit = {
     import graft.io.{CytoscapeJson, MetadataJson}
     import org.apache.spark.storage.StorageLevel
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -262,12 +273,24 @@ object Pipeline {
       val fDocs = fChrs.map { all =>
         timed("chromosomeDocs") {
           val chrs = chromosomesToWrite.getOrElse(all)
+          val positions = docLayout.map {
+            case "grid" =>
+              Layout.gridPerDoc(CytoscapeJson.docMembers(edgesC))
+            case "cose" =>
+              Layout.cosePerDoc(CytoscapeJson.docMembers(edgesC),
+                edgesC.select(explode(array_distinct(array(
+                    split(col("src"), "_").getItem(0),
+                    split(col("dst"), "_").getItem(0)))).as("doc"),
+                  col("src"), col("dst")))
+            case other =>
+              throw new IllegalArgumentException(s"docLayout: $other")
+          }
           if (distributedDocs.getOrElse(nEdges > DocStreamMaxEdges))
             CytoscapeJson.writeChromosomeDocumentLines(nodesC, edgesC, chrs,
-              s"$outDir/chromosomes")
+              s"$outDir/chromosomes", positions)
           else
             CytoscapeJson.writeChromosomeDocuments(nodesC, edgesC, chrs,
-              s"$outDir/chromosomes")
+              s"$outDir/chromosomes", positions)
         }
       }
 

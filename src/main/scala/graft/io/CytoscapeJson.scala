@@ -177,22 +177,43 @@ object CytoscapeJson {
     * dedup'd by construction). Duplicate fragment rows would make the
     * stream writer's ">=2 node elements" guard and the lines writer's
     * ">=2 DISTINCT memberships" guard disagree on degenerate docs. */
-  private def taggedDocElements(nodes: DataFrame,
-                                edges: DataFrame): (DataFrame, DataFrame) = {
+  private def taggedDocElements(nodes: DataFrame, edges: DataFrame,
+                                positions: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     val eTag = edges.withColumn("__doc", explode(array_distinct(array(
       split(col("src"), "_").getItem(0), split(col("dst"), "_").getItem(0)))))
     // a node appears in every document an incident edge touches
     val nDocs = eTag.select(col("__doc"), col("src").as("fragment"))
       .unionAll(eTag.select(col("__doc"), col("dst").as("fragment")))
       .distinct()
-    // node JSON renders ONCE per node (nodeStruct must not see __doc —
-    // extra columns ride into data), then fans out to its documents
-    val nEls = nodes.select(col("fragment").as("__k1"),
-      to_json(nodeStruct(nodes)).as("element"))
-    val tagN = nEls
-      .join(nDocs.withColumnRenamed("fragment", "__k1"), Seq("__k1"))
-      .select(col("__doc"), lit(0).as("__g"), col("__k1"),
-        lit("").as("__k2"), col("element"))
+    val tagN = positions match {
+      case None =>
+        // node JSON renders ONCE per node (nodeStruct must not see
+        // __doc — extra columns ride into data), then fans out
+        val nEls = nodes.select(col("fragment").as("__k1"),
+          to_json(nodeStruct(nodes)).as("element"))
+        nEls.join(nDocs.withColumnRenamed("fragment", "__k1"), Seq("__k1"))
+          .select(col("__doc"), lit(0).as("__g"), col("__k1"),
+            lit("").as("__k2"), col("element"))
+      case Some(pos) =>
+        // layout positions are PER DOCUMENT (the reference lays out
+        // each chr<c>.json independently, layout_enricher:50-94), so
+        // node JSON renders per (document, node) with that document's
+        // position{x,y} — the enriched served shape
+        val joined = nodes
+          .join(nDocs, Seq("fragment"))
+          .join(pos.toDF("__doc", "fragment", "__px", "__py"),
+            Seq("__doc", "fragment"), "left")
+        val inner = nodeStruct(joined,
+          exclude = Set("__doc", "__px", "__py"))
+        joined.select(col("__doc"), lit(0).as("__g"),
+          col("fragment").as("__k1"), lit("").as("__k2"),
+          to_json(struct(
+            inner.getField("data").as("data"),
+            lit("nodes").as("group"),
+            struct(col("__px").as("x"), col("__py").as("y"))
+              .as("position"))).as("element"))
+    }
     // edgeStruct reads only src/dst/type — safe to render on the
     // tagged frame directly (an edge spans at most two documents)
     val tagE = eTag.select(col("__doc"), lit(1).as("__g"),
@@ -201,10 +222,25 @@ object CytoscapeJson {
     (tagN.unionAll(tagE), nDocs)
   }
 
+  /** Per-document node membership — DF(doc, fragment): every node in
+    * every chromosome document an incident edge touches (the SAME
+    * both-endpoint F2 tagging as [[taggedDocElements]]). The layout
+    * input for the tree enrichment
+    * ([[graft.core.Layout.gridPerDoc]] /
+    * [[graft.core.Layout.cosePerDoc]]). */
+  def docMembers(edges: DataFrame): DataFrame = {
+    val eTag = edges.withColumn("__doc", explode(array_distinct(array(
+      split(col("src"), "_").getItem(0), split(col("dst"), "_").getItem(0)))))
+    eTag.select(col("__doc").as("doc"), col("src").as("fragment"))
+      .unionAll(eTag.select(col("__doc"), col("dst")))
+      .distinct()
+  }
+
   def writeChromosomeDocuments(nodes: DataFrame, edges: DataFrame,
-                               chrs: Seq[String], dir: String): Unit = {
+                               chrs: Seq[String], dir: String,
+                               positions: Option[DataFrame] = None): Unit = {
     // only the requested documents (callers may bound the fan-out)
-    val sorted = taggedDocElements(nodes, edges)._1
+    val sorted = taggedDocElements(nodes, edges, positions)._1
       .filter(col("__doc").isin(chrs: _*))
       .orderBy("__doc", "__g", "__k1", "__k2")
 
@@ -300,9 +336,11 @@ object CytoscapeJson {
     * Renames use the local filesystem: swap in a Hadoop FileSystem
     * rename for object-store deployments. */
   def writeChromosomeDocumentLines(nodes: DataFrame, edges: DataFrame,
-                                   chrs: Seq[String], dir: String): Unit = {
+                                   chrs: Seq[String], dir: String,
+                                   positions: Option[DataFrame] = None)
+      : Unit = {
     import nodes.sparkSession.implicits._
-    val (els, nDocs) = taggedDocElements(nodes, edges)
+    val (els, nDocs) = taggedDocElements(nodes, edges, positions)
     // the guard set comes from a cheap membership aggregate, not the
     // rendered elements: documents with <2 node ELEMENTS keep "{}".
     // The semi-join drops memberships whose endpoint has no node row

@@ -103,6 +103,78 @@ class LayoutSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("G8 BH interaction lists partition every pair exactly once") {
+    // the FMM telescoping property the far-field regime rests on:
+    // for ANY point set, every v lands in exactly one of {near
+    // (level-0 3x3), far level l (parent-adjacent at l+1, non-adjacent
+    // at l), top (non-adjacent at the coarsest grid)} — checked
+    // brute-force with the same floor-division arithmetic, including
+    // negative coordinates
+    val s0 = 100000000L
+    val levels = 3
+    def cell(x: Long, l: Int): Long = Math.floorDiv(x, s0 << l)
+    def adj(ax: Long, ay: Long, bx: Long, by: Long): Boolean =
+      math.abs(ax - bx) <= 1 && math.abs(ay - by) <= 1
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 200).map(_ =>
+      (rnd.nextLong() % (40L * s0), rnd.nextLong() % (40L * s0)))
+    for ((ux, uy) <- pts.take(20)) {
+      var counted = 0
+      for ((vx, vy) <- pts if (vx, vy) != ((ux, uy))) {
+        val buckets = Seq.newBuilder[String]
+        if (adj(cell(ux, 0), cell(uy, 0), cell(vx, 0), cell(vy, 0)))
+          buckets += "near"
+        for (l <- 0 until levels)
+          if (adj(cell(ux, l + 1), cell(uy, l + 1),
+                Math.floorDiv(cell(vx, l), 2), Math.floorDiv(cell(vy, l), 2))
+              && !adj(cell(ux, l), cell(uy, l), cell(vx, l), cell(vy, l)))
+            buckets += s"far$l"
+        if (!adj(cell(ux, levels), cell(uy, levels),
+              cell(vx, levels), cell(vy, levels)))
+          buckets += "top"
+        assert(buckets.result().size == 1,
+          s"v=($vx,$vy) for u=($ux,$uy) in buckets ${buckets.result()}")
+        counted += 1
+      }
+      assert(counted == pts.size - 1)
+    }
+  }
+
+  test("G8 BH far-field: deterministic, one-step-faithful, force-directed") {
+    // 30-node cycle: the seeded span is ceil(sqrt(30))*k = 6 level-0
+    // cells wide, so real far-field (non-adjacent) interactions exist
+    // at several levels — the monopole path actually executes
+    val ids = (0 until 30).map(i => f"m$i%02d")
+    val cyc = edgesOf(ids.zip(ids.tail :+ ids.head))
+    import spark.implicits._
+    val p = CoseParams(iters = 12)
+    val bh = posMap(Layout.coseBarnesHut(ids.toDF("id"), cyc, p))
+    val bh2 = posMap(Layout.coseBarnesHut(
+      ids.toDF("id").repartition(7), cyc.repartition(5), p))
+    assert(bh == bh2, "bit-identical under any partitioning")
+    assert(bh.values.toSet.size == 30, "all positions distinct")
+    // ONE iteration stays close to the exact layout's one iteration:
+    // per-step monopole error is small relative to the temp-200 move
+    // cap (multi-step trajectories then diverge chaotically — position
+    // equality after N steps is not a meaningful contract, layout
+    // QUALITY is, asserted below)
+    val e1 = posMap(Layout.coseDistributed(ids.toDF("id"), cyc,
+      p.copy(iters = 1)))
+    val b1 = posMap(Layout.coseBarnesHut(ids.toDF("id"), cyc,
+      p.copy(iters = 1)))
+    val dev1 = ids.map(i => math.hypot(
+      e1(i)._1 - b1(i)._1, e1(i)._2 - b1(i)._2))
+    assert(dev1.max < 30.0,
+      s"one-step BH deviation: max ${dev1.max}")
+    // ...and after 12 iterations (mid-anneal — full convergence takes
+    // ~60, see the exact-regime test) the layout is healthy: no
+    // collapse to a point, no explosion
+    val lens = ids.zip(ids.tail :+ ids.head)
+      .map { case (u, v) => dist(bh, u, v) }
+    assert(lens.forall(l => l > 10 && l < 600),
+      s"BH edge lengths healthy: $lens")
+  }
+
   test("G8 packing: component bounding boxes never overlap") {
     val df = Layout.cose(nodes, edges)
     val boxes = df.groupBy("component")

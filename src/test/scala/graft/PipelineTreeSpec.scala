@@ -31,6 +31,39 @@ class PipelineTreeSpec extends SparkSpec {
     }
   }
 
+  test("tree documents carry non-degenerate layout positions") {
+    // the reference checker's semantics
+    // (chromosomes_positions_checker.sh:9-27): every chromosome
+    // document's nodes carry position{x,y}, the first node is NOT the
+    // (0,0) "not generated" sentinel, and no coordinate is
+    // exponent-formatted (the failure the reference sed-patches)
+    val golden = Paths.get(GoldenTree.goldenDir)
+    val docs = Files.list(golden.resolve("chromosomes")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq
+    assert(docs.nonEmpty)
+    val posRe = """"position":\{"x":(-?\d+(\.\d+)?),"y":(-?\d+(\.\d+)?)\}"""
+      .r
+    docs.foreach { p =>
+      val body = Files.readString(p)
+      if (body != "{}") {
+        val nNodes = """"group":"nodes"""".r.findAllIn(body).size
+        val ps = posRe.findAllMatchIn(body)
+          .map(m => (m.group(1), m.group(3))).toSeq
+        assert(ps.size == nNodes,
+          s"$p: ${ps.size} positions for $nNodes node elements")
+        assert(ps.head != (("0", "0")),
+          s"$p: first node at the (0,0) sentinel")
+        assert(ps.distinct.size > 1, s"$p: positions collapsed")
+        assert(!body.contains("\"position\":{\"x\":null"),
+          s"$p: null position")
+        // exponent-formatted coordinates would fail the regex above —
+        // assert none slipped past it in any position object
+        assert(!""""position":\{[^}]*[eE][+-]""".r
+          .findFirstIn(body).isDefined, s"$p: exponent coordinate")
+      }
+    }
+  }
+
   test("forced-distributed tree write matches the golden documents") {
     // the bulk regime (distributedDocs=true, normally engaged above
     // DocStreamMaxEdges): every chr<c>.json becomes a line DIRECTORY
