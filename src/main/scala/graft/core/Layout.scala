@@ -401,6 +401,40 @@ object Layout {
     pack(pos, p.spacing)
   }
 
+  /** Size-routed CoSE: components at or below `bhMinNodes` run the
+    * exact one-task regime ([[cose]]), larger ones the grid-binned
+    * far-field regime ([[coseBarnesHut]]); the two position sets union
+    * under ONE packing pass (pack is offset-invariant: re-packing
+    * already-packed fields reproduces the single-pack bytes, asserted
+    * in LayoutSpec). The cutoff default is the [[BhMinNodes]] measured
+    * crossover — this is the entry point a mixed corpus calls at any
+    * scale. */
+  def coseRouted(nodes: DataFrame, edges: DataFrame,
+                 p: CoseParams = CoseParams(iters = 12),
+                 bhMinNodes: Long = BhMinNodes): DataFrame = {
+    val comp = components(nodes, edges).localCheckpoint(eager = true)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("__n"))
+    def idsWhere(c: Column) = comp
+      .join(sizes.filter(c).select("component"), Seq("component"))
+      .select("id").localCheckpoint(eager = true)
+    val small = idsWhere(col("__n") <= bhMinNodes)
+    val large = idsWhere(col("__n") > bhMinNodes)
+    // component membership is closed over edges, so semi-joining on
+    // src alone selects each side's full induced edge set
+    def edgesOf(ids: DataFrame) =
+      edges.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+    def relOf(packed: DataFrame) = packed.select(
+      col("component"), col("id"),
+      round(col("x") * lit(MicroD)).cast("long").as("x_micro"),
+      round(col("y") * lit(MicroD)).cast("long").as("y_micro"))
+    val parts =
+      (if (small.isEmpty) Nil
+       else Seq(relOf(cose(small, edgesOf(small), p)))) ++
+      (if (large.isEmpty) Nil
+       else Seq(relOf(coseBarnesHut(large, edgesOf(large), p))))
+    pack(parts.reduce(_ unionAll _), p.spacing)
+  }
+
   // ---------------------------------------------------------------------
   // per-document layouts (the S11 tree enrichment)
   // ---------------------------------------------------------------------
@@ -436,9 +470,11 @@ object Layout {
     * ("doc|id" — fragments and chromosome names never contain '|'),
     * so every (document, component) lays out in its own task and the
     * packing keeps all fields disjoint; per document the positions are
-    * force-directed and non-degenerate. O(n²·iters) per component —
-    * use for trees of interactively-sized documents; the grid form is
-    * the any-scale default. Output: DF(doc, id, x, y). */
+    * force-directed and non-degenerate. Size-routed ([[coseRouted]]):
+    * components above the measured [[BhMinNodes]] crossover take the
+    * far-field regime instead of the O(n²) exact one, so one oversized
+    * document can't blow the tree write; the grid form remains the
+    * any-scale default. Output: DF(doc, id, x, y). */
   def cosePerDoc(members: DataFrame, edges: DataFrame,
                  p: CoseParams = CoseParams()): DataFrame = {
     val dCol = members.columns(0)
@@ -448,7 +484,7 @@ object Layout {
     val e2 = edges.select(
       concat_ws("|", col(edges.columns(0)), col(edges.columns(1))).as("src"),
       concat_ws("|", col(edges.columns(0)), col(edges.columns(2))).as("dst"))
-    cose(n2, e2, p).select(
+    coseRouted(n2, e2, p).select(
       substring_index(col("id"), "|", 1).as("doc"),
       expr("substring(id, instr(id, '|') + 1)").as("id"),
       col("x"), col("y"))

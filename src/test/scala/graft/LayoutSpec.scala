@@ -175,6 +175,32 @@ class LayoutSpec extends SparkSpec {
       s"BH edge lengths healthy: $lens")
   }
 
+  test("G8 routed cose: cutoff splits regimes, repack is offset-exact") {
+    val p = CoseParams(iters = 12)
+    // route-everything-to-one-regime must reproduce that regime's
+    // packed bytes exactly (pack is offset-invariant under re-packing)
+    val allExact = posMap(Layout.coseRouted(nodes, edges, p,
+      bhMinNodes = Long.MaxValue))
+    assert(allExact == posMap(Layout.cose(nodes, edges, p)))
+    val allBh = posMap(Layout.coseRouted(nodes, edges, p, bhMinNodes = 0L))
+    assert(allBh == posMap(Layout.coseBarnesHut(nodes, edges, p)))
+    // mixed cutoff: triangle (3 nodes) takes BH, pair + singleton stay
+    // exact — all positions distinct, component boxes disjoint
+    val mixed = Layout.coseRouted(nodes, edges, p, bhMinNodes = 2L)
+    val pm = posMap(mixed)
+    assert(pm.size == 6 && pm.values.toSet.size == 6)
+    val boxes = mixed.groupBy("component")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    for (Seq(a, b) <- boxes.toSeq.combinations(2)) {
+      val apart = a._2 < b._1 || b._2 < a._1 || a._4 < b._3 || b._4 < a._3
+      assert(apart, s"boxes $a and $b overlap")
+    }
+  }
+
   test("G8 packing: component bounding boxes never overlap") {
     val df = Layout.cose(nodes, edges)
     val boxes = df.groupBy("component")

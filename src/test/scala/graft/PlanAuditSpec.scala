@@ -56,6 +56,8 @@ class PlanAuditSpec extends SparkSpec {
       "component packing × 1-row global-extent aggregate (Layout.pack)",
     "g8_layout_cose_dist" ->
       "component packing × 1-row global-extent aggregate (Layout.pack)",
+    "g8_layout_cose_bh" ->
+      "component packing × 1-row global-extent aggregate (Layout.pack); the far-field iteration itself is all equi-joins on (component, cell) keys",
     "a15_feature_agg_mean" ->
       "fragment frame × broadcast feature-name list (a handful of column names; Chas.scala:159)",
     "a15_feature_agg_min" ->
