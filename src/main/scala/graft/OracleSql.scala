@@ -209,7 +209,7 @@ SELECT source, ecc, CAST(max(ecc) OVER () AS BIGINT) AS diameter FROM eccs""",
       extra = thinCtes.drop(1) + s""",
 ctsym AS MATERIALIZED (SELECT src, dst FROM tsym),
 certsrc AS (SELECT source FROM read_csv(
-  '/tmp/graft_fixtures/a7_cert/sources.csv', header=true,
+  '/tmp/graft_fixtures/a7_cert___SF_TOKEN__/sources.csv', header=true,
   columns={'source':'VARCHAR'})),
 cd0 AS MATERIALIZED (SELECT source AS s, source AS n FROM certsrc),
 cr0 AS MATERIALIZED (SELECT s, n FROM cd0),

@@ -50,7 +50,12 @@ object QueryDefs {
       import s.implicits._
       val rows = GraphOps.diameterCertificate(thin(s, d))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val dir = java.nio.file.Paths.get(ReaderHarness.fixtureRoot, "a7_cert")
+      // the witness dump is scoped by SF dir (same token Verify
+      // substitutes into the oracle SQL): a verify run at another SF
+      // must not clobber this run's witnesses between its dump and its
+      // oracle check — the round-10 sf1 gate caught exactly that race
+      val dir = java.nio.file.Paths.get(ReaderHarness.fixtureRoot,
+        s"a7_cert_${ReaderHarness.sfToken(d)}")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("sources.csv"),
         "source\n" + rows.map(_._1).distinct.sorted.mkString("\n") + "\n")

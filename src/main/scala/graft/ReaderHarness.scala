@@ -35,6 +35,13 @@ object ReaderHarness {
 
   val fixtureRoot = "/tmp/graft_fixtures"
 
+  /** Filesystem-safe token for an SF data dir — scopes fixture dumps
+    * (and, via Verify's `__SF_TOKEN__` substitution, the oracle SQL
+    * that reads them back) so runs at different SFs never clobber each
+    * other's fixtures between dump and oracle check. */
+  def sfToken(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   private def writeTsv(df: DataFrame, dir: String, header: Boolean,
                        gzip: Boolean = false): String = {
     val w = df.coalesce(1).write.mode("overwrite")

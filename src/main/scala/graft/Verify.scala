@@ -53,8 +53,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/status.json"),
       status.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
+    // SF-scoped fixture paths: oracles that read a fixture the paired
+    // query dumped (a7_diameter_cert's witness list) carry the
+    // __SF_TOKEN__ placeholder; both sides derive the same token from
+    // sfDir, so a verify at another SF can't clobber this run's
+    // fixtures between dump and oracle check
+    val sfTok = ReaderHarness.sfToken(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SF_TOKEN__", sfTok))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
