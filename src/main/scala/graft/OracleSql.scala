@@ -2363,8 +2363,9 @@ FROM (SELECT doc_id AS media_id,
   // Each oracle reads the SAME fixture file the Spark query just wrote
   // (ReaderHarness) with DuckDB read_csv/read_parquet under the same
   // declared schema — verifying the reader's PARSE, not the fixture's
-  // derivation. Paths are the fixed ReaderHarness.fixtureRoot layout.
-  private val fxRoot = "/tmp/graft_fixtures"
+  // derivation. Paths follow the SF-scoped ReaderHarness.fxDir layout;
+  // Verify substitutes __SF_TOKEN__ from the run's sfDir at dump time.
+  private val fxRoot = "/tmp/graft_fixtures/__SF_TOKEN__"
 
   val readers: Map[String, String] = Map(
     "s1_read_pchic" -> raw"""

@@ -14,10 +14,13 @@ import graft.io.Readers
   * chr-prefix strip, type binding, gzip) fails the driver's hash gate,
   * not just a unit test.
   *
-  * Fixture paths are FIXED (not per-sf): the oracle SQL is a static
-  * string, and both engines read the file the Spark side just wrote, so
-  * the compare is content-agnostic. Fixture writes are coalesce(1) —
-  * harness-only code; the readers under test stay fully distributed.
+  * Fixture paths are SF-SCOPED (fixtureRoot/<sfToken>/...): the oracle
+  * SQL carries the `__SF_TOKEN__` placeholder that Verify substitutes
+  * from the same sfDir at dump time, so both engines read the file the
+  * Spark side wrote FOR THAT SF — a verify run at another SF can no
+  * longer clobber a fixture between this run's dump and its oracle
+  * check. Fixture writes are coalesce(1) — harness-only code; the
+  * readers under test stay fully distributed.
   *
   * Reference input surface being verified: load_PCHiC
   * (network_generator_lib.R:281-286), load_HiC + stale-header drop
@@ -38,9 +41,16 @@ object ReaderHarness {
   /** Filesystem-safe token for an SF data dir — scopes fixture dumps
     * (and, via Verify's `__SF_TOKEN__` substitution, the oracle SQL
     * that reads them back) so runs at different SFs never clobber each
-    * other's fixtures between dump and oracle check. */
+    * other's fixtures between dump and oracle check (the round-10 sf1
+    * gate caught exactly that: an sf0.01 run re-dumping a shared-path
+    * fixture after the sf1 dump but before its oracle check). */
   def sfToken(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** SF-scoped fixture directory: fixtureRoot/<sfToken>/ — every
+    * fixture a query dumps for its oracle lives under the token of
+    * the SF dir it derives from. */
+  def fxDir(sfDir: String): String = s"$fixtureRoot/${sfToken(sfDir)}"
 
   private def writeTsv(df: DataFrame, dir: String, header: Boolean,
                        gzip: Boolean = false): String = {
@@ -72,7 +82,7 @@ object ReaderHarness {
       col("dist").cast("double").as("dist"),
       col("score").cast("double").as("Mon"),
       (col("score") / 2).cast("double").as("Mac")),
-      s"$fixtureRoot/s1_pchic", header = true)
+      s"${fxDir(d)}/s1_pchic", header = true)
 
   /** S2: 6-col Hi-C with the header repeated as the first DATA row —
     * the stale-header artifact loadHiC must drop (HiC[-1,]). Also the
@@ -83,7 +93,7 @@ object ReaderHarness {
     val data = interactions(s, d).select(concat_ws("\t",
       col("baitchr"), col("baitstart"), col("baitend"),
       col("oechr"), col("oestart"), col("oeend")).as("line"), lit(2).as("k"))
-    writeLines(hdr.unionByName(data), s"$fixtureRoot/s2_hic")
+    writeLines(hdr.unionByName(data), s"${fxDir(d)}/s2_hic")
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -96,14 +106,14 @@ object ReaderHarness {
     "s3_format_sniff" -> ((s, d) => {
       import s.implicits._
       // self-contained header-only fixtures (sniffing never reads data)
-      Seq((s"$fixtureRoot/s3_sniff/pchic",
+      Seq((s"${fxDir(d)}/s3_sniff/pchic",
             "baitChr\tbaitStart\tbaitEnd\tbaitID\tbaitName\toeChr\toeStart" +
             "\toeEnd\toeID\toeName\tdist\tMon"),
-          (s"$fixtureRoot/s3_sniff/hic", hicHeader))
+          (s"${fxDir(d)}/s3_sniff/hic", hicHeader))
         .foreach { case (dir, h) =>
           Seq(h).toDF("line").coalesce(1).write.mode("overwrite").text(dir) }
-      Seq(("pchic", Readers.isHiC(s, s"$fixtureRoot/s3_sniff/pchic")),
-          ("hic", Readers.isHiC(s, s"$fixtureRoot/s3_sniff/hic")))
+      Seq(("pchic", Readers.isHiC(s, s"${fxDir(d)}/s3_sniff/pchic")),
+          ("hic", Readers.isHiC(s, s"${fxDir(d)}/s3_sniff/hic")))
         .toDF("src", "is_hic")
     }),
 
@@ -115,7 +125,7 @@ object ReaderHarness {
           .as("frag_key"),
         col("start").cast("double").as("f1"),
         (col("end") - col("start")).cast("double").as("f2")),
-        s"$fixtureRoot/s4_features_on_nodes", header = true)
+        s"${fxDir(d)}/s4_features_on_nodes", header = true)
       Readers.loadFeaturesOnNodes(s, fx)
     }),
 
@@ -130,14 +140,14 @@ object ReaderHarness {
           .as("gene_type"),
         concat(lit("AL"), k.cast("string")).as("alias"),
         concat(lit("HGNC:"), k.cast("string")).as("xref_id")),
-        s"$fixtureRoot/s5_alias", header = true)
+        s"${fxDir(d)}/s5_alias", header = true)
       Readers.loadAlias(s, fx)
     }),
 
     "s6_read_intronic" -> ((s, d) => {
       // gzipped — exercises transparent codec handling in the csv source
       val fx = writeTsv(intronicRegions(s, d),
-        s"$fixtureRoot/s6_intronic", header = true, gzip = true)
+        s"${fxDir(d)}/s6_intronic", header = true, gzip = true)
       Readers.loadIntronic(s, fx)
     }),
 
@@ -148,7 +158,7 @@ object ReaderHarness {
         concat(lit("BN"), k.cast("string")).as("gene_id"),
         concat(lit("ENSG"), lpad(k.cast("string"), 11, "0")).as("ensembl_id"),
         concat(lit("r"), (k % 3).cast("string")).as("region")),
-        s"$fixtureRoot/s7_bait_names", header = true)
+        s"${fxDir(d)}/s7_bait_names", header = true)
       Readers.loadBaitNames(s, fx)
     }),
 
@@ -156,7 +166,7 @@ object ReaderHarness {
       val fx = writeTsv(featureIntervals(s, d)
         .select(col("chr"), col("start"), col("end"),
           col("value").cast("double").as("value")),
-        s"$fixtureRoot/s8_bed3", header = false)
+        s"${fxDir(d)}/s8_bed3", header = false)
       Readers.loadBed3(s, fx, "pk")
     }),
 
@@ -165,7 +175,7 @@ object ReaderHarness {
         col("chr"), col("start"), col("end"), col("gene_name").as("name"),
         (col("start") % 997).cast("double").as("score"),
         when(col("start") % 2 === 0, lit("+")).otherwise(lit("-")).as("strand")),
-        s"$fixtureRoot/s8_bed6", header = false)
+        s"${fxDir(d)}/s8_bed6", header = false)
       Readers.loadBed6(s, fx, "cons")
     }),
 
@@ -178,7 +188,7 @@ object ReaderHarness {
         (col("value") / 10).cast("double").as("pValue"),
         (col("value") / 100).cast("double").as("qValue"),
         ((col("end") - col("start")) / 2).cast("long").as("peak")),
-        s"$fixtureRoot/s8_macs2", header = false)
+        s"${fxDir(d)}/s8_macs2", header = false)
       Readers.loadMacs2(s, fx, "atac")
     }),
 
@@ -186,7 +196,7 @@ object ReaderHarness {
       val fx = writeTsv(featureIntervals(s, d).select(
         col("chr"), col("start"), col("end"),
         concat(lit("E"), substring(col("feature"), 2, 1)).as("state")),
-        s"$fixtureRoot/s8_chromhmm", header = false)
+        s"${fxDir(d)}/s8_chromhmm", header = false)
       Readers.loadChromhmm(s, fx)
     }),
 
@@ -195,12 +205,12 @@ object ReaderHarness {
         col("chr"), col("start"), col("end"),
         col("value").cast("double").as("m1"),
         (col("value") * 2).cast("double").as("m2")),
-        s"$fixtureRoot/s8_features_table", header = true)
+        s"${fxDir(d)}/s8_features_table", header = true)
       Readers.loadFeaturesTable(s, fx)
     }),
 
     "s9_snapshot_roundtrip" -> ((s, d) => {
-      val path = s"$fixtureRoot/s9_snapshot"
+      val path = s"${fxDir(d)}/s9_snapshot"
       Readers.snapshot(verts(s, d), path, partitionCols = Seq("chr"))
       Readers.loadSnapshot(s, path)
         .select("fragment", "gene_names", "chr", "start", "end", "type")
