@@ -198,21 +198,23 @@ object CytoscapeJson {
       case Some(pos) =>
         // layout positions are PER DOCUMENT (the reference lays out
         // each chr<c>.json independently, layout_enricher:50-94), so
-        // node JSON renders per (document, node) with that document's
-        // position{x,y} — the enriched served shape
-        val joined = nodes
-          .join(nDocs, Seq("fragment"))
+        // a node's element differs per document ONLY in position{x,y}.
+        // The expensive data struct still renders ONCE per node; each
+        // (document, node) membership then splices its position object
+        // in front of the closing brace — byte-identical to rendering
+        // the full positioned struct (both are to_json output), at a
+        // per-membership string concat instead of a JSON serialization
+        val nEls = nodes.select(col("fragment"),
+          to_json(nodeStruct(nodes)).as("__el"))
+        nEls.join(nDocs, Seq("fragment"))
           .join(pos.toDF("__doc", "fragment", "__px", "__py"),
             Seq("__doc", "fragment"), "left")
-        val inner = nodeStruct(joined,
-          exclude = Set("__doc", "__px", "__py"))
-        joined.select(col("__doc"), lit(0).as("__g"),
-          col("fragment").as("__k1"), lit("").as("__k2"),
-          to_json(struct(
-            inner.getField("data").as("data"),
-            lit("nodes").as("group"),
-            struct(col("__px").as("x"), col("__py").as("y"))
-              .as("position"))).as("element"))
+          .select(col("__doc"), lit(0).as("__g"),
+            col("fragment").as("__k1"), lit("").as("__k2"),
+            concat(expr("substring(__el, 1, length(__el) - 1)"),
+              lit(",\"position\":"),
+              to_json(struct(col("__px").as("x"), col("__py").as("y"))),
+              lit("}")).as("element"))
     }
     // edgeStruct reads only src/dst/type — safe to render on the
     // tagged frame directly (an edge spans at most two documents)
