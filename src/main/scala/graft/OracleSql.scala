@@ -1019,7 +1019,10 @@ korel AS (SELECT component, id,
     "g8_layout_concentric" -> g8ConcentricSql,
     "g8_layout_cose" -> g8CoseSql,
     "g8_layout_cose_dist" -> g8CoseSql,
-    "g8_layout_cose_bh" -> g8CoseBhSql)
+    "g8_layout_cose_bh" -> g8CoseBhSql,
+    // one-task regime twin — bit-identical binned arithmetic, SAME
+    // oracle (regime identity proven through the driver gate)
+    "g8_layout_cose_bh_local" -> g8CoseBhSql)
 
   // -------------------------------------------------- documents oracles
   private val docCtes: String = raw"""

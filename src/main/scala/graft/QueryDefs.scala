@@ -293,6 +293,13 @@ object QueryDefs {
     "g8_layout_cose_bh" -> ((s, d) => {
       val (n, e) = subnetGraph(s, d); Layout.coseBarnesHut(n, e)
     }),
+    // the one-task regime of the SAME far-field iteration (hash-grid
+    // interaction lists inside each component's task) — bit-identical
+    // to the distributed regime by integer-sum order-freedom, pinned
+    // to the SAME oracle (the a6/g6 regime-twin pattern)
+    "g8_layout_cose_bh_local" -> ((s, d) => {
+      val (n, e) = subnetGraph(s, d); Layout.coseLocalBarnesHut(n, e)
+    }),
     // S11 end-to-end: the FULL per-dataset output tree (metadata +
     // suggestions + chromosomes + features_metadata + one streamed
     // Cytoscape document per chromosome) written to a temp dir; the
@@ -957,5 +964,9 @@ object QueryDefs {
     // shows the warm serve)
     "m6_phash_neardup", "q6_search_served",
     // G8: the full serve-with-layout path (subnet + 30-iteration CoSE)
-    "g8_layout_cose")
+    "g8_layout_cose",
+    // round-10 additions: the far-field layout regime, the memo-cache
+    // over real rendered serving documents (15k requests/sf0.01-scale
+    // per mille of orders), and the served range form
+    "g8_layout_cose_bh", "s12_response_cache", "q5_range_served")
 }

@@ -513,6 +513,216 @@ object Layout {
     * Components above this size should take the far-field regime. */
   val BhMinNodes = 4000L
 
+  /** The [[coseBarnesHut]] iteration for ONE component in one task:
+    * identical cells, identical interaction lists, identical
+    * floor-quantized force terms — integer sums make the result
+    * bit-identical to the distributed far-field regime under any
+    * execution, so both regimes pin to the SAME macro-expanded hash
+    * oracle (the a6/g6 regime-twin pattern). O(n·levels) per
+    * iteration via per-level hash-grid indexes. */
+  private[graft] def coseLocalBh(ids: Array[String],
+                                 edges: Array[(Int, Int)],
+                                 p: CoseParams, levels: Int)
+      : Array[(Long, Long)] = {
+    val n = ids.length
+    val k = p.idealEdge
+    val k2 = k * k
+    val s0 = math.floor(k * MicroD + 0.5).toLong
+    val span = spanMicroLocal(n, k)
+    val xm = new Array[Long](n)
+    val ym = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      xm(i) = seedLocal(ids(i), 1) % span
+      ym(i) = seedLocal(ids(i), 13) % span
+      i += 1
+    }
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    def qz(v: Double): Long = math.floor(v * MicroD + 0.5).toLong
+    val ts = temps(p)
+    var it = 0
+    while (it < p.iters) {
+      val temp = ts(it)
+      var sx = 0L; var sy = 0L
+      i = 0
+      while (i < n) { sx += xm(i); sy += ym(i); i += 1 }
+      val cx = (sx.toDouble / n) / MicroD
+      val cy = (sy.toDouble / n) / MicroD
+      // per-level hash grids: members (level 0) + monopoles + children
+      val s = Array.tabulate(levels + 1)(l => s0 << l)
+      def cell(v: Long, l: Int): Long = Math.floorDiv(v, s(l))
+      val members =
+        new scala.collection.mutable.HashMap[(Long, Long),
+          scala.collection.mutable.ArrayBuffer[Int]]()
+      i = 0
+      while (i < n) {
+        members.getOrElseUpdate((cell(xm(i), 0), cell(ym(i), 0)),
+          new scala.collection.mutable.ArrayBuffer[Int]()) += i
+        i += 1
+      }
+      // (cx, cy) -> (count, centroid xm, centroid ym) per level, and
+      // parent cell -> child cells per level
+      val mono = Array.fill(levels + 1)(
+        new scala.collection.mutable.HashMap[(Long, Long),
+          (Long, Long, Long)]())
+      val kids = Array.fill(levels + 1)(
+        new scala.collection.mutable.HashMap[(Long, Long),
+          scala.collection.mutable.ArrayBuffer[(Long, Long)]]())
+      for (l <- 0 to levels) {
+        val acc = new scala.collection.mutable.HashMap[(Long, Long),
+          (Long, Long, Long)]()
+        i = 0
+        while (i < n) {
+          val key = (cell(xm(i), l), cell(ym(i), l))
+          val (c0, x0, y0) = acc.getOrElse(key, (0L, 0L, 0L))
+          acc(key) = (c0 + 1, x0 + xm(i), y0 + ym(i))
+          i += 1
+        }
+        acc.foreach { case (key, (c0, x0, y0)) =>
+          mono(l)(key) = (c0, Math.floorDiv(x0, c0), Math.floorDiv(y0, c0))
+          kids(l).getOrElseUpdate(
+            (Math.floorDiv(key._1, 2L), Math.floorDiv(key._2, 2L)),
+            new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          ) += key
+        }
+      }
+      val fx = new Array[Long](n)
+      val fy = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        val xu = xm(u).toDouble / MicroD
+        val yu = ym(u).toDouble / MicroD
+        var rx = 0L; var ry = 0L
+        // near: exact pairs over the level-0 3x3 neighborhood
+        val c0x = cell(xm(u), 0); val c0y = cell(ym(u), 0)
+        var di = -1L
+        while (di <= 1L) {
+          var dj = -1L
+          while (dj <= 1L) {
+            members.get((c0x + di, c0y + dj)).foreach { vs =>
+              var j = 0
+              while (j < vs.length) {
+                val v = vs(j)
+                if (v != u) {
+                  val dx = xu - xm(v).toDouble / MicroD
+                  val dy = yu - ym(v).toDouble / MicroD
+                  val d2c = math.max(dx * dx + dy * dy, p.minDist2)
+                  rx += qz(dx * k2 / d2c)
+                  ry += qz(dy * k2 / d2c)
+                }
+                j += 1
+              }
+            }
+            dj += 1
+          }
+          di += 1
+        }
+        // far levels: parent-adjacent, self-non-adjacent monopoles
+        def monoTerm(cnt: Long, cmx: Long, cmy: Long): Unit = {
+          val dx = xu - cmx.toDouble / MicroD
+          val dy = yu - cmy.toDouble / MicroD
+          val d2c = math.max(dx * dx + dy * dy, p.minDist2)
+          rx += qz(dx * k2 / d2c * cnt.toDouble)
+          ry += qz(dy * k2 / d2c * cnt.toDouble)
+        }
+        var l = 0
+        while (l < levels) {
+          val ucx = cell(xm(u), l); val ucy = cell(ym(u), l)
+          val upx = cell(xm(u), l + 1); val upy = cell(ym(u), l + 1)
+          di = -1L
+          while (di <= 1L) {
+            var dj = -1L
+            while (dj <= 1L) {
+              kids(l).get((upx + di, upy + dj)).foreach { cs =>
+                var j = 0
+                while (j < cs.length) {
+                  val (ccx, ccy) = cs(j)
+                  if (math.abs(ccx - ucx) > 1 || math.abs(ccy - ucy) > 1) {
+                    val (cnt, cmx, cmy) = mono(l)((ccx, ccy))
+                    monoTerm(cnt, cmx, cmy)
+                  }
+                  j += 1
+                }
+              }
+              dj += 1
+            }
+            di += 1
+          }
+          l += 1
+        }
+        // top level: every non-adjacent cell of the coarsest grid
+        val utx = cell(xm(u), levels); val uty = cell(ym(u), levels)
+        mono(levels).foreach { case ((ccx, ccy), (cnt, cmx, cmy)) =>
+          if (math.abs(ccx - utx) > 1 || math.abs(ccy - uty) > 1)
+            monoTerm(cnt, cmx, cmy)
+        }
+        fx(u) = rx; fy(u) = ry
+        u += 1
+      }
+      // attraction + gravity + capped move: identical to coseLocal
+      var e = 0
+      while (e < sym.length) {
+        val (a, b) = sym(e)
+        val dx = xm(a).toDouble / MicroD - xm(b).toDouble / MicroD
+        val dy = ym(a).toDouble / MicroD - ym(b).toDouble / MicroD
+        val d2 = dx * dx + dy * dy
+        if (d2 != 0.0) {
+          val d = math.sqrt(d2)
+          fx(a) += qz(-(dx * d / k))
+          fy(a) += qz(-(dy * d / k))
+        }
+        e += 1
+      }
+      u = 0
+      while (u < n) {
+        val xu = xm(u).toDouble / MicroD
+        val yu = ym(u).toDouble / MicroD
+        val gx = qz(-((xu - cx) * p.gravity))
+        val gy = qz(-((yu - cy) * p.gravity))
+        val dxp = (fx(u) + gx).toDouble / MicroD
+        val dyp = (fy(u) + gy).toDouble / MicroD
+        val len = math.sqrt(dxp * dxp + dyp * dyp)
+        val scale = if (len > temp) temp / len else 1.0
+        xm(u) = math.floor((xu + dxp * scale) * MicroD + 0.5).toLong
+        ym(u) = math.floor((yu + dyp * scale) * MicroD + 0.5).toLong
+        u += 1
+      }
+      it += 1
+    }
+    xm.zip(ym)
+  }
+
+  /** One-task-per-component regime of the far-field layout: each
+    * component streams through the cogroup and runs [[coseLocalBh]] —
+    * bit-identical to [[coseBarnesHut]] (same binned integer
+    * arithmetic, order-free sums), pinned to the same oracle. The
+    * serving-path form: an interactive layout over a big component
+    * costs O(n·levels·iters) in ONE task instead of 12 relational
+    * rounds. */
+  def coseLocalBarnesHut(nodes: DataFrame, edges: DataFrame,
+                         p: CoseParams = CoseParams(iters = 12),
+                         levels: Int = 3): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val comp = components(nodes, edges).localCheckpoint(eager = true)
+    val nodesC = comp.as[(String, String)]
+    val edgesC = edges.select(col("src"), col("dst"))
+      .join(comp.withColumnRenamed("id", "src"), Seq("src"))
+      .as[(String, String, String)]
+    val rel = nodesC.groupByKey(_._2)
+      .cogroup(edgesC.groupByKey(_._3)) { (key, ns, es) =>
+        val ids = ns.map(_._1).toArray.sorted
+        val idx = ids.zipWithIndex.toMap
+        val eIdx = es.flatMap(t => idx.get(t._2).map(b => (idx(t._1), b)))
+          .toArray
+        coseLocalBh(ids, eIdx, p, levels).zip(ids).iterator.map {
+          case ((x, y), id) => (key, id, x, y)
+        }
+      }
+      .toDF("component", "id", "x_micro", "y_micro")
+    pack(rel, p.spacing)
+  }
+
   /** CoSE with GRID-BINNED far-field repulsion — the 100 TB regime for
     * a pathological giant component, replacing the per-component
     * all-pairs self-join (O(n²) per iteration) with an FMM-style

@@ -28,7 +28,7 @@ object BhProbe {
     import spark.implicits._
 
     val p = graft.core.Layout.CoseParams(iters = 12)
-    println("component_nodes  exact_s  bh_s")
+    println("component_nodes  exact_s  bh_s  bh_local_s")
     for (n <- sizes) {
       val ids = (0 until n).map(i => f"n$i%06d")
       val nodes = ids.toDF("id")
@@ -38,9 +38,13 @@ object BhProbe {
       def time(f: => Long): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      val exactS = time(graft.core.Layout.cose(nodes, edges, p).count())
+      val exactS =
+        if (n <= 16000) time(graft.core.Layout.cose(nodes, edges, p).count())
+        else Double.NaN // quadratic: measured through 16k, then runaway
       val bhS = time(graft.core.Layout.coseBarnesHut(nodes, edges, p).count())
-      println(f"$n%15d  $exactS%7.1f  $bhS%5.1f")
+      val bhLocalS =
+        time(graft.core.Layout.coseLocalBarnesHut(nodes, edges, p).count())
+      println(f"$n%15d  $exactS%7.1f  $bhS%5.1f  $bhLocalS%10.1f")
       edges.unpersist(blocking = true)
     }
     spark.stop()

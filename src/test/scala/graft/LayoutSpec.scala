@@ -175,6 +175,22 @@ class LayoutSpec extends SparkSpec {
       s"BH edge lengths healthy: $lens")
   }
 
+  test("G8 BH regime equality: one-task twin is bit-identical") {
+    // hash-grid interaction lists in one task vs the distributed
+    // relational rounds — integer-sum order-freedom makes them
+    // bit-equal, on a fixture with REAL far-field interactions
+    val ids = (0 until 30).map(i => f"m$i%02d")
+    val cyc = edgesOf(ids.zip(ids.tail :+ ids.head))
+    import spark.implicits._
+    val p = CoseParams(iters = 12)
+    val dist = posMap(Layout.coseBarnesHut(ids.toDF("id"), cyc, p))
+    val local = posMap(Layout.coseLocalBarnesHut(ids.toDF("id"), cyc, p))
+    assert(local == dist)
+    // and on the small multi-component fixture
+    assert(posMap(Layout.coseLocalBarnesHut(nodes, edges, p)) ==
+      posMap(Layout.coseBarnesHut(nodes, edges, p)))
+  }
+
   test("G8 routed cose: cutoff splits regimes, repack is offset-exact") {
     val p = CoseParams(iters = 12)
     // route-everything-to-one-regime must reproduce that regime's
