@@ -402,23 +402,31 @@ object Layout {
   }
 
   /** Size-routed CoSE: components at or below `bhMinNodes` run the
-    * exact one-task regime ([[cose]]), larger ones the grid-binned
-    * far-field regime ([[coseBarnesHut]]); the two position sets union
-    * under ONE packing pass (pack is offset-invariant: re-packing
-    * already-packed fields reproduces the single-pack bytes, asserted
-    * in LayoutSpec). The cutoff default is the [[BhMinNodes]] measured
-    * crossover — this is the entry point a mixed corpus calls at any
-    * scale. */
+    * exact one-task regime ([[cose]]); components in (bhMinNodes,
+    * bhLocalMaxNodes] run the far-field iteration in one task
+    * ([[coseLocalBarnesHut]] — BhProbe measured it 3-6x faster than
+    * the relational rounds through 131k nodes); only components too
+    * big for a single task take the all-relational far-field regime
+    * ([[coseBarnesHut]]). The two far-field regimes are bit-identical,
+    * so routing between them never changes positions. All position
+    * sets union under ONE packing pass (pack is offset-invariant:
+    * re-packing already-packed fields reproduces the single-pack
+    * bytes, asserted in LayoutSpec). Cutoff defaults are the measured
+    * [[BhMinNodes]] / [[BhLocalMaxNodes]] crossovers — this is the
+    * entry point a mixed corpus calls at any scale. */
   def coseRouted(nodes: DataFrame, edges: DataFrame,
                  p: CoseParams = CoseParams(iters = 12),
-                 bhMinNodes: Long = BhMinNodes): DataFrame = {
+                 bhMinNodes: Long = BhMinNodes,
+                 bhLocalMaxNodes: Long = BhLocalMaxNodes): DataFrame = {
     val comp = components(nodes, edges).localCheckpoint(eager = true)
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("__n"))
     def idsWhere(c: Column) = comp
       .join(sizes.filter(c).select("component"), Seq("component"))
       .select("id").localCheckpoint(eager = true)
     val small = idsWhere(col("__n") <= bhMinNodes)
-    val large = idsWhere(col("__n") > bhMinNodes)
+    val mid = idsWhere(col("__n") > bhMinNodes &&
+      col("__n") <= bhLocalMaxNodes)
+    val large = idsWhere(col("__n") > bhLocalMaxNodes)
     // component membership is closed over edges, so semi-joining on
     // src alone selects each side's full induced edge set
     def edgesOf(ids: DataFrame) =
@@ -430,6 +438,8 @@ object Layout {
     val parts =
       (if (small.isEmpty) Nil
        else Seq(relOf(cose(small, edgesOf(small), p)))) ++
+      (if (mid.isEmpty) Nil
+       else Seq(relOf(coseLocalBarnesHut(mid, edgesOf(mid), p)))) ++
       (if (large.isEmpty) Nil
        else Seq(relOf(coseBarnesHut(large, edgesOf(large), p))))
     pack(parts.reduce(_ unionAll _), p.spacing)
@@ -512,6 +522,22 @@ object Layout {
     * 158.9 s vs 28.0 s at 16k (~4x per doubling vs BH's ~2x).
     * Components above this size should take the far-field regime. */
   val BhMinNodes = 4000L
+
+  /** Measured one-task-BH vs distributed-BH band (graft.BhProbe, same
+    * harness): the one-task far-field regime beats the relational
+    * rounds 3-6x at every size measured — 3.8s vs 22.5s at 4k, 10.5s
+    * vs 37.2s at 16k, 89s vs 286s at 64k — because it pays the
+    * relational fixed cost (12 rounds x shuffle+plan) zero times, and
+    * still 4x at 131k (284s vs 1135s). Its state is 2 longs per node,
+    * so the binding constraint is task wall-clock, not memory: at
+    * ~131k nodes a single task's far-field pass (near-field pairs +
+    * per-level monopole scans at the oracle-fixed levels=3) hits ~5
+    * minutes — the straggler budget a shared cluster tolerates —
+    * while the relational regime spreads the same arithmetic over
+    * every core of every executor, not the 32 local threads this
+    * probe had. Components above this take the distributed twin —
+    * bit-identical, so the route never changes positions. */
+  val BhLocalMaxNodes = 131072L
 
   /** The [[coseBarnesHut]] iteration for ONE component in one task:
     * identical cells, identical interaction lists, identical

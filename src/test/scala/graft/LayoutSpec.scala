@@ -198,11 +198,19 @@ class LayoutSpec extends SparkSpec {
     val allExact = posMap(Layout.coseRouted(nodes, edges, p,
       bhMinNodes = Long.MaxValue))
     assert(allExact == posMap(Layout.cose(nodes, edges, p)))
+    // everything through the mid band (one-task BH) vs everything
+    // through the large band (distributed BH): bit-identical far-field
+    // twins, so both equal coseBarnesHut's packed bytes
     val allBh = posMap(Layout.coseRouted(nodes, edges, p, bhMinNodes = 0L))
     assert(allBh == posMap(Layout.coseBarnesHut(nodes, edges, p)))
-    // mixed cutoff: triangle (3 nodes) takes BH, pair + singleton stay
-    // exact — all positions distinct, component boxes disjoint
-    val mixed = Layout.coseRouted(nodes, edges, p, bhMinNodes = 2L)
+    val allBhDist = posMap(Layout.coseRouted(nodes, edges, p,
+      bhMinNodes = 0L, bhLocalMaxNodes = 0L))
+    assert(allBhDist == allBh)
+    // three-band cutoff: triangle (3 nodes) takes distributed BH, the
+    // pair takes one-task BH, the singleton stays exact — all
+    // positions distinct, component boxes disjoint
+    val mixed = Layout.coseRouted(nodes, edges, p, bhMinNodes = 1L,
+      bhLocalMaxNodes = 2L)
     val pm = posMap(mixed)
     assert(pm.size == 6 && pm.values.toSet.size == 6)
     val boxes = mixed.groupBy("component")
