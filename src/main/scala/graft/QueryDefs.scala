@@ -965,8 +965,11 @@ object QueryDefs {
     "m6_phash_neardup", "q6_search_served",
     // G8: the full serve-with-layout path (subnet + 30-iteration CoSE)
     "g8_layout_cose",
-    // round-10 additions: the far-field layout regime, the memo-cache
-    // over real rendered serving documents (15k requests/sf0.01-scale
-    // per mille of orders), and the served range form
-    "g8_layout_cose_bh", "s12_response_cache", "q5_range_served")
+    // round-10 additions: the far-field layout regime (the one-task
+    // band a real caller routes to — bit-identical to the distributed
+    // twin, which stays a correctness-gate-only lane: forcing every
+    // component through 12 relational rounds benches the fallback no
+    // caller takes, 19.5s vs ~2s at sf0.1), the memo-cache over real
+    // rendered serving documents, and the served range form
+    "g8_layout_cose_bh_local", "s12_response_cache", "q5_range_served")
 }

@@ -919,23 +919,64 @@ object Layout {
   // component packing
   // ---------------------------------------------------------------------
 
+  /** Component count up to which [[pack]] ranks components through a
+    * single-partition window and broadcasts the per-component offsets
+    * (one small row per component — the serving/tree shapes). Above
+    * it, the rank goes range-partitioned (per-partition row_number +
+    * prefix-sum offsets over at most `shuffle.partitions` rows) and
+    * the offset join is left to the planner — same global (size desc,
+    * label) rank, so the regimes are bit-identical. */
+  val PackWindowMaxComponents = 100000L
+
   /** Pack per-component relative positions onto a component grid:
     * components ordered by (size desc, label), placed into uniform
     * cells of (max extent + spacing); every offset is integer micro,
     * so packing never perturbs the layout hash. Final coordinates are
     * micro/1e6 doubles. */
-  private[graft] def pack(rel: DataFrame, spacing: Long): DataFrame = {
+  private[graft] def pack(rel: DataFrame, spacing: Long): DataFrame =
+    pack(rel, spacing, PackWindowMaxComponents)
+
+  private[graft] def pack(rel: DataFrame, spacing: Long,
+                          windowMax: Long): DataFrame = {
+    // one row per component; checkpointed because three consumers
+    // (glob, the rank, the offsets) would otherwise re-aggregate rel
     val ext = rel.groupBy("component").agg(
       min("x_micro").as("minx"), max("x_micro").as("maxx"),
       min("y_micro").as("miny"), max("y_micro").as("maxy"),
-      count(lit(1)).as("cnt"))
-    val ordW = Window.orderBy(col("cnt").desc, col("component"))
+      count(lit(1)).as("cnt")).localCheckpoint(eager = true)
+    val ncomp = ext.count()
+    val ord = Seq(col("cnt").desc, col("component"))
+    val ranked =
+      if (ncomp <= windowMax)
+        ext.withColumn("__idx",
+          (row_number().over(Window.orderBy(ord: _*)) - lit(1)).cast("long"))
+      else {
+        // scalable global rank: range-partition on the order, local
+        // row_number per partition, add per-partition prefix-sum
+        // offsets (≤ shuffle.partitions rows — bounded by config, not
+        // data). Checkpoint freezes the sampled range boundaries so
+        // the offsets and the ranked rows see the same partitioning.
+        val parted = ext.repartitionByRange(ord: _*)
+          .localCheckpoint(eager = true)
+        val local = parted
+          .withColumn("__p", spark_partition_id())
+          .withColumn("__li", (row_number().over(
+            Window.partitionBy("__p").orderBy(ord: _*)) - lit(1))
+            .cast("long"))
+        val offs = local.groupBy("__p").agg(count(lit(1)).as("__pc"))
+          .withColumn("__off", coalesce(sum("__pc").over(
+            Window.orderBy("__p")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("__p", "__off")
+        local.join(broadcast(offs), Seq("__p"))
+          .withColumn("__idx", col("__off") + col("__li"))
+          .drop("__p", "__li", "__off")
+      }
     val glob = ext.agg(
       max(col("maxx") - col("minx")).as("maxw"),
       max(col("maxy") - col("miny")).as("maxh"),
       count(lit(1)).as("ncomp"))
-    val cells = ext
-      .withColumn("__idx", (row_number().over(ordW) - lit(1)).cast("long"))
+    val cells = ranked
       .crossJoin(broadcast(glob))
       .select(col("component"),
         col("minx"), col("miny"),
@@ -948,7 +989,10 @@ object Layout {
           .as("offx"),
         (floor(col("__idx").cast("double") / col("ncols")).cast("long") *
           col("cellh") - col("miny")).as("offy"))
-    rel.join(broadcast(cells), Seq("component"))
+    // above the window cutoff the offsets frame is too big to force
+    // onto the driver — let the planner pick the join strategy
+    val cellsSide = if (ncomp <= windowMax) broadcast(cells) else cells
+    rel.join(cellsSide, Seq("component"))
       .select(col("id"), col("component"),
         ((col("x_micro") + col("offx")).cast("double") / lit(MicroD))
           .as("x"),

@@ -225,6 +225,23 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("G8 pack regimes: windowed and range-ranked are bit-identical") {
+    // many components of varied sizes; the range-partitioned global
+    // rank (windowMax = 0 forces it) must reproduce the
+    // single-partition window's packed bytes exactly
+    import spark.implicits._
+    val rel = (0 until 300).flatMap { c =>
+      (0 to c % 5).map(j =>
+        (f"c$c%03d", f"n$c%03d_$j", j * 700000L, (j % 3) * 900000L))
+    }.toDF("component", "id", "x_micro", "y_micro")
+    def bytes(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val windowed = bytes(Layout.pack(rel, 100L))
+    val ranged = bytes(Layout.pack(rel, 100L, windowMax = 0L))
+    assert(ranged == windowed)
+  }
+
   test("G8 packing: component bounding boxes never overlap") {
     val df = Layout.cose(nodes, edges)
     val boxes = df.groupBy("component")
