@@ -279,7 +279,14 @@ object Layout {
     * [[coseLocal]] in its own task — parallel across components, no
     * driver state — then packed. */
   def cose(nodes: DataFrame, edges: DataFrame,
-           p: CoseParams = CoseParams()): DataFrame = {
+           p: CoseParams = CoseParams()): DataFrame =
+    pack(coseRel(nodes, edges, p), p.spacing)
+
+  /** [[cose]] before packing: per-component micro positions
+    * (component, id, x_micro, y_micro) — the form [[coseRouted]]
+    * unions across regimes so the whole route packs ONCE. */
+  private[graft] def coseRel(nodes: DataFrame, edges: DataFrame,
+                             p: CoseParams): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val comp = components(nodes, edges)
@@ -302,7 +309,7 @@ object Layout {
         }
       }
       .toDF("component", "id", "x_micro", "y_micro")
-    pack(rel, p.spacing)
+    rel
   }
 
   /** Per-round lineage AND stats truncation. A bare
@@ -431,17 +438,17 @@ object Layout {
     // src alone selects each side's full induced edge set
     def edgesOf(ids: DataFrame) =
       edges.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-    def relOf(packed: DataFrame) = packed.select(
-      col("component"), col("id"),
-      round(col("x") * lit(MicroD)).cast("long").as("x_micro"),
-      round(col("y") * lit(MicroD)).cast("long").as("y_micro"))
+    // each regime contributes its UNPACKED micro positions and the
+    // union packs ONCE — pack is offset-invariant (asserted in
+    // LayoutSpec), so the bytes equal the pack-per-branch-then-repack
+    // form while running the rank/offset machinery a single time
     val parts =
       (if (small.isEmpty) Nil
-       else Seq(relOf(cose(small, edgesOf(small), p)))) ++
+       else Seq(coseRel(small, edgesOf(small), p))) ++
       (if (mid.isEmpty) Nil
-       else Seq(relOf(coseLocalBarnesHut(mid, edgesOf(mid), p)))) ++
+       else Seq(coseLocalBhRel(mid, edgesOf(mid), p, levels = 3))) ++
       (if (large.isEmpty) Nil
-       else Seq(relOf(coseBarnesHut(large, edgesOf(large), p))))
+       else Seq(coseBhRel(large, edgesOf(large), p, levels = 3)))
     pack(parts.reduce(_ unionAll _), p.spacing)
   }
 
@@ -727,7 +734,12 @@ object Layout {
     * rounds. */
   def coseLocalBarnesHut(nodes: DataFrame, edges: DataFrame,
                          p: CoseParams = CoseParams(iters = 12),
-                         levels: Int = 3): DataFrame = {
+                         levels: Int = 3): DataFrame =
+    pack(coseLocalBhRel(nodes, edges, p, levels), p.spacing)
+
+  private[graft] def coseLocalBhRel(nodes: DataFrame, edges: DataFrame,
+                                    p: CoseParams,
+                                    levels: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val comp = components(nodes, edges).localCheckpoint(eager = true)
@@ -746,7 +758,7 @@ object Layout {
         }
       }
       .toDF("component", "id", "x_micro", "y_micro")
-    pack(rel, p.spacing)
+    rel
   }
 
   /** CoSE with GRID-BINNED far-field repulsion — the 100 TB regime for
@@ -782,7 +794,11 @@ object Layout {
     * one-task regime. */
   def coseBarnesHut(nodes: DataFrame, edges: DataFrame,
                     p: CoseParams = CoseParams(iters = 12),
-                    levels: Int = 3): DataFrame = {
+                    levels: Int = 3): DataFrame =
+    pack(coseBhRel(nodes, edges, p, levels), p.spacing)
+
+  private[graft] def coseBhRel(nodes: DataFrame, edges: DataFrame,
+                               p: CoseParams, levels: Int): DataFrame = {
     val comp = components(nodes, edges).localCheckpoint(eager = true)
     val k = p.idealEdge
     val k2 = k * k
@@ -912,7 +928,7 @@ object Layout {
         q(xd(col("x_micro")) + dxp * scale).as("x_micro"),
         q(xd(col("y_micro")) + dyp * scale).as("y_micro")))
     }
-    pack(pos, p.spacing)
+    pos
   }
 
   // ---------------------------------------------------------------------
