@@ -2174,6 +2174,19 @@ UNION ALL SELECT 'metadata.json', TRUE
 UNION ALL SELECT 'suggestions.json', TRUE
 UNION ALL SELECT 'chromosomes.json', TRUE
 UNION ALL SELECT 'features_metadata.json', TRUE""",
+    // incremental refresh of a dirty chromosome set: chr7's document
+    // renders iff the thin working set touches chr7 (either endpoint);
+    // chrMT is requested but MT edges are F4-dropped, so its document
+    // keeps the "{}" guard — rendered=false at every SF
+    "s11_tree_refresh" -> raw"""
+WITH pre AS (SELECT ${chrSql("l_suppkey")} AS bchr, ${chrSql("l_partkey")} AS ochr
+  FROM lineitem WHERE l_quantity > 47.0),
+fil AS (SELECT * FROM pre
+  WHERE bchr NOT LIKE '%MT%' AND ochr NOT LIKE '%MT%')
+SELECT 'chromosomes/chr7.json' AS file,
+  EXISTS(SELECT 1 FROM fil WHERE bchr = '7' OR ochr = '7') AS rendered
+UNION ALL SELECT 'chromosomes/chrMT.json',
+  EXISTS(SELECT 1 FROM fil WHERE bchr = 'MT' OR ochr = 'MT')""",
     "e1_sessionize" -> raw"""
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,
@@ -2502,7 +2515,10 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
     "q6_search_served" -> graph("q6_search_subnet"),
     // the served Q5 range form: snapshot-served must be row-identical
     // to the rebuilt range search (induced-only subnet = the seed set)
-    "q5_range_served" -> graph("q5_range_search"))
+    "q5_range_served" -> graph("q5_range_search"),
+    // the chromosome-partitioned layout must serve the SAME rows as the
+    // full scan — partition pruning is an IO plan choice, not semantics
+    "q5_range_served_part" -> graph("q5_range_search"))
 
   val all: Map[String, String] =
     graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++

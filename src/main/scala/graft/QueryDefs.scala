@@ -242,6 +242,15 @@ object QueryDefs {
     "q5_range_served" -> ((s, d) =>
       Serving.search(servedDataset(s, d), "7:30000-60000").nodes
         .select(col("fragment").as("id"))),
+    // the same served range over the chromosome-PARTITIONED snapshot
+    // layout: node scan prunes to chr=7/, edge scan to src_chr=7/ (the
+    // partition-pruning serving shape — SearchSpec drives the scans'
+    // own partitionFilters listing and asserts only the 7-partitions'
+    // files survive). Same oracle as the full-scan q5_range_search:
+    // pruning must not change a row.
+    "q5_range_served_part" -> ((s, d) =>
+      Serving.rangeSearch(partitionedSnapshot(s, d), "7:30000-60000").nodes
+        .select(col("fragment").as("id"))),
     // S12 response memo-cache (backend.py:51-99) as batch semantics
     // over the REAL serving payload: a request batch with duplicate
     // keys and a pre-seeded memo — memo hits serve the STORED response
@@ -310,7 +319,26 @@ object QueryDefs {
     // same tree, chromosome documents FORCED through the distributed
     // per-document-lines writer (the 100 TB bulk path) — hash-pinned
     // against the SAME oracle row set as s11 via the logical listing
-    "s11_tree_write_dist" -> treeWrite(distributedDocs = Some(true)))
+    "s11_tree_write_dist" -> treeWrite(distributedDocs = Some(true)),
+    // INCREMENTAL tree maintenance: rewrite only a delta's chromosome
+    // documents (chr7 dirty, chrMT requested-but-absent — MT edges are
+    // F4-dropped, so its document must keep the "{}" guard). `rendered`
+    // is data-dependent: true iff the thin working set actually touches
+    // the chromosome. PipelineTreeSpec asserts the refreshed bytes
+    // equal a full tree write's; this entry pins the dirty-set listing.
+    "s11_tree_refresh" -> ((s, d) => {
+      import s.implicits._
+      val out =
+        java.nio.file.Files.createTempDirectory("graft_refresh").toString
+      val ds = Pipeline.build(
+        TestMapping.interactions(s, d),
+        threshold = TestMapping.ThinScore)
+      Pipeline.refreshChromosomeDocs(ds, out, Seq("7", "MT"))
+      Seq("7", "MT").map { c =>
+        val p = java.nio.file.Paths.get(s"$out/chromosomes/chr$c.json")
+        (s"chromosomes/chr$c.json", java.nio.file.Files.size(p) > 2L)
+      }.toDF("file", "rendered")
+    }))
 
   /** SF-safe planted-copy id shift: max(doc_id)+1, so shifted ids can
     * never collide with real ids at any scale factor (a fixed 100000
@@ -346,6 +374,20 @@ object QueryDefs {
         .createTempDirectory("graft_serving").toString
       Serving.buildSnapshot(verts(s, d), simplified(s, d), dir)
       Serving.open(s, dir)
+    })
+
+  /** Per-(session, sfDir) memo of the chromosome-partitioned snapshot
+    * (same lifecycle as [[servedDataset]]: built once, served lazily —
+    * nothing pinned, requests read their pruned partitions). */
+  private val partSnapCache =
+    new scala.collection.concurrent.TrieMap[String, Serving.PartitionedSnapshot]
+  private def partitionedSnapshot(s: SparkSession, d: String)
+      : Serving.PartitionedSnapshot =
+    partSnapCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_serving_part").toString
+      Serving.buildSnapshotPartitioned(verts(s, d), simplified(s, d), dir)
+      Serving.openPartitioned(s, dir)
     })
 
   /** The s11 tree-write body, parameterized by the document-writer

@@ -328,6 +328,56 @@ object Pipeline {
     }
   }
 
+  /** Incremental tree maintenance: rewrite ONLY the requested
+    * chromosomes' documents in an existing tree — the 100 TB delta
+    * shape (a new cell-type delta lands on two chromosomes; the other
+    * documents and the iterative metadata passes don't re-run, the
+    * reference's per-chromosome GNU-parallel fan-out re-run for just
+    * the dirty chromosomes, pipeline.sh:96-118). The edge working set
+    * first narrows to edges TOUCHING a requested chromosome (either
+    * endpoint — exactly the both-endpoint F2 tagging the document
+    * writers use), so member derivation, per-document layout, element
+    * render and the sort are all sized by the delta's chromosomes,
+    * not the dataset. Output bytes are IDENTICAL to what a full
+    * [[writeDatasetTree]] writes for those documents (per-document
+    * layouts depend only on the document's own members/edges —
+    * asserted byte-for-byte in PipelineTreeSpec). */
+  def refreshChromosomeDocs(ds: BuiltDataset, outDir: String,
+                            chrs: Seq[String],
+                            distributedDocs: Option[Boolean] = None,
+                            docLayout: Option[String] = Some("grid")): Unit = {
+    import graft.io.CytoscapeJson
+    import org.apache.spark.storage.StorageLevel
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$outDir/chromosomes"))
+    def chrOf(c: org.apache.spark.sql.Column) = split(c, "_").getItem(0)
+    // read twice below (count for the regime route + the write) and
+    // up to twice more for positions: pin the narrowed set once
+    val edgesT = ds.edges
+      .filter(chrOf(col("src")).isin(chrs: _*) ||
+              chrOf(col("dst")).isin(chrs: _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val positions = docLayout.map {
+        case "grid" =>
+          Layout.gridPerDoc(CytoscapeJson.docMembers(edgesT))
+        case "cose" =>
+          Layout.cosePerDoc(CytoscapeJson.docMembers(edgesT),
+            edgesT.select(explode(array_distinct(array(
+                chrOf(col("src")), chrOf(col("dst"))))).as("doc"),
+              col("src"), col("dst")))
+        case other =>
+          throw new IllegalArgumentException(s"docLayout: $other")
+      }
+      if (distributedDocs.getOrElse(edgesT.count() > DocStreamMaxEdges))
+        CytoscapeJson.writeChromosomeDocumentLines(ds.nodes, edgesT, chrs,
+          s"$outDir/chromosomes", positions)
+      else
+        CytoscapeJson.writeChromosomeDocuments(ds.nodes, edgesT, chrs,
+          s"$outDir/chromosomes", positions)
+    } finally edgesT.unpersist(blocking = false)
+  }
+
   /** Interactive-search entry (reference §3.1): search the built
     * dataset, return the subnet nodes+edges ready for the JSON sink. */
   def searchDataset(ds: BuiltDataset, query: String,

@@ -47,6 +47,79 @@ object Serving {
       pin(s"$dir/name_index"))
   }
 
+  // -------------------------------------------------------------------
+  // Chromosome-partitioned snapshot — the pruned 100 TB serving layout
+  // -------------------------------------------------------------------
+
+  /** A chromosome-partitioned snapshot opened LAZILY: the frames are
+    * bare parquet scans, NOT pinned caches — the at-scale serving
+    * shape, where a range request's IO is its pruned partition, never
+    * the dataset. nodes lay under `chr=<c>/`, edges under
+    * `src_chr=<c>/` (with `dst_chr` a pushed data filter). */
+  case class PartitionedSnapshot(nodes: DataFrame, edges: DataFrame,
+                                 index: DataFrame)
+
+  /** Build-time: the header's "partition-prunable parquet" made
+    * literal. Nodes partition by their existing `chr` column; edges by
+    * the DERIVED bait-side chromosome (`src_chr`), carrying the
+    * other-end chromosome as a plain `dst_chr` column so an
+    * intra-chromosome predicate pushes to the row groups the pruning
+    * left. Both derived columns use the id prefix (fragment ids are
+    * "chr_start_end", TestMapping.frag / the reference's
+    * `<chr>_<start>_<end>` naming — network_generator_lib.R:27-33), so
+    * the layout needs nothing beyond the edge list itself. The name
+    * index is unchanged (token lookups are equi-joins; at scale the
+    * index would bucket by token, not partition by chromosome). */
+  def buildSnapshotPartitioned(vertices: DataFrame, edges: DataFrame,
+                               dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.io.Readers.snapshot(vertices, s"$dir/nodes", Seq("chr"))
+    graft.io.Readers.snapshot(
+      edges.withColumn("src_chr", split(col("src"), "_").getItem(0))
+           .withColumn("dst_chr", split(col("dst"), "_").getItem(0)),
+      s"$dir/edges", Seq("src_chr"))
+    graft.io.Readers.snapshot(Search.buildNameIndex(vertices),
+      s"$dir/name_index")
+  }
+
+  /** Open the partitioned layout without pinning anything. Partition
+    * columns read back through directory-name inference — cast to
+    * string so an all-numeric chromosome subset (a small fixture
+    * without X/Y/MT) cannot flip the column to int. */
+  def openPartitioned(spark: SparkSession, dir: String)
+      : PartitionedSnapshot = {
+    import org.apache.spark.sql.functions._
+    PartitionedSnapshot(
+      graft.io.Readers.loadSnapshot(spark, s"$dir/nodes")
+        .withColumn("chr", col("chr").cast("string")),
+      graft.io.Readers.loadSnapshot(spark, s"$dir/edges")
+        .withColumn("src_chr", col("src_chr").cast("string"))
+        .withColumn("dst_chr", col("dst_chr").cast("string")),
+      graft.io.Readers.loadSnapshot(spark, s"$dir/name_index"))
+  }
+
+  /** The served Q5 range form over the pruned layout: the node scan
+    * prunes to `chr=<c>/` at the file index (before any IO), the edge
+    * scan to `src_chr=<c>/` plus a pushed `dst_chr = c` predicate.
+    * Row-identical to the full-scan path (Search.byRange +
+    * subnetFromSeeds(ego = false)): range seeds all live on the query
+    * chromosome, and an induced edge needs BOTH endpoints in the seed
+    * set, so every qualifying node and edge lies inside the pruned
+    * partitions — the q5_range_served_part gate entry pins this
+    * against the same oracle as the full-scan q5_range_search. */
+  def rangeSearch(ps: PartitionedSnapshot, range: String,
+                  expand: Long = 0L, nearest: Boolean = false)
+      : Search.Subnet = {
+    import org.apache.spark.sql.functions._
+    val chr = range.split("[:\\-]")(0).toUpperCase
+    val nodes = ps.nodes.filter(col("chr") === lit(chr))
+    val edges = ps.edges
+      .filter(col("src_chr") === lit(chr) && col("dst_chr") === lit(chr))
+      .drop("src_chr", "dst_chr")
+    Search.subnetFromSeeds(nodes, edges,
+      Search.byRange(nodes, range, expand, nearest), ego = false)
+  }
+
   /** The interactive Q2→J10→Q6 path over an opened snapshot: indexed
     * gene-name lookup, ego expansion, per-subnet degree recompute —
     * row-identical to the rebuild-everything path

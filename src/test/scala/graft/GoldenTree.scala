@@ -13,9 +13,8 @@ object GoldenTree {
   val sfDir = "/root/testdata/sf0.001"
   val goldenDir = "src/test/resources/golden"
 
-  def write(spark: SparkSession, outDir: String,
-            distributedDocs: Option[Boolean] = None): Unit = {
-    val ds = Pipeline.build(
+  def dataset(spark: SparkSession): Pipeline.BuiltDataset =
+    Pipeline.build(
       TestMapping.interactions(spark, sfDir),
       threshold = TestMapping.ThinScore,
       annotations = Pipeline.Annotations(
@@ -23,6 +22,10 @@ object GoldenTree {
         aliasRanges = Some(TestMapping.aliasRanges(spark, sfDir)),
         aliasNames = Some(TestMapping.aliasTable(spark, sfDir)),
         intronic = Some(TestMapping.intronicRegions(spark, sfDir))))
+
+  def write(spark: SparkSession, outDir: String,
+            distributedDocs: Option[Boolean] = None): Unit = {
+    val ds = dataset(spark)
     val twoChrs = ds.chromosomes.collect().map(_.getString(0)).take(2).toSeq
     Pipeline.writeDatasetTree(ds, outDir,
       features = Some(TestMapping.features(spark, sfDir)),

@@ -64,6 +64,30 @@ class PipelineTreeSpec extends SparkSpec {
     }
   }
 
+  test("incremental refresh reproduces the full-tree document bytes " +
+      "and touches nothing else") {
+    val golden = Paths.get(GoldenTree.goldenDir)
+    val docs = Files.list(golden.resolve("chromosomes")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq.sorted
+    assert(docs.nonEmpty)
+    val chrs = docs.map(_.stripPrefix("chr").stripSuffix(".json"))
+    // same dataset, but ONLY the dirty chromosomes re-run through the
+    // delta path — the bytes must equal the full writeDatasetTree's
+    val out = Files.createTempDirectory("graftrefresh").toString
+    graft.core.Pipeline.refreshChromosomeDocs(
+      GoldenTree.dataset(spark), out, chrs)
+    chrs.foreach { c =>
+      assert(Files.readString(Paths.get(s"$out/chromosomes/chr$c.json")) ==
+        Files.readString(golden.resolve(s"chromosomes/chr$c.json")),
+        s"chr$c.json differs from the full-tree bytes")
+    }
+    // the refresh writes exactly the dirty documents, nothing else
+    val written = Files.walk(Paths.get(out)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => Paths.get(out).relativize(p).toString).toSet
+    assert(written == chrs.map(c => s"chromosomes/chr$c.json").toSet)
+  }
+
   test("forced-distributed tree write matches the golden documents") {
     // the bulk regime (distributedDocs=true, normally engaged above
     // DocStreamMaxEdges): every chr<c>.json becomes a line DIRECTORY

@@ -147,6 +147,51 @@ class SearchSpec extends SparkSpec {
     Seq(sd.nodes, sd.edges, sd.index).foreach(_.unpersist(blocking = false))
   }
 
+  test("partitioned snapshot prunes to the query chromosome and " +
+      "serves rows identical to the full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("serving_part").toString
+    graft.core.Serving.buildSnapshotPartitioned(nodes, edges, dir)
+    val ps = graft.core.Serving.openPartitioned(spark, dir)
+    // the layout on disk is chr=<c>/ and src_chr=<c>/ directories
+    assert(new java.io.File(s"$dir/nodes/chr=1").isDirectory)
+    assert(new java.io.File(s"$dir/edges/src_chr=2").isDirectory)
+    // PRUNING: the physical scan must classify the chr predicate as a
+    // PARTITION filter (pruned at the file-index listing, before any
+    // IO) — and that listing must return only the query chromosome's
+    // files. This drives the scan's own pruning path
+    // (FileSourceScanExec.partitionFilters → FileIndex.listFiles),
+    // not a string match on explain output.
+    def prunedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val scan = df.queryExecution.sparkPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no file scan in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "chr predicate was not classified as a partition filter")
+      scan.relation.location.listFiles(scan.partitionFilters, Nil)
+        .flatMap(_.files).map(_.getPath.toString)
+    }
+    val nFiles = prunedFiles(ps.nodes.filter(col("chr") === "1"))
+    assert(nFiles.nonEmpty && nFiles.forall(_.contains("chr=1")))
+    assert(nFiles.size < ps.nodes.inputFiles.length)
+    val eFiles = prunedFiles(ps.edges.filter(col("src_chr") === "2"))
+    assert(eFiles.nonEmpty && eFiles.forall(_.contains("src_chr=2")))
+    // the served range plan itself carries the pruning on BOTH scans
+    val sub = graft.core.Serving.rangeSearch(ps, "1:100-600")
+    val scans = sub.nodes.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "served range plan has an unpruned file scan")
+    // SEMANTICS: the pruned served range equals the full-scan Q5 path,
+    // overlap and nearest-fallback forms both
+    def ids(s: Search.Subnet): Set[String] =
+      s.nodes.select("fragment").collect().map(_.getString(0)).toSet
+    assert(ids(graft.core.Serving.rangeSearch(ps, "1:100-600")) ==
+      ids(Search.search(nodes, edges, None, "1:100-600")))
+    assert(ids(graft.core.Serving.rangeSearch(ps, "1:100-600")).nonEmpty)
+    assert(ids(graft.core.Serving.rangeSearch(ps, "2:90000-90001")) ==
+      ids(Search.search(nodes, edges, None, "2:90000-90001")))
+  }
+
   test("batched served documents are byte-identical to per-key render") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("serving_docs").toString
