@@ -273,16 +273,20 @@ object Pipeline {
       val fDocs = fChrs.map { all =>
         timed("chromosomeDocs") {
           val chrs = chromosomesToWrite.getOrElse(all)
-          val positions = docLayout.map {
-            case "grid" =>
-              Layout.gridPerDoc(CytoscapeJson.docMembers(edgesC))
-            case "cose" =>
-              Layout.cosePerDoc(CytoscapeJson.docMembers(edgesC),
-                edgesC.select(explode(array_distinct(array(
-                    split(col("src"), "_").getItem(0),
-                    split(col("dst"), "_").getItem(0)))).as("doc"),
-                  col("src"), col("dst")))
-            case other =>
+          val positions: CytoscapeJson.DocPositions = docLayout match {
+            case None => CytoscapeJson.NoPositions
+            case Some("grid") =>
+              // derives inside the writer from its own membership
+              // frame — no second membership pass, no positions join
+              CytoscapeJson.InlineGridPositions()
+            case Some("cose") =>
+              CytoscapeJson.FramePositions(
+                Layout.cosePerDoc(CytoscapeJson.docMembers(edgesC),
+                  edgesC.select(explode(array_distinct(array(
+                      split(col("src"), "_").getItem(0),
+                      split(col("dst"), "_").getItem(0)))).as("doc"),
+                    col("src"), col("dst"))))
+            case Some(other) =>
               throw new IllegalArgumentException(s"docLayout: $other")
           }
           if (distributedDocs.getOrElse(nEdges > DocStreamMaxEdges))
@@ -358,15 +362,16 @@ object Pipeline {
               chrOf(col("dst")).isin(chrs: _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val positions = docLayout.map {
-        case "grid" =>
-          Layout.gridPerDoc(CytoscapeJson.docMembers(edgesT))
-        case "cose" =>
-          Layout.cosePerDoc(CytoscapeJson.docMembers(edgesT),
-            edgesT.select(explode(array_distinct(array(
-                chrOf(col("src")), chrOf(col("dst"))))).as("doc"),
-              col("src"), col("dst")))
-        case other =>
+      val positions: CytoscapeJson.DocPositions = docLayout match {
+        case None => CytoscapeJson.NoPositions
+        case Some("grid") => CytoscapeJson.InlineGridPositions()
+        case Some("cose") =>
+          CytoscapeJson.FramePositions(
+            Layout.cosePerDoc(CytoscapeJson.docMembers(edgesT),
+              edgesT.select(explode(array_distinct(array(
+                  chrOf(col("src")), chrOf(col("dst"))))).as("doc"),
+                col("src"), col("dst"))))
+        case Some(other) =>
           throw new IllegalArgumentException(s"docLayout: $other")
       }
       if (distributedDocs.getOrElse(edgesT.count() > DocStreamMaxEdges))

@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object CytoscapeJson {
 
+  /** Position source for the chromosome-document writers. */
+  sealed trait DocPositions
+  /** No position enrichment. */
+  case object NoPositions extends DocPositions
+  /** Whole-document grid computed INLINE from the writer's own
+    * membership frame — byte-identical to joining
+    * [[graft.core.Layout.gridPerDoc]] output, minus a second
+    * membership derivation and a (doc, fragment) join. The any-scale
+    * default for the tree enrichment. */
+  final case class InlineGridPositions(spacing: Long = 100L)
+      extends DocPositions
+  /** Precomputed per-document positions DF(doc, id, x, y)
+    * ([[graft.core.Layout.cosePerDoc]]). */
+  final case class FramePositions(df: DataFrame) extends DocPositions
+
   /** The node `data` struct (shared by every sink form). Extra columns
     * (features, degree, …) are carried into `data` automatically;
     * `exclude` names plumbing columns (e.g. a request key) that must
@@ -178,7 +193,7 @@ object CytoscapeJson {
     * stream writer's ">=2 node elements" guard and the lines writer's
     * ">=2 DISTINCT memberships" guard disagree on degenerate docs. */
   private def taggedDocElements(nodes: DataFrame, edges: DataFrame,
-                                positions: Option[DataFrame] = None)
+                                positions: DocPositions = NoPositions)
       : (DataFrame, DataFrame) = {
     val eTag = edges.withColumn("__doc", explode(array_distinct(array(
       split(col("src"), "_").getItem(0), split(col("dst"), "_").getItem(0)))))
@@ -186,8 +201,27 @@ object CytoscapeJson {
     val nDocs = eTag.select(col("__doc"), col("src").as("fragment"))
       .unionAll(eTag.select(col("__doc"), col("dst").as("fragment")))
       .distinct()
+    // layout positions are PER DOCUMENT (the reference lays out each
+    // chr<c>.json independently, layout_enricher:50-94), so a node's
+    // element differs per document ONLY in position{x,y}. The
+    // expensive data struct still renders ONCE per node; each
+    // (document, node) membership then splices its position object in
+    // front of the closing brace — byte-identical to rendering the
+    // full positioned struct (both are to_json output), at a
+    // per-membership string concat instead of a JSON serialization.
+    def spliced(withPos: DataFrame) = {
+      val nEls = nodes.select(col("fragment"),
+        to_json(nodeStruct(nodes)).as("__el"))
+      nEls.join(withPos, Seq("fragment"))
+        .select(col("__doc"), lit(0).as("__g"),
+          col("fragment").as("__k1"), lit("").as("__k2"),
+          concat(expr("substring(__el, 1, length(__el) - 1)"),
+            lit(",\"position\":"),
+            to_json(struct(col("__px").as("x"), col("__py").as("y"))),
+            lit("}")).as("element"))
+    }
     val tagN = positions match {
-      case None =>
+      case NoPositions =>
         // node JSON renders ONCE per node (nodeStruct must not see
         // __doc — extra columns ride into data), then fans out
         val nEls = nodes.select(col("fragment").as("__k1"),
@@ -195,26 +229,26 @@ object CytoscapeJson {
         nEls.join(nDocs.withColumnRenamed("fragment", "__k1"), Seq("__k1"))
           .select(col("__doc"), lit(0).as("__g"), col("__k1"),
             lit("").as("__k2"), col("element"))
-      case Some(pos) =>
-        // layout positions are PER DOCUMENT (the reference lays out
-        // each chr<c>.json independently, layout_enricher:50-94), so
-        // a node's element differs per document ONLY in position{x,y}.
-        // The expensive data struct still renders ONCE per node; each
-        // (document, node) membership then splices its position object
-        // in front of the closing brace — byte-identical to rendering
-        // the full positioned struct (both are to_json output), at a
-        // per-membership string concat instead of a JSON serialization
-        val nEls = nodes.select(col("fragment"),
-          to_json(nodeStruct(nodes)).as("__el"))
-        nEls.join(nDocs, Seq("fragment"))
-          .join(pos.toDF("__doc", "fragment", "__px", "__py"),
-            Seq("__doc", "fragment"), "left")
-          .select(col("__doc"), lit(0).as("__g"),
-            col("fragment").as("__k1"), lit("").as("__k2"),
-            concat(expr("substring(__el, 1, length(__el) - 1)"),
-              lit(",\"position\":"),
-              to_json(struct(col("__px").as("x"), col("__py").as("y"))),
-              lit("}")).as("element"))
+      case InlineGridPositions(spacing) =>
+        // the whole-document grid derives from the tagging's OWN
+        // membership frame: same bytes as joining Layout.gridPerDoc
+        // output (identical formulas over the identical member set),
+        // minus a second membership derivation and a second join —
+        // ONE (fragment)-keyed join total for the default tree layout
+        val w = Window.partitionBy("__doc").orderBy("fragment")
+        val nW = Window.partitionBy("__doc")
+        spliced(nDocs
+          .withColumn("__j", (row_number().over(w) - lit(1)).cast("long"))
+          .withColumn("__c",
+            ceil(sqrt(count(lit(1)).over(nW).cast("double"))).cast("long"))
+          .select(col("__doc"), col("fragment"),
+            ((pmod(col("__j"), col("__c")) + lit(1L)) * lit(spacing))
+              .as("__px"),
+            (((col("__j") - pmod(col("__j"), col("__c"))) / col("__c") +
+              lit(1L)) * lit(spacing)).cast("long").as("__py")))
+      case FramePositions(pos) =>
+        spliced(nDocs.join(pos.toDF("__doc", "fragment", "__px", "__py"),
+          Seq("__doc", "fragment"), "left"))
     }
     // edgeStruct reads only src/dst/type — safe to render on the
     // tagged frame directly (an edge spans at most two documents)
@@ -240,7 +274,7 @@ object CytoscapeJson {
 
   def writeChromosomeDocuments(nodes: DataFrame, edges: DataFrame,
                                chrs: Seq[String], dir: String,
-                               positions: Option[DataFrame] = None): Unit = {
+                               positions: DocPositions = NoPositions): Unit = {
     // only the requested documents (callers may bound the fan-out)
     val sorted = taggedDocElements(nodes, edges, positions)._1
       .filter(col("__doc").isin(chrs: _*))
@@ -339,7 +373,7 @@ object CytoscapeJson {
     * rename for object-store deployments. */
   def writeChromosomeDocumentLines(nodes: DataFrame, edges: DataFrame,
                                    chrs: Seq[String], dir: String,
-                                   positions: Option[DataFrame] = None)
+                                   positions: DocPositions = NoPositions)
       : Unit = {
     import nodes.sparkSession.implicits._
     val (els, nDocs) = taggedDocElements(nodes, edges, positions)
