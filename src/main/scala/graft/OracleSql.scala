@@ -2518,7 +2518,10 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
     "q5_range_served" -> graph("q5_range_search"),
     // the chromosome-partitioned layout must serve the SAME rows as the
     // full scan — partition pruning is an IO plan choice, not semantics
-    "q5_range_served_part" -> graph("q5_range_search"))
+    "q5_range_served_part" -> graph("q5_range_search"),
+    // and the pruned ego/gene path must serve the subnet the full-scan
+    // rebuild computes
+    "q6_search_served_pruned" -> graph("q6_search_subnet"))
 
   val all: Map[String, String] =
     graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++

@@ -251,6 +251,13 @@ object QueryDefs {
     "q5_range_served_part" -> ((s, d) =>
       Serving.rangeSearch(partitionedSnapshot(s, d), "7:30000-60000").nodes
         .select(col("fragment").as("id"))),
+    // the hot Q2→J10→Q6 gene path over the partitioned layout: index
+    // seeds → seed-chromosome-pruned 1-hop over the adjacency-sharded
+    // symmetric copy → hop-chromosome-pruned induced edges + node
+    // attributes. Same oracle as the full-scan q6_search_subnet:
+    // file-level pruning must not change a row.
+    "q6_search_served_pruned" -> ((s, d) =>
+      Serving.geneSearchPruned(partitionedSnapshot(s, d), "S7").nodes),
     // S12 response memo-cache (backend.py:51-99) as batch semantics
     // over the REAL serving payload: a request batch with duplicate
     // keys and a pre-seeded memo — memo hits serve the STORED response
@@ -1013,5 +1020,11 @@ object QueryDefs {
     // component through 12 relational rounds benches the fallback no
     // caller takes, 19.5s vs ~2s at sf0.1), the memo-cache over real
     // rendered serving documents, and the served range form
-    "g8_layout_cose_bh_local", "s12_response_cache", "q5_range_served")
+    "g8_layout_cose_bh_local", "s12_response_cache", "q5_range_served",
+    // round-10 additions: incremental tree maintenance (the dirty-two-
+    // chromosome delta vs the ~12.5s full tree — the 100 TB
+    // don't-rewrite-the-world path) and the chromosome-partition-pruned
+    // served range (rep 1 builds the partitioned snapshot, the median
+    // is the pruned serve)
+    "s11_tree_refresh", "q5_range_served_part")
 }

@@ -53,11 +53,14 @@ object Serving {
 
   /** A chromosome-partitioned snapshot opened LAZILY: the frames are
     * bare parquet scans, NOT pinned caches — the at-scale serving
-    * shape, where a range request's IO is its pruned partition, never
-    * the dataset. nodes lay under `chr=<c>/`, edges under
-    * `src_chr=<c>/` (with `dst_chr` a pushed data filter). */
+    * shape, where a request's IO is its pruned partitions, never the
+    * dataset. nodes lay under `chr=<c>/`, directed edges under
+    * `src_chr=<c>/` (with `dst_chr` a pushed data filter), and `sym`
+    * is the adjacency-sharded SYMMETRIC copy (every edge stored in
+    * BOTH endpoints' partitions — 2x edge storage buys file-level
+    * pruning for either-direction incidence lookups, the ego hop). */
   case class PartitionedSnapshot(nodes: DataFrame, edges: DataFrame,
-                                 index: DataFrame)
+                                 sym: DataFrame, index: DataFrame)
 
   /** Build-time: the header's "partition-prunable parquet" made
     * literal. Nodes partition by their existing `chr` column; edges by
@@ -78,6 +81,14 @@ object Serving {
       edges.withColumn("src_chr", split(col("src"), "_").getItem(0))
            .withColumn("dst_chr", split(col("dst"), "_").getItem(0)),
       s"$dir/edges", Seq("src_chr"))
+    // the adjacency-sharded symmetric copy: each undirected edge lands
+    // in both endpoints' src_chr partitions, so "edges incident to X"
+    // is a pruned scan of X's chromosome regardless of orientation
+    val bare = edges.select(col("src"), col("dst"))
+    graft.io.Readers.snapshot(
+      bare.unionAll(bare.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("src_chr", split(col("src"), "_").getItem(0)),
+      s"$dir/edges_sym", Seq("src_chr"))
     graft.io.Readers.snapshot(Search.buildNameIndex(vertices),
       s"$dir/name_index")
   }
@@ -95,6 +106,8 @@ object Serving {
       graft.io.Readers.loadSnapshot(spark, s"$dir/edges")
         .withColumn("src_chr", col("src_chr").cast("string"))
         .withColumn("dst_chr", col("dst_chr").cast("string")),
+      graft.io.Readers.loadSnapshot(spark, s"$dir/edges_sym")
+        .withColumn("src_chr", col("src_chr").cast("string")),
       graft.io.Readers.loadSnapshot(spark, s"$dir/name_index"))
   }
 
@@ -118,6 +131,43 @@ object Serving {
       .drop("src_chr", "dst_chr")
     Search.subnetFromSeeds(nodes, edges,
       Search.byRange(nodes, range, expand, nearest), ego = false)
+  }
+
+  /** The served Q2→J10→Q6 gene path with FILE-LEVEL pruning: seeds
+    * resolve through the name index (an equi-lookup, no node scan for
+    * single-token terms), their chromosomes bound the symmetric copy's
+    * 1-hop scan, and the hop set's chromosomes bound the induced-edge
+    * and node-attribute scans. The two chromosome lists are bounded
+    * dimension collects (≤ |chromosomes| rows ≈ 25 at any SF — the
+    * a10 dimension, never data rows). Trans-chromosome neighbors are
+    * kept: the hop derives from the symmetric copy, which stores each
+    * edge in BOTH endpoints' partitions, so every incident edge is in
+    * the pruned scan regardless of its other end's chromosome.
+    * Row-identical to the full-scan Q2 path — every edge with an
+    * endpoint among the seeds has both endpoint chromosomes in the
+    * hop's list, so the pruned frames contain the subnet's whole
+    * closure; pinned against the q6_search_subnet oracle by the
+    * q6_search_served_pruned gate entry. */
+  def geneSearchPruned(ps: PartitionedSnapshot, term: String)
+      : Search.Subnet = {
+    import org.apache.spark.sql.functions._
+    val seeds = Search.byGeneNameIndexed(ps.index, ps.nodes, term)
+      .localCheckpoint(eager = true)
+    def chrsOf(ids: DataFrame): Seq[String] =
+      ids.select(split(col("id"), "_").getItem(0).as("c"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    val seedChrs = chrsOf(seeds)
+    val hop = ps.sym.filter(col("src_chr").isin(seedChrs: _*))
+      .join(seeds.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst").as("id"))
+      .unionAll(seeds).distinct()
+    val hopChrs = chrsOf(hop)
+    val edgesP = ps.edges
+      .filter(col("src_chr").isin(hopChrs: _*) &&
+              col("dst_chr").isin(hopChrs: _*))
+      .drop("src_chr", "dst_chr")
+    val nodesP = ps.nodes.filter(col("chr").isin(hopChrs: _*))
+    Search.subnetFromSeeds(nodesP, edgesP, seeds, ego = true)
   }
 
   /** The interactive Q2→J10→Q6 path over an opened snapshot: indexed

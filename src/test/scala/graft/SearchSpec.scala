@@ -192,6 +192,37 @@ class SearchSpec extends SparkSpec {
       ids(Search.search(nodes, edges, None, "2:90000-90001")))
   }
 
+  test("pruned gene search serves the full-scan ego subnet, keeping " +
+      "trans-chromosome neighbors, from partition-filtered scans") {
+    val dir = java.nio.file.Files.createTempDirectory("serving_ego").toString
+    // EZH2's bait (chr1) gets a trans edge to chr2 — the hop must reach
+    // across chromosomes even though the seeds all live on chr1
+    val trans = edges.unionAll(
+      Seq(("1_100_199", "2_500_599", 9.0)).toDF("src", "dst", "score"))
+    graft.core.Serving.buildSnapshotPartitioned(nodes, trans, dir)
+    val ps = graft.core.Serving.openPartitioned(spark, dir)
+    // the symmetric copy shards each edge into BOTH endpoints' partitions
+    assert(new java.io.File(s"$dir/edges_sym/src_chr=1").isDirectory)
+    assert(new java.io.File(s"$dir/edges_sym/src_chr=2").isDirectory)
+    val served = graft.core.Serving.geneSearchPruned(ps, "EZH2")
+    val rebuilt = Search.subnetFromSeeds(nodes, trans,
+      Search.byGeneName(nodes, "EZH2"), ego = true)
+    def rows(s: Search.Subnet): Set[Seq[Any]] =
+      s.nodes.select("fragment", "searched", "degree")
+        .collect().map(_.toSeq).toSet
+    assert(rows(served) == rows(rebuilt))
+    assert(served.nodes.collect().map(_.getString(0)).toSet
+      .contains("2_500_599"), "trans-chromosome neighbor missing")
+    // every file scan in the served plan is partition-pruned
+    val scans = served.nodes.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "pruned gene-search plan has an unpruned file scan")
+    // a miss term yields an empty subnet without error
+    assert(graft.core.Serving.geneSearchPruned(ps, "NOSUCH").nodes
+      .count() == 0)
+  }
+
   test("batched served documents are byte-identical to per-key render") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("serving_docs").toString
