@@ -748,6 +748,64 @@ SELECT r.request_id, r.key,
 FROM reqs r LEFT JOIN memo mm ON mm.key = r.key
 LEFT JOIN fresh f ON f.key = r.key""")
 
+  /** e11 — the streaming memo-cache loop: no pre-seeded memo, TWO
+    * deterministic micro-batches (request_id parity: evens drain
+    * first). Every key's response is the same rendered document in
+    * either batch (the compute is deterministic), so only `cached`
+    * depends on the split: an odd-batch request whose key appeared in
+    * the even batch is a memo hit. Same doc-render chain as [[s12Sql]]
+    * over ALL distinct keys. */
+  private val e11Sql: String = gq(raw"""
+, reqs AS (SELECT CAST(o_orderkey AS BIGINT) AS request_id,
+    'S'||(o_orderkey%150) AS key FROM orders),
+b1keys AS (SELECT DISTINCT key FROM reqs WHERE request_id%2=0),
+allkeys AS (SELECT DISTINCT key FROM reqs),
+tok AS (SELECT DISTINCT fragment, token FROM (
+  SELECT fragment, unnest(list_filter(string_split_regex(
+    lower(gene_names || ' '), '\W+'), t -> t <> '')) AS token
+  FROM verts) u),
+seeds AS (SELECT k.key, t.fragment AS id
+  FROM allkeys k JOIN tok t ON t.token = lower(k.key)),
+esym AS (SELECT src, dst FROM simplified
+  UNION ALL SELECT dst, src FROM simplified),
+ehop AS (SELECT DISTINCT key, id FROM (
+  SELECT s.key, e.dst AS id FROM esym e JOIN seeds s ON e.src = s.id
+  UNION ALL SELECT key, id FROM seeds) u),
+sedges AS MATERIALIZED (SELECT h1.key, e.src, e.dst FROM simplified e
+  JOIN ehop h1 ON e.src = h1.id
+  JOIN ehop h2 ON e.dst = h2.id AND h2.key = h1.key),
+nodeids AS (SELECT DISTINCT key, id FROM (
+  SELECT key, src AS id FROM sedges UNION ALL SELECT key, dst FROM sedges
+  UNION ALL SELECT key, id FROM seeds) u),
+sdeg AS (SELECT key, id, count(*) AS degree FROM (
+  SELECT key, src AS id FROM sedges
+  UNION ALL SELECT key, dst FROM sedges) u GROUP BY key, id),
+nels AS (SELECT n.key, 0 AS g, v.fragment AS k1, '' AS k2,
+    '{"data":{"id":"'||v.fragment||'","names":"'||v.gene_names
+    ||'","chr":"'||v.chr||'","start":'||v."start"||',"end":'||v."end"
+    ||',"type":"'||v.type||'","searched":"'
+    ||CASE WHEN s.id IS NOT NULL THEN 'true' ELSE 'false' END
+    ||'","degree":'||coalesce(d.degree, 0)||'},"group":"nodes"}' AS element
+  FROM nodeids n JOIN verts v ON v.fragment = n.id
+  LEFT JOIN (SELECT DISTINCT key, id FROM seeds) s
+    ON s.key = n.key AND s.id = n.id
+  LEFT JOIN sdeg d ON d.key = n.key AND d.id = n.id),
+eels AS (SELECT key, 1 AS g, src AS k1, dst AS k2,
+    '{"data":{"source":"'||src||'","target":"'||dst||'","id":"'
+    ||src||'~'||dst||'"},"group":"edges"}' AS element
+  FROM sedges),
+docs AS (SELECT key,
+    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS nn,
+    string_agg(element, ',' ORDER BY g, k1, k2) AS body
+  FROM (SELECT * FROM nels UNION ALL SELECT * FROM eels) a GROUP BY key),
+resp AS (SELECT k.key,
+    CASE WHEN coalesce(d.nn, 0) <= 1 THEN '{}'
+         ELSE '['||d.body||']' END AS response
+  FROM allkeys k LEFT JOIN docs d ON d.key = k.key)
+SELECT r.request_id, r.key, p.response,
+       (r.request_id%2=1 AND r.key IN (SELECT key FROM b1keys)) AS cached
+FROM reqs r JOIN resp p ON p.key = r.key""")
+
   // -------------------------------------------------- G8 layout oracles
   /** The served subnet (same derivation as q6_search_subnet) plus its
     * connected components by recursive closure — tractable because the
@@ -1014,6 +1072,7 @@ korel AS (SELECT component, id,
     * bit-identity, like a6/g6). */
   val layouts: Map[String, String] = Map(
     "s12_response_cache" -> s12Sql,
+    "e11_stream_response_cache" -> e11Sql,
     "g8_layout_grid" -> g8GridSql,
     "g8_layout_circle" -> g8CircleSql,
     "g8_layout_concentric" -> g8ConcentricSql,

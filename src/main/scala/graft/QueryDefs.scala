@@ -833,6 +833,41 @@ object QueryDefs {
         s"$d/documents.parquet", docs.schema,
         queryName = "e10_intradoc_" + math.abs(d.hashCode).toString)
     }),
+    // e11: the S12 memo-cache driven as a REAL streaming service loop.
+    // Two request files with ascending mtimes = two deterministic
+    // micro-batches (evens then odds, maxFilesPerTrigger=1): batch 1
+    // computes every key cold (cached=false), batch 2's repeats of
+    // batch-1 keys are memo HITS served without recompute — the
+    // cross-batch continuity the oracle replays as `odd AND key IN
+    // evens' keys`. The compute is the real serving payload
+    // (geneSearchDocs rendered documents), identical for hit and miss,
+    // so the response column stays batch-split-independent.
+    "e11_stream_response_cache" -> ((s, d) => {
+      val reqs = table(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("request_id"),
+        concat(lit("S"), (col("o_orderkey") % 150).cast("string")).as("key"))
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_e11").toString
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$base/_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(s"$base/reqs/$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val now = System.currentTimeMillis()
+      writeOne(reqs.filter(col("request_id") % 2 === 0), "b0", now - 60000L)
+      writeOne(reqs.filter(col("request_id") % 2 === 1), "b1", now)
+      val sd = servedDataset(s, d)
+      EventStreams.responseCacheStreamFromParquet(s, s"$base/reqs",
+        s"$base/memo", s"$base/out",
+        misses => Serving.geneSearchDocs(sd, misses))
+    }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5
     // arithmetic (what the oracle replicates) while the gate still

@@ -382,6 +382,44 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** e11: the S12 response memo-cache as a STREAMING service loop —
+    * request micro-batches drain through foreachBatch, and EVERY batch
+    * runs [[graft.core.Serving.serveCachedDir]] against the SAME
+    * parquet memo dir, so a key computed in batch N is a memo HIT in
+    * batch N+1: cross-batch memo continuity, the property one batch
+    * call cannot exhibit. This is the reference's serving loop shape
+    * (backend.py:51-99 — a long-lived process consulting one shelve
+    * across requests); a deployment points the readStream at the
+    * request log and the memo dir at shared storage.
+    * `maxFilesPerTrigger=1` makes each request FILE one micro-batch,
+    * so a fixture that writes its files with ascending modification
+    * times gets a deterministic batch sequence (the file source
+    * processes oldest-first) — which makes the `cached` flags exactly
+    * replayable in SQL. Responses append to `outDir` as they serve. */
+  def responseCacheStreamFromParquet(spark: SparkSession, reqDir: String,
+                                     memoDir: String, outDir: String,
+                                     compute: DataFrame => DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("request_id", LongType),
+      StructField("key", StringType)))
+    val ckpt = java.nio.file.Files.createTempDirectory("e11ckpt").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(reqDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.core.Serving.serveCachedDir(batch.toDF(), memoDir, compute)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState: emits a
     * session when the gap timeout fires. State is one small struct per
     * active user — bounded by active-user cardinality, not event volume. */

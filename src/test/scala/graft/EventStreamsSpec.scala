@@ -172,6 +172,52 @@ class EventStreamsSpec extends SparkSpec {
       .filter(_.getName.endsWith(".parquet")).head
   }
 
+  test("streaming response cache: batch-1 keys become memo hits in " +
+      "batch 2, compute runs once per key") {
+    val base = java.nio.file.Files.createTempDirectory("e11spec").toString
+    def writeOne(rows: Seq[(Long, String)], name: String,
+                 mtime: Long): Unit = {
+      val tmp = s"$base/_tmp_$name"
+      rows.toDF("request_id", "key").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$base/reqs/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // batch 1: A, B (A duplicated); batch 2: A again (must be a HIT),
+    // C novel (must compute)
+    val now = System.currentTimeMillis()
+    writeOne(Seq((2L, "A"), (4L, "A"), (6L, "B")), "b0", now - 60000L)
+    writeOne(Seq((1L, "A"), (3L, "C")), "b1", now)
+    val computed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = EventStreams.responseCacheStreamFromParquet(spark,
+      s"$base/reqs", s"$base/memo", s"$base/out",
+      misses => {
+        val ks = misses.select("key").collect().map(_.getString(0))
+        computed.synchronized { computed ++= ks }
+        misses.select(col("key"),
+          concat(lit("doc:"), col("key")).as("response"))
+      })
+    val rows = out.collect()
+      .map(r => r.getLong(r.fieldIndex("request_id")) ->
+        (r.getString(r.fieldIndex("key")),
+         r.getString(r.fieldIndex("response")),
+         r.getBoolean(r.fieldIndex("cached")))).toMap
+    assert(rows.size == 5)
+    // every request answered with its key's document
+    rows.foreach { case (_, (k, resp, _)) => assert(resp == s"doc:$k") }
+    // batch 1 all cold; batch 2: A is a cross-batch HIT, C computes
+    assert(!rows(2L)._3 && !rows(4L)._3 && !rows(6L)._3)
+    assert(rows(1L)._3, "batch-2 repeat of a batch-1 key must be a hit")
+    assert(!rows(3L)._3)
+    // one compute per distinct key, A NOT recomputed in batch 2
+    assert(computed.sorted == Seq("A", "B", "C"))
+  }
+
   test("normalizeTs maps NTZ parquet to the same instants as TIMESTAMP") {
     val f = writeNtzFixture()
     val raw = spark.read.parquet(f.getAbsolutePath)
