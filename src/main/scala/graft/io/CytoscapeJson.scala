@@ -371,9 +371,15 @@ object CytoscapeJson {
     * (<2 node elements, absent chromosomes) match the stream writer.
     * Renames use the local filesystem: swap in a Hadoop FileSystem
     * rename for object-store deployments. */
+  /** `shardsPerDoc` > 1 splits each document's line rows over that
+    * many ordered range partitions so no single task serializes a
+    * giant chromosome (the bulk regime's remaining straggler at
+    * extreme document sizes); concatenating a document's part files
+    * in filename order always reproduces the stream writer's bytes. */
   def writeChromosomeDocumentLines(nodes: DataFrame, edges: DataFrame,
                                    chrs: Seq[String], dir: String,
-                                   positions: DocPositions = NoPositions)
+                                   positions: DocPositions = NoPositions,
+                                   shardsPerDoc: Int = 1)
       : Unit = {
     import nodes.sparkSession.implicits._
     val (els, nDocs) = taggedDocElements(nodes, edges, positions)
@@ -389,7 +395,7 @@ object CytoscapeJson {
       .select("__doc").collect().map(_.getString(0)).toSet
     val wDoc = Window.partitionBy("__doc")
     val wOrd = wDoc.orderBy("__g", "__k1", "__k2")
-    val lines = els
+    val decorated = els
       .filter(col("__doc").isin(okDocs.toSeq: _*))
       .withColumn("__rn", row_number().over(wOrd))
       .withColumn("__cnt", count(lit(1)).over(wDoc))
@@ -398,8 +404,21 @@ object CytoscapeJson {
         col("element"),
         when(col("__rn") === col("__cnt"), lit("]")).otherwise(lit("")))
         .as("line"))
-      // the window already clusters+sorts by document; this sort is
-      // elided when redundant and guarantees file row order otherwise
+    // shardsPerDoc == 1: the window already clusters+sorts by
+    // document — one task writes each document's single part file.
+    // shardsPerDoc > 1: a giant document's serial write is the tree's
+    // straggler, so range-repartition the decorated lines on the
+    // document order key — each document spreads over ~shardsPerDoc
+    // ordered range partitions, every task writes its slice, and the
+    // part files CONCATENATED IN FILENAME ORDER reproduce the document
+    // (part file names embed the task id, task ids follow range
+    // order, rows are sorted within each part; asserted in
+    // CytoscapeJsonSpec). Range boundaries are sampled, so the SPLIT
+    // POINTS vary run to run — the concatenated bytes never do.
+    val lines = (if (shardsPerDoc <= 1) decorated
+      else decorated.repartitionByRange(
+        math.max(1, shardsPerDoc * chrs.size),
+        col("__doc"), col("__g"), col("__k1"), col("__k2")))
       .sortWithinPartitions("__doc", "__g", "__k1", "__k2")
       .select(col("__doc"), col("line"))
     val guards = chrs.filterNot(okDocs)

@@ -156,6 +156,39 @@ class CytoscapeJsonSpec extends SparkSpec {
       .asScala.mkString("") == "{}")
   }
 
+  test("sharded line dirs concatenate in filename order to the stream " +
+      "bytes (no one-task-per-document straggler)") {
+    // the giant-document mitigation: shardsPerDoc range-splits each
+    // document's line rows across tasks; part files sorted by name
+    // (task-id order == range order) must reproduce the document
+    val d = "/root/testdata/sf0.001"
+    val v = TestMapping.verts(spark, d)
+    val e = TestMapping.simplified(spark, d)
+    val chrs = v.select("chr").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    val streamDir = java.nio.file.Files.createTempDirectory("graftstream3")
+    val shardDir = java.nio.file.Files.createTempDirectory("graftshard3")
+    CytoscapeJson.writeChromosomeDocuments(v, e, chrs, streamDir.toString)
+    CytoscapeJson.writeChromosomeDocumentLines(v, e, chrs,
+      shardDir.toString, shardsPerDoc = 3)
+    var multiPart = 0
+    for (c <- chrs) {
+      val expected = java.nio.file.Files.readString(
+        streamDir.resolve(s"chr$c.json"))
+      val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.list(shardDir.resolve(s"chr$c.json"))
+            .iterator()).asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      if (parts.size > 1) multiPart += 1
+      val got = parts.map(p => scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(p))
+          .asScala.mkString("")).mkString("")
+      assert(got == expected, s"chr$c sharded concatenation")
+    }
+    assert(multiPart > 0, "no document actually sharded across tasks")
+  }
+
   test("distributed chromosome line dirs guard lone-node and orphan docs") {
     val n1 = nodes.limit(1)
     val loop = Seq(("1_100_199", "1_100_199", "P-P"))
