@@ -2582,7 +2582,176 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
     // rebuild computes
     "q6_search_served_pruned" -> graph("q6_search_subnet"))
 
+  // ---------------------------------------------- s7 NN-Descent oracles
+  // The FULL kNN graph carries a hash oracle: the deterministic init
+  // (md5(id:i:knn) mod N) + 2 NN-descent rounds macro-expand as CTEs,
+  // every ranking on round(cosine, 6) with id tiebreaks — the same
+  // total order the engine ranks by (Similarity.knnGraphNNDescent).
+  // Pair scoring uses list_dot_product on the raw arrays (the d5
+  // lesson: a per-dimension join explodes |pairs|×64 rows at sf1).
+
+  // Multi-consumer CTEs are MATERIALIZED: DuckDB inlines CTEs by
+  // default, and each g$r is referenced 3× by round r+1 — inlined,
+  // the plan tree (and the parquet re-opens) grow ~5^rounds, observed
+  // as "Too many open files" at 4 rounds. The a6/a17 restructure
+  // (COVERAGE.md oracle-tractability notes) set the precedent:
+  // materialize exactly the multi-consumer frames.
+  private def knnScoreCte(src: String, out: String): String = raw"""
+$out AS MATERIALIZED (SELECT p.src, p.dst,
+    round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                           CAST(eb.embedding AS DOUBLE[]))
+          / (na.nrm * nb.nrm), 6) AS cos
+  FROM $src p
+  JOIN emb2 ea ON ea.vec_id = p.src
+  JOIN emb2 eb ON eb.vec_id = p.dst
+  JOIN nrm2 na ON na.vec_id = p.src
+  JOIN nrm2 nb ON nb.vec_id = p.dst)"""
+
+  private def knnTopKCte(src: String, out: String): String = raw"""
+$out AS MATERIALIZED (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (
+      PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM $src) t
+  WHERE rn <= 10)"""
+
+  private val S7Rounds = 4
+  private val s7Ctes: String = {
+    // emb2 = the 2000-vector gate cap (QueryDefs s7 comment): the
+    // oracle's per-round pair scoring is corpus·cap²/2 — bounded here
+    // so the sf1 gate stays inside its wall budget
+    val init = raw"""
+emb2 AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 2000),
+nrm2 AS MATERIALIZED (SELECT vec_id, nrm FROM norms
+  WHERE vec_id < 2000),
+nn AS (SELECT count(*) AS n FROM emb2),
+ii AS (SELECT unnest(generate_series(0, 9)) AS i),
+ip AS (SELECT DISTINCT e.vec_id AS src,
+    CAST('0x' || substr(md5(e.vec_id || ':' || ii.i || ':knn'), 1, 12)
+      AS BIGINT) % nn.n AS dst
+  FROM emb2 e, ii, nn),
+ipf AS (SELECT src, dst FROM ip
+  WHERE dst <> src AND dst IN (SELECT vec_id FROM emb2)),
+${knnScoreCte("ipf", "sc0")},
+${knnTopKCte("sc0", "g0")}""".drop(1)
+    val roundCtes = (1 to S7Rounds).map { r => raw"""
+b$r AS (SELECT src AS p, dst AS x FROM g${r - 1}
+  UNION SELECT dst AS p, src AS x FROM g${r - 1}),
+bc$r AS MATERIALIZED (SELECT p, x FROM (
+    SELECT p, x, row_number() OVER (PARTITION BY p
+      ORDER BY md5(p || ':' || x), x) AS rn FROM b$r) t
+  WHERE rn <= 20),
+cd$r AS (SELECT DISTINCT a.x AS src, b.x AS dst
+  FROM bc$r a JOIN bc$r b ON a.p = b.p AND a.x < b.x),
+${knnScoreCte(s"cd$r", s"pc$r")},
+al$r AS (SELECT src, dst, max(cos) AS cos FROM (
+    SELECT src, dst, cos FROM g${r - 1}
+    UNION ALL SELECT src, dst, cos FROM pc$r
+    UNION ALL SELECT dst AS src, src AS dst, cos FROM pc$r) u
+  GROUP BY src, dst),
+${knnTopKCte(s"al$r", s"g$r")}""".drop(1)
+    }
+    (init +: roundCtes).mkString(",\n")
+  }
+
+  // ------------------------------------------------- retrieval oracles
+  // BM25 constants appear as LITERALS on both sides (2.2, 1.2, 0.25,
+  // 0.75): `k1 + 1` computed at runtime is 2.1999999999999997 — not
+  // the double the literal 2.2 parses to — and the engines must agree
+  // bit-for-bit before the 4-dp round.
+  private val bm25Ctes: String = raw"""
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+st AS (SELECT count(*) AS n,
+    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tfr AS (SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM toks) u
+  GROUP BY doc_id, t),
+dfr AS (SELECT term, count(*) AS df FROM tfr GROUP BY term),
+qt AS (SELECT DISTINCT doc_id AS probe_id, term FROM tfr
+  WHERE doc_id < 5),
+bsc AS (SELECT q.probe_id, tfr.doc_id,
+    round(sum(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+        * tfr.tf * 2.2
+        / (tfr.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+  FROM qt q
+  JOIN tfr ON tfr.term = q.term AND tfr.doc_id <> q.probe_id
+  JOIN dfr ON dfr.term = q.term
+  JOIN dl ON dl.doc_id = tfr.doc_id
+  CROSS JOIN st
+  GROUP BY q.probe_id, tfr.doc_id),
+lex AS (SELECT probe_id, doc_id, CAST(rank AS BIGINT) AS lex_rank FROM (
+    SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+      ORDER BY score DESC, doc_id) AS rank FROM bsc) t
+  WHERE rank <= 20)""".drop(1)
+
+  val knnRetrieval: Map[String, String] = Map(
+    "s7_knn_graph" -> eq(raw"""
+SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
+FROM (SELECT src, dst, cos, row_number() OVER (
+    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM g$S7Rounds) r""",
+      extra = s7Ctes),
+    // quality certificate: graph neighbors vs brute-force truth on a
+    // bounded probe set; the TRUE literal pins the 0.85 recall target
+    // (the s2 contract: a construction regression fails the hash gate)
+    "s7_knn_recall" -> eq(raw"""
+SELECT CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
+       round(hits / tot, 6) AS recall, TRUE AS meets_target
+FROM (SELECT count(*) FILTER (WHERE gg.corpus_id IS NOT NULL) AS hits,
+             count(*) AS tot
+      FROM bfr LEFT JOIN gg
+      ON gg.probe_id = bfr.probe_id AND gg.corpus_id = bfr.corpus_id) t""",
+      extra = s7Ctes + "," + raw"""
+bfr AS (SELECT probe_id, corpus_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (na.nrm * nb.nrm), 6) DESC, b.vec_id) AS rank
+    FROM emb2 a JOIN emb2 b ON b.vec_id <> a.vec_id
+    JOIN nrm2 na ON na.vec_id = a.vec_id
+    JOIN nrm2 nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id < 20) r WHERE rank <= 10),
+gg AS (SELECT src AS probe_id, dst AS corpus_id FROM g$S7Rounds
+  WHERE src < 20)""".drop(1)),
+    "r1_bm25" -> dq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM (SELECT probe_id, doc_id, score, row_number() OVER (
+    PARTITION BY probe_id ORDER BY score DESC, doc_id) AS rank
+  FROM bsc) r
+WHERE rank <= 20""",
+      extra = bm25Ctes),
+    // RRF sums at most two exact small rationals in a fixed operand
+    // order — bit-identical in any engine — rounded at 6 dp before
+    // the fused ranking; leg ranks ride along (NULL = leg missed)
+    "r2_hybrid_rrf" -> dq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf,
+       lex_rank, vec_rank
+FROM (SELECT probe_id, doc_id, rrf, lex_rank, vec_rank,
+    row_number() OVER (PARTITION BY probe_id
+      ORDER BY rrf DESC, doc_id) AS rank FROM fj) r
+WHERE rank <= 10""",
+      extra = bm25Ctes + "," + raw"""
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+vexp AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, dims),
+norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vexp GROUP BY vec_id),
+vec AS (SELECT probe_id, corpus_id AS doc_id,
+    CAST(rank AS BIGINT) AS vec_rank FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (na.nrm * nb.nrm), 6) DESC, b.vec_id) AS rank
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id < 5) r WHERE rank <= 20),
+fj AS (SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+    round(coalesce(1.0 / (60 + l.lex_rank), 0.0)
+        + coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v
+  ON v.probe_id = l.probe_id AND v.doc_id = l.doc_id)""".drop(1)))
+
   val all: Map[String, String] =
     graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++
-      distRegime ++ layouts
+      distRegime ++ layouts ++ knnRetrieval
 }

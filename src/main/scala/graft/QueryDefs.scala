@@ -477,6 +477,35 @@ object QueryDefs {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // s7: NN-Descent approximate kNN graph — the FULL graph carries a
+    // hash oracle (the oracle macro-expands the same deterministic
+    // init + 4 rounds as CTEs), plus a brute-force recall certificate
+    // on a bounded probe set (meets_target=TRUE pinned, like s2/s5).
+    // The gate corpus is capped at 2000 vectors: each oracle round
+    // scores ~corpus·cap²/2 pairs in DuckDB, intractable at sf1
+    // uncapped (the a7/d5 oracle-tractability precedent); the engine
+    // itself is linear-per-round and runs any corpus — the cap is an
+    // oracle budget, not an engine limit.
+    "s7_knn_graph" -> ((s, d) =>
+      Similarity.knnGraphNNDescent(
+        table(s, d, "embeddings").filter(col("vec_id") < 2000))),
+    "s7_knn_recall" -> ((s, d) =>
+      Similarity.knnGraphRecall(
+        table(s, d, "embeddings").filter(col("vec_id") < 2000),
+        probeMax = 20)),
+    // r1/r2: retrieval over documents (+ aligned embeddings: vec_id and
+    // doc_id share the corpus id space, TESTDATA.md) — BM25 lexical
+    // top-20 per probe doc, and the RRF-fused hybrid of that leg with
+    // the brute-force cosine leg
+    "r1_bm25" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Retrieval.bm25(docs,
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")))
+    }),
+    "r2_hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrf(table(s, d, "documents"),
+        table(s, d, "embeddings"), probeMax = 5)),
     // SQ8: 8-bit scalar-quantized approximate scan (4× less index
     // traffic) feeding an exact re-rank of the 4k-deep candidate pool
     "s5_sq8_rerank" -> ((s, d) => {
@@ -1061,5 +1090,9 @@ object QueryDefs {
     // don't-rewrite-the-world path) and the chromosome-partition-pruned
     // served range (rep 1 builds the partitioned snapshot, the median
     // is the pruned serve)
-    "s11_tree_refresh", "q5_range_served_part")
+    "s11_tree_refresh", "q5_range_served_part",
+    // round-10 additions: NN-Descent kNN-graph construction (the
+    // 2000-vector gate shape — 4 join+window rounds) and the hybrid
+    // BM25+cosine RRF retrieval path
+    "s7_knn_graph", "r2_hybrid_rrf")
 }

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical + vector retrieval over the documents/embeddings corpus —
+  * the query side of a training-data pipeline (mining demonstrations,
+  * decontamination probes, near-neighbor context assembly) and the
+  * standard "hybrid search" a RAG-style serving layer runs.
+  *
+  * Design for 100 TB:
+  *  - BM25 is two hash aggregations (tf, df) + one equi-join per query
+  *    term — the postings join shuffles only (term, doc, tf) triples,
+  *    never text. Corpus statistics (N, avgdl) are 1-row broadcasts.
+  *  - Queries are a bounded probe set (the interactive shape); the
+  *    per-query top-k is a window over the probe's candidate postings,
+  *    map-side combined by the tf aggregation.
+  *  - Rank fusion (RRF) joins two bounded top-k frames on
+  *    (probe, doc) — k rows per probe per leg, independent of corpus
+  *    size.
+  *
+  * Determinism: scores are rounded (BM25 at 4 dp — it sums `ln` terms,
+  * the t5/t10 precedent; RRF at 6 dp — exact rational sums) BEFORE
+  * ranking, with doc-id tiebreaks, so ranks are a total order any
+  * engine reproduces; the DuckDB oracle replays the identical
+  * arithmetic. */
+object Retrieval {
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's non-negative idf
+    * ln(1 + (N − df + ½)/(df + ½))) of every query in `queries`
+    * (query_id, text) against `docs` (doc_id, text): top `topN` docs
+    * per query as (probe_id, rank, doc_id, score). Query terms are
+    * DISTINCT tokens of the query text (set-of-words query form); a
+    * query's own doc_id never matches itself. The constants are
+    * literals on both the Spark and oracle sides — `k1 + 1` computed
+    * at runtime is 2.1999999999999997, not the literal 2.2, and the
+    * two engines must parse the SAME double. */
+  def bm25(docs: DataFrame, queries: DataFrame, topN: Int = 20,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(lower(col(textCol))).as("__toks"))
+    val dl = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+    // sum/count explicitly: Spark's avg(long) and DuckDB's avg(BIGINT)
+    // may round intermediate state differently; exact-integer division
+    // is bit-identical everywhere
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries
+      .select(col("query_id").as("probe_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .distinct()
+    val scored = qt
+      .join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("probe_id"), col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("__term_score"))
+    val agg = scored.groupBy("probe_id", "doc_id")
+      .agg(Num.roundLike(sum(col("__term_score")), 4).as("score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("probe_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse a BM25 top-`legK` lexical leg with a
+    * brute-force-cosine top-`legK` vector leg as
+    * rrf = Σ_legs 1/(60 + rank), full-outer-joined on (probe, doc) so
+    * a doc found by one leg only still scores. Both leg ranks ride
+    * along (NULL when the leg missed the doc — the fusion evidence).
+    * rrf sums at most two exact small rationals in a fixed order —
+    * bit-identical in any engine — and is rounded at 6 dp before the
+    * fused ranking (doc-id tiebreak). Output: (probe_id, rank, doc_id,
+    * rrf, lex_rank, vec_rank), top `k` per probe. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, probeMax: Long,
+                k: Int = 10, legK: Int = 20): DataFrame = {
+    val queries = docs.filter(col("doc_id") < probeMax)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val lex = bm25(docs, queries, topN = legK)
+      .select(col("probe_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < probeMax), k = legK)
+      .select(col("probe_id"), col("corpus_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val fused = lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        Num.roundLike(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6)
+          .as("rrf"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+  }
+}

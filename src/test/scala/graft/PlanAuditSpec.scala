@@ -58,6 +58,14 @@ class PlanAuditSpec extends SparkSpec {
       "component packing × 1-row global-extent aggregate (Layout.pack)",
     "g8_layout_cose_bh" ->
       "component packing × 1-row global-extent aggregate (Layout.pack); the far-field iteration itself is all equi-joins on (component, cell) keys",
+    "g8_layout_cose_bh_local" ->
+      "component packing × 1-row global-extent aggregate (Layout.pack); the one-task far-field twin packs through the same route",
+    "r1_bm25" ->
+      "postings frame × broadcast 1-row corpus stats (N, avgdl) (Retrieval.bm25)",
+    "r2_hybrid_rrf" ->
+      "BM25 leg's 1-row corpus-stats broadcast + bounded probe set × corpus vector leg (Retrieval.hybridRrf / Similarity.bruteForceTopK)",
+    "s7_knn_recall" ->
+      "recall join of two bounded top-k result sets + bounded probe set × corpus brute-force truth (Similarity.knnGraphRecall)",
     "a15_feature_agg_mean" ->
       "fragment frame × broadcast feature-name list (a handful of column names; Chas.scala:159)",
     "a15_feature_agg_min" ->

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Retrieval
+
+/** BM25 + RRF hybrid retrieval semantics on hand-checkable fixtures. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, vocabulary engineered so the scores are hand-derivable:
+  // "rare" appears only in doc 1, "common" in all docs.
+  private def docs = Seq(
+    (0L, "common rare alpha"),
+    (1L, "common rare rare beta"),
+    (2L, "common beta beta gamma"),
+    (3L, "common gamma")
+  ).toDF("doc_id", "text")
+
+  test("bm25 ranks the rare-term doc above common-term-only docs") {
+    val q = Seq((0L, "rare gamma")).toDF("query_id", "text")
+    val r = Retrieval.bm25(docs, q).collect()
+      .map(x => (x.getLong(1), x.getLong(2))).toMap // rank -> doc_id
+    // doc 1 has tf(rare)=2 of an idf-heavy term; docs 2/3 match only
+    // "gamma" (df=2); doc 0 is the query itself and must not appear
+    assert(r(1L) == 1L, s"rare-doc first: $r")
+    assert(!r.values.toSet.contains(0L), "self-match excluded")
+    // "common" alone contributes ln(1 + 0.5/4.5) > 0 — still, docs
+    // matching gamma must outrank nothing-but-common (none here: all
+    // candidate docs match a query term)
+    assert(r.values.toSet == Set(1L, 2L, 3L))
+  }
+
+  test("bm25 idf uses the non-negative Lucene form") {
+    // a term in EVERY doc: idf = ln(1 + 0.5/(4+0.5)) > 0, so an
+    // all-docs term still contributes (classic Okapi idf would go
+    // negative and flip rankings)
+    val q = Seq((9L, "common")).toDF("query_id", "text")
+    val r = Retrieval.bm25(docs, q).collect()
+    assert(r.length == 4)
+    assert(r.forall(_.getDouble(3) > 0), "scores positive")
+    // shorter docs score higher for equal tf (length normalization):
+    // doc 3 (2 tokens) > doc 0/1 (3/4 tokens)
+    val byDoc = r.map(x => x.getLong(2) -> x.getDouble(3)).toMap
+    assert(byDoc(3L) > byDoc(0L) && byDoc(0L) > byDoc(1L))
+  }
+
+  test("hybridRrf fuses legs and keeps one-leg docs") {
+    val d = "/root/testdata/sf0.001"
+    val docsT = spark.read.parquet(s"$d/documents.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val r = Retrieval.hybridRrf(docsT, emb, probeMax = 3)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    // every probe contributes; rrf of a two-leg doc equals the exact
+    // rational sum of its leg terms
+    val twoLeg = rows.filter(x => !x.isNullAt(4) && !x.isNullAt(5))
+    twoLeg.foreach { x =>
+      val expect = BigDecimal(
+        1.0 / (60 + x.getLong(4)) + 1.0 / (60 + x.getLong(5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(x.getDouble(3) - expect) < 1e-9)
+    }
+    val oneLeg = rows.filter(x => x.isNullAt(4) ^ x.isNullAt(5))
+    assert(oneLeg.nonEmpty, "no single-leg doc survived fusion")
+  }
+
+  test("bm25 is partitioning-independent") {
+    val q = Seq((0L, "rare gamma"), (2L, "beta common")).toDF("query_id", "text")
+    val a = Retrieval.bm25(docs, q).collect().toSet
+    val b = Retrieval.bm25(docs.repartition(7), q.repartition(3))
+      .collect().toSet
+    assert(a == b)
+  }
+}
