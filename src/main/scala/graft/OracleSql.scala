@@ -2682,7 +2682,84 @@ lex AS (SELECT probe_id, doc_id, CAST(rank AS BIGINT) AS lex_rank FROM (
       ORDER BY score DESC, doc_id) AS rank FROM bsc) t
   WHERE rank <= 20)""".drop(1)
 
+  // s8 beam search over the s7 graph: entry seeds → 3 rounds of
+  // expand (both edge directions) / score / top-beam prune, every
+  // ranking on (round(cosine, 6) DESC, id) — mirrors
+  // Similarity.graphBeamSearch step for step.
+  private def beamScoreCte(src: String, out: String): String = raw"""
+$out AS (SELECT p.probe_id, p.node,
+    round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                           CAST(eb.embedding AS DOUBLE[]))
+          / (na.nrm * nb.nrm), 6) AS cos
+  FROM $src p
+  JOIN emb2 ea ON ea.vec_id = p.probe_id
+  JOIN emb2 eb ON eb.vec_id = p.node
+  JOIN nrm2 na ON na.vec_id = p.probe_id
+  JOIN nrm2 nb ON nb.vec_id = p.node)"""
+
+  private def beamTopCte(src: String, out: String): String = raw"""
+$out AS MATERIALIZED (SELECT probe_id, node, cos FROM (
+    SELECT probe_id, node, cos, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos DESC, node) AS rn FROM $src) t
+  WHERE rn <= 20)"""
+
+  private val S8Steps = 5
+  private val s8Ctes: String = {
+    val init = raw"""
+gsym AS MATERIALIZED (SELECT src, dst FROM g$S7Rounds
+  UNION SELECT dst AS src, src AS dst FROM g$S7Rounds),
+si AS (SELECT unnest(generate_series(0, 9)) AS i),
+f0 AS (SELECT DISTINCT e.vec_id AS probe_id,
+    CAST('0x' || substr(md5(e.vec_id || ':' || si.i || ':beam'), 1, 12)
+      AS BIGINT) % nn.n AS node
+  FROM emb2 e, si, nn WHERE e.vec_id < 20),
+f0f AS (SELECT probe_id, node FROM f0
+  WHERE node <> probe_id AND node IN (SELECT vec_id FROM emb2)),
+${beamScoreCte("f0f", "bs0")},
+${beamTopCte("bs0", "c0")}""".drop(1)
+    val stepCtes = (1 to S8Steps).map { r => raw"""
+ex$r AS (SELECT DISTINCT probe_id, node FROM (
+    SELECT c.probe_id, g.dst AS node
+    FROM c${r - 1} c JOIN gsym g ON g.src = c.node
+    UNION ALL SELECT probe_id, node FROM c${r - 1}) u
+  WHERE node <> probe_id),
+${beamScoreCte(s"ex$r", s"bs$r")},
+${beamTopCte(s"bs$r", s"c$r")}""".drop(1)
+    }
+    (init +: stepCtes).mkString(",\n")
+  }
+
   val knnRetrieval: Map[String, String] = Map(
+    "s8_graph_search" -> eq(raw"""
+SELECT probe_id, CAST(rn AS BIGINT) AS rank, node AS corpus_id,
+       cos AS cosine
+FROM (SELECT probe_id, node, cos, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cos DESC, node) AS rn
+  FROM c$S8Steps) r
+WHERE rn <= 10""",
+      extra = s7Ctes + ",\n" + s8Ctes),
+    "s8_beam_recall" -> eq(raw"""
+SELECT CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
+       round(hits / tot, 6) AS recall, TRUE AS meets_target
+FROM (SELECT count(*) FILTER (WHERE bb.corpus_id IS NOT NULL) AS hits,
+             count(*) AS tot
+      FROM bfr LEFT JOIN bb
+      ON bb.probe_id = bfr.probe_id AND bb.corpus_id = bfr.corpus_id) t""",
+      extra = s7Ctes + ",\n" + s8Ctes + "," + raw"""
+bfr AS (SELECT probe_id, corpus_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (na.nrm * nb.nrm), 6) DESC, b.vec_id) AS rank
+    FROM emb2 a JOIN emb2 b ON b.vec_id <> a.vec_id
+    JOIN nrm2 na ON na.vec_id = a.vec_id
+    JOIN nrm2 nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id < 20) r WHERE rank <= 10),
+bb AS (SELECT probe_id, node AS corpus_id FROM (
+    SELECT probe_id, node, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos DESC, node) AS rn
+    FROM c$S8Steps) t WHERE rn <= 10)""".drop(1)),
     "s7_knn_graph" -> eq(raw"""
 SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
 FROM (SELECT src, dst, cos, row_number() OVER (

@@ -493,6 +493,19 @@ object QueryDefs {
       Similarity.knnGraphRecall(
         table(s, d, "embeddings").filter(col("vec_id") < 2000),
         probeMax = 20)),
+    // s8: beam search OVER the s7 graph — the graph-ANN serve path;
+    // full-row hash oracle (the oracle replays graph build + 3
+    // expand-score-prune steps) + recall cert vs brute force
+    "s8_graph_search" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      Similarity.graphBeamSearch(emb2,
+        Similarity.knnGraphNNDescent(emb2)
+          .select(col("src"), col("dst")), probeMax = 20)
+    }),
+    "s8_beam_recall" -> ((s, d) =>
+      Similarity.beamSearchRecall(
+        table(s, d, "embeddings").filter(col("vec_id") < 2000),
+        probeMax = 20)),
     // r1/r2: retrieval over documents (+ aligned embeddings: vec_id and
     // doc_id share the corpus id space, TESTDATA.md) — BM25 lexical
     // top-20 per probe doc, and the RRF-fused hybrid of that leg with

@@ -991,6 +991,93 @@ object Similarity {
         (col("n_matched") / col("n_total") >= target).as("meets_target"))
   }
 
+  /** Beam search over a [[knnGraphNNDescent]] graph — the query side
+    * of graph-ANN serving: per probe, `seeds` hash-drawn entry points
+    * (md5(probe:i:beam) mod N — deterministic, like the graph's own
+    * init) are iteratively improved for `steps` rounds of
+    * expand-score-prune: the frontier's graph neighbors (BOTH edge
+    * directions — the reverse edges double connectivity for free)
+    * join in, every candidate scores against the probe, and the
+    * per-probe beam keeps the `beam` best by (6-dp cosine, id).
+    *
+    * Scale shape: a step touches ≤ |probes|·beam·(2k+1) candidate
+    * rows — bounded by the PROBE batch, independent of corpus size;
+    * the graph join is an equi-join on the edge source (the adjacency
+    * partitioning key) and the only corpus-wide structure read is the
+    * kNN graph itself. This is the serve path that amortizes the s7
+    * build across arbitrarily many queries. */
+  def graphBeamSearch(corpus: DataFrame, graph: DataFrame,
+                      probeMax: Long, k: Int = 10, beam: Int = 20,
+                      steps: Int = 5, seeds: Int = 10,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = true)
+    val n = vecs.count()
+    val gsym = graph.select(col("src"), col("dst"))
+      .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true) // read once per step
+    def score(cand: DataFrame): DataFrame = cand
+      .join(vecs.select(col("vid").as("probe_id"), col("v").as("__vp")),
+        Seq("probe_id"))
+      .join(vecs.select(col("vid").as("node"), col("v").as("__vn")),
+        Seq("node"))
+      .select(col("probe_id"), col("node"),
+        Num.roundLike(cosine(col("__vp"), col("__vn")), 6).as("cos"))
+    def top(scored: DataFrame, m: Int): DataFrame = {
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("node"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= m).drop("__rn")
+    }
+    val entry = vecs.filter(col("vid") < probeMax)
+      .select(col("vid").as("probe_id"),
+        explode(array((0 until seeds).map(lit): _*)).as("__i"))
+      .select(col("probe_id"),
+        pmod(conv(substring(md5(concat(col("probe_id").cast("string"),
+            lit(":"), col("__i").cast("string"), lit(":beam"))), 1, 12),
+          16, 10).cast("long"), lit(n)).as("node"))
+      .filter(col("node") =!= col("probe_id"))
+      .distinct()
+    var c = top(score(entry), beam).localCheckpoint(eager = true)
+    for (_ <- 1 to steps) {
+      val expand = c
+        .join(gsym.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("probe_id"), col("dst").as("node"))
+        .unionAll(c.select(col("probe_id"), col("node")))
+        .filter(col("node") =!= col("probe_id"))
+        .distinct()
+      c = top(score(expand), beam).localCheckpoint(eager = true)
+    }
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("node"))
+    top(c, k).withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("probe_id"), col("rank"), col("node").as("corpus_id"),
+        col("cos").as("cosine"))
+  }
+
+  /** Recall certificate for [[graphBeamSearch]] vs brute-force truth —
+    * the s2/s7 contract (oracle pins `meets_target = TRUE`). */
+  def beamSearchRecall(corpus: DataFrame, probeMax: Long, k: Int = 10,
+                       target: Double = 0.5,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraphNNDescent(corpus, idCol = idCol, vecCol = vecCol)
+      .select(col("src"), col("dst"))
+    val bs = graphBeamSearch(corpus, g, probeMax, k,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("__hit"))
+    val bf = bruteForceTopK(corpus,
+      corpus.filter(col(idCol) < probeMax), k, idCol, vecCol)
+    bf.join(bs, Seq("probe_id", "corpus_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_matched"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_matched"), col("n_total"),
+        Num.roundLike(col("n_matched") / col("n_total"), 6).as("recall"),
+        (col("n_matched") / col("n_total") >= target).as("meets_target"))
+  }
+
   /** The codebook travels with the index it assigned (k rows — one
     * file). */
   def writeCodebook(cb: DataFrame, path: String): Unit =

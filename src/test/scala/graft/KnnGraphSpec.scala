@@ -54,6 +54,24 @@ class KnnGraphSpec extends SparkSpec {
     assert(r.getBoolean(3), s"meets 0.9 on clustered data: $r")
   }
 
+  test("beam search over the graph recovers brute-force truth on " +
+      "clustered data") {
+    val r = Similarity.beamSearchRecall(clustered, probeMax = 6, k = 5,
+      target = 0.9).collect().head
+    assert(r.getLong(1) == 30)
+    assert(r.getBoolean(3), s"beam recall >= 0.9 on clustered data: $r")
+  }
+
+  test("beam search is partitioning-independent") {
+    val g = Similarity.knnGraphNNDescent(clustered, k = 4, rounds = 1)
+      .select(col("src"), col("dst"))
+    val a = Similarity.graphBeamSearch(clustered, g, probeMax = 4, k = 5)
+      .collect().toSet
+    val b = Similarity.graphBeamSearch(clustered.repartition(11),
+      g.repartition(5), probeMax = 4, k = 5).collect().toSet
+    assert(a == b)
+  }
+
   test("ranks are 1..k per source with descending rounded cosine") {
     val g = Similarity.knnGraphNNDescent(clustered, k = 5, rounds = 1)
       .collect().groupBy(_.getLong(0))
