@@ -2614,14 +2614,16 @@ $out AS MATERIALIZED (SELECT src, dst, cos FROM (
   WHERE rn <= 10)"""
 
   private val S7Rounds = 4
-  private val s7Ctes: String = {
-    // emb2 = the 2000-vector gate cap (QueryDefs s7 comment): the
-    // oracle's per-round pair scoring is corpus·cap²/2 — bounded here
-    // so the sf1 gate stays inside its wall budget
+  // emb2 = the indexed corpus the graph is built over. For s7/s8 it's
+  // the whole 2000-vector gate cap (QueryDefs s7 comment: the oracle's
+  // per-round pair scoring is corpus·cap²/2 — bounded so the sf1 gate
+  // stays inside its wall budget); s9 re-builds over the BASE subset
+  // (the batch held out), so the filter is a parameter.
+  private def s7CtesFor(embFilter: String): String = {
     val init = raw"""
-emb2 AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 2000),
+emb2 AS MATERIALIZED (SELECT * FROM embeddings WHERE $embFilter),
 nrm2 AS MATERIALIZED (SELECT vec_id, nrm FROM norms
-  WHERE vec_id < 2000),
+  WHERE vec_id IN (SELECT vec_id FROM emb2)),
 nn AS (SELECT count(*) AS n FROM emb2),
 ii AS (SELECT unnest(generate_series(0, 9)) AS i),
 ip AS (SELECT DISTINCT e.vec_id AS src,
@@ -2651,6 +2653,7 @@ ${knnTopKCte(s"al$r", s"g$r")}""".drop(1)
     }
     (init +: roundCtes).mkString(",\n")
   }
+  private val s7Ctes: String = s7CtesFor("vec_id < 2000")
 
   // ------------------------------------------------- retrieval oracles
   // BM25 constants appear as LITERALS on both sides (2.2, 1.2, 0.25,
@@ -2686,16 +2689,18 @@ lex AS (SELECT probe_id, doc_id, CAST(rank AS BIGINT) AS lex_rank FROM (
   // expand (both edge directions) / score / top-beam prune, every
   // ranking on (round(cosine, 6) DESC, id) — mirrors
   // Similarity.graphBeamSearch step for step.
-  private def beamScoreCte(src: String, out: String): String = raw"""
+  private def beamScoreCte(src: String, out: String,
+                           emb: String = "emb2",
+                           nrm: String = "nrm2"): String = raw"""
 $out AS (SELECT p.probe_id, p.node,
     round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
                            CAST(eb.embedding AS DOUBLE[]))
           / (na.nrm * nb.nrm), 6) AS cos
   FROM $src p
-  JOIN emb2 ea ON ea.vec_id = p.probe_id
-  JOIN emb2 eb ON eb.vec_id = p.node
-  JOIN nrm2 na ON na.vec_id = p.probe_id
-  JOIN nrm2 nb ON nb.vec_id = p.node)"""
+  JOIN $emb ea ON ea.vec_id = p.probe_id
+  JOIN $emb eb ON eb.vec_id = p.node
+  JOIN $nrm na ON na.vec_id = p.probe_id
+  JOIN $nrm nb ON nb.vec_id = p.node)"""
 
   private def beamTopCte(src: String, out: String): String = raw"""
 $out AS MATERIALIZED (SELECT probe_id, node, cos FROM (
@@ -2729,7 +2734,168 @@ ${beamTopCte(s"bs$r", s"c$r")}""".drop(1)
     (init +: stepCtes).mkString(",\n")
   }
 
+  // s9 incremental insert: the s7 graph replay runs over the BASE
+  // subset (batch held out via % 17), each batch id beam-searches that
+  // graph (scoring resolves vectors from embA = base ∪ batch), top-k
+  // becomes its forward edges, affected base nodes re-rank old ∪
+  // reverse arrivals — mirrors Similarity.knnGraphInsert step for step.
+  private val S9BaseFilter = "vec_id < 2000 AND vec_id % 17 <> 0"
+  private val s9Ctes: String = {
+    val init = raw"""
+embA AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 2000),
+nrmA AS MATERIALIZED (SELECT vec_id, nrm FROM norms
+  WHERE vec_id < 2000),
+gsym AS MATERIALIZED (SELECT src, dst FROM g$S7Rounds
+  UNION SELECT dst AS src, src AS dst FROM g$S7Rounds),
+si AS (SELECT unnest(generate_series(0, 9)) AS i),
+f0 AS (SELECT DISTINCT e.vec_id AS probe_id,
+    CAST('0x' || substr(md5(e.vec_id || ':' || si.i || ':beam'), 1, 12)
+      AS BIGINT) % nn.n AS node
+  FROM embA e, si, nn WHERE e.vec_id % 17 = 0),
+f0f AS (SELECT probe_id, node FROM f0
+  WHERE node <> probe_id AND node IN (SELECT vec_id FROM emb2)),
+${beamScoreCte("f0f", "bs0", "embA", "nrmA")},
+${beamTopCte("bs0", "c0")}""".drop(1)
+    val stepCtes = (1 to S8Steps).map { r => raw"""
+ex$r AS (SELECT DISTINCT probe_id, node FROM (
+    SELECT c.probe_id, g.dst AS node
+    FROM c${r - 1} c JOIN gsym g ON g.src = c.node
+    UNION ALL SELECT probe_id, node FROM c${r - 1}) u
+  WHERE node <> probe_id),
+${beamScoreCte(s"ex$r", s"bs$r", "embA", "nrmA")},
+${beamTopCte(s"bs$r", s"c$r")}""".drop(1)
+    }
+    val merge = raw"""
+fwd AS MATERIALIZED (SELECT probe_id AS src, node AS dst, cos FROM (
+    SELECT probe_id, node, cos, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos DESC, node) AS rn
+    FROM c$S8Steps) t
+  WHERE rn <= 10),
+rev AS (SELECT dst AS src, src AS dst, cos FROM fwd),
+aff AS (SELECT DISTINCT src FROM rev),
+oldg AS (SELECT src, dst, cos FROM g$S7Rounds),
+updk AS (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (
+      PARTITION BY src ORDER BY cos DESC, dst) AS rn
+    FROM (SELECT src, dst, cos FROM oldg
+          WHERE src IN (SELECT src FROM aff)
+          UNION ALL SELECT src, dst, cos FROM rev) u) t
+  WHERE rn <= 10),
+outg AS (SELECT src, dst, cos FROM oldg
+  WHERE src NOT IN (SELECT src FROM aff)
+  UNION ALL SELECT src, dst, cos FROM updk
+  UNION ALL SELECT src, dst, cos FROM fwd)""".drop(1)
+    (init +: stepCtes :+ merge).mkString(",\n")
+  }
+
+  // s10 delete + repair: drop the deleted ids' rows and every edge
+  // into them, then each survivor that lost an edge re-ranks kept ∪
+  // the deleted neighbors' former neighborhoods — mirrors
+  // Similarity.knnGraphDelete step for step (graph over the FULL
+  // 2000-vector cap, delete set = every 29th id).
+  private val s10Ctes: String = {
+    raw"""
+delid AS MATERIALIZED (SELECT vec_id FROM emb2 WHERE vec_id % 29 = 0),
+gsur AS (SELECT src, dst, cos FROM g$S7Rounds
+  WHERE src NOT IN (SELECT vec_id FROM delid)),
+kept AS MATERIALIZED (SELECT src, dst, cos FROM gsur
+  WHERE dst NOT IN (SELECT vec_id FROM delid)),
+lost AS MATERIALIZED (SELECT src, dst FROM gsur
+  WHERE dst IN (SELECT vec_id FROM delid)),
+dadj AS (SELECT src AS d, dst AS cand FROM (
+    SELECT src, dst FROM g$S7Rounds
+    UNION SELECT dst AS src, src AS dst FROM g$S7Rounds) u
+  WHERE src IN (SELECT vec_id FROM delid)),
+cnd AS (SELECT DISTINCT l.src, a.cand AS dst
+  FROM lost l JOIN dadj a ON a.d = l.dst
+  WHERE a.cand <> l.src
+    AND a.cand NOT IN (SELECT vec_id FROM delid)),
+${knnScoreCte("cnd", "csc")},
+aff AS MATERIALIZED (SELECT DISTINCT src FROM lost),
+mrg AS (SELECT src, dst, max(cos) AS cos FROM (
+    SELECT src, dst, cos FROM kept
+    WHERE src IN (SELECT src FROM aff)
+    UNION ALL SELECT src, dst, cos FROM csc) u
+  GROUP BY src, dst),
+updk AS (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (
+      PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM mrg) t
+  WHERE rn <= 10),
+outd AS MATERIALIZED (SELECT src, dst, cos FROM kept
+  WHERE src NOT IN (SELECT src FROM aff)
+  UNION ALL SELECT src, dst, cos FROM updk)""".drop(1)
+  }
+
   val knnRetrieval: Map[String, String] = Map(
+    "s10_graph_delete" -> eq(raw"""
+SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
+FROM (SELECT src, dst, cos, row_number() OVER (
+    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM outd) r""",
+      extra = s7Ctes + ",\n" + s10Ctes),
+    "s10_delete_cert" -> eq(raw"""
+SELECT (SELECT count(*) FROM outd
+        WHERE dst IN (SELECT vec_id FROM delid)) AS n_dangling,
+       CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
+       round(hits / tot, 6) AS recall, TRUE AS meets_target
+FROM (SELECT count(*) FILTER (WHERE gd.corpus_id IS NOT NULL) AS hits,
+             count(*) AS tot
+      FROM bfr LEFT JOIN gd
+      ON gd.probe_id = bfr.probe_id AND gd.corpus_id = bfr.corpus_id) t""",
+      extra = s7Ctes + ",\n" + s10Ctes + "," + raw"""
+bfr AS (SELECT probe_id, corpus_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (na.nrm * nb.nrm), 6) DESC, b.vec_id) AS rank
+    FROM emb2 a JOIN emb2 b ON b.vec_id <> a.vec_id
+    JOIN nrm2 na ON na.vec_id = a.vec_id
+    JOIN nrm2 nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id IN (SELECT src FROM aff)
+      AND b.vec_id NOT IN (SELECT vec_id FROM delid)) r
+  WHERE rank <= 10),
+gd AS (SELECT src AS probe_id, dst AS corpus_id FROM outd
+  WHERE src IN (SELECT src FROM aff))""".drop(1)),
+    "s9_graph_insert" -> eq(raw"""
+SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
+FROM (SELECT src, dst, cos, row_number() OVER (
+    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM outg) r""",
+      extra = s7CtesFor(S9BaseFilter) + ",\n" + s9Ctes),
+    // s9b compaction must equal the one-shot insert — SAME oracle SQL
+    "s9_graph_compact" -> eq(raw"""
+SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
+FROM (SELECT src, dst, cos, row_number() OVER (
+    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM outg) r""",
+      extra = s7CtesFor(S9BaseFilter) + ",\n" + s9Ctes),
+    // e12 = the fwd stage of the s9 replay, ranked: forward edges are
+    // order-/batch-split-independent, so the streamed rows equal them
+    "e12_stream_graph_ingest" -> eq(raw"""
+SELECT probe_id AS src, CAST(rn AS BIGINT) AS rank, node AS dst,
+       cos AS cosine
+FROM (SELECT probe_id, node, cos, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cos DESC, node) AS rn
+  FROM c$S8Steps) r
+WHERE rn <= 10""",
+      extra = s7CtesFor(S9BaseFilter) + ",\n" + s9Ctes),
+    "s9_insert_recall" -> eq(raw"""
+SELECT CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
+       round(hits / tot, 6) AS recall, TRUE AS meets_target
+FROM (SELECT count(*) FILTER (WHERE ik.corpus_id IS NOT NULL) AS hits,
+             count(*) AS tot
+      FROM bfr LEFT JOIN ik
+      ON ik.probe_id = bfr.probe_id AND ik.corpus_id = bfr.corpus_id) t""",
+      extra = s7CtesFor(S9BaseFilter) + ",\n" + s9Ctes + "," + raw"""
+bfr AS (SELECT probe_id, corpus_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (na.nrm * nb.nrm), 6) DESC, b.vec_id) AS rank
+    FROM embA a JOIN emb2 b ON b.vec_id <> a.vec_id
+    JOIN nrmA na ON na.vec_id = a.vec_id
+    JOIN nrm2 nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id % 17 = 0) r WHERE rank <= 10),
+ik AS (SELECT src AS probe_id, dst AS corpus_id FROM fwd)""".drop(1)),
     "s8_graph_search" -> eq(raw"""
 SELECT probe_id, CAST(rn AS BIGINT) AS rank, node AS corpus_id,
        cos AS cosine

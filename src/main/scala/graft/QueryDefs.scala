@@ -506,6 +506,47 @@ object QueryDefs {
       Similarity.beamSearchRecall(
         table(s, d, "embeddings").filter(col("vec_id") < 2000),
         probeMax = 20)),
+    // s9: incremental insert INTO the s7 graph — the index-maintenance
+    // path (batch = every 17th id held out of the build, then
+    // bulk-inserted); full-row hash oracle replays build + per-probe
+    // beam + forward/reverse merge, plus a recall cert vs brute force
+    "s9_graph_insert" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      val base = emb2.filter(col("vec_id") % 17 =!= 0)
+      Similarity.knnGraphInsert(base, Similarity.knnGraphNNDescent(base),
+        emb2.filter(col("vec_id") % 17 === 0))
+    }),
+    "s9_insert_recall" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      Similarity.knnGraphInsertRecall(
+        emb2.filter(col("vec_id") % 17 =!= 0),
+        emb2.filter(col("vec_id") % 17 === 0))
+    }),
+    // s9b: LSM compaction — folding streamed forward edges (the e12
+    // output contract) into the standing graph must reproduce the
+    // direct batch insert BIT-FOR-BIT, so this entry pins against the
+    // SAME oracle SQL as s9_graph_insert
+    "s9_graph_compact" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      val base = emb2.filter(col("vec_id") % 17 =!= 0)
+      val batch = emb2.filter(col("vec_id") % 17 === 0)
+      val g = Similarity.knnGraphNNDescent(base)
+      Similarity.knnGraphCompact(g,
+        Similarity.knnGraphForwardEdges(base, g, batch))
+    }),
+    // s10: delete + neighborhood repair (every 29th id removed); full
+    // updated-graph hash oracle + the integrity/recall certificate
+    "s10_graph_delete" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      Similarity.knnGraphDelete(emb2,
+        Similarity.knnGraphNNDescent(emb2),
+        emb2.filter(col("vec_id") % 29 === 0).select("vec_id"))
+    }),
+    "s10_delete_cert" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      Similarity.knnGraphDeleteCert(emb2,
+        emb2.filter(col("vec_id") % 29 === 0).select("vec_id"))
+    }),
     // r1/r2: retrieval over documents (+ aligned embeddings: vec_id and
     // doc_id share the corpus id space, TESTDATA.md) — BM25 lexical
     // top-20 per probe doc, and the RRF-fused hybrid of that leg with
@@ -910,6 +951,40 @@ object QueryDefs {
         s"$base/memo", s"$base/out",
         misses => Serving.geneSearchDocs(sd, misses))
     }),
+    // e12: streaming graph-ANN ingest — the LSM write path of the s9
+    // insert: new vectors drain as TWO micro-batches (split by parity,
+    // like e11's request files) and each arrival's forward edges land
+    // against the FROZEN base graph; forward edges are a pure function
+    // of (vector, frozen graph) ⇒ batch knnGraphForwardEdges over the
+    // same vectors (= the s9 oracle's fwd stage, ranked) is exact
+    "e12_stream_graph_ingest" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      val base = emb2.filter(col("vec_id") % 17 =!= 0)
+        .localCheckpoint(eager = true)
+      val batch = emb2.filter(col("vec_id") % 17 === 0)
+        .select("vec_id", "embedding")
+      val g = Similarity.knnGraphNNDescent(base)
+        .localCheckpoint(eager = true) // FROZEN across micro-batches
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e12").toString
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val t = s"$tmp/_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(t)
+        val part = new java.io.File(t).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(s"$tmp/vecs/$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val now = System.currentTimeMillis()
+      writeOne(batch.filter(col("vec_id") % 2 === 0), "b0", now - 60000L)
+      writeOne(batch.filter(col("vec_id") % 2 === 1), "b1", now)
+      EventStreams.graphIngestStreamFromParquet(s, s"$tmp/vecs",
+        batch.schema, base, g, s"$tmp/out")
+    }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5
     // arithmetic (what the oracle replicates) while the gate still
@@ -1105,7 +1180,10 @@ object QueryDefs {
     // is the pruned serve)
     "s11_tree_refresh", "q5_range_served_part",
     // round-10 additions: NN-Descent kNN-graph construction (the
-    // 2000-vector gate shape — 4 join+window rounds) and the hybrid
-    // BM25+cosine RRF retrieval path
-    "s7_knn_graph", "r2_hybrid_rrf")
+    // 2000-vector gate shape — 4 join+window rounds), the hybrid
+    // BM25+cosine RRF retrieval path, beam-search serving over the
+    // built graph (the graph-ANN query side), and incremental insert
+    // (the maintenance side — rebuild-free ingest)
+    "s7_knn_graph", "r2_hybrid_rrf", "s8_graph_search",
+    "s9_graph_insert")
 }

@@ -1015,33 +1015,65 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint(eager = true)
     val n = vecs.count()
-    val gsym = graph.select(col("src"), col("dst"))
+    val gsym = symmetrized(graph)
+    val c = beamCore(vecs, vecs.select("vid"),
+      vecs.filter(col("vid") < probeMax).select(col("vid").as("probe_id")),
+      gsym, n, beam, steps, seeds)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("node"))
+    beamTop(c, k).withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("probe_id"), col("rank"), col("node").as("corpus_id"),
+        col("cos").as("cosine"))
+  }
+
+  /** Both edge directions of a kNN graph, deduped and materialized —
+    * the traversal structure [[beamCore]] expands along. */
+  private def symmetrized(graph: DataFrame): DataFrame =
+    graph.select(col("src"), col("dst"))
       .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(eager = true) // read once per step
+
+  private def beamTop(scored: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("node"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m).drop("__rn")
+  }
+
+  /** The shared beam engine behind [[graphBeamSearch]] (probes live in
+    * the indexed corpus) and [[knnGraphInsert]] (probes are NEW
+    * vectors, nodes stay the indexed base): `probes` (probe_id) seed
+    * from md5(probe:i:beam) mod `n` constrained to `nodeIds` (the seed
+    * draw is an id-space lottery — with a non-contiguous node id space
+    * a ticket can land off the corpus, and with probes OUTSIDE the
+    * corpus it can land on another probe; the semi-join keeps exactly
+    * the legal entries, mirroring the oracle's IN filter), then
+    * improve for `steps` expand-score-prune rounds along `gsym`
+    * (expansion nodes are graph endpoints — legal by construction).
+    * Vectors for BOTH sides of the score resolve from `scoreVecs`.
+    * Returns the final beam rows (probe_id, node, cos). */
+  private def beamCore(scoreVecs: DataFrame, nodeIds: DataFrame,
+                       probes: DataFrame, gsym: DataFrame, n: Long,
+                       beam: Int, steps: Int, seeds: Int): DataFrame = {
     def score(cand: DataFrame): DataFrame = cand
-      .join(vecs.select(col("vid").as("probe_id"), col("v").as("__vp")),
+      .join(scoreVecs.select(col("vid").as("probe_id"), col("v").as("__vp")),
         Seq("probe_id"))
-      .join(vecs.select(col("vid").as("node"), col("v").as("__vn")),
+      .join(scoreVecs.select(col("vid").as("node"), col("v").as("__vn")),
         Seq("node"))
       .select(col("probe_id"), col("node"),
         Num.roundLike(cosine(col("__vp"), col("__vn")), 6).as("cos"))
-    def top(scored: DataFrame, m: Int): DataFrame = {
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cos").desc, col("node"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= m).drop("__rn")
-    }
-    val entry = vecs.filter(col("vid") < probeMax)
-      .select(col("vid").as("probe_id"),
+    val entry = probes
+      .select(col("probe_id"),
         explode(array((0 until seeds).map(lit): _*)).as("__i"))
       .select(col("probe_id"),
         pmod(conv(substring(md5(concat(col("probe_id").cast("string"),
             lit(":"), col("__i").cast("string"), lit(":beam"))), 1, 12),
           16, 10).cast("long"), lit(n)).as("node"))
       .filter(col("node") =!= col("probe_id"))
+      .join(nodeIds.withColumnRenamed("vid", "node"), Seq("node"),
+        "left_semi")
       .distinct()
-    var c = top(score(entry), beam).localCheckpoint(eager = true)
+    var c = beamTop(score(entry), beam).localCheckpoint(eager = true)
     for (_ <- 1 to steps) {
       val expand = c
         .join(gsym.withColumnRenamed("src", "node"), Seq("node"))
@@ -1049,12 +1081,9 @@ object Similarity {
         .unionAll(c.select(col("probe_id"), col("node")))
         .filter(col("node") =!= col("probe_id"))
         .distinct()
-      c = top(score(expand), beam).localCheckpoint(eager = true)
+      c = beamTop(score(expand), beam).localCheckpoint(eager = true)
     }
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("node"))
-    top(c, k).withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("probe_id"), col("rank"), col("node").as("corpus_id"),
-        col("cos").as("cosine"))
+    c
   }
 
   /** Recall certificate for [[graphBeamSearch]] vs brute-force truth —
@@ -1076,6 +1105,274 @@ object Similarity {
       .select(col("n_matched"), col("n_total"),
         Num.roundLike(col("n_matched") / col("n_total"), 6).as("recall"),
         (col("n_matched") / col("n_total") >= target).as("meets_target"))
+  }
+
+  /** Incremental graph-ANN ingest — the maintenance path that
+    * completes the index lifecycle (build [[knnGraphNNDescent]], serve
+    * [[graphBeamSearch]], maintain here): a `batch` of NEW vectors
+    * joins an existing graph WITHOUT a full NN-Descent rebuild.
+    *
+    * Semantics (the standard bulk-load shape — every insert runs
+    * against the FROZEN input graph, so the batch is order-independent
+    * and retry-safe):
+    *  1. each new vector beam-searches the old graph for its `k`
+    *     nearest indexed neighbors ([[beamCore]] — per-probe cost
+    *     bounded by beam·(2k+1)·steps, independent of corpus size);
+    *  2. its top-k become its FORWARD edges;
+    *  3. every forward edge proposes the REVERSE edge: an affected
+    *     base node re-ranks its old neighbor list ∪ the new arrivals
+    *     by the same (6-dp cosine, id) order and keeps k — so a new
+    *     vector becomes discoverable by later searches that pass its
+    *     neighborhood, not just findable itself. Only nodes a forward
+    *     edge touches re-rank: ≤ batch·k of them, never the corpus.
+    *
+    * Untouched nodes' rows pass through BIT-IDENTICAL (spec-pinned),
+    * which is what makes this the 100 TB shape: ingest cost scales
+    * with the batch, the standing index is never rewritten.
+    *
+    * @param base  indexed corpus (idCol, vecCol)
+    * @param graph its kNN graph — (src, dst, cosine) at minimum
+    * @param batch new vectors, ids disjoint from `base`
+    * @return the updated graph (src, rank, dst, cosine) covering
+    *         base ∪ batch ids */
+  /** The per-arrival work of [[knnGraphInsert]] in isolation: each
+    * batch vector's beam search against the FROZEN graph, top-k as its
+    * forward adjacency rows (src, dst, cos) — a pure function of
+    * (vector, base, graph), so it is order- and batch-split-
+    * independent. This is what the streaming ingest twin runs per
+    * micro-batch (LSM-style: forward edges land at ingest, the
+    * reverse merge defers to the periodic batch compaction =
+    * [[knnGraphInsert]]). */
+  private def forwardCore(base: DataFrame, graph: DataFrame,
+                          batch: DataFrame, k: Int, beam: Int,
+                          steps: Int, seeds: Int, idCol: String,
+                          vecCol: String): DataFrame = {
+    def sel(df: DataFrame) = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val vecsB = sel(base).localCheckpoint(eager = true)
+    val n = vecsB.count() // the seed lottery's id-space modulus
+    val scoreVecs = vecsB.unionAll(sel(batch))
+      .localCheckpoint(eager = true)
+    val gsym = symmetrized(graph)
+    val beamed = beamCore(scoreVecs, vecsB.select("vid"),
+      sel(batch).select(col("vid").as("probe_id")), gsym, n,
+      beam, steps, seeds)
+    beamTop(beamed, k)
+      .select(col("probe_id").as("src"), col("node").as("dst"),
+        col("cos"))
+  }
+
+  /** Public ranked form of [[forwardCore]] — the streaming-ingest
+    * output contract: (src, rank, dst, cosine), rank per src (each new
+    * id's rows land in exactly one micro-batch, so per-batch ranking
+    * IS global ranking). */
+  def knnGraphForwardEdges(base: DataFrame, graph: DataFrame,
+                           batch: DataFrame, k: Int = 10, beam: Int = 20,
+                           steps: Int = 5, seeds: Int = 10,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val f = forwardCore(base, graph, batch, k, beam, steps, seeds,
+      idCol, vecCol)
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    f.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("src"), col("rank"), col("dst"), col("cos").as("cosine"))
+  }
+
+  def knnGraphInsert(base: DataFrame, graph: DataFrame, batch: DataFrame,
+                     k: Int = 10, beam: Int = 20, steps: Int = 5,
+                     seeds: Int = 10, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    mergeForward(graph,
+      forwardCore(base, graph, batch, k, beam, steps, seeds,
+        idCol, vecCol), k)
+
+  /** The merge stage of [[knnGraphInsert]] from already-landed forward
+    * rows: reverse edges propose, affected base nodes re-rank, the
+    * rest passes through. */
+  private def mergeForward(graph: DataFrame, forward: DataFrame,
+                           k: Int): DataFrame = {
+    // forward: the new ids' own adjacency rows (read 3x below)
+    val fwd = forward.localCheckpoint(eager = true)
+    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"),
+      col("cos"))
+    val aff = rev.select("src").distinct()
+    val old = graph.select(col("src"), col("dst"),
+      col("cosine").as("cos"))
+    def topK(edges: DataFrame): DataFrame = {
+      val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      edges.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+    val upd = topK(old.join(aff, Seq("src"), "left_semi").unionAll(rev))
+    val out = old.join(aff, Seq("src"), "left_anti")
+      .unionAll(upd).unionAll(fwd)
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    out.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("src"), col("rank"), col("dst"), col("cos").as("cosine"))
+  }
+
+  /** LSM compaction: fold STREAMED forward edges
+    * ([[knnGraphForwardEdges]] rows, e.g. the e12 ingest output) into
+    * the standing graph. By construction this is the SAME merge the
+    * one-shot [[knnGraphInsert]] runs — so stream-ingest-then-compact
+    * reproduces the direct batch insert bit-for-bit (the
+    * s9_graph_compact gate entry pins both against the SAME oracle
+    * SQL, and KnnGraphSpec asserts row equality). That equivalence is
+    * the point: an LSM index that compacts to something other than
+    * the batch build drifts under every write. */
+  def knnGraphCompact(graph: DataFrame, forward: DataFrame,
+                      k: Int = 10): DataFrame =
+    mergeForward(graph,
+      forward.select(col("src"), col("dst"), col("cosine").as("cos")), k)
+
+  /** Recall certificate for [[knnGraphInsert]]: the inserted ids'
+    * graph neighbors vs brute-force truth over the base corpus —
+    * pins that incremental ingest yields a USABLE neighborhood, not
+    * just any k edges (oracle pins `meets_target = TRUE`). */
+  def knnGraphInsertRecall(base: DataFrame, batch: DataFrame,
+                           k: Int = 10, target: Double = 0.5,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraphNNDescent(base, idCol = idCol, vecCol = vecCol)
+    val batchIds = batch.select(col(idCol).cast("long").as("__bid"))
+    val ins = knnGraphInsert(base, g, batch, k,
+        idCol = idCol, vecCol = vecCol)
+      .join(batchIds.withColumnRenamed("__bid", "src"), Seq("src"),
+        "left_semi")
+      .select(col("src").as("probe_id"), col("dst").as("corpus_id"),
+        lit(1).as("__hit"))
+    val bf = bruteForceTopK(base, batch, k, idCol, vecCol)
+    bf.join(ins, Seq("probe_id", "corpus_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_matched"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_matched"), col("n_total"),
+        Num.roundLike(col("n_matched") / col("n_total"), 6).as("recall"),
+        (col("n_matched") / col("n_total") >= target).as("meets_target"))
+  }
+
+  /** Graph-ANN delete with neighborhood repair — the remaining
+    * lifecycle edge (build [[knnGraphNNDescent]], serve
+    * [[graphBeamSearch]], insert [[knnGraphInsert]], delete here):
+    * removing a vector must not leave dangling edges OR tear holes in
+    * the graph's navigability, so every survivor that lost an edge
+    * repairs itself through the deleted node (the FreshDiskANN-style
+    * delete consolidation — Singh et al. 2021 §4.2):
+    *
+    *  1. deleted ids' own adjacency rows drop;
+    *  2. survivors' edges INTO the deleted set drop;
+    *  3. each survivor that lost an edge considers the deleted
+    *     neighbor's OWN former neighborhood (both directions) as
+    *     repair candidates — "route around the hole" — scores them,
+    *     and re-ranks kept ∪ candidates by (6-dp cosine, id), top k.
+    *
+    * Cost is bounded by the damage: ≤ |lost edges|·k candidate pairs
+    * score, only nodes that lost an edge re-rank, and untouched nodes'
+    * rows pass through bit-identical — like [[knnGraphInsert]], the
+    * standing index is never rewritten. A node whose whole
+    * neighborhood was deleted AND whose repair candidates were all
+    * deleted too keeps < k (possibly zero) edges — honest damage, not
+    * invented neighbors.
+    *
+    * @param base      the indexed corpus INCLUDING the to-be-deleted
+    *                  rows (vectors are needed to score repairs)
+    * @param graph     its kNN graph (src, dst, cosine)
+    * @param deleteIds one column of ids to remove
+    * @return the updated graph (src, rank, dst, cosine) over survivors
+    */
+  def knnGraphDelete(base: DataFrame, graph: DataFrame,
+                     deleteIds: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val del = deleteIds.select(col(deleteIds.columns.head).cast("long")
+      .as("vid")).localCheckpoint(eager = true) // read 5x below
+    val vecs = base.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = true)
+    val old = graph.select(col("src"), col("dst"),
+      col("cosine").as("cos"))
+    // survivors' rows, split into kept edges and holes
+    val gsur = old.join(del.withColumnRenamed("vid", "src"), Seq("src"),
+      "left_anti")
+    val kept = gsur.join(del.withColumnRenamed("vid", "dst"), Seq("dst"),
+        "left_anti")
+      .select(col("src"), col("dst"), col("cos"))
+      .localCheckpoint(eager = true) // read 2x (aff semi + anti)
+    val lost = gsur.join(del.withColumnRenamed("vid", "dst"), Seq("dst"),
+        "left_semi")
+      .select(col("src"), col("dst"))
+    // the deleted nodes' former neighborhoods (both directions) are
+    // the repair routes through the hole
+    val dAdj = symmetrized(graph)
+      .join(del.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .select(col("src").as("__d"), col("dst").as("cand"))
+    val cand = lost.select(col("src"), col("dst").as("__d"))
+      .join(dAdj, Seq("__d"))
+      .select(col("src"), col("cand").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(del.withColumnRenamed("vid", "dst"), Seq("dst"), "left_anti")
+      .distinct()
+    val scored = cand
+      .join(vecs.select(col("vid").as("src"), col("v").as("__va")),
+        Seq("src"))
+      .join(vecs.select(col("vid").as("dst"), col("v").as("__vb")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        Num.roundLike(cosine(col("__va"), col("__vb")), 6).as("cos"))
+    val aff = lost.select("src").distinct()
+    // a repair candidate can coincide with a kept edge — identical
+    // rounded cos, so max() is pure dedup (the NN-Descent precedent)
+    val merged = kept.join(aff, Seq("src"), "left_semi")
+      .unionAll(scored)
+      .groupBy("src", "dst").agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    def topK(edges: DataFrame): DataFrame = edges
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+    val out = kept.join(aff, Seq("src"), "left_anti")
+      .unionAll(topK(merged))
+    out.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("src"), col("rank"), col("dst"), col("cos").as("cosine"))
+  }
+
+  /** Certificates for [[knnGraphDelete]] in one row: (a) ZERO edges
+    * point at a deleted id (structural integrity — dangling edges
+    * poison every later beam search), and (b) repaired nodes' recall
+    * vs brute-force truth over the survivor corpus stays above
+    * `target` (the repair found real routes, not noise). */
+  def knnGraphDeleteCert(base: DataFrame, deleteIds: DataFrame,
+                         k: Int = 10, target: Double = 0.5,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraphNNDescent(base, idCol = idCol, vecCol = vecCol)
+    val del = deleteIds.select(col(deleteIds.columns.head).cast("long")
+      .as("vid")).localCheckpoint(eager = true)
+    val upd = knnGraphDelete(base, g, del, k, idCol, vecCol)
+      .localCheckpoint(eager = true)
+    val dangling = upd.join(del.withColumnRenamed("vid", "dst"),
+      Seq("dst"), "left_semi")
+    // affected = survivors whose OLD rows had a deleted dst
+    val aff = g.join(del.withColumnRenamed("vid", "src"), Seq("src"),
+        "left_anti")
+      .join(del.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+      .select("src").distinct()
+    val survivors = base.join(
+      del.withColumnRenamed("vid", idCol).select(idCol), Seq(idCol),
+      "left_anti")
+    val probes = survivors.join(aff.withColumnRenamed("src", idCol)
+      .select(idCol), Seq(idCol), "left_semi")
+    val bf = bruteForceTopK(survivors, probes, k, idCol, vecCol)
+    val got = upd.join(aff, Seq("src"), "left_semi")
+      .select(col("src").as("probe_id"), col("dst").as("corpus_id"),
+        lit(1).as("__hit"))
+    bf.join(got, Seq("probe_id", "corpus_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_matched"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_matched"), col("n_total"),
+        Num.roundLike(col("n_matched") / col("n_total"), 6).as("recall"),
+        (col("n_matched") / col("n_total") >= target).as("meets_target"))
+      .crossJoin(dangling.agg(count(lit(1)).as("n_dangling")))
+      .select(col("n_dangling"), col("n_matched"), col("n_total"),
+        col("recall"), col("meets_target"))
   }
 
   /** The codebook travels with the index it assigned (k rows — one

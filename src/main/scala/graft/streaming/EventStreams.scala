@@ -382,6 +382,44 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** e12: graph-ANN ingest as a STREAMING job — the LSM shape of
+    * [[graft.ext.Similarity.knnGraphInsert]]: new vectors drain as
+    * micro-batches, and each arrival beam-searches the FROZEN base
+    * graph for its k nearest ([[graft.ext.Similarity
+    * .knnGraphForwardEdges]]), appending its forward adjacency rows to
+    * `outDir` as it lands — a new vector is SEARCHABLE (its own top-k
+    * is known) the moment its batch commits, while the reverse-edge
+    * merge that makes it DISCOVERABLE by other probes' walks defers to
+    * the periodic batch compaction (knnGraphInsert), exactly how an
+    * LSM index absorbs writes ahead of compaction. Forward edges are a
+    * pure function of (vector, frozen base + graph): order- and
+    * batch-split-independent, so batch knnGraphForwardEdges over the
+    * same vector set is the exact oracle. The beam joins + windows are
+    * illegal in a streaming plan, hence foreachBatch — each batch runs
+    * them as a normal bounded job. */
+  def graphIngestStreamFromParquet(spark: SparkSession, vecDir: String,
+                                   rawSchema: org.apache.spark.sql.types.StructType,
+                                   base: DataFrame, graph: DataFrame,
+                                   outDir: String, k: Int = 10)
+      : DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("e12ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(vecDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.Similarity.knnGraphForwardEdges(base, graph,
+            batch.toDF(), k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.read.parquet(outDir)
+  }
+
   /** e11: the S12 response memo-cache as a STREAMING service loop —
     * request micro-batches drain through foreachBatch, and EVERY batch
     * runs [[graft.core.Serving.serveCachedDir]] against the SAME

@@ -218,6 +218,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(computed.sorted == Seq("A", "B", "C"))
   }
 
+  test("streaming graph ingest emits exactly the batch forward edges " +
+      "across a two-batch split") {
+    // 3 tight clusters (the KnnGraphSpec fixture shape): base = 10 per
+    // cluster, new arrivals = 2 per cluster streamed as two files
+    val all = for {
+      c <- 0 until 3
+      j <- 0 until 12
+    } yield {
+      val v = Array.fill(8)(0.05f)
+      v(c) = 1.0f
+      v((c + j) % 8) = v((c + j) % 8) + 0.01f * (j + 1)
+      (c * 12L + j, v.toSeq)
+    }
+    val df = all.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 12 >= 2)
+      .localCheckpoint(eager = true)
+    val batch = df.filter(col("vec_id") % 12 < 2)
+    val g = graft.ext.Similarity.knnGraphNNDescent(base, k = 5,
+      rounds = 2).localCheckpoint(eager = true)
+    val tmp = java.nio.file.Files.createTempDirectory("e12spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/vecs/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(batch.filter(col("vec_id") % 24 === 0), "b0", now - 60000L)
+    writeOne(batch.filter(col("vec_id") % 24 =!= 0), "b1", now)
+    val streamed = EventStreams.graphIngestStreamFromParquet(spark,
+      s"$tmp/vecs", batch.schema, base, g, s"$tmp/out", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val oracle = graft.ext.Similarity.knnGraphForwardEdges(base, g,
+        batch, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == oracle, "stream == batch forward edges")
+    assert(streamed.size == 30 && streamed.map(_._1).size == 6,
+      "6 new ids x 5 edges")
+  }
+
   test("normalizeTs maps NTZ parquet to the same instants as TIMESTAMP") {
     val f = writeNtzFixture()
     val raw = spark.read.parquet(f.getAbsolutePath)

@@ -72,6 +72,130 @@ class KnnGraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental insert finds in-cluster neighbors for new vectors") {
+    // hold out two vectors per cluster as the "new" batch
+    val batch = clustered.filter(col("vec_id") % 12 < 2)
+    val base = clustered.filter(col("vec_id") % 12 >= 2)
+    val r = Similarity.knnGraphInsertRecall(base, batch, k = 5,
+      target = 0.9).collect().head
+    assert(r.getLong(1) == 30, "6 new ids x 5 truth rows")
+    assert(r.getBoolean(3), s"insert recall >= 0.9 on clustered data: $r")
+  }
+
+  test("insert leaves untouched nodes' rows bit-identical") {
+    val batch = clustered.filter(col("vec_id") % 12 < 2)
+    val base = clustered.filter(col("vec_id") % 12 >= 2)
+    val g = Similarity.knnGraphNNDescent(base, k = 5, rounds = 2)
+    val ins = Similarity.knnGraphInsert(base, g, batch, k = 5)
+    val batchIds = batch.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val touched = ins.filter(col("src").isin(batchIds.toSeq: _*))
+      .select("dst").collect().map(_.getLong(0)).toSet
+    val before = g.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filterNot(t => touched.contains(t._1)).toSet
+    val after = ins.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(t => !touched.contains(t._1) && !batchIds.contains(t._1))
+      .toSet
+    assert(before == after, "non-affected base rows pass through")
+  }
+
+  test("insert re-ranks affected nodes monotonically (kth best " +
+      "never drops)") {
+    val batch = clustered.filter(col("vec_id") % 12 < 2)
+    val base = clustered.filter(col("vec_id") % 12 >= 2)
+    val g = Similarity.knnGraphNNDescent(base, k = 5, rounds = 2)
+    val ins = Similarity.knnGraphInsert(base, g, batch, k = 5)
+    def kthBest(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("src").agg(min(col("cosine")).as("kth"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val before = kthBest(g)
+    val after = kthBest(ins)
+    before.foreach { case (src, b) =>
+      assert(after(src) >= b, s"node $src kth-best regressed: $b -> ${after(src)}")
+    }
+  }
+
+  test("insert is partitioning-independent") {
+    val batch = clustered.filter(col("vec_id") % 12 < 2)
+    val base = clustered.filter(col("vec_id") % 12 >= 2)
+    val g = Similarity.knnGraphNNDescent(base, k = 4, rounds = 1)
+    val a = Similarity.knnGraphInsert(base, g, batch, k = 4)
+      .collect().toSet
+    val b = Similarity.knnGraphInsert(base.repartition(11),
+      g.repartition(5), batch.repartition(3), k = 4).collect().toSet
+    assert(a == b)
+  }
+
+  test("stream-ingest-then-compact reproduces the batch insert " +
+      "bit-for-bit") {
+    val batch = clustered.filter(col("vec_id") % 12 < 2)
+    val base = clustered.filter(col("vec_id") % 12 >= 2)
+    val g = Similarity.knnGraphNNDescent(base, k = 5, rounds = 2)
+    val direct = Similarity.knnGraphInsert(base, g, batch, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val compacted = Similarity.knnGraphCompact(g,
+        Similarity.knnGraphForwardEdges(base, g, batch, k = 5), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(direct == compacted)
+  }
+
+  test("delete repairs through the hole and leaves no dangling edges") {
+    val g = Similarity.knnGraphNNDescent(clustered, k = 5, rounds = 2)
+    val del = clustered.filter(col("vec_id") % 12 === 0)
+      .select("vec_id") // one per cluster
+    val upd = Similarity.knnGraphDelete(clustered, g, del, k = 5)
+    val delIds = Set(0L, 12L, 24L)
+    val rows = upd.collect()
+    assert(rows.forall(r => !delIds.contains(r.getLong(0))),
+      "deleted ids keep no adjacency rows")
+    assert(rows.forall(r => !delIds.contains(r.getLong(2))),
+      "no edge points at a deleted id")
+    // survivors that lost their cluster-mate edge must refill to k
+    // from the deleted node's former neighborhood (pure in-cluster)
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.size == 33 && bySrc.values.forall(_.length == 5),
+      "every survivor still carries k edges")
+  }
+
+  test("delete certificate: zero dangling, high repair recall") {
+    val del = clustered.filter(col("vec_id") % 12 === 0).select("vec_id")
+    val r = Similarity.knnGraphDeleteCert(clustered, del, k = 5,
+      target = 0.9).collect().head
+    assert(r.getLong(0) == 0L, s"dangling: $r")
+    assert(r.getBoolean(4), s"repair recall >= 0.9 on clustered data: $r")
+  }
+
+  test("delete leaves unaffected nodes' rows bit-identical") {
+    val g = Similarity.knnGraphNNDescent(clustered, k = 5, rounds = 2)
+    val del = clustered.filter(col("vec_id") % 12 === 0).select("vec_id")
+    val delIds = Set(0L, 12L, 24L)
+    val affected = g.filter(col("dst").isin(delIds.toSeq: _*) &&
+        !col("src").isin(delIds.toSeq: _*))
+      .select("src").collect().map(_.getLong(0)).toSet
+    val upd = Similarity.knnGraphDelete(clustered, g, del, k = 5)
+    val untouched = (r: org.apache.spark.sql.Row) =>
+      !affected.contains(r.getLong(0)) && !delIds.contains(r.getLong(0))
+    val before = g.collect().filter(untouched).map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val after = upd.collect().filter(untouched).map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(before == after)
+  }
+
+  test("delete is partitioning-independent") {
+    val g = Similarity.knnGraphNNDescent(clustered, k = 4, rounds = 1)
+    val del = clustered.filter(col("vec_id") % 12 === 0).select("vec_id")
+    val a = Similarity.knnGraphDelete(clustered, g, del, k = 4)
+      .collect().toSet
+    val b = Similarity.knnGraphDelete(clustered.repartition(7),
+      g.repartition(3), del.repartition(2), k = 4).collect().toSet
+    assert(a == b)
+  }
+
   test("ranks are 1..k per source with descending rounded cosine") {
     val g = Similarity.knnGraphNNDescent(clustered, k = 5, rounds = 1)
       .collect().groupBy(_.getLong(0))

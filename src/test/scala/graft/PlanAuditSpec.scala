@@ -66,6 +66,12 @@ class PlanAuditSpec extends SparkSpec {
       "BM25 leg's 1-row corpus-stats broadcast + bounded probe set × corpus vector leg (Retrieval.hybridRrf / Similarity.bruteForceTopK)",
     "s7_knn_recall" ->
       "recall join of two bounded top-k result sets + bounded probe set × corpus brute-force truth (Similarity.knnGraphRecall)",
+    "s8_beam_recall" ->
+      "recall join of two bounded top-k result sets + bounded probe set × corpus brute-force truth (Similarity.beamSearchRecall)",
+    "s9_insert_recall" ->
+      "bounded insert batch × base corpus brute-force truth (Similarity.knnGraphInsertRecall); the insert itself is all equi-joins",
+    "s10_delete_cert" ->
+      "bounded affected-node probe set × survivor corpus brute-force truth + 1-row dangling-count cross (Similarity.knnGraphDeleteCert); the delete itself is all equi-joins",
     "a15_feature_agg_mean" ->
       "fragment frame × broadcast feature-name list (a handful of column names; Chas.scala:159)",
     "a15_feature_agg_min" ->
