@@ -2826,7 +2826,73 @@ outd AS MATERIALIZED (SELECT src, dst, cos FROM kept
   UNION ALL SELECT src, dst, cos FROM updk)""".drop(1)
   }
 
+  // r3 MMR: greedy diversified selection macro-expanded — pool and
+  // pairwise sims once, then k-1 steps of (candidates = pool −
+  // selected) → max-sim-to-selected → argmax(0.5·rel − 0.5·maxsim) —
+  // mirrors Retrieval.mmrRerank step for step. Same 2000-vector corpus
+  // cap as s7/s8 keeps the sf1 oracle linear.
+  private val MmrK = 10
+  private val mmrCtes: String = {
+    val init = raw"""
+emb2 AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 2000),
+nrm2 AS MATERIALIZED (SELECT vec_id, nrm FROM norms
+  WHERE vec_id IN (SELECT vec_id FROM emb2)),
+mpool AS MATERIALIZED (SELECT probe_id, corpus_id, rel FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
+      round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[]))
+            / (na.nrm * nb.nrm), 6) AS rel,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (na.nrm * nb.nrm), 6) DESC, b.vec_id) AS rn
+    FROM emb2 a JOIN emb2 b ON b.vec_id <> a.vec_id
+    JOIN nrm2 na ON na.vec_id = a.vec_id
+    JOIN nrm2 nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id < 20) t WHERE rn <= 20),
+msim AS MATERIALIZED (SELECT pa.probe_id, pa.corpus_id AS id_a,
+    pb.corpus_id AS id_b,
+    round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                           CAST(eb.embedding AS DOUBLE[]))
+          / (na.nrm * nb.nrm), 6) AS sim
+  FROM mpool pa
+  JOIN mpool pb ON pb.probe_id = pa.probe_id
+    AND pb.corpus_id <> pa.corpus_id
+  JOIN emb2 ea ON ea.vec_id = pa.corpus_id
+  JOIN emb2 eb ON eb.vec_id = pb.corpus_id
+  JOIN nrm2 na ON na.vec_id = pa.corpus_id
+  JOIN nrm2 nb ON nb.vec_id = pb.corpus_id),
+msel1 AS (SELECT probe_id, corpus_id, rel, rel AS mmr,
+    CAST(1 AS BIGINT) AS rank
+  FROM (SELECT probe_id, corpus_id, rel, row_number() OVER (
+      PARTITION BY probe_id ORDER BY rel DESC, corpus_id) AS rn
+    FROM mpool) t WHERE rn = 1)""".drop(1)
+    val steps = (2 to MmrK).map { i => raw"""
+mms$i AS (SELECT c.probe_id, c.corpus_id, c.rel,
+    round(0.5 * c.rel - 0.5 * max(s.sim), 6) AS mmr
+  FROM (SELECT p.probe_id, p.corpus_id, p.rel FROM mpool p
+        WHERE NOT EXISTS (SELECT 1 FROM msel${i - 1} q
+          WHERE q.probe_id = p.probe_id
+            AND q.corpus_id = p.corpus_id)) c
+  JOIN msim s ON s.probe_id = c.probe_id AND s.id_a = c.corpus_id
+  JOIN msel${i - 1} q2 ON q2.probe_id = s.probe_id
+    AND q2.corpus_id = s.id_b
+  GROUP BY c.probe_id, c.corpus_id, c.rel),
+mpick$i AS (SELECT probe_id, corpus_id, rel, mmr,
+    CAST($i AS BIGINT) AS rank
+  FROM (SELECT probe_id, corpus_id, rel, mmr, row_number() OVER (
+      PARTITION BY probe_id ORDER BY mmr DESC, corpus_id) AS rn
+    FROM mms$i) t WHERE rn = 1),
+msel$i AS MATERIALIZED (SELECT * FROM msel${i - 1}
+  UNION ALL SELECT * FROM mpick$i)""".drop(1)
+    }
+    (init +: steps).mkString(",\n")
+  }
+
   val knnRetrieval: Map[String, String] = Map(
+    "r3_mmr_rerank" -> eq(raw"""
+SELECT probe_id, rank, corpus_id, rel, mmr FROM msel$MmrK""",
+      extra = mmrCtes),
     "s10_graph_delete" -> eq(raw"""
 SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
 FROM (SELECT src, dst, cos, row_number() OVER (

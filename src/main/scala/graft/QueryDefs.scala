@@ -560,6 +560,13 @@ object QueryDefs {
     "r2_hybrid_rrf" -> ((s, d) =>
       Retrieval.hybridRrf(table(s, d, "documents"),
         table(s, d, "embeddings"), probeMax = 5)),
+    // r3: MMR diversified re-rank of the dense top-20 pool — the
+    // retrieval stack's last stage; greedy selection macro-expanded in
+    // the oracle, same 2000-vector cap as s7/s8
+    "r3_mmr_rerank" -> ((s, d) =>
+      Retrieval.mmrRerank(
+        table(s, d, "embeddings").filter(col("vec_id") < 2000),
+        probeMax = 20)),
     // SQ8: 8-bit scalar-quantized approximate scan (4× less index
     // traffic) feeding an exact re-rank of the 4k-deep candidate pool
     "s5_sq8_rerank" -> ((s, d) => {
@@ -1185,5 +1192,5 @@ object QueryDefs {
     // built graph (the graph-ANN query side), and incremental insert
     // (the maintenance side — rebuild-free ingest)
     "s7_knn_graph", "r2_hybrid_rrf", "s8_graph_search",
-    "s9_graph_insert")
+    "s9_graph_insert", "r3_mmr_rerank")
 }

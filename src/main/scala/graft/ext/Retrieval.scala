@@ -106,4 +106,80 @@ object Retrieval {
       .select(col("probe_id"), col("rank"), col("doc_id"), col("rrf"),
         col("lex_rank"), col("vec_rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): diversify a relevance-ranked candidate pool by
+    * greedily selecting, k times,
+    *   argmax_d  λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    * — the re-rank stage of a retrieval stack, where the ANN/hybrid
+    * leg optimizes relevance and MMR trades some of it against
+    * redundancy (near-duplicate hits crowding the result page).
+    *
+    * Everything is bounded by the probe batch: the pool is top-`poolN`
+    * per probe, pairwise similarities are ≤ poolN² rows per probe
+    * computed ONCE, and each of the k greedy steps is an equi-join of
+    * (pool − selected) against the selected set's similarity rows —
+    * corpus size never enters after the pool scan. Determinism: rel
+    * and sim are the engine-wide 6-dp rounded cosines, the objective
+    * is λ·rel − (1−λ)·maxsim with λ a shared literal (0.5 halves are
+    * exact in IEEE, so both engines bit-agree) re-rounded at 6 dp,
+    * ties break on id — the total order every other op ranks by.
+    * Output: (probe_id, rank, corpus_id, rel, mmr) where rank is
+    * selection order and mmr the objective at selection time (rel
+    * itself for the first pick). */
+  def mmrRerank(corpus: DataFrame, probeMax: Long, poolN: Int = 20,
+                k: Int = 10, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = true)
+    val pool = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col(idCol) < probeMax), poolN, idCol, vecCol)
+      .select(col("probe_id"), col("corpus_id"), col("cosine").as("rel"))
+      .localCheckpoint(eager = true)
+    // pairwise sims among each probe's pool members, computed once
+    val sims = pool.select(col("probe_id"), col("corpus_id").as("id_a"))
+      .join(pool.select(col("probe_id"), col("corpus_id").as("id_b")),
+        Seq("probe_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("__va")),
+        Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("__vb")),
+        Seq("id_b"))
+      .select(col("probe_id"), col("id_a"), col("id_b"),
+        Num.roundLike(Similarity.cosine(col("__va"), col("__vb")), 6)
+          .as("sim"))
+      .localCheckpoint(eager = true) // read once per greedy step
+    val w1 = Window.partitionBy("probe_id")
+      .orderBy(col("rel").desc, col("corpus_id"))
+    var sel = pool.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("probe_id"), col("corpus_id"), col("rel"),
+        col("rel").as("mmr"), lit(1L).as("rank"))
+      .localCheckpoint(eager = true)
+    for (i <- 2 to k) {
+      val cand = pool.join(sel.select(col("probe_id"), col("corpus_id")),
+        Seq("probe_id", "corpus_id"), "left_anti")
+      val maxsim = cand
+        .join(sims.withColumnRenamed("id_a", "corpus_id"),
+          Seq("probe_id", "corpus_id"))
+        .join(sel.select(col("probe_id"), col("corpus_id").as("id_b")),
+          Seq("probe_id", "id_b"))
+        .groupBy("probe_id", "corpus_id", "rel")
+        .agg(max(col("sim")).as("__maxsim"))
+      val scored = maxsim.select(col("probe_id"), col("corpus_id"),
+        col("rel"),
+        Num.roundLike(lit(0.5) * col("rel") - lit(0.5) * col("__maxsim"),
+          6).as("mmr"))
+      val wp = Window.partitionBy("probe_id")
+        .orderBy(col("mmr").desc, col("corpus_id"))
+      val pick = scored.withColumn("__rn", row_number().over(wp))
+        .filter(col("__rn") === 1)
+        .select(col("probe_id"), col("corpus_id"), col("rel"),
+          col("mmr"), lit(i.toLong).as("rank"))
+      sel = sel.unionAll(pick).localCheckpoint(eager = true)
+    }
+    sel.select(col("probe_id"), col("rank"), col("corpus_id"),
+      col("rel"), col("mmr"))
+  }
 }

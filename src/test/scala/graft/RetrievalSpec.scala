@@ -64,6 +64,57 @@ class RetrievalSpec extends SparkSpec {
     assert(oneLeg.nonEmpty, "no single-leg doc survived fusion")
   }
 
+  test("mmr skips the near-duplicate of the first pick") {
+    // probe 0; ids 1,2 near-duplicates of EACH OTHER on one side of
+    // the probe, id 3 equally relevant on the OPPOSITE side (sim to
+    // pick 1 far below its relevance). Pure relevance ranks (1,2,3);
+    // MMR's second pick must trade the duplicate 2 for the diverse 3.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.44f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.44f, 0.01f, 0.0f)),
+      (3L, Seq(0.9f, -0.44f, 0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val sel = graft.ext.Retrieval.mmrRerank(df, probeMax = 1, poolN = 3,
+        k = 3)
+      .orderBy("rank").collect()
+    assert(sel.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L), "ranks 1..3")
+    assert(sel(0).getLong(2) == 1L, s"first pick is the most relevant")
+    assert(sel(1).getLong(2) == 3L,
+      s"second pick diversifies away from the near-duplicate: " +
+        sel.map(_.getLong(2)).toSeq)
+    assert(sel(2).getLong(2) == 2L)
+  }
+
+  test("mmr picks k distinct pool members per probe") {
+    val rows = (0 until 30).map { i =>
+      val v = Array.fill(6)(0.1f); v(i % 6) = 1.0f + 0.01f * i
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val sel = graft.ext.Retrieval.mmrRerank(df, probeMax = 3,
+      poolN = 10, k = 5).collect()
+    val byProbe = sel.groupBy(_.getLong(0))
+    assert(byProbe.keySet == Set(0L, 1L, 2L))
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rs.map(_.getLong(2)).distinct.length == 5)
+    }
+  }
+
+  test("mmr is partitioning-independent") {
+    val rows = (0 until 30).map { i =>
+      val v = Array.fill(6)(0.1f); v(i % 6) = 1.0f + 0.01f * i
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val a = graft.ext.Retrieval.mmrRerank(df, probeMax = 3, poolN = 10,
+      k = 5).collect().toSet
+    val b = graft.ext.Retrieval.mmrRerank(df.repartition(11),
+      probeMax = 3, poolN = 10, k = 5).collect().toSet
+    assert(a == b)
+  }
+
   test("bm25 is partitioning-independent") {
     val q = Seq((0L, "rare gamma"), (2L, "beta common")).toDF("query_id", "text")
     val a = Retrieval.bm25(docs, q).collect().toSet
