@@ -2596,16 +2596,18 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
   // as "Too many open files" at 4 rounds. The a6/a17 restructure
   // (COVERAGE.md oracle-tractability notes) set the precedent:
   // materialize exactly the multi-consumer frames.
-  private def knnScoreCte(src: String, out: String): String = raw"""
+  private def knnScoreCte(src: String, out: String,
+                          emb: String = "emb2",
+                          nrm: String = "nrm2"): String = raw"""
 $out AS MATERIALIZED (SELECT p.src, p.dst,
     round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
                            CAST(eb.embedding AS DOUBLE[]))
           / (na.nrm * nb.nrm), 6) AS cos
   FROM $src p
-  JOIN emb2 ea ON ea.vec_id = p.src
-  JOIN emb2 eb ON eb.vec_id = p.dst
-  JOIN nrm2 na ON na.vec_id = p.src
-  JOIN nrm2 nb ON nb.vec_id = p.dst)"""
+  JOIN $emb ea ON ea.vec_id = p.src
+  JOIN $emb eb ON eb.vec_id = p.dst
+  JOIN $nrm na ON na.vec_id = p.src
+  JOIN $nrm nb ON nb.vec_id = p.dst)"""
 
   private def knnTopKCte(src: String, out: String): String = raw"""
 $out AS MATERIALIZED (SELECT src, dst, cos FROM (
@@ -2889,7 +2891,67 @@ msel$i AS MATERIALIZED (SELECT * FROM msel${i - 1}
     (init +: steps).mkString(",\n")
   }
 
+  // refine = one NN-Descent round over the INSERTED graph (outg),
+  // scoring against embA (base ∪ batch — the refined graph's id
+  // space) — mirrors Similarity.knnGraphRefine(descentRound) exactly.
+  private val refineCtes: String = raw"""
+rb AS (SELECT src AS p, dst AS x FROM outg
+  UNION SELECT dst AS p, src AS x FROM outg),
+rbc AS MATERIALIZED (SELECT p, x FROM (
+    SELECT p, x, row_number() OVER (PARTITION BY p
+      ORDER BY md5(p || ':' || x), x) AS rn FROM rb) t
+  WHERE rn <= 20),
+rcd AS (SELECT DISTINCT a.x AS src, b.x AS dst
+  FROM rbc a JOIN rbc b ON a.p = b.p AND a.x < b.x),
+${knnScoreCte("rcd", "rpc", "embA", "nrmA")},
+ral AS (SELECT src, dst, max(cos) AS cos FROM (
+    SELECT src, dst, cos FROM outg
+    UNION ALL SELECT src, dst, cos FROM rpc
+    UNION ALL SELECT dst AS src, src AS dst, cos FROM rpc) u
+  GROUP BY src, dst),
+rg AS MATERIALIZED (SELECT src, dst, cos FROM (
+    SELECT src, dst, cos, row_number() OVER (
+      PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM ral) t
+  WHERE rn <= 10)""".drop(1)
+
   val knnRetrieval: Map[String, String] = Map(
+    "s7_knn_refine" -> eq(raw"""
+SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
+FROM (SELECT src, dst, cos, row_number() OVER (
+    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM rg) r""",
+      extra = s7CtesFor(S9BaseFilter) + ",\n" + s9Ctes + ",\n" +
+        refineCtes),
+    "s7_refine_recall" -> eq(raw"""
+SELECT CAST(nb AS BIGINT) AS n_before, CAST(na2 AS BIGINT) AS n_after,
+       CAST(tot AS BIGINT) AS n_total,
+       round(nb / tot, 6) AS recall_before,
+       round(na2 / tot, 6) AS recall_after,
+       TRUE AS improved
+FROM (SELECT
+    count(*) FILTER (WHERE bi.corpus_id IS NOT NULL) AS nb,
+    count(*) FILTER (WHERE ai.corpus_id IS NOT NULL) AS na2,
+    count(*) AS tot
+  FROM bfr
+  LEFT JOIN bi ON bi.probe_id = bfr.probe_id
+    AND bi.corpus_id = bfr.corpus_id
+  LEFT JOIN ai ON ai.probe_id = bfr.probe_id
+    AND ai.corpus_id = bfr.corpus_id) t""",
+      extra = s7CtesFor(S9BaseFilter) + ",\n" + s9Ctes + ",\n" +
+        refineCtes + "," + raw"""
+bfr AS (SELECT probe_id, corpus_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (na.nrm * nb.nrm), 6) DESC, b.vec_id) AS rank
+    FROM embA a JOIN embA b ON b.vec_id <> a.vec_id
+    JOIN nrmA na ON na.vec_id = a.vec_id
+    JOIN nrmA nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id % 17 = 0) r WHERE rank <= 10),
+bi AS (SELECT src AS probe_id, dst AS corpus_id FROM outg
+  WHERE src % 17 = 0),
+ai AS (SELECT src AS probe_id, dst AS corpus_id FROM rg
+  WHERE src % 17 = 0)""".drop(1)),
     "r3_mmr_rerank" -> eq(raw"""
 SELECT probe_id, rank, corpus_id, rel, mmr FROM msel$MmrK""",
       extra = mmrCtes),

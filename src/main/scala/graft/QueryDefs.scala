@@ -534,6 +534,23 @@ object QueryDefs {
       Similarity.knnGraphCompact(g,
         Similarity.knnGraphForwardEdges(base, g, batch))
     }),
+    // s7c: NN-Descent refinement of the INSERTED graph — the
+    // post-ingest maintenance round; full hash oracle + before/after
+    // recall cert with the monotone `improved` flag pinned
+    "s7_knn_refine" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      val base = emb2.filter(col("vec_id") % 17 =!= 0)
+      val batch = emb2.filter(col("vec_id") % 17 === 0)
+      Similarity.knnGraphRefine(emb2,
+        Similarity.knnGraphInsert(base,
+          Similarity.knnGraphNNDescent(base), batch))
+    }),
+    "s7_refine_recall" -> ((s, d) => {
+      val emb2 = table(s, d, "embeddings").filter(col("vec_id") < 2000)
+      Similarity.knnGraphRefineRecall(
+        emb2.filter(col("vec_id") % 17 =!= 0),
+        emb2.filter(col("vec_id") % 17 === 0))
+    }),
     // s10: delete + neighborhood repair (every 29th id removed); full
     // updated-graph hash oracle + the integrity/recall certificate
     "s10_graph_delete" -> ((s, d) => {

@@ -915,19 +915,6 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint(eager = true) // read 2x per scoring round
     val n = vecs.count() // 1-row driver aggregate (the id-space modulus)
-    def topK(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= k).drop("__rn")
-    }
-    // fetch both endpoint vectors and rank on the ROUNDED cosine — raw
-    // doubles differ across engines in the last bits (bruteForceTopK's
-    // rationale); ties break on dst id
-    def score(pairs: DataFrame): DataFrame = pairs
-      .join(vecs.select(col("vid").as("src"), col("v").as("__va")), Seq("src"))
-      .join(vecs.select(col("vid").as("dst"), col("v").as("__vb")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        Num.roundLike(cosine(col("__va"), col("__vb")), 6).as("cos"))
     val init = vecs.select(col("vid").as("src"),
         explode(array((0 until k).map(lit): _*)).as("__i"))
       .select(col("src"),
@@ -936,34 +923,136 @@ object Similarity {
           .cast("long"), lit(n)).as("dst"))
       .filter(col("dst") =!= col("src"))
       .distinct()
-    var g = topK(score(init)).localCheckpoint(eager = true)
-    for (_ <- 1 to rounds) {
-      val b = g.select(col("src").as("p"), col("dst").as("x"))
-        .unionAll(g.select(col("dst").as("p"), col("src").as("x")))
-        .distinct()
-      val wCap = Window.partitionBy("p").orderBy(col("__h"), col("x"))
-      val bc = b
-        .withColumn("__h", md5(concat(col("p").cast("string"), lit(":"),
-          col("x").cast("string"))))
-        .withColumn("__rn", row_number().over(wCap))
-        .filter(col("__rn") <= maxNeighborhood)
-        .select(col("p"), col("x"))
-      val cand = bc.as("a").join(bc.as("b"),
-          col("a.p") === col("b.p") && col("a.x") < col("b.x"))
-        .select(col("a.x").as("src"), col("b.x").as("dst"))
-        .distinct()
-      val sc = score(cand)
-      val both = sc.unionAll(sc.select(col("dst").as("src"),
-        col("src").as("dst"), col("cos")))
-      // same pair rediscovered scores identically (deterministic
-      // rounded cosine) — max() is pure dedup, not a choice
-      val all = g.unionAll(both)
-        .groupBy("src", "dst").agg(max(col("cos")).as("cos"))
-      g = topK(all).localCheckpoint(eager = true)
-    }
+    var g = edgeTopK(edgeScore(vecs, init), k)
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds)
+      g = descentRound(vecs, g, k, maxNeighborhood)
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     g.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("src"), col("rank"), col("dst"), col("cos").as("cosine"))
+  }
+
+  /** Fetch both endpoint vectors and score on the ROUNDED cosine — raw
+    * doubles differ across engines in the last bits (bruteForceTopK's
+    * rationale); ties break on dst id downstream. */
+  private def edgeScore(vecs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(vecs.select(col("vid").as("src"), col("v").as("__va")),
+        Seq("src"))
+      .join(vecs.select(col("vid").as("dst"), col("v").as("__vb")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        Num.roundLike(cosine(col("__va"), col("__vb")), 6).as("cos"))
+
+  private def edgeTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** One NN-Descent improvement round over edge frame `g` (src, dst,
+    * cos): capped neighborhoods introduce candidate pairs, new pairs
+    * score, each node keeps its top-k of old ∪ new. */
+  private def descentRound(vecs: DataFrame, g: DataFrame, k: Int,
+                           maxNeighborhood: Int): DataFrame = {
+    val b = g.select(col("src").as("p"), col("dst").as("x"))
+      .unionAll(g.select(col("dst").as("p"), col("src").as("x")))
+      .distinct()
+    val wCap = Window.partitionBy("p").orderBy(col("__h"), col("x"))
+    val bc = b
+      .withColumn("__h", md5(concat(col("p").cast("string"), lit(":"),
+        col("x").cast("string"))))
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxNeighborhood)
+      .select(col("p"), col("x"))
+    val cand = bc.as("a").join(bc.as("b"),
+        col("a.p") === col("b.p") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("src"), col("b.x").as("dst"))
+      .distinct()
+    val sc = edgeScore(vecs, cand)
+    val both = sc.unionAll(sc.select(col("dst").as("src"),
+      col("src").as("dst"), col("cos")))
+    // same pair rediscovered scores identically (deterministic
+    // rounded cosine) — max() is pure dedup, not a choice
+    val all = g.unionAll(both)
+      .groupBy("src", "dst").agg(max(col("cos")).as("cos"))
+    edgeTopK(all, k).localCheckpoint(eager = true)
+  }
+
+  /** NN-Descent refinement of an EXISTING graph — the post-ingest
+    * repair pass: after many [[knnGraphInsert]]/[[knnGraphCompact]]
+    * batches (whose new ids connected through beam search against the
+    * graph as it was) or [[knnGraphDelete]] holes, run descent rounds
+    * over the CURRENT edge set so neighbors-of-neighbors propagate the
+    * accumulated changes — the same "my neighbor's neighbor" step the
+    * builder iterates, applied as maintenance. Per-node lists only
+    * improve in the (6-dp cosine, id) order (top-k of old ∪ new), and
+    * since brute-force truth ranks by the SAME order, recall vs truth
+    * is monotone non-decreasing — certified by the refine-recall gate
+    * entry. Cost per round: one capped neighborhood self-join + one
+    * candidate scoring, linear in |edges|·cap — never corpus². */
+  def knnGraphRefine(corpus: DataFrame, graph: DataFrame,
+                     rounds: Int = 1, k: Int = 10,
+                     maxNeighborhood: Int = 20,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = true)
+    var g = graph.select(col("src"), col("dst"), col("cosine").as("cos"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds)
+      g = descentRound(vecs, g, k, maxNeighborhood)
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    g.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("src"), col("rank"), col("dst"), col("cos").as("cosine"))
+  }
+
+  /** Before/after certificate for [[knnGraphRefine]] over the
+    * insert-then-refine composition. Truth is brute force over the
+    * FULL post-insert corpus (base ∪ batch, self excluded) — the id
+    * universe the refined graph actually lives in. That choice makes
+    * the story measurable: the insert connects new ids only to the
+    * indexed BASE (it is blind to its own batch siblings, so
+    * recall_before caps below 1 when true neighbors arrived in the
+    * same batch), and one refine round propagates the new edges so
+    * siblings find each other. It also makes `improved` a THEOREM the
+    * oracle pins TRUE: refine keeps each node's top-k of old ∪ new
+    * under the same (6-dp cosine, id) total order the truth ranks by,
+    * and every candidate lives in the truth universe, so a list entry
+    * is only ever displaced by a candidate ranking strictly higher in
+    * the true order — overlap with true top-k never drops. (Vs a
+    * base-only truth the flag would be FALSE-able: a batch-sibling
+    * edge can legitimately displace a base edge.) */
+  def knnGraphRefineRecall(base: DataFrame, batch: DataFrame,
+                           k: Int = 10, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraphNNDescent(base, idCol = idCol, vecCol = vecCol)
+    val ins = knnGraphInsert(base, g, batch, k,
+        idCol = idCol, vecCol = vecCol)
+      .localCheckpoint(eager = true)
+    val ref = knnGraphRefine(base.unionAll(batch), ins, rounds = 1, k = k,
+      idCol = idCol, vecCol = vecCol)
+    val batchIds = batch.select(col(idCol).cast("long").as("src"))
+    def hits(gr: DataFrame) = gr
+      .join(batchIds, Seq("src"), "left_semi")
+      .select(col("src").as("probe_id"), col("dst").as("corpus_id"))
+    val bf = bruteForceTopK(base.unionAll(batch), batch, k, idCol, vecCol)
+      .select("probe_id", "corpus_id")
+      .localCheckpoint(eager = true)
+    def recallOf(gr: DataFrame, name: String) = bf
+      .join(hits(gr).withColumn("__h", lit(1)),
+        Seq("probe_id", "corpus_id"), "left")
+      .agg(sum(coalesce(col("__h"), lit(0))).cast("long").as(s"n_$name"),
+        count(lit(1)).as(s"__tot_$name"))
+    recallOf(ins, "before").crossJoin(recallOf(ref, "after"))
+      .select(col("n_before"), col("n_after"),
+        col("__tot_before").as("n_total"),
+        Num.roundLike(col("n_before") / col("__tot_before"), 6)
+          .as("recall_before"),
+        Num.roundLike(col("n_after") / col("__tot_before"), 6)
+          .as("recall_after"),
+        (col("n_after") >= col("n_before")).as("improved"))
   }
 
   /** Recall certificate for [[knnGraphNNDescent]] against brute-force

@@ -143,6 +143,51 @@ class KnnGraphSpec extends SparkSpec {
     assert(direct == compacted)
   }
 
+  test("refine after insert connects batch siblings (full-truth " +
+      "recall monotone)") {
+    val batch = clustered.filter(col("vec_id") % 12 < 2)
+    val base = clustered.filter(col("vec_id") % 12 >= 2)
+    val r = Similarity.knnGraphRefineRecall(base, batch, k = 5)
+      .collect().head
+    assert(r.getLong(2) == 30, "6 new ids x 5 full-truth rows")
+    assert(r.getBoolean(5),
+      s"refine never drops full-truth recall: $r")
+    // on the clustered fixture the insert is blind to each new id's
+    // same-batch cluster sibling; the refine round must find it
+    assert(r.getLong(1) > r.getLong(0),
+      s"refine strictly improves here (sibling edges): $r")
+  }
+
+  test("refine keeps per-node kth-best monotone and ranks 1..k") {
+    val batch = clustered.filter(col("vec_id") % 12 < 2)
+    val base = clustered.filter(col("vec_id") % 12 >= 2)
+    val g = Similarity.knnGraphNNDescent(base, k = 5, rounds = 1)
+    val ins = Similarity.knnGraphInsert(base, g, batch, k = 5)
+    val ref = Similarity.knnGraphRefine(clustered, ins, k = 5)
+    def kth(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("src").agg(min(col("cosine")).as("kth"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val before = kth(ins); val after = kth(ref)
+    before.foreach { case (s, b) => assert(after(s) >= b, s"node $s") }
+    val ranks = ref.groupBy("src")
+      .agg(collect_list(col("rank")).as("rs")).collect()
+    ranks.foreach(r => assert(
+      r.getSeq[Long](1).sorted == (1L to r.getSeq[Long](1).length),
+      s"ranks dense for ${r.getLong(0)}"))
+  }
+
+  test("refine is partitioning-independent") {
+    val batch = clustered.filter(col("vec_id") % 12 < 2)
+    val base = clustered.filter(col("vec_id") % 12 >= 2)
+    val g = Similarity.knnGraphNNDescent(base, k = 4, rounds = 1)
+    val ins = Similarity.knnGraphInsert(base, g, batch, k = 4)
+    val a = Similarity.knnGraphRefine(clustered, ins, k = 4)
+      .collect().toSet
+    val b = Similarity.knnGraphRefine(clustered.repartition(9),
+      ins.repartition(4), k = 4).collect().toSet
+    assert(a == b)
+  }
+
   test("delete repairs through the hole and leaves no dangling edges") {
     val g = Similarity.knnGraphNNDescent(clustered, k = 5, rounds = 2)
     val del = clustered.filter(col("vec_id") % 12 === 0)
