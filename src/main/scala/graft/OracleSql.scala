@@ -2914,6 +2914,33 @@ rg AS MATERIALIZED (SELECT src, dst, cos FROM (
       PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM ral) t
   WHERE rn <= 10)""".drop(1)
 
+  // t14 feature-hashing embedding: bigrams -> md5 bucket/sign ->
+  // exact integer (doc, bucket) sums -> dense 64-dim L2-normalized
+  // float vector (exploded form) — mirrors TextOps.hashEmbed.
+  private val hashEmbedCtes: String = raw"""
+hbg AS (SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks)-1),
+      i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM toks WHERE doc_id < 2000 AND len(toks) >= 2),
+hbk AS (SELECT doc_id,
+    CAST('0x' || substr(md5(bg), 1, 12) AS BIGINT) % 64 AS b,
+    CASE WHEN CAST('0x' || substr(md5(bg), 32, 1) AS BIGINT) % 2 = 0
+         THEN 1 ELSE -1 END AS s
+  FROM hbg),
+hsum AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+  FROM hbk GROUP BY doc_id, b),
+hraw AS (SELECT d.doc_id, i.i AS dim_i, COALESCE(h.v, 0) AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 2000) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+  LEFT JOIN hsum h ON h.doc_id = d.doc_id AND h.b = i.i),
+hnrm AS (SELECT doc_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS n
+  FROM hraw GROUP BY doc_id),
+hemb AS MATERIALIZED (SELECT r.doc_id, r.dim_i,
+    CASE WHEN n.n > 0
+         THEN CAST(CAST(round(r.v / n.n, 6) AS FLOAT) AS DOUBLE)
+         ELSE 0.0 END AS val
+  FROM hraw r JOIN hnrm n ON n.doc_id = r.doc_id)""".drop(1)
+
   val knnRetrieval: Map[String, String] = Map(
     "s7_knn_refine" -> eq(raw"""
 SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
@@ -3032,6 +3059,16 @@ FROM (SELECT probe_id, node, cos, row_number() OVER (
   FROM c$S8Steps) r
 WHERE rn <= 10""",
       extra = s7Ctes + ",\n" + s8Ctes),
+    // served form = same graph (deterministic build), same beam —
+    // SAME oracle
+    "s8_graph_served" -> eq(raw"""
+SELECT probe_id, CAST(rn AS BIGINT) AS rank, node AS corpus_id,
+       cos AS cosine
+FROM (SELECT probe_id, node, cos, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cos DESC, node) AS rn
+  FROM c$S8Steps) r
+WHERE rn <= 10""",
+      extra = s7Ctes + ",\n" + s8Ctes),
     "s8_beam_recall" -> eq(raw"""
 SELECT CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
        round(hits / tot, 6) AS recall, TRUE AS meets_target
@@ -3082,6 +3119,28 @@ bfr AS (SELECT probe_id, corpus_id FROM (
     WHERE a.vec_id < 20) r WHERE rank <= 10),
 gg AS (SELECT src AS probe_id, dst AS corpus_id FROM g$S7Rounds
   WHERE src < 20)""".drop(1)),
+    // t14: feature-hashing embedding — md5 bucket/sign arithmetic,
+    // exact integer bucket sums, one sqrt + one rounded division per
+    // coordinate, float-cast like the Spark output; zero vector (not
+    // NaN) for bigram-less docs — mirrors TextOps.hashEmbed exactly
+    "t14_hash_embed" -> dq(raw"""
+SELECT doc_id, CAST(dim_i AS BIGINT) AS dim_i, val FROM hemb""",
+      extra = hashEmbedCtes),
+    "t14_embed_knn" -> dq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
+       round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY round(cosine, 6) DESC, corpus_id) AS rank
+      FROM (SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+              list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+            FROM hvec a JOIN hvec b ON b.doc_id <> a.doc_id
+            WHERE a.doc_id < 5) s) r
+WHERE rank <= 5""",
+      extra = hashEmbedCtes + "," + raw"""
+hvec AS (SELECT doc_id, list(val ORDER BY dim_i) AS v,
+    sqrt(sum(val * val)) AS nrm
+  FROM hemb GROUP BY doc_id
+  HAVING sum(val * val) > 0)""".drop(1)),
     "r1_bm25" -> dq(raw"""
 SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
 FROM (SELECT probe_id, doc_id, score, row_number() OVER (

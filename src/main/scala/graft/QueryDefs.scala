@@ -397,6 +397,22 @@ object QueryDefs {
       Serving.openPartitioned(s, dir)
     })
 
+  /** Per-(session, sfDir) memo of the 2000-cap NN-Descent graph —
+    * the serving lifecycle of the ANN index ([[servedDataset]]
+    * precedent): rep 1 of the s8_graph_served bench lane pays the
+    * build, the median shows the warm beam serve. Production
+    * amortizes the index across arbitrarily many queries; the
+    * rebuild-per-call s8_graph_search lane is the bench's
+    * cold shape, not the architecture's. */
+  private val knnGraphCache =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]
+  private def knnGraphServed(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    knnGraphCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d",
+      Similarity.knnGraphNNDescent(
+          table(s, d, "embeddings").filter(col("vec_id") < 2000))
+        .localCheckpoint(eager = true))
+
   /** The s11 tree-write body, parameterized by the document-writer
     * regime. The listing reports LOGICAL tree files: the distributed
     * writer produces `chr<c>.json` as a directory of part files whose
@@ -506,6 +522,14 @@ object QueryDefs {
       Similarity.beamSearchRecall(
         table(s, d, "embeddings").filter(col("vec_id") < 2000),
         probeMax = 20)),
+    // s8 SERVED: beam search over the memoized pre-built graph — the
+    // production amortization (build once, serve many); SAME oracle as
+    // s8_graph_search (the deterministic build yields the same graph)
+    "s8_graph_served" -> ((s, d) =>
+      Similarity.graphBeamSearch(
+        table(s, d, "embeddings").filter(col("vec_id") < 2000),
+        knnGraphServed(s, d).select(col("src"), col("dst")),
+        probeMax = 20)),
     // s9: incremental insert INTO the s7 graph — the index-maintenance
     // path (batch = every 17th id held out of the build, then
     // bulk-inserted); full-row hash oracle replays build + per-probe
@@ -584,6 +608,28 @@ object QueryDefs {
       Retrieval.mmrRerank(
         table(s, d, "embeddings").filter(col("vec_id") < 2000),
         probeMax = 20)),
+    // t14: feature-hashing text embedding — documents become dense
+    // vectors with no model; compared in exploded (doc, dim, val) form
+    // (the m4 convention), 2000-doc cap like s7/s8
+    "t14_hash_embed" -> ((s, d) =>
+      TextOps.hashEmbed(
+          table(s, d, "documents").filter(col("doc_id") < 2000))
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").cast("long").as("dim_i"),
+          col("col").cast("double").as("val"))),
+    // ...and the end-to-end proof the vectors are ANN-usable: raw text
+    // -> hashed embedding -> brute-force cosine top-k, full row hash
+    "t14_embed_knn" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("doc_id") < 2000)
+      // positive-norm guard mirrors the oracle's HAVING: a zero vector
+      // (bigram-less doc, or full sign cancellation) has no cosine
+      val emb = TextOps.hashEmbed(docs)
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) > 0)
+      Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 5),
+          k = 5, idCol = "doc_id", vecCol = "embedding")
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // SQ8: 8-bit scalar-quantized approximate scan (4× less index
     // traffic) feeding an exact re-rank of the 4k-deep candidate pool
     "s5_sq8_rerank" -> ((s, d) => {
@@ -1209,5 +1255,8 @@ object QueryDefs {
     // built graph (the graph-ANN query side), and incremental insert
     // (the maintenance side — rebuild-free ingest)
     "s7_knn_graph", "r2_hybrid_rrf", "s8_graph_search",
-    "s9_graph_insert", "r3_mmr_rerank")
+    "s9_graph_insert", "r3_mmr_rerank",
+    // the amortized serve shape: rep 1 builds the graph memo, the
+    // median is the warm beam serve (q6_search_served precedent)
+    "s8_graph_served")
 }

@@ -463,4 +463,57 @@ object TextOps {
           .when(col("cross_entropy") <= col("__q3"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
+
+  /** Feature-hashing text embedding (Weinberger et al. ICML 2009 —
+    * the "hash trick"): every lowercased token BIGRAM hashes to a
+    * bucket in [0, dim) (md5-prefix mod) carrying a ±1 sign (md5's
+    * last hex digit's parity), per-(doc, bucket) sums are EXACT
+    * integers, and the dense vector L2-normalizes to 6-dp floats —
+    * a model-free dense embedding that plugs the documents table
+    * straight into the ANN stack (s1–s10 take any fixed-dim
+    * array<float>) with zero external dependencies. The engine story:
+    * embed → index → dedup/search runs end-to-end on raw text.
+    *
+    * Scale shape: map-only bigram explode, ONE map-side-combined
+    * shuffle to (doc, bucket) sums, one per-doc re-agg — linear in
+    * corpus tokens, like t5. Determinism: integer bucket sums; the
+    * L2 norm is one correctly-rounded sqrt of an exact integer; each
+    * coordinate one IEEE division rounded at 6 dp — bit-identical
+    * cross-engine. Docs with < 2 tokens embed as the ZERO vector (no
+    * bigrams — honest, not NaN). Output: (doc_id, embedding). */
+  def hashEmbed(docs: DataFrame, dim: Int = 64,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val bgs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "),
+            element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val contrib = docs
+      .select(col(idCol).as("doc_id"), explode(bgs).as("__bg"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("__bg")), 1, 12), 16, 10)
+          .cast("long"), lit(dim)).as("__b"),
+        when(conv(substring(md5(col("__bg")), 32, 1), 16, 10)
+          .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+          .as("__s"))
+      .groupBy("doc_id", "__b").agg(sum(col("__s")).as("__v"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v"))))
+        .as("__m"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast("long")), lit(0L)))
+          .as("__raw"))
+      .withColumn("__n", sqrt(aggregate(col("__raw"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .select(col("doc_id"),
+        transform(col("__raw"), x =>
+          when(col("__n") > 0,
+            graft.ext.Num.roundLike(x.cast("double") / col("__n"), 6))
+            .otherwise(lit(0.0)).cast("float")).as("embedding"))
+  }
 }

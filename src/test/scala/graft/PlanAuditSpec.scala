@@ -72,6 +72,10 @@ class PlanAuditSpec extends SparkSpec {
       "bounded insert batch × base corpus brute-force truth (Similarity.knnGraphInsertRecall); the insert itself is all equi-joins",
     "s10_delete_cert" ->
       "bounded affected-node probe set × survivor corpus brute-force truth + 1-row dangling-count cross (Similarity.knnGraphDeleteCert); the delete itself is all equi-joins",
+    "s7_refine_recall" ->
+      "bounded insert batch × full-corpus brute-force truth + the two 1-row before/after aggregates crossed (Similarity.knnGraphRefineRecall); insert and refine are all equi-joins",
+    "t14_embed_knn" ->
+      "bounded 5-probe set × hashed-embedding corpus brute-force scan (Similarity.bruteForceTopK over TextOps.hashEmbed)",
     "a15_feature_agg_mean" ->
       "fragment frame × broadcast feature-name list (a handful of column names; Chas.scala:159)",
     "a15_feature_agg_min" ->

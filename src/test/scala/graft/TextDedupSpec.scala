@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Sampling, TextOps}
+import graft.ext.{Dedup, Sampling, Similarity, TextOps}
 
 /** Dedup + text-analysis extension operators. */
 class TextDedupSpec extends SparkSpec {
@@ -603,5 +603,48 @@ class TextDedupSpec extends SparkSpec {
     assert(out("s1") == (2L, 8L, 0.8, 1.0))
     // share 2/10 = 0.2; temp sqrt(2)/sqrt(8) = 0.5 exactly
     assert(out("s2") == (1L, 2L, 0.2, 0.5))
+  }
+
+  test("hash embed: 64 dims, unit norm, zero vector for short docs, " +
+      "identical text identical vector") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different document about spark engines"),
+      (4L, "single")).toDF("doc_id", "text")
+    val out = TextOps.hashEmbed(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.values.forall(_.length == 64))
+    assert(out(1L) == out(2L), "same text, same vector")
+    assert(out(1L) != out(3L), "different text, different vector")
+    assert(out(4L).forall(_ == 0.0f), "bigram-less doc embeds as zero")
+    def norm(v: Seq[Float]) = math.sqrt(v.map(x => x * x.toDouble).sum)
+    assert(math.abs(norm(out(1L)) - 1.0) < 1e-3, "L2-normalized")
+    assert(math.abs(norm(out(3L)) - 1.0) < 1e-3)
+  }
+
+  test("hash embed is partitioning-independent") {
+    val d = (0 until 40).map(i =>
+      (i.toLong, s"token$i shared words appear in doc $i repeatedly"))
+      .toDF("doc_id", "text")
+    val a = TextOps.hashEmbed(d).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    val b = TextOps.hashEmbed(d.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(a == b)
+  }
+
+  test("hash embed feeds the ANN stack: duplicates are mutual top-1") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five seven")).toDF("doc_id", "text")
+    val emb = TextOps.hashEmbed(d)
+    val top = Similarity.bruteForceTopK(emb, emb, k = 1,
+        idCol = "doc_id", vecCol = "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top(1L) == 2L && top(2L) == 1L, "exact dup pair is mutual top-1")
+    assert(top(3L) == 4L && top(4L) == 3L, "near dup pair is mutual top-1")
   }
 }
