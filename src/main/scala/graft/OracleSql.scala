@@ -3148,6 +3148,43 @@ FROM (SELECT probe_id, doc_id, score, row_number() OVER (
   FROM bsc) r
 WHERE rank <= 20""",
       extra = bm25Ctes),
+    // r4 RM3-style PRF: pass-1 feedback docs = lex rank<=10, candidate
+    // terms score Σ tf·idf (4 dp, original terms excluded), top-5 join
+    // the query, pass 2 re-runs the bm25 chain over qt1 — mirrors
+    // Retrieval.prfExpand stage for stage
+    "r4_prf_expand" -> dq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM (SELECT probe_id, doc_id, score, row_number() OVER (
+    PARTITION BY probe_id ORDER BY score DESC, doc_id) AS rank
+  FROM bsc2) r
+WHERE rank <= 20""",
+      extra = bm25Ctes + "," + raw"""
+p1 AS (SELECT probe_id, doc_id FROM lex WHERE lex_rank <= 10),
+xc AS (SELECT p.probe_id, t.term,
+    round(sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * t.tf), 4)
+      AS xscore
+  FROM p1 p
+  JOIN tfr t ON t.doc_id = p.doc_id
+  JOIN dfr d ON d.term = t.term
+  CROSS JOIN st
+  WHERE NOT EXISTS (SELECT 1 FROM qt q
+    WHERE q.probe_id = p.probe_id AND q.term = t.term)
+  GROUP BY p.probe_id, t.term),
+xt AS (SELECT probe_id, term FROM (
+    SELECT probe_id, term, row_number() OVER (PARTITION BY probe_id
+      ORDER BY xscore DESC, term) AS rn FROM xc) t WHERE rn <= 5),
+qt1 AS (SELECT probe_id, term FROM qt
+  UNION SELECT probe_id, term FROM xt),
+bsc2 AS (SELECT q.probe_id, tfr.doc_id,
+    round(sum(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+        * tfr.tf * 2.2
+        / (tfr.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+  FROM qt1 q
+  JOIN tfr ON tfr.term = q.term AND tfr.doc_id <> q.probe_id
+  JOIN dfr ON dfr.term = q.term
+  JOIN dl ON dl.doc_id = tfr.doc_id
+  CROSS JOIN st
+  GROUP BY q.probe_id, tfr.doc_id)""".drop(1)),
     // RRF sums at most two exact small rationals in a fixed operand
     // order — bit-identical in any engine — rounded at 6 dp before
     // the fused ranking; leg ranks ride along (NULL = leg missed)

@@ -601,6 +601,11 @@ object QueryDefs {
     "r2_hybrid_rrf" -> ((s, d) =>
       Retrieval.hybridRrf(table(s, d, "documents"),
         table(s, d, "embeddings"), probeMax = 5)),
+    // r4: RM3-style pseudo-relevance-feedback expansion — first-pass
+    // feedback docs contribute top tf·idf terms, second pass ranks
+    // with the expanded query; full row hash over the expanded top-20
+    "r4_prf_expand" -> ((s, d) =>
+      Retrieval.prfExpand(table(s, d, "documents"), probeMax = 5)),
     // r3: MMR diversified re-rank of the dense top-20 pool — the
     // retrieval stack's last stage; greedy selection macro-expanded in
     // the oracle, same 2000-vector cap as s7/s8

@@ -36,8 +36,14 @@ object Retrieval {
     * literals on both the Spark and oracle sides — `k1 + 1` computed
     * at runtime is 2.1999999999999997, not the literal 2.2, and the
     * two engines must parse the SAME double. */
-  def bm25(docs: DataFrame, queries: DataFrame, topN: Int = 20,
-           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The corpus-side BM25 index frames, built once and shared by the
+    * first-pass ranking, the expansion-term scoring, and the expanded
+    * second pass. */
+  private case class Bm25Index(tf: DataFrame, df: DataFrame,
+                               dl: DataFrame, stats: DataFrame)
+
+  private def bm25Index(docs: DataFrame, idCol: String,
+                        textCol: String): Bm25Index = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextOps.tokens(lower(col(textCol))).as("__toks"))
     val dl = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
@@ -49,19 +55,25 @@ object Retrieval {
     val tf = toks.select(col("doc_id"), explode(col("__toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qt = queries
-      .select(col("query_id").as("probe_id"),
-        explode(TextOps.tokens(lower(col("text")))).as("term"))
-      .distinct()
+    Bm25Index(tf, df, dl, stats)
+  }
+
+  /** The Lucene non-negative idf — shared literal arithmetic. */
+  private def idfExpr: Column =
+    log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+
+  /** BM25 over an explicit per-probe TERM frame (probe_id, term) —
+    * the inner engine [[bm25]] and [[prfExpand]] both rank with. */
+  private def bm25Terms(ix: Bm25Index, qt: DataFrame,
+                        topN: Int): DataFrame = {
     val scored = qt
-      .join(tf, Seq("term"))
+      .join(ix.tf, Seq("term"))
       .filter(col("doc_id") =!= col("probe_id"))
-      .join(df, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+      .join(ix.df, Seq("term"))
+      .join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
       .select(col("probe_id"), col("doc_id"),
-        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          * col("tf") * lit(2.2)
+        (idfExpr * col("tf") * lit(2.2)
           / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
           .as("__term_score"))
     val agg = scored.groupBy("probe_id", "doc_id")
@@ -71,6 +83,59 @@ object Retrieval {
     agg.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topN)
       .select(col("probe_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  private def queryTerms(queries: DataFrame): DataFrame = queries
+    .select(col("query_id").as("probe_id"),
+      explode(TextOps.tokens(lower(col("text")))).as("term"))
+    .distinct()
+
+  def bm25(docs: DataFrame, queries: DataFrame, topN: Int = 20,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25Terms(bm25Index(docs, idCol, textCol), queryTerms(queries), topN)
+
+  /** Pseudo-relevance-feedback query expansion (RM3-style — Lavrenko
+    * & Croft SIGIR 2001 relevance models, the Rocchio/RM3 pattern as
+    * shipped in Anserini/Galago): a first BM25 pass retrieves each
+    * probe's `fbDocs` feedback documents; candidate terms from those
+    * documents score by Σ_docs tf(t,d)·idf(t) (4-dp rounded, original
+    * query terms excluded); the top `fbTerms` join the query and a
+    * second BM25 pass ranks with the EXPANDED term set — vocabulary
+    * mismatch ("car" queries find "automobile" docs through shared
+    * feedback contexts) handled relationally.
+    *
+    * Scale shape: the corpus-side index frames (tf/df/dl/stats) build
+    * ONCE and serve both passes; everything probe-sided is bounded —
+    * feedback docs are fbDocs·|probes| rows, candidate-term scoring
+    * touches only the feedback docs' postings, and the second pass is
+    * the same postings equi-join as the first with ≤ |q|+fbTerms
+    * terms per probe. Determinism: the idf/tf arithmetic is the r1
+    * literal chain; expansion scores round at 4 dp with term-string
+    * tiebreaks. */
+  def prfExpand(docs: DataFrame, probeMax: Long, fbDocs: Int = 10,
+                fbTerms: Int = 5, topN: Int = 20,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val ix = bm25Index(docs, idCol, textCol)
+    val queries = docs.filter(col(idCol) < probeMax)
+      .select(col(idCol).as("query_id"), col(textCol))
+    val qt0 = queryTerms(queries).localCheckpoint(eager = true)
+    val p1 = bm25Terms(ix, qt0, fbDocs)
+      .select(col("probe_id"), col("doc_id"))
+    val cand = p1
+      .join(ix.tf, Seq("doc_id"))
+      .join(ix.df, Seq("term"))
+      .crossJoin(broadcast(ix.stats))
+      .groupBy("probe_id", "term")
+      .agg(Num.roundLike(sum(idfExpr * col("tf")), 4).as("xscore"))
+      .join(qt0.withColumn("__orig", lit(1)), Seq("probe_id", "term"),
+        "left_anti")
+    val wx = Window.partitionBy("probe_id")
+      .orderBy(col("xscore").desc, col("term"))
+    val expansion = cand.withColumn("__rn", row_number().over(wx))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("probe_id"), col("term"))
+    bm25Terms(ix, qt0.unionAll(expansion).distinct(), topN)
   }
 
   /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &

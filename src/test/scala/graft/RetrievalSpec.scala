@@ -115,6 +115,39 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("prf expansion bridges vocabulary mismatch") {
+    // probe 0 says "car road"; docs 1-3 are feedback bridges that
+    // co-mention "automobile"; doc 5 says ONLY "automobile" — plain
+    // bm25 can never match it, the expanded query must
+    val d = Seq(
+      (0L, "car road"),
+      (1L, "car road automobile"),
+      (2L, "car road automobile"),
+      (3L, "car automobile road"),
+      (5L, "automobile automobile parked"),
+      (6L, "unrelated text about nothing")).toDF("doc_id", "text")
+    val plain = graft.ext.Retrieval.bm25(d,
+        d.filter(col("doc_id") === 0)
+          .select(col("doc_id").as("query_id"), col("text")))
+      .filter(col("probe_id") === 0).collect().map(_.getLong(2)).toSet
+    val prf = graft.ext.Retrieval.prfExpand(d, probeMax = 1,
+        fbDocs = 3, fbTerms = 2)
+      .filter(col("probe_id") === 0).collect().map(_.getLong(2)).toSet
+    assert(!plain.contains(5L), "plain bm25 cannot see the synonym doc")
+    assert(prf.contains(5L), s"expanded query reaches it: $prf")
+    assert(!prf.contains(6L), "unrelated doc stays unmatched")
+  }
+
+  test("prf expansion is partitioning-independent") {
+    val d = (0 until 30).map(i =>
+      (i.toLong, s"w${i % 7} shared${i % 3} filler$i common words here"))
+      .toDF("doc_id", "text")
+    val a = graft.ext.Retrieval.prfExpand(d, probeMax = 3).collect().toSet
+    val b = graft.ext.Retrieval.prfExpand(d.repartition(11), probeMax = 3)
+      .collect().toSet
+    assert(a == b)
+  }
+
   test("bm25 is partitioning-independent") {
     val q = Seq((0L, "rare gamma"), (2L, "beta common")).toDF("query_id", "text")
     val a = Retrieval.bm25(docs, q).collect().toSet
