@@ -62,6 +62,8 @@ class PlanAuditSpec extends SparkSpec {
       "component packing × 1-row global-extent aggregate (Layout.pack); the one-task far-field twin packs through the same route",
     "r1_bm25" ->
       "postings frame × broadcast 1-row corpus stats (N, avgdl) (Retrieval.bm25)",
+    "r4_prf_expand" ->
+      "both BM25 passes and the expansion scoring each cross the broadcast 1-row corpus stats (Retrieval.prfExpand); postings joins stay equi",
     "r2_hybrid_rrf" ->
       "BM25 leg's 1-row corpus-stats broadcast + bounded probe set × corpus vector leg (Retrieval.hybridRrf / Similarity.bruteForceTopK)",
     "s7_knn_recall" ->
