@@ -1704,6 +1704,18 @@ ceq AS (SELECT quantile_cont(cross_entropy, 0.25) AS q1,
         .drop(1)),
     // packSequences mirrored: exact integer window sums per shard,
     // integer div/mod for the pack slot — exact for any budget
+    // p8 chunking: window starts every stride=96 raw tokens, slices
+    // clamp at the doc tail (both engines' slicing clamps), chunk text
+    // re-joins with single spaces — mirrors Sampling.chunkDocs
+    "p8_chunk_docs" -> dq(raw"""
+SELECT p.doc_id, CAST(p.s // 96 AS BIGINT) AS chunk_idx,
+       CAST(len(r.toks[p.s + 1 : p.s + 128]) AS BIGINT) AS n_tokens,
+       array_to_string(r.toks[p.s + 1 : p.s + 128], ' ') AS chunk_text
+FROM pc p JOIN rtoks r USING (doc_id)""",
+      extra = raw"""
+pc AS (SELECT doc_id,
+    unnest(generate_series(0, len(toks) - 1, 96)) AS s
+  FROM rtoks WHERE len(toks) > 0)""".drop(1)),
     "p4_pack_sequences" -> dq(raw"""
 SELECT doc_id, shard, n_tokens,
   strt // 512 AS pack_id,

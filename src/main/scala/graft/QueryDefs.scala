@@ -747,6 +747,11 @@ object QueryDefs {
       Sampling.mixtureWeights(table(s, d, "documents"))),
     "p4_pack_sequences" -> ((s, d) =>
       Sampling.packSequences(table(s, d, "documents"))),
+    // p8: overlapping-window chunking — the RAG context-prep step
+    // (per-doc provenance preserved, unlike p4's concat packing);
+    // map-only, full chunk-text row hash
+    "p8_chunk_docs" -> ((s, d) =>
+      Sampling.chunkDocs(table(s, d, "documents"))),
     "t9_bigram_lm" -> ((s, d) =>
       TextOps.bigramCounts(table(s, d, "documents"))),
     "t10_lm_crossentropy" -> ((s, d) =>

@@ -275,4 +275,39 @@ object Sampling {
         Num.roundLike(col("__s").cast("double") / 1e6, 6).as("log_weight"),
         (col("__s") > 0L).as("keep"))
   }
+
+  /** Overlapping-window document chunking — the context-preparation
+    * step every RAG / long-context pipeline runs before embedding or
+    * packing: each document splits into windows of `chunkTokens`
+    * whitespace tokens starting every `chunkTokens − overlap` tokens
+    * (the trailing partial window kept — truncating it would silently
+    * drop every document tail). Unlike [[packSequences]] (which
+    * CONCATENATES docs into fixed budgets for training), chunking
+    * PRESERVES per-document provenance: (doc_id, chunk_idx) is the
+    * retrieval unit's identity, and overlap keeps boundary-spanning
+    * sentences findable from both sides.
+    *
+    * Map-only at any corpus size: tokenize → window starts via
+    * `sequence` → one posexplode — ≈ n_tokens/stride output rows per
+    * doc, no shuffle, no state; the chunk text re-joins with single
+    * spaces (the tokenizer's inverse up to whitespace runs, same as
+    * d9/d10's reassembly convention). Empty docs yield zero chunks.
+    * Output: (doc_id, chunk_idx, n_tokens, chunk_text). */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128,
+                overlap: Int = 32, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(overlap < chunkTokens, "overlap must leave a positive stride")
+    val stride = chunkTokens - overlap
+    val toks = TextOps.tokens(col(textCol))
+    val starts = when(size(toks) > 0,
+        sequence(lit(0), size(toks) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val chunks = transform(starts,
+      s => slice(toks, s + 1, lit(chunkTokens)))
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
 }

@@ -605,6 +605,39 @@ class TextDedupSpec extends SparkSpec {
     assert(out("s2") == (1L, 2L, 0.2, 0.5))
   }
 
+  test("chunking: stride windows, overlap continuity, kept tail, " +
+      "empty doc yields nothing") {
+    val words = (0 until 300).map(i => s"w$i")
+    val d = Seq((1L, words.mkString(" ")), (2L, ""), (3L, "one two"))
+      .toDF("doc_id", "text")
+    val out = Sampling.chunkDocs(d, chunkTokens = 128, overlap = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(!out.exists(_._1 == 2L), "empty doc yields no chunks")
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 0L, 2L, "one two")), "sub-chunk doc is one whole chunk")
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,96,192,288 -> sizes 128,128,108,12
+    assert(c1.map(_._3).toSeq == Seq(128L, 128L, 108L, 12L),
+      s"window sizes: ${c1.map(_._3).toSeq}")
+    // overlap continuity: chunk i's last 32 tokens open chunk i+1
+    val t0 = c1(0)._4.split(" "); val t1 = c1(1)._4.split(" ")
+    assert(t0.takeRight(32).toSeq == t1.take(32).toSeq)
+    // stride-prefix concatenation reconstructs the document
+    val rebuilt = c1.dropRight(1).flatMap(_._4.split(" ").take(96)) ++
+      c1.last._4.split(" ")
+    assert(rebuilt.toSeq == words, "chunks cover the doc losslessly")
+  }
+
+  test("chunking is partitioning-independent") {
+    val d = (0 until 25).map(i =>
+      (i.toLong, (0 until (i * 17 % 200)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Sampling.chunkDocs(d).collect().toSet
+    val b = Sampling.chunkDocs(d.repartition(7)).collect().toSet
+    assert(a == b)
+  }
+
   test("hash embed: 64 dims, unit norm, zero vector for short docs, " +
       "identical text identical vector") {
     val d = Seq(
