@@ -1268,5 +1268,7 @@ object QueryDefs {
     "s9_graph_insert", "r3_mmr_rerank",
     // the amortized serve shape: rep 1 builds the graph memo, the
     // median is the warm beam serve (q6_search_served precedent)
-    "s8_graph_served")
+    "s8_graph_served",
+    // round-10 back half: two-pass PRF retrieval and map-only chunking
+    "r4_prf_expand", "p8_chunk_docs")
 }
