@@ -2846,8 +2846,9 @@ outd AS MATERIALIZED (SELECT src, dst, cos FROM kept
   // mirrors Retrieval.mmrRerank step for step. Same 2000-vector corpus
   // cap as s7/s8 keeps the sf1 oracle linear.
   private val MmrK = 10
-  private val mmrCtes: String = {
-    val init = raw"""
+  // the dense top-20 pool per probe over the 2000-vector cap — shared
+  // by r3 (MMR input) and r5 (hard-negative candidate pool)
+  private val densePoolCtes: String = raw"""
 emb2 AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 2000),
 nrm2 AS MATERIALIZED (SELECT vec_id, nrm FROM norms
   WHERE vec_id IN (SELECT vec_id FROM emb2)),
@@ -2863,7 +2864,9 @@ mpool AS MATERIALIZED (SELECT probe_id, corpus_id, rel FROM (
     FROM emb2 a JOIN emb2 b ON b.vec_id <> a.vec_id
     JOIN nrm2 na ON na.vec_id = a.vec_id
     JOIN nrm2 nb ON nb.vec_id = b.vec_id
-    WHERE a.vec_id < 20) t WHERE rn <= 20),
+    WHERE a.vec_id < 20) t WHERE rn <= 20)""".drop(1)
+  private val mmrCtes: String = {
+    val init = densePoolCtes + ",\n" + raw"""
 msim AS MATERIALIZED (SELECT pa.probe_id, pa.corpus_id AS id_a,
     pb.corpus_id AS id_b,
     round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
@@ -2954,6 +2957,23 @@ hemb AS MATERIALIZED (SELECT r.doc_id, r.dim_i,
   FROM hraw r JOIN hnrm n ON n.doc_id = r.doc_id)""".drop(1)
 
   val knnRetrieval: Map[String, String] = Map(
+    // r5 hard negatives: the dense top-20 pool minus the d2 near-dup
+    // candidate pairs (both orientations) — mirrors
+    // Retrieval.hardNegatives (needs BOTH the document-side LSH CTEs
+    // and the embedding-side pool, hence the manual assembly)
+    "r5_hard_negatives" ->
+      (s"WITH $docCtes,$lshCandCtes,$embCtes,$densePoolCtes" + ",\n" +
+        raw"""
+posp AS (SELECT doc_a AS probe_id, doc_b AS corpus_id FROM cands
+  UNION SELECT doc_b AS probe_id, doc_a AS corpus_id FROM cands)
+SELECT probe_id, CAST(rn AS BIGINT) AS rank,
+       corpus_id AS negative_id, rel AS cosine
+FROM (SELECT p.probe_id, p.corpus_id, p.rel, row_number() OVER (
+    PARTITION BY p.probe_id ORDER BY p.rel DESC, p.corpus_id) AS rn
+  FROM mpool p
+  WHERE NOT EXISTS (SELECT 1 FROM posp x
+    WHERE x.probe_id = p.probe_id AND x.corpus_id = p.corpus_id)) t
+WHERE rn <= 10""".drop(1)),
     "s7_knn_refine" -> eq(raw"""
 SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
 FROM (SELECT src, dst, cos, row_number() OVER (

@@ -601,6 +601,14 @@ object QueryDefs {
     "r2_hybrid_rrf" -> ((s, d) =>
       Retrieval.hybridRrf(table(s, d, "documents"),
         table(s, d, "embeddings"), probeMax = 5)),
+    // r5: hard-negative mining — dense top-20 minus the d2 LSH
+    // near-dup candidate pairs (recall-biased positives: a lexical
+    // near-match can never leak into the negatives); DPR-style
+    // contrastive training data
+    "r5_hard_negatives" -> ((s, d) =>
+      Retrieval.hardNegatives(table(s, d, "documents"),
+        table(s, d, "embeddings").filter(col("vec_id") < 2000),
+        probeMax = 20)),
     // r4: RM3-style pseudo-relevance-feedback expansion — first-pass
     // feedback docs contribute top tf·idf terms, second pass ranks
     // with the expanded query; full row hash over the expanded top-20

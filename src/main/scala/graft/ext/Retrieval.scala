@@ -172,6 +172,43 @@ object Retrieval {
         col("lex_rank"), col("vec_rank"))
   }
 
+  /** Hard-negative mining for contrastive training — the standard
+    * dense-retriever training-data step (DPR, Karpukhin et al. EMNLP
+    * 2020: negatives the CURRENT embedding ranks high but that are
+    * not true matches are what train the margin): per anchor, take
+    * the dense top-`pool` cosine candidates, knock out POSITIVES —
+    * here the MinHash-LSH near-dup candidate pairs (both
+    * orientations; candidates, not threshold survivors, so the
+    * positive set is recall-biased and a lexical near-match can never
+    * leak into the negatives), and keep the `k` best remaining as
+    * (anchor, rank, negative_id, cosine).
+    *
+    * Scale shape: positives are the d2 candidate pairs (banded,
+    * linear); the dense pool is bounded by the anchor batch; the
+    * knock-out is one equi anti-join on (anchor, candidate). The
+    * doc_id/vec_id spaces align per the corpus contract (TESTDATA —
+    * the same id keys text and embedding). */
+  def hardNegatives(docs: DataFrame, emb: DataFrame, probeMax: Long,
+                    k: Int = 10, pool: Int = 20): DataFrame = {
+    val pos = Dedup.minhashCandidates(docs)
+      .select(col("doc_a"), col("doc_b"))
+    val pos2 = pos
+      .select(col("doc_a").as("probe_id"), col("doc_b").as("corpus_id"))
+      .unionAll(pos.select(col("doc_b").as("probe_id"),
+        col("doc_a").as("corpus_id")))
+      .distinct()
+    val top = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < probeMax), pool)
+      .select(col("probe_id"), col("corpus_id"), col("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    top.join(pos2, Seq("probe_id", "corpus_id"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"),
+        col("corpus_id").as("negative_id"), col("cosine"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): diversify a relevance-ranked candidate pool by
     * greedily selecting, k times,

@@ -64,6 +64,8 @@ class PlanAuditSpec extends SparkSpec {
       "postings frame × broadcast 1-row corpus stats (N, avgdl) (Retrieval.bm25)",
     "r4_prf_expand" ->
       "both BM25 passes and the expansion scoring each cross the broadcast 1-row corpus stats (Retrieval.prfExpand); postings joins stay equi",
+    "r5_hard_negatives" ->
+      "bounded anchor set × corpus for the dense pool (Similarity.bruteForceTopK); the positive knock-out is an equi anti-join (Retrieval.hardNegatives)",
     "r2_hybrid_rrf" ->
       "BM25 leg's 1-row corpus-stats broadcast + bounded probe set × corpus vector leg (Retrieval.hybridRrf / Similarity.bruteForceTopK)",
     "s7_knn_recall" ->

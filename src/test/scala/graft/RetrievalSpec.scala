@@ -148,6 +148,32 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hard negatives exclude near-dup positives but keep " +
+      "embedding-close non-dups") {
+    // doc 1 is a lexical near-dup of anchor 0 (and embedding-closest);
+    // doc 2 is unrelated text whose embedding is also close — the
+    // mined negatives must skip 1 and keep 2 (that is the point:
+    // high-ranked non-matches train the margin)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely unrelated prose about database engines"),
+      (3L, "another different text on astronomy and stars"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.98f, 0.15f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val neg = graft.ext.Retrieval.hardNegatives(docs, emb, probeMax = 1,
+        k = 2, pool = 3)
+      .filter(col("probe_id") === 0).orderBy("rank").collect()
+      .map(_.getLong(2)).toSeq
+    assert(!neg.contains(1L), s"near-dup excluded from negatives: $neg")
+    assert(neg.head == 2L, s"embedding-close non-dup is the top negative: $neg")
+  }
+
   test("bm25 is partitioning-independent") {
     val q = Seq((0L, "rare gamma"), (2L, "beta common")).toDF("query_id", "text")
     val a = Retrieval.bm25(docs, q).collect().toSet
