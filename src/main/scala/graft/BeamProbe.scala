@@ -9,15 +9,22 @@ import graft.ext.Similarity
   * linear). Builds the NN-Descent graph over growing corpus caps,
   * then times (a) warm beam serve for a fixed 20-probe batch against
   * the pre-built graph and (b) the brute-force scan for the same
-  * probes. Measured at sf1 local[32] (embeddings 200k rows), median
-  * of 3 (seconds):
+  * probes. Measured at sf1 local[32], median of 3 (seconds).
+  * HONESTY NOTE (round-11 correction): the sf1 embeddings table holds
+  * 20,000 rows, so the cap-200,000 row below ran on the SAME 20k
+  * corpus as the cap-20,000 row — it is a repeat measurement, not a
+  * 100× point; the demonstrated flat range is 10× (2k → 20k), and the
+  * per-step cost bound (probes·beam·(2k+1) rows, corpus never
+  * scanned) is the structural argument beyond that. The round-11
+  * s8_beam_recall_full gate entry pins the full-20k-corpus serve
+  * quality at sf1 as an artifact.
   *
   *   corpus     beam_serve   brute_force   build(once)
   *   2,000         2.2           0.23           9.7
   *   20,000        2.8           0.75          15.1
-  *   200,000       2.7           0.73          13.3
+  *   20,000 (rerun) 2.7          0.73          13.3
   *
-  * Beam serve is FLAT across 100× corpus growth — the ~2.5 s floor is
+  * Beam serve is FLAT across the 10× corpus growth — the ~2.5 s floor is
   * 6 sequential expand-score-prune rounds of driver-coordinated
   * checkpoints (latency, not data; per-step rows touched are
   * probes·beam·(2k+1) regardless of corpus). Brute force looks flat
@@ -27,7 +34,7 @@ import graft.ext.Similarity
   * ~4 hours where beam stays seconds — and per-PROBE, a million-query
   * workload multiplies the brute term but not the graph walk's
   * per-step bound). The non-monotone build times (9.7→15.1→13.3 s
-  * for 100× the vectors) show construction is round-latency-bound,
+  * for 10× the vectors) show construction is round-latency-bound,
   * not pair-bound, at these caps: the hub cap keeps candidate pairs
   * ≤ n·cap²/2 and AQE packs them into the same 4 rounds.
   */

@@ -7,7 +7,20 @@ import org.apache.spark.sql.SparkSession
   * line {"metric":...,"queries":{name:sec,...}}. Each query is forced
   * with count() — full plan execution, no display shortcuts. */
 object Bench {
+  // 1-min loadavg sampled at entry and at report time: the r10 bench
+  // recorded 2-3x medians on UNCHANGED code (isolated re-runs matched
+  // r9) — external box load during the driver's run is the only fit,
+  // and this field makes that visible in the artifact instead of a
+  // postmortem. Reading: this JVM alone saturates ~cpus at the end
+  // sample; start >> 1 or end >> cpus means the box was shared and the
+  // medians are not comparable across rounds.
+  private def load1m: Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/proc/loadavg")).split(" ")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = load1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -28,9 +41,17 @@ object Bench {
     }
     // local iteration knob: SPARK_GRAFT_BENCH_ONLY=a14_x,q6_y times any
     // registered queries; unset (the driver) runs the headline list
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val baseNames = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(QueryDefs.benchNames)
+    // diagnosis knob (r10 carried-lane drag postmortem): a seeded
+    // lane-order shuffle decorrelates order effects (JVM/GC state
+    // carried between lanes) from genuine per-lane regressions —
+    // same medians under shuffled order = the lane itself, not its
+    // predecessors
+    val names = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE")
+      .map(seed => new scala.util.Random(seed.toLong).shuffle(baseNames))
+      .getOrElse(baseNames)
     // Each lane runs `reps` times in-JVM and reports the MEDIAN (the
     // box swings ~2x between single-shot repeats — r7's false alarm);
     // min/max land in "spread" so the variance stays visible. A failed
@@ -74,7 +95,8 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(m)) =>
       jstr(k) + ":" + jstr(m.take(200)) }.mkString("{", ",", "}")
     val total = sec(results.map(_._2).filter(_ >= 0).sum)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val load = s"[${sec(loadStart)},${sec(load1m)}]"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // the FULL result (incl. per-lane spreads) goes to a file the
     // driver/judge can always read whole...
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -89,7 +111,7 @@ object Bench {
     // shutdown logging cannot trail it, and build.sbt suppresses sbt's
     // own "[success]" trailer.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
     System.out.flush()
   }
 }

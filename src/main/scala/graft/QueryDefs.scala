@@ -258,6 +258,22 @@ object QueryDefs {
     // file-level pruning must not change a row.
     "q6_search_served_pruned" -> ((s, d) =>
       Serving.geneSearchPruned(partitionedSnapshot(s, d), "S7").nodes),
+    // the snapshot BUILD as its own pinned lane (r10 verdict task #7:
+    // q6_search_served's rep-1 spread smeared build cost into the
+    // serve numbers): times Serving.buildSnapshot against a FRESH temp
+    // dir every call — as a bench lane every rep pays the full
+    // build+write — and pins the landed frames' row counts against the
+    // pipeline oracle (a build that drops or duplicates rows fails).
+    "q6_snapshot_build" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snap_build").toString
+      Serving.buildSnapshot(verts(s, d), simplified(s, d), dir)
+      Seq(
+        ("edges", graft.io.Readers.loadSnapshot(s, s"$dir/edges").count()),
+        ("nodes", graft.io.Readers.loadSnapshot(s, s"$dir/nodes").count()))
+        .toDF("part", "n")
+    }),
     // S12 response memo-cache (backend.py:51-99) as batch semantics
     // over the REAL serving payload: a request batch with duplicate
     // keys and a pre-seeded memo — memo hits serve the STORED response
@@ -413,6 +429,22 @@ object QueryDefs {
           table(s, d, "embeddings").filter(col("vec_id") < 2000))
         .localCheckpoint(eager = true))
 
+  /** Per-(session, sfDir) memo of the persisted BM25 postings index —
+    * the retrieval stack's serving lifecycle ([[servedDataset]] /
+    * [[knnGraphServed]] precedent): rep 1 of the r1_bm25_served bench
+    * lane pays the build+write, the median is the postings-scan serve
+    * over the reopened snapshot. */
+  private val bm25IndexCache =
+    new scala.collection.concurrent.TrieMap[String, Retrieval.Bm25Index]
+  private def bm25IndexServed(s: SparkSession, d: String)
+      : Retrieval.Bm25Index =
+    bm25IndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bm25").toString
+      Retrieval.writeBm25Index(table(s, d, "documents"), dir)
+      Retrieval.openBm25Index(s, dir)
+    })
+
   /** The s11 tree-write body, parameterized by the document-writer
     * regime. The listing reports LOGICAL tree files: the distributed
     * writer produces `chr<c>.json` as a directory of part files whose
@@ -508,7 +540,7 @@ object QueryDefs {
     "s7_knn_recall" -> ((s, d) =>
       Similarity.knnGraphRecall(
         table(s, d, "embeddings").filter(col("vec_id") < 2000),
-        probeMax = 20)),
+        probeMax = 20, target = 0.5)),
     // s8: beam search OVER the s7 graph — the graph-ANN serve path;
     // full-row hash oracle (the oracle replays graph build + 3
     // expand-score-prune steps) + recall cert vs brute force
@@ -643,6 +675,79 @@ object QueryDefs {
           k = 5, idCol = "doc_id", vecCol = "embedding")
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // r1 SERVED: BM25 over the persisted postings snapshot — the
+    // serving layer's warm path (the reference's saved-cache model,
+    // search_query.R:14): rep 1 of the bench lane pays the index
+    // build+write, the median is the postings-scan serve. SAME oracle
+    // as r1_bm25 (identical ranking arithmetic over identical frames).
+    "r1_bm25_served" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Retrieval.bm25Served(bm25IndexServed(s, d),
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")))
+    }),
+    // THE composed RAG loop as ONE pinned entry — every stage is an
+    // already-certified operator, this lane proves they compose with
+    // no seam: p8 overlapping chunks (16-token windows, stride 12 —
+    // sized to the ~54-token corpus docs) → dense chunk ids →
+    // t14 feature-hash embedding per chunk (zero-vector chunks
+    // dropped, the t14_embed_knn guard) → s7 NN-Descent graph over
+    // the chunk vectors → s8 beam serve for 5 probe chunks (the
+    // final 20-beam is the candidate pool) → r3 MMR diversification
+    // to the top-10 retrieval units, provenance (doc_id, chunk_idx)
+    // joined back. The doc_id < 400 cap bounds the chunk corpus
+    // (~2k vectors) for oracle tractability — the s7/s8 cap
+    // precedent; every stage is the uncapped operator.
+    "rag_retrieve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = Sampling.chunkDocs(
+        table(s, d, "documents").filter(col("doc_id") < 400),
+        chunkTokens = 16, overlap = 4)
+      // dense retrieval-unit ids: lane plumbing over the CAPPED chunk
+      // corpus (a global row_number is fine at 2k rows; a production
+      // pipeline assigns ids at chunk-write time)
+      val cid = chunks.withColumn("vec_id",
+          (row_number().over(Window.orderBy(col("doc_id"),
+            col("chunk_idx"))) - 1).cast("long"))
+        .localCheckpoint(eager = true)
+      val vecs = TextOps.hashEmbed(cid, idCol = "vec_id",
+          textCol = "chunk_text")
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) > 0)
+        .localCheckpoint(eager = true)
+      val g = Similarity.knnGraphNNDescent(vecs)
+      val pool = Similarity.graphBeamSearch(vecs,
+          g.select(col("src"), col("dst")), probeMax = 5, k = 20)
+        .select(col("probe_id"), col("corpus_id"), col("cosine").as("rel"))
+      val sel = Retrieval.mmrFromPool(
+        vecs.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("v")), pool, k = 10)
+      sel.join(cid.select(col("vec_id").as("corpus_id"), col("doc_id"),
+          col("chunk_idx")), Seq("corpus_id"))
+        .select(col("probe_id"), col("rank"), col("corpus_id"),
+          col("doc_id"), col("chunk_idx"), col("rel"), col("mmr"))
+    }),
+    // s8 AT-SCALE certificate: beamSearchRecall over the FULL
+    // embeddings table — no 2000-vector cap, so at sf1 the engine
+    // builds and serves the 20k-vector graph. Only the
+    // oracle-computable columns are pinned (n_total from the oracle's
+    // own k·n brute-force truth and the meets_target flag): the
+    // oracle needs NO graph replay, which is what lets this entry run
+    // uncapped at every SF — the engine does the full work and a
+    // recall regression below target fails the hash gate at sf1
+    // scale, closing the "at-scale proof is a probe, not a pinned
+    // entry" gap (r10 verdict Missing #1). Uncapped-corpus serving
+    // parameters (RecallProbe-measured): the DEFAULT graph degree 10
+    // measures recall 0.275 at 20k isotropic vectors — distance
+    // concentration starves the beam — while degree-20 edges +
+    // beam 40 measure 0.710 (sf0.01: 1.000, sf0.1: 0.980), a 2.4x
+    // margin over the pinned 0.3 target at linear extra cost.
+    "s8_beam_recall_full" -> ((s, d) =>
+      Similarity.beamSearchRecall(table(s, d, "embeddings"),
+          probeMax = 20, target = 0.3, rounds = 6, beam = 40,
+          steps = 7, seeds = 20, graphK = 20)
+        .select(col("n_total"), col("meets_target"))),
     // SQ8: 8-bit scalar-quantized approximate scan (4× less index
     // traffic) feeding an exact re-rank of the 4k-deep candidate pool
     "s5_sq8_rerank" -> ((s, d) => {
@@ -1278,5 +1383,88 @@ object QueryDefs {
     // median is the warm beam serve (q6_search_served precedent)
     "s8_graph_served",
     // round-10 back half: two-pass PRF retrieval and map-only chunking
-    "r4_prf_expand", "p8_chunk_docs")
+    "r4_prf_expand", "p8_chunk_docs",
+    // round-11 additions (r10 verdict tasks #4/#6/#7/#5): the r10
+    // retrieval lanes the bench never covered; the BM25 cold path vs
+    // its snapshot-served warm twin (rep 1 builds the postings index,
+    // the median is the warm serve); the snapshot build isolated from
+    // q6_search_served's serve numbers; the hashed-embedding ANN
+    // proof; and the composed chunk→embed→graph-ANN→MMR RAG loop
+    "r1_bm25", "r1_bm25_served", "r5_hard_negatives", "t14_embed_knn",
+    "q6_snapshot_build", "rag_retrieve")
+
+  /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
+    * finding: every registry entry must carry an explicit bench
+    * decision — BenchRegistrySpec diffs benchNames ∪ this list against
+    * SparkEntry.queries and fails on any lane missing from both).
+    * Grouped by the reason they are excluded. */
+  val benchExcluded: Map[String, String] = {
+    val reasons = Seq(
+      // each family's bench lane is its most expensive/representative
+      // member; these are same-plan variants or strictly-contained
+      // sub-stages of a benched lane
+      ("variant of a benched family lane" -> Seq(
+        "a6_component_stats", "a6_components_dist", "a15_feature_agg_min",
+        "a15_feature_agg_max", "a15_feature_agg_proportion",
+        "a16_binarize", "a17_features_metadata", "d1_exact_dedup",
+        "d3_simhash", "d4_ngram_jaccard", "d6_shared_substring",
+        "d7_dedup_clusters", "d8_semdedup", "d11_intradoc_dedup",
+        "f1_threshold_filter",
+        "f2_chromosome_filter", "f3_pp_only", "g5_subset_pp",
+        "g5_subset_po", "g6_randomize", "g6_randomize_dist",
+        "g8_layout_grid", "g8_layout_circle", "g8_layout_concentric",
+        "g8_layout_cose_dist", "g8_layout_cose_bh", "g1_hic_vertices",
+        "g1_hic_edges", "j10_ego_edges", "j11_induced_subgraph",
+        "s2_similarity_ivf", "s3_similarity_pq", "s4_ivfpq_residual",
+        "s6_ivfsq8_rerank", "s9_graph_compact", "s10_graph_delete",
+        "q2_gene_search_indexed", "q4_gene_list_search_indexed",
+        "q5_range_search", "q5_range_nearest", "q6_search_served_pruned",
+        "s11_tree_write_dist", "t1_token_stats", "t3_lang_id",
+        "t4_fingerprints", "t5_tfidf", "t7_pii_scrub",
+        "t9_bigram_lm", "t10_lm_crossentropy", "t11_gopher_filter",
+        "t12_perplexity_buckets", "t14_hash_embed", "p2_length_quartiles",
+        "p3_mixture_weights", "p5_leak_safe_split", "p7_cluster_mixture",
+        "p6_dsir_weights", "s7_knn_refine", "a7_diameter_dist",
+        "m5_decode_real",
+        "m5_resize_real", "m5_decode_audio_real", "m5_decode_video_real",
+        "m4_pixel_stats")),
+      // sub-second certificate / metadata / tiny-result lanes: the
+      // median would time JVM noise, not the operator (their engines
+      // are benched via the underlying family lane)
+      ("sub-second certificate or metadata lane" -> Seq(
+        "a7_diameter",
+        "a7_diameter_exact", "a7_diameter_cert", "a9_suggestions",
+        "a10_chromosomes", "a12_abundance", "a13_mean_degree_positives",
+        "f6_empty_guard", "f7_scrub_aliases", "j1_join_features",
+        "j2_bait_names", "j4_annotate_promoters",
+        "j4_annotate_promoters_mus", "j6_intronic_flag", "q1_fragment_lookup",
+        "q2_gene_search", "q3_ensembl_search", "q4_gene_list_search",
+        "s2_ivf_recall", "s3_pq_recall", "s5_sq8_recall",
+        "s2_ivf_recall_kmeans", "s3_pq_recall_trained",
+        "s3_pq_precision_clustered", "s4_ivfpq_precision",
+        "s7_knn_recall", "s7_refine_recall", "s8_beam_recall",
+        "s8_beam_recall_full", "s9_insert_recall", "s10_delete_cert",
+        "t6_repetition", "t8_decontaminate",
+        "p1_stratified_sample", "p4_pack_sequences", "m1_decode_meta",
+        "m2_resize_meta", "m3_frame_sample", "m4_feature_extract",
+        "m6_phash_clusters", "m7_video_neardup")),
+      // Structured-Streaming lanes: micro-batch trigger latency
+      // dominates (the e-family's engines are the batch twins, all
+      // benched); e2e stream timing lives in EventStreamsSpec
+      ("streaming twin (batch engine benched)" -> Seq(
+        "e2_stream_windowed", "e2_windowed_counts", "e3_stream_sessionize",
+        "e4_stream_dedup", "e5_stream_quality_filter",
+        "e6_stream_ivf_assign", "e7_stream_decontaminate",
+        "e8_stream_sample", "e9_stream_sq8", "e10_stream_intradoc",
+        "e11_stream_response_cache", "e12_stream_graph_ingest")),
+      // reader/format lanes: bounded fixture IO, benched once via
+      // s11_tree_write's full pipeline scan
+      ("bounded fixture reader" -> Seq(
+        "s1_read_pchic", "s2_read_hic", "s3_format_sniff",
+        "s4_read_features_on_nodes", "s5_read_alias", "s6_read_intronic",
+        "s7_read_bait_names", "s8_read_bed3", "s8_read_bed6",
+        "s8_read_macs2", "s8_read_chromhmm", "s8_read_features_table",
+        "s9_snapshot_roundtrip", "s10_cytoscape_nodes")))
+    reasons.flatMap { case (why, names) => names.map(_ -> why) }.toMap
+  }
 }

@@ -374,7 +374,20 @@ object Pipeline {
         case Some(other) =>
           throw new IllegalArgumentException(s"docLayout: $other")
       }
-      if (distributedDocs.getOrElse(edgesT.count() > DocStreamMaxEdges))
+      // regime default: FOLLOW THE STANDING TREE'S PHYSICAL FORM
+      // before sizing the delta — writeDatasetTree routes on the
+      // full-dataset edge count, so a tree built by the distributed
+      // writer has chr<c>.json DIRECTORIES, and a delta refresh that
+      // routed on its own (small) working set would replace one with a
+      // single stream-written FILE. Both forms read back identically
+      // (the logical-listing contract), but a silently mixed layout
+      // surprises downstream tooling; explicit `distributedDocs`
+      // still overrides.
+      val standingDistributed = chrs.exists { c =>
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$outDir/chromosomes/chr$c.json")) }
+      if (distributedDocs.getOrElse(
+            standingDistributed || edgesT.count() > DocStreamMaxEdges))
         CytoscapeJson.writeChromosomeDocumentLines(ds.nodes, edgesT, chrs,
           s"$outDir/chromosomes", positions)
       else

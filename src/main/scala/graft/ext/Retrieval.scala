@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,12 +38,16 @@ object Retrieval {
     * two engines must parse the SAME double. */
   /** The corpus-side BM25 index frames, built once and shared by the
     * first-pass ranking, the expansion-term scoring, and the expanded
-    * second pass. */
-  private case class Bm25Index(tf: DataFrame, df: DataFrame,
-                               dl: DataFrame, stats: DataFrame)
+    * second pass — and, via [[writeBm25Index]]/[[openBm25Index]], the
+    * persisted serving artifact the snapshot layer amortizes across
+    * requests (the reference serves every query from a saved per-
+    * dataset cache, search_query.R:14 — same model here: postings on
+    * disk, no per-request re-tokenization of the corpus). */
+  case class Bm25Index(tf: DataFrame, df: DataFrame,
+                       dl: DataFrame, stats: DataFrame)
 
-  private def bm25Index(docs: DataFrame, idCol: String,
-                        textCol: String): Bm25Index = {
+  def bm25Index(docs: DataFrame, idCol: String,
+                textCol: String): Bm25Index = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextOps.tokens(lower(col(textCol))).as("__toks"))
     val dl = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
@@ -90,9 +94,49 @@ object Retrieval {
       explode(TextOps.tokens(lower(col("text")))).as("term"))
     .distinct()
 
+  /** Id-space contract (all bm25 entry points): `query_id` and
+    * `doc_id` share ONE id space — the docs-as-queries shape every
+    * gate lane uses — and a candidate whose doc_id equals the probe's
+    * query_id is its own document, excluded from its result list. An
+    * external caller with an unrelated query-id space must offset its
+    * query ids clear of the corpus ids, or the colliding document is
+    * silently excluded for that probe. */
   def bm25(docs: DataFrame, queries: DataFrame, topN: Int = 20,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     bm25Terms(bm25Index(docs, idCol, textCol), queryTerms(queries), topN)
+
+  /** Build-time half of the BM25 serving pair: persist the four index
+    * frames as a parquet snapshot under `dir` (postings sorted within
+    * partitions by term so a term lookup prunes row groups via the
+    * parquet min/max index; at cluster scale the same frames would
+    * bucket by term). One-off cost per corpus build, amortized over
+    * every query served from it — the r1 rebuild-per-call shape is the
+    * cold baseline, this is the architecture. */
+  def writeBm25Index(docs: DataFrame, dir: String,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit = {
+    val ix = bm25Index(docs, idCol, textCol)
+    ix.tf.sortWithinPartitions("term").write.parquet(s"$dir/tf")
+    ix.df.sortWithinPartitions("term").write.parquet(s"$dir/df")
+    ix.dl.write.parquet(s"$dir/dl")
+    ix.stats.write.parquet(s"$dir/stats")
+  }
+
+  /** Serve-time half: reopen a [[writeBm25Index]] snapshot as bare
+    * parquet scans — nothing pinned; a query's IO is its terms'
+    * postings row groups, never the corpus. */
+  def openBm25Index(spark: SparkSession, dir: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$dir/tf"),
+      spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/dl"),
+      spark.read.parquet(s"$dir/stats"))
+
+  /** BM25 over an opened index — identical ranking arithmetic to
+    * [[bm25]] (same oracle), minus the per-call corpus tokenization:
+    * the warm serving path. */
+  def bm25Served(ix: Bm25Index, queries: DataFrame,
+                 topN: Int = 20): DataFrame =
+    bm25Terms(ix, queryTerms(queries), topN)
 
   /** Pseudo-relevance-feedback query expansion (RM3-style — Lavrenko
     * & Croft SIGIR 2001 relevance models, the Rocchio/RM3 pattern as
@@ -238,7 +282,20 @@ object Retrieval {
     val pool = Similarity.bruteForceTopK(corpus,
         corpus.filter(col(idCol) < probeMax), poolN, idCol, vecCol)
       .select(col("probe_id"), col("corpus_id"), col("cosine").as("rel"))
-      .localCheckpoint(eager = true)
+    mmrFromPool(vecs, pool, k)
+  }
+
+  /** The MMR greedy engine over an EXPLICIT candidate pool — the
+    * composition point for retrieval stacks whose relevance leg is not
+    * a brute-force scan (graph-ANN beam results, hybrid fusion output):
+    * `pool` is (probe_id, corpus_id, rel) with rel already in the
+    * engine-wide 6-dp rounded total order, `vecs` is (vid,
+    * v: array<double>) resolving every pool member's vector for the
+    * pairwise-redundancy term. [[mmrRerank]] is this engine fed by
+    * bruteForceTopK. */
+  def mmrFromPool(vecs: DataFrame, pool0: DataFrame,
+                  k: Int = 10): DataFrame = {
+    val pool = pool0.localCheckpoint(eager = true)
     // pairwise sims among each probe's pool members, computed once
     val sims = pool.select(col("probe_id"), col("corpus_id").as("id_a"))
       .join(pool.select(col("probe_id"), col("corpus_id").as("id_b")),

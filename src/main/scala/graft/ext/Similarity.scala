@@ -1176,15 +1176,28 @@ object Similarity {
   }
 
   /** Recall certificate for [[graphBeamSearch]] vs brute-force truth —
-    * the s2/s7 contract (oracle pins `meets_target = TRUE`). */
+    * the s2/s7 contract (oracle pins `meets_target = TRUE`). The
+    * build/serve knobs default to the gate-replayed constants (the
+    * s8_beam_recall oracle macro-expands exactly rounds=4/steps=5);
+    * the UNCAPPED certificate lane (s8_beam_recall_full, whose oracle
+    * replays nothing) passes stronger ones — on isotropic vectors the
+    * descent/beam quality floor drops with corpus size (distance
+    * concentration), and more rounds/seeds/steps buy it back for cost
+    * still linear in the corpus (rounds·n·cap² pairs) and probe batch
+    * (steps·beam·(2k+1) rows). */
   def beamSearchRecall(corpus: DataFrame, probeMax: Long, k: Int = 10,
                        target: Double = 0.5,
+                       rounds: Int = 4, beam: Int = 20,
+                       steps: Int = 5, seeds: Int = 10,
+                       graphK: Int = 10,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val g = knnGraphNNDescent(corpus, idCol = idCol, vecCol = vecCol)
+    val g = knnGraphNNDescent(corpus, k = graphK, rounds = rounds,
+        maxNeighborhood = math.max(20, graphK), idCol = idCol,
+        vecCol = vecCol)
       .select(col("src"), col("dst"))
-    val bs = graphBeamSearch(corpus, g, probeMax, k,
-        idCol = idCol, vecCol = vecCol)
+    val bs = graphBeamSearch(corpus, g, probeMax, k, beam = beam,
+        steps = steps, seeds = seeds, idCol = idCol, vecCol = vecCol)
       .select(col("probe_id"), col("corpus_id"), lit(1).as("__hit"))
     val bf = bruteForceTopK(corpus,
       corpus.filter(col(idCol) < probeMax), k, idCol, vecCol)

@@ -62,6 +62,10 @@ class PlanAuditSpec extends SparkSpec {
       "component packing × 1-row global-extent aggregate (Layout.pack); the one-task far-field twin packs through the same route",
     "r1_bm25" ->
       "postings frame × broadcast 1-row corpus stats (N, avgdl) (Retrieval.bm25)",
+    "r1_bm25_served" ->
+      "same ranking chain over the reopened postings snapshot: postings frame × broadcast 1-row corpus stats (Retrieval.bm25Served)",
+    "s8_beam_recall_full" ->
+      "bounded 20-probe set × FULL corpus brute-force truth — the k·n truth scan is the certificate's point; graph build and beam serve are all equi-joins (Similarity.beamSearchRecall uncapped)",
     "r4_prf_expand" ->
       "both BM25 passes and the expansion scoring each cross the broadcast 1-row corpus stats (Retrieval.prfExpand); postings joins stay equi",
     "r5_hard_negatives" ->

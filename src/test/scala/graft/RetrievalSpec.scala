@@ -181,4 +181,33 @@ class RetrievalSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("served bm25 over a written+reopened index equals the cold path") {
+    val q = Seq((0L, "rare gamma"), (2L, "beta common")).toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    Retrieval.writeBm25Index(docs, dir)
+    val served = Retrieval.bm25Served(Retrieval.openBm25Index(spark, dir), q)
+      .collect().toSet
+    assert(served == Retrieval.bm25(docs, q).collect().toSet)
+  }
+
+  test("mmrFromPool over an explicit pool diversifies like mmrRerank") {
+    // 0/1 near-identical, 2 orthogonal-ish: with pool = brute-force
+    // top-3 the explicit-pool engine must match the wrapper exactly
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.14f, 0.0f)),
+      (2L, Seq(0.4f, 0.0f, 0.9f)),
+      (3L, Seq(0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val pool = graft.ext.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 1), 3)
+      .select(col("probe_id"), col("corpus_id"), col("cosine").as("rel"))
+    val vecs = emb.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = Retrieval.mmrFromPool(vecs, pool, k = 3).collect().toSet
+    val b = Retrieval.mmrRerank(emb, probeMax = 1, poolN = 3, k = 3)
+      .collect().toSet
+    assert(a == b)
+  }
 }

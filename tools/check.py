@@ -30,6 +30,18 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 status = json.load(open(f"{out}/status.json"))
 
+# Lanes whose COMPARE (not their oracle SQL) is the intractable part at
+# sf1: e11's 1.5M-request join onto ~150 rendered Cytoscape documents
+# is a ~13 GB frame, and materializing it into pandas for the canon()
+# multiset diff OOM-killed the box (CORRECTNESS_sf1 r10's one non-a7
+# exclusion). These lanes compare INSIDE DuckDB instead: both sides
+# reduce to (count, Σ hash(row)) — a streaming aggregate over the same
+# rows the canon path would diff, never materialized — and equal sums
+# mean equal multisets (order-independent; 64-bit hash, HUGEINT sum).
+# Only exact-typed lanes qualify (BIGINT/VARCHAR/BOOLEAN — no float
+# columns, so canon()'s 9-sig-decimal rounding has nothing to do).
+HASH_CMP = {"e11_stream_response_cache", "s12_response_cache"}
+
 
 def vnorm(x):
     if x is None:
@@ -53,6 +65,30 @@ for name in sorted(status):
         continue
     if status[name] != "ok":
         fails.append((name, f"SPARK ERR: {status[name][:200]}"))
+        continue
+    if name in HASH_CMP and name in oracle:
+        eng_rel = f"read_parquet('{out}/{name}/*.parquet')"
+        try:
+            cols = sorted(r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM {eng_rel}").fetchall())
+            ocols = sorted(r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM ({oracle[name]}) __q").fetchall())
+            if cols != ocols:
+                fails.append((name, f"COLS spark={cols} oracle={ocols}"))
+                continue
+            collist = ", ".join(f'"{c}"' for c in cols)
+            agg = f"count(*), sum(hash({collist}))"
+            se = con.execute(f"SELECT {agg} FROM {eng_rel}").fetchone()
+            oe = con.execute(
+                f"SELECT {agg} FROM ({oracle[name]}) __q").fetchone()
+        except Exception as e:
+            fails.append((name, f"ORACLE SQL ERR: {str(e)[:300]}"))
+            continue
+        if se == oe:
+            oks.append((name, se[0]))
+        else:
+            fails.append((name, f"HASH MISMATCH rows spark={se[0]} "
+                                f"oracle={oe[0]} hashcmp"))
         continue
     try:
         sdf = pd.read_parquet(f"{out}/{name}")
