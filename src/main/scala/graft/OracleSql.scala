@@ -3364,7 +3364,43 @@ fj AS (SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
   FROM lex l FULL OUTER JOIN vec v
   ON v.probe_id = l.probe_id AND v.doc_id = l.doc_id)""".drop(1)))
 
+  // ------------------------------------- w-family: as-of + sketch certs
+  /** The certificate lanes pin the EXACT side plus a literal TRUE for
+    * the approximation's bound check (the engine measures the bound;
+    * the oracle cannot reproduce sketch internals) — the same contract
+    * as the ANN recall certificates. w1's oracle is the naive
+    * range-join as-of (|probes|×|matching refs| per user) that the
+    * engine's single-sort union form replaces at scale. */
+  val sketches: Map[String, String] = Map(
+    "w1_asof_join" -> raw"""
+SELECT event_id, user_id, ts, asof_ref_id, asof_ref_value FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         p.event_id AS asof_ref_id, p.value AS asof_ref_value,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events e LEFT JOIN
+       (SELECT * FROM events WHERE event_type = 'purchase') p
+       ON p.user_id = e.user_id AND p.ts <= e.ts
+  WHERE e.event_type <> 'purchase') t WHERE rn = 1""",
+    "w2_hll_distinct" -> raw"""
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol
+FROM events GROUP BY event_type""",
+    "w3_quantile_cert" -> raw"""
+WITH ex AS (SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS exs,
+                   count(*) AS n FROM lineitem)
+SELECT CAST([0.25, 0.5, 0.75, 0.9][i] AS DOUBLE) AS q,
+       round(exs[i], 4) AS q_exact, n AS n_total, TRUE AS within_tol
+FROM ex, (SELECT unnest(generate_series(1, 4)) AS i) t""",
+    "w4_cms_heavy_hitters" -> dq(raw"""
+SELECT CAST(rn AS BIGINT) AS rank, token, n_exact, TRUE AS within_bound
+FROM (SELECT token, n_exact,
+        row_number() OVER (ORDER BY n_exact DESC, token) AS rn
+      FROM (SELECT token, count(*) AS n_exact FROM
+              (SELECT unnest(toks) AS token FROM toks) u
+            GROUP BY token) c) r
+WHERE rn <= 20"""))
+
   val all: Map[String, String] =
     graph ++ docs ++ embeddings ++ misc ++ randomizeOracles ++ readers ++
-      distRegime ++ layouts ++ knnRetrieval
+      distRegime ++ layouts ++ knnRetrieval ++ sketches
 }

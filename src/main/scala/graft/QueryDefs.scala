@@ -1021,6 +1021,14 @@ object QueryDefs {
       EventStreams.sessionizeBatch(events(s, d))
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("session_start"), col("session_end"), col("session_value"))),
+    // w-family: as-of join + mergeable-sketch certificates
+    "w1_asof_join" -> ((s, d) => EventStreams.asofJoinBatch(events(s, d))),
+    "w2_hll_distinct" -> ((s, d) => Sketches.hllDistinctCert(events(s, d))),
+    "w3_quantile_cert" -> ((s, d) =>
+      Sketches.quantileCert(table(s, d, "lineitem"), "l_quantity",
+        Seq(0.25, 0.5, 0.75, 0.9))),
+    "w4_cms_heavy_hitters" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(table(s, d, "documents"))),
     "e3_stream_sessionize" -> ((s, d) => {
       val raw = table(s, d, "events").schema
       EventStreams.sessionizeStreamFromParquet(s, s"$d/events.parquet", raw,
@@ -1391,7 +1399,11 @@ object QueryDefs {
     // q6_search_served's serve numbers; the hashed-embedding ANN
     // proof; and the composed chunk→embed→graph-ANN→MMR RAG loop
     "r1_bm25", "r1_bm25_served", "r5_hard_negatives", "t14_embed_knn",
-    "q6_snapshot_build", "rag_retrieve")
+    "q6_snapshot_build", "rag_retrieve",
+    // round-11 w-family: the sort-merge as-of join (one shuffle +
+    // window vs the oracle's quadratic range join — the event-log
+    // enrichment shape)
+    "w1_asof_join")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench
@@ -1447,7 +1459,8 @@ object QueryDefs {
         "t6_repetition", "t8_decontaminate",
         "p1_stratified_sample", "p4_pack_sequences", "m1_decode_meta",
         "m2_resize_meta", "m3_frame_sample", "m4_feature_extract",
-        "m6_phash_clusters", "m7_video_neardup")),
+        "m6_phash_clusters", "m7_video_neardup",
+        "w2_hll_distinct", "w3_quantile_cert", "w4_cms_heavy_hitters")),
       // Structured-Streaming lanes: micro-batch trigger latency
       // dominates (the e-family's engines are the batch twins, all
       // benched); e2e stream timing lives in EventStreamsSpec

@@ -87,6 +87,43 @@ object EventStreams {
         graft.ext.Num.roundLike(sum(col("value")), 4).as("session_value"))
   }
 
+  /** As-of join within the event log: every non-`refType` event is
+    * paired with the SAME user's latest `refType` event at-or-before
+    * its timestamp (ties on ts broken toward the larger reference
+    * event_id; events with no prior reference keep NULLs — a left
+    * as-of).
+    *
+    * Plan shape — the scalable as-of: tag reference and probe rows,
+    * UNION them, and carry the last-seen reference forward with one
+    * `last(_, ignoreNulls)` window per user. That is ONE shuffle on
+    * user_id plus a per-partition sort, independent of how many
+    * references precede each probe — versus the naive
+    * `p.ts <= e.ts` range join whose intermediate is
+    * |probes|×|matching refs| per user (quadratic in per-user activity;
+    * the DuckDB oracle uses that form, which is exactly why it is the
+    * oracle and not the engine). Reference rows sort BEFORE probe rows
+    * at equal ts (tag 0 < 1), so an equal-timestamp reference is
+    * visible to the probe — the at-or-before contract. */
+  def asofJoinBatch(events: DataFrame, refType: String = "purchase"): DataFrame = {
+    val refs = events.filter(col("event_type") === refType)
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+        col("event_id").as("ref_id"), col("value").as("ref_value"))
+    val probes = events.filter(col("event_type") =!= refType)
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("ref_id"),
+        lit(null).cast("double").as("ref_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refs.unionByName(probes)
+      .withColumn("asof_ref_id", last(col("ref_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ref_value",
+        last(col("ref_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ref_id"), col("asof_ref_value"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, value: Double)
