@@ -2707,6 +2707,16 @@ lex AS (SELECT probe_id, doc_id, CAST(rank AS BIGINT) AS lex_rank FROM (
       ORDER BY score DESC, doc_id) AS rank FROM bsc) t
   WHERE rank <= 20)""".drop(1)
 
+  /** The full r1 lane SQL, shared verbatim by r6_bm25_compacted — the
+    * compaction-equals-batch-build pin for the lexical index. */
+  private lazy val r1Bm25Sql: String = dq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM (SELECT probe_id, doc_id, score, row_number() OVER (
+    PARTITION BY probe_id ORDER BY score DESC, doc_id) AS rank
+  FROM bsc) r
+WHERE rank <= 20""",
+    extra = bm25Ctes)
+
   // s8 beam search over the s7 graph: entry seeds → S8Steps rounds of
   // expand (both edge directions) / score / top-beam prune, every
   // ranking on (round(cosine, 6) DESC, id) — mirrors
@@ -3287,13 +3297,23 @@ hvec AS (SELECT doc_id, list(val ORDER BY dim_i) AS v,
     sqrt(sum(val * val)) AS nrm
   FROM hemb GROUP BY doc_id
   HAVING sum(val * val) > 0)""".drop(1)),
-    "r1_bm25" -> dq(raw"""
-SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
-FROM (SELECT probe_id, doc_id, score, row_number() OVER (
-    PARTITION BY probe_id ORDER BY score DESC, doc_id) AS rank
-  FROM bsc) r
-WHERE rank <= 20""",
-      extra = bm25Ctes),
+    "r1_bm25" -> r1Bm25Sql,
+    // the compacted-segment serve is pinned against r1's oracle
+    // VERBATIM — compaction ≡ batch build for the lexical index
+    "r6_bm25_compacted" -> r1Bm25Sql,
+    // e13 streamed segments == the batch per-document postings (pure
+    // per-document function; batch splits cannot change the multiset)
+    "e13_stream_bm25_ingest" -> dq(raw"""
+SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+       CAST(d.dl AS BIGINT) AS dl
+FROM (SELECT doc_id, token AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS token FROM toks) u
+      GROUP BY doc_id, token) t
+JOIN (SELECT doc_id, len(toks) AS dl FROM toks) d ON d.doc_id = t.doc_id
+UNION ALL
+SELECT doc_id, NULL AS term, CAST(0 AS BIGINT) AS tf,
+       CAST(0 AS BIGINT) AS dl
+FROM toks WHERE len(toks) = 0"""),
     // r4 RM3-style PRF: pass-1 feedback docs = lex rank<=10, candidate
     // terms score Σ tf·idf (4 dp, original terms excluded), top-5 join
     // the query, pass 2 re-runs the bm25 chain over qt1 — mirrors

@@ -686,6 +686,18 @@ object QueryDefs {
         docs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"), col("text")))
     }),
+    // r6: serve from the COMPACTED segment index — docPostings
+    // segments → bm25FromSegments rebuild → the same ranking chain,
+    // pinned against r1's oracle verbatim: the LSM compaction ≡ batch
+    // build equality for the lexical leg (s9_graph_compact precedent;
+    // e13 pins the segments themselves against the stream)
+    "r6_bm25_compacted" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Retrieval.bm25Served(
+        Retrieval.bm25FromSegments(Retrieval.docPostings(docs)),
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")))
+    }),
     // THE composed RAG loop as ONE pinned entry — every stage is an
     // already-certified operator, this lane proves they compose with
     // no seam: p8 overlapping chunks (16-token windows, stride 12 —
@@ -1186,6 +1198,32 @@ object QueryDefs {
       EventStreams.graphIngestStreamFromParquet(s, s"$tmp/vecs",
         batch.schema, base, g, s"$tmp/out")
     }),
+    // e13: the lexical-index LSM twin of e12 — documents stream in as
+    // two micro-batches (odd/even doc_id files), each appending its
+    // per-document postings segment; batch docPostings over the same
+    // corpus is the exact oracle (segments are per-document-pure)
+    "e13_stream_bm25_ingest" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e13").toString
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val t = s"$tmp/_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(t)
+        val part = new java.io.File(t).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(s"$tmp/docs/$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val now = System.currentTimeMillis()
+      writeOne(docs.filter(col("doc_id") % 2 === 0), "b0", now - 60000L)
+      writeOne(docs.filter(col("doc_id") % 2 === 1), "b1", now)
+      EventStreams.bm25IngestStreamFromParquet(s, s"$tmp/docs",
+        docs.schema, s"$tmp/out")
+    }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5
     // arithmetic (what the oracle replicates) while the gate still
@@ -1431,6 +1469,7 @@ object QueryDefs {
         "s6_ivfsq8_rerank", "s9_graph_compact", "s10_graph_delete",
         "q2_gene_search_indexed", "q4_gene_list_search_indexed",
         "q5_range_search", "q5_range_nearest", "q6_search_served_pruned",
+        "r6_bm25_compacted",
         "s11_tree_write_dist", "t1_token_stats", "t3_lang_id",
         "t4_fingerprints", "t5_tfidf", "t7_pii_scrub",
         "t9_bigram_lm", "t10_lm_crossentropy", "t11_gopher_filter",
@@ -1469,7 +1508,8 @@ object QueryDefs {
         "e4_stream_dedup", "e5_stream_quality_filter",
         "e6_stream_ivf_assign", "e7_stream_decontaminate",
         "e8_stream_sample", "e9_stream_sq8", "e10_stream_intradoc",
-        "e11_stream_response_cache", "e12_stream_graph_ingest")),
+        "e11_stream_response_cache", "e12_stream_graph_ingest",
+        "e13_stream_bm25_ingest")),
       // reader/format lanes: bounded fixture IO, benched once via
       // s11_tree_write's full pipeline scan
       ("bounded fixture reader" -> Seq(

@@ -122,6 +122,50 @@ object Retrieval {
     ix.stats.write.parquet(s"$dir/stats")
   }
 
+  /** Per-document postings SEGMENT: (doc_id, term, tf, dl) rows — a
+    * pure per-document function of the text, with NO corpus-level
+    * state. That purity is what makes the index INCREMENTAL: segments
+    * computed from any batch split, order, or replay of the corpus
+    * union to the same multiset, so a streaming ingest
+    * ([[graft.streaming.EventStreams.bm25IngestStreamFromParquet]])
+    * appends segments per micro-batch and the batch form is its exact
+    * oracle — the lexical-index twin of the graph-ANN LSM shape
+    * (s9/e12). Empty documents emit one (doc_id, NULL, 0, 0) marker so
+    * compaction can rebuild the complete doc-length table. */
+  def docPostings(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(lower(col(textCol))).as("__toks"))
+    val tf = toks.filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val empty = toks.filter(size(col("__toks")) === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("term"),
+        lit(0L).as("tf"), lit(0L).as("dl"))
+    tf.unionByName(empty)
+  }
+
+  /** Compaction: rebuild the full [[Bm25Index]] from accumulated
+    * [[docPostings]] segments. The corpus-level frames (df, avgdl) are
+    * the ONLY state segments cannot carry — they re-aggregate here
+    * from the segment union, and the result is frame-identical to
+    * [[bm25Index]] over the same corpus (the r6_bm25_compacted gate
+    * lane pins served rankings against r1's oracle). At 100 TB this is
+    * the read path's periodic merge: per-batch writes stay per-batch
+    * cheap, and a compaction pass — postings groupBy term plus one
+    * 1-row stats aggregate — amortizes across every query served. */
+  def bm25FromSegments(segments: DataFrame): Bm25Index = {
+    val tf = segments.filter(col("term").isNotNull)
+      .select("doc_id", "term", "tf")
+    val dl = segments.select(col("doc_id"), col("dl")).distinct()
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    Bm25Index(tf, df, dl, stats)
+  }
+
   /** Serve-time half: reopen a [[writeBm25Index]] snapshot as bare
     * parquet scans — nothing pinned; a query's IO is its terms'
     * postings row groups, never the corpus. */

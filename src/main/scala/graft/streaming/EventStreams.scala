@@ -457,6 +457,39 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** e13: BM25 postings ingest as a STREAMING job — the LEXICAL twin
+    * of e12's graph-ANN LSM shape: document micro-batches drain
+    * through foreachBatch, each batch appending its
+    * [[graft.ext.Retrieval.docPostings]] segment (doc_id, term, tf,
+    * dl) to `outDir`. A document is term-searchable the moment its
+    * batch commits (its postings are on disk); the corpus-level frames
+    * a ranker needs (df, avgdl) defer to compaction
+    * ([[graft.ext.Retrieval.bm25FromSegments]]) — exactly how an LSM
+    * index absorbs writes ahead of merge. Segments are a pure
+    * per-document function, so the batch docPostings over the same
+    * corpus is the exact oracle regardless of batch splits, ordering,
+    * or micro-batch replay. `maxFilesPerTrigger=1` makes each document
+    * file one micro-batch. */
+  def bm25IngestStreamFromParquet(spark: SparkSession, docDir: String,
+                                  rawSchema: org.apache.spark.sql.types.StructType,
+                                  outDir: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("e13ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.Retrieval.docPostings(batch.toDF())
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.read.parquet(outDir)
+  }
+
   /** e11: the S12 response memo-cache as a STREAMING service loop —
     * request micro-batches drain through foreachBatch, and EVERY batch
     * runs [[graft.core.Serving.serveCachedDir]] against the SAME

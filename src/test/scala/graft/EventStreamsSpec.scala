@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Dedup, Retrieval, TextOps}
 import graft.streaming.EventStreams
 
 /** Batch sessionization golden + the stateful streaming twin driven
@@ -264,6 +264,53 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == oracle, "stream == batch forward edges")
     assert(streamed.size == 30 && streamed.map(_._1).size == 6,
       "6 new ids x 5 edges")
+  }
+
+  test("streaming bm25 ingest emits exactly the batch postings segments " +
+      "across a two-batch split, and compaction serves r1's rankings") {
+    val docs = Seq(
+      (0L, "common rare alpha"),
+      (1L, "common rare rare beta"),
+      (2L, "common beta beta gamma"),
+      (3L, "common gamma"),
+      (4L, "   ") // empty after tokenization → (4, NULL, 0, 0) marker
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("e13spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/docs/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "b0", now - 60000L)
+    writeOne(docs.filter(col("doc_id") % 2 === 1), "b1", now)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = EventStreams.bm25IngestStreamFromParquet(spark,
+      s"$tmp/docs", docs.schema, s"$tmp/out")
+    val batchSeg = graft.ext.Retrieval.docPostings(docs)
+    assert(canon(streamed) == canon(batchSeg), "stream == batch segments")
+    assert(canon(streamed).contains((4L, None, 0L, 0L)),
+      "empty doc carries its dl marker")
+    // compaction from the STREAMED segments serves the same rankings
+    // as the direct batch index — the full LSM equality
+    val probes = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def ranks(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val served = Retrieval.bm25Served(
+      Retrieval.bm25FromSegments(streamed), probes)
+    assert(ranks(served) == ranks(Retrieval.bm25(docs, probes)),
+      "compacted-segment serve == direct batch bm25")
   }
 
   test("normalizeTs maps NTZ parquet to the same instants as TIMESTAMP") {

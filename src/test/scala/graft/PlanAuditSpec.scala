@@ -64,6 +64,8 @@ class PlanAuditSpec extends SparkSpec {
       "postings frame × broadcast 1-row corpus stats (N, avgdl) (Retrieval.bm25)",
     "r1_bm25_served" ->
       "same ranking chain over the reopened postings snapshot: postings frame × broadcast 1-row corpus stats (Retrieval.bm25Served)",
+    "r6_bm25_compacted" ->
+      "same ranking chain over the compacted segment index: postings frame × broadcast 1-row corpus stats (Retrieval.bm25FromSegments)",
     "s8_beam_recall_full" ->
       "bounded 20-probe set × FULL corpus brute-force truth — the k·n truth scan is the certificate's point; graph build and beam serve are all equi-joins (Similarity.beamSearchRecall uncapped)",
     "r4_prf_expand" ->
