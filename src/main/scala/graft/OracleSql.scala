@@ -3391,8 +3391,7 @@ fj AS (SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
     * as the ANN recall certificates. w1's oracle is the naive
     * range-join as-of (|probes|×|matching refs| per user) that the
     * engine's single-sort union form replaces at scale. */
-  val sketches: Map[String, String] = Map(
-    "w1_asof_join" -> raw"""
+  private val asofSql: String = raw"""
 SELECT event_id, user_id, ts, asof_ref_id, asof_ref_value FROM (
   SELECT e.event_id, e.user_id, e.ts,
          p.event_id AS asof_ref_id, p.value AS asof_ref_value,
@@ -3401,7 +3400,13 @@ SELECT event_id, user_id, ts, asof_ref_id, asof_ref_value FROM (
   FROM events e LEFT JOIN
        (SELECT * FROM events WHERE event_type = 'purchase') p
        ON p.user_id = e.user_id AND p.ts <= e.ts
-  WHERE e.event_type <> 'purchase') t WHERE rn = 1""",
+  WHERE e.event_type <> 'purchase') t WHERE rn = 1"""
+
+  val sketches: Map[String, String] = Map(
+    "w1_asof_join" -> asofSql,
+    // the stateful stream twin pins against the batch as-of VERBATIM
+    // (in-order micro-batches ⇒ identical enrichment)
+    "e14_stream_asof" -> asofSql,
     "w2_hll_distinct" -> raw"""
 SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol
 FROM events GROUP BY event_type""",

@@ -1180,21 +1180,11 @@ object QueryDefs {
         .localCheckpoint(eager = true) // FROZEN across micro-batches
       val tmp =
         java.nio.file.Files.createTempDirectory("graft_e12").toString
-      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-                   mtime: Long): Unit = {
-        val t = s"$tmp/_tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(t)
-        val part = new java.io.File(t).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = java.nio.file.Paths.get(s"$tmp/vecs/$name.parquet")
-        java.nio.file.Files.createDirectories(dest.getParent)
-        java.nio.file.Files.move(part.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
       val now = System.currentTimeMillis()
-      writeOne(batch.filter(col("vec_id") % 2 === 0), "b0", now - 60000L)
-      writeOne(batch.filter(col("vec_id") % 2 === 1), "b1", now)
+      writeOneFile(batch.filter(col("vec_id") % 2 === 0),
+        s"$tmp/vecs/b0.parquet", now - 60000L)
+      writeOneFile(batch.filter(col("vec_id") % 2 === 1),
+        s"$tmp/vecs/b1.parquet", now)
       EventStreams.graphIngestStreamFromParquet(s, s"$tmp/vecs",
         batch.schema, base, g, s"$tmp/out")
     }),
@@ -1206,23 +1196,32 @@ object QueryDefs {
       val docs = table(s, d, "documents")
       val tmp =
         java.nio.file.Files.createTempDirectory("graft_e13").toString
-      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-                   mtime: Long): Unit = {
-        val t = s"$tmp/_tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(t)
-        val part = new java.io.File(t).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = java.nio.file.Paths.get(s"$tmp/docs/$name.parquet")
-        java.nio.file.Files.createDirectories(dest.getParent)
-        java.nio.file.Files.move(part.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
       val now = System.currentTimeMillis()
-      writeOne(docs.filter(col("doc_id") % 2 === 0), "b0", now - 60000L)
-      writeOne(docs.filter(col("doc_id") % 2 === 1), "b1", now)
+      writeOneFile(docs.filter(col("doc_id") % 2 === 0),
+        s"$tmp/docs/b0.parquet", now - 60000L)
+      writeOneFile(docs.filter(col("doc_id") % 2 === 1),
+        s"$tmp/docs/b1.parquet", now)
       EventStreams.bm25IngestStreamFromParquet(s, s"$tmp/docs",
         docs.schema, s"$tmp/out")
+    }),
+    // e14: the as-of join as a STATEFUL stream — two event-time-split
+    // micro-batches (the file source's in-order contract); per-user
+    // state carries the latest reference across the batch boundary, so
+    // batch-2 probes enrich against batch-1 references. The batch w1
+    // SQL is the exact oracle.
+    "e14_stream_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e14").toString
+      val now = System.currentTimeMillis()
+      writeOneFile(ev.filter(col("ts") < lit("2024-01-16")),
+        s"$tmp/ev/b0.parquet", now - 60000L)
+      writeOneFile(ev.filter(col("ts") >= lit("2024-01-16")),
+        s"$tmp/ev/b1.parquet", now)
+      EventStreams.asofStreamFromParquet(s, s"$tmp/ev", ev.schema,
+          queryName = "e14_asof_" + math.abs(d.hashCode).toString)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ref_id"), col("asof_ref_value"))
     }),
     // m1-m3 run the REAL decode entry point: the text payloads fail
     // the PNG/JPEG sniff, so the metadata equals the stub's md5
@@ -1387,6 +1386,25 @@ object QueryDefs {
 
   val all: Map[String, Q] = graphQueries ++ extQueries ++ ReaderHarness.queries
 
+  /** Write `df` as ONE parquet file at `dest` (creating parents),
+    * stamped with `mtime` so a file-source stream's micro-batch order
+    * is deterministic (shared by the e12/e13/e14 streaming fixtures). */
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame,
+                           dest: String, mtime: Long): Unit = {
+    val p = java.nio.file.Paths.get(dest)
+    // scratch OUTSIDE the destination dir: a file-source stream lists
+    // the destination dir, and the scratch leftovers must not be there
+    // (underscore prefixes are filtered, but why rely on it)
+    val t = s"${p.getParent.getParent}/_tmp_${p.getFileName}"
+    df.coalesce(1).write.mode("overwrite").parquet(t)
+    val part = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.move(part.toPath, p)
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+
   /** Headline subset for graft.Bench — representative of every operator
     * family without re-running all 80 correctness entries. */
   val benchNames: Seq[String] = Seq(
@@ -1509,7 +1527,7 @@ object QueryDefs {
         "e6_stream_ivf_assign", "e7_stream_decontaminate",
         "e8_stream_sample", "e9_stream_sq8", "e10_stream_intradoc",
         "e11_stream_response_cache", "e12_stream_graph_ingest",
-        "e13_stream_bm25_ingest")),
+        "e13_stream_bm25_ingest", "e14_stream_asof")),
       // reader/format lanes: bounded fixture IO, benched once via
       // s11_tree_write's full pipeline scan
       ("bounded fixture reader" -> Seq(

@@ -124,6 +124,75 @@ object EventStreams {
         col("asof_ref_id"), col("asof_ref_value"))
   }
 
+  case class AsofOut(event_id: Long, user_id: Long, ts: Timestamp,
+                     asof_ref_id: Option[Long],
+                     asof_ref_value: Option[Double])
+  case class AsofState(refId: Long, refValue: Double)
+
+  /** e14: the as-of join as a STATEFUL streaming operator — the
+    * streaming twin of [[asofJoinBatch]]. Per-user state is ONE row
+    * (the latest reference seen), updated as reference events drain
+    * and attached to every probe event as it arrives: the classic
+    * stream-enrichment join, with state O(users) regardless of stream
+    * length. Within a micro-batch, rows process in (ts, ref-first,
+    * event_id) order — the batch twin's exact visibility rule.
+    * Contract: micro-batches must be per-user event-time-ordered (the
+    * ingestion-order property of a log source); a probe replayed
+    * BEHIND a newer reference would enrich against that newer
+    * reference — the same in-order assumption the watermark-less
+    * enrichment joins in production streams make. Under it, the batch
+    * as-of over the same rows is the exact oracle. */
+  def asofStream(events: Dataset[Event], refType: String = "purchase")
+                (implicit spark: SparkSession): Dataset[AsofOut] = {
+    import spark.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, rows, state: GroupState[AsofState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (us(e.ts), if (e.event_type == refType) 0 else 1, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            if (e.event_type == refType)
+              cur = Some(AsofState(e.event_id, e.value))
+            else
+              out += AsofOut(e.event_id, userId, e.ts,
+                cur.map(_.refId), cur.map(_.refValue))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Run [[asofStream]] over a directory of per-batch event parquet
+    * files (one file per micro-batch via maxFilesPerTrigger=1, ordered
+    * by modification time) and return the enriched probe rows. */
+  def asofStreamFromParquet(spark: SparkSession, evDir: String,
+                            rawSchema: org.apache.spark.sql.types.StructType,
+                            refType: String = "purchase",
+                            queryName: String = "e14_asof"): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val raw = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(evDir)
+    val events = normalizeTs(raw)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("e14ckpt").toString
+    val q = asofStream(events, refType)
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.table(queryName)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, value: Double)

@@ -313,6 +313,58 @@ class EventStreamsSpec extends SparkSpec {
       "compacted-segment serve == direct batch bm25")
   }
 
+  test("streaming as-of enriches batch-2 probes against batch-1 state " +
+      "and matches the batch twin") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // batch 0 (day 1): a probe before any ref, a ref, an equal-ts
+      // probe, an equal-ts ref pair (id tie-break)
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "purchase", 50.0),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "click", 2.0),
+      (4L, ts("2024-01-01 12:00:00"), 1L, "purchase", 60.0),
+      (5L, ts("2024-01-01 12:00:00"), 1L, "purchase", 70.0),
+      (6L, ts("2024-01-01 13:00:00"), 2L, "view", 5.0), // user w/o refs
+      // batch 1 (day 2): probes that must see CARRIED batch-0 state,
+      // then a fresh ref superseding it
+      (7L, ts("2024-01-02 09:00:00"), 1L, "click", 3.0),
+      (8L, ts("2024-01-02 10:00:00"), 1L, "purchase", 80.0),
+      (9L, ts("2024-01-02 11:00:00"), 1L, "view", 4.0),
+      (10L, ts("2024-01-02 12:00:00"), 2L, "click", 6.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("e14spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/ev/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(ev.filter(col("ts") < lit("2024-01-02")), "b0", now - 60000L)
+    writeOne(ev.filter(col("ts") >= lit("2024-01-02")), "b1", now)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val streamed = canon(EventStreams.asofStreamFromParquet(spark,
+      s"$tmp/ev", ev.schema, queryName = "e14spec")
+      .select("event_id", "user_id", "ts", "asof_ref_id", "asof_ref_value"))
+    assert(streamed(1L).isEmpty, "probe before any ref")
+    assert(streamed(3L).contains(2L), "equal-ts ref visible in-batch")
+    assert(streamed(7L).contains(5L),
+      "batch-2 probe sees CARRIED batch-1 state (equal-ts id tie-break)")
+    assert(streamed(9L).contains(8L), "fresh in-batch ref supersedes state")
+    assert(streamed(6L).isEmpty && streamed(10L).isEmpty,
+      "ref-less user stays NULL across both batches")
+    val batch = canon(EventStreams.asofJoinBatch(ev))
+    assert(streamed == batch, "stream == batch as-of")
+  }
+
   test("normalizeTs maps NTZ parquet to the same instants as TIMESTAMP") {
     val f = writeNtzFixture()
     val raw = spark.read.parquet(f.getAbsolutePath)
