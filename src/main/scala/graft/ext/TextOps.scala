@@ -484,14 +484,28 @@ object TextOps {
   def hashEmbed(docs: DataFrame, dim: Int = 64,
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val bgs = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "),
-            element_at(toks, i + 1))))
+    // Bigrams via zip_with over two slices of a MATERIALIZED token
+    // array, NOT transform(sequence, i => element_at(toks, i)):
+    // higher-order functions evaluate interpreted, and any outer
+    // expression inside the lambda BODY is re-evaluated per element —
+    // so element_at(toks, i) re-ran the whole regex tokenization once
+    // per token (O(tokens²) per doc, ~3 s of the old 3.5 s at 2000
+    // sf0.1 docs; T14Probe). As zip_with ARGUMENTS the slices
+    // evaluate once per row, and the explode(array(tokens)) Generate
+    // below is a projection boundary CollapseProject cannot cross, so
+    // the tokenization itself also runs exactly once per doc instead
+    // of once per slice/size reference.
+    val toksOf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array(tokens(lower(col(textCol))))).as("__t"))
+    val t = col("__t")
+    val bgs = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val contrib = docs
-      .select(col(idCol).as("doc_id"), explode(bgs).as("__bg"))
+    val contrib = toksOf
+      .select(col("doc_id"), explode(bgs).as("__bg"))
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("__bg")), 1, 12), 16, 10)
           .cast("long"), lit(dim)).as("__b"),
@@ -499,21 +513,34 @@ object TextOps {
           .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
           .as("__s"))
       .groupBy("doc_id", "__b").agg(sum(col("__s")).as("__v"))
+      // both the dense array AND the L2 norm come out of this
+      // aggregation, for two reasons that each cost a bench round to
+      // learn (T14Probe):
+      // (1) the norm as a later withColumn invited CollapseProject to
+      //     inline its fold lambda into EVERY one of the `dim` output
+      //     lambdas — an O(dim²) interpreted blowup (~80x:
+      //     t14_embed_knn benched 13 s at sf0.1 on 0.2 s of hashing).
+      //     Absent buckets contribute 0 to Σv², so the per-bucket sum
+      //     of squares IS the full-vector norm — exact integers,
+      //     bit-identical either way.
+      // (2) assembling the vector as map_from_entries + per-element
+      //     element_at made each of the `dim` lookups a linear scan
+      //     of the map INSIDE interpreted higher-order-function eval
+      //     (no codegen) — `dim` conditional sums are a plain
+      //     codegen'd hash aggregate producing a leaf array attribute
+      //     nothing can inline or rescan.
       .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v"))))
-        .as("__m"))
+      .agg(array((0 until dim).map(i =>
+          coalesce(sum(when(col("__b") === i, col("__v"))), lit(0L))): _*)
+          .as("__raw"),
+        sqrt(sum(col("__v") * col("__v")).cast("double")).as("__n"))
     docs.select(col(idCol).as("doc_id"))
       .join(contrib, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("__m"), i.cast("long")), lit(0L)))
-          .as("__raw"))
-      .withColumn("__n", sqrt(aggregate(col("__raw"), lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double"))))
-      .select(col("doc_id"),
-        transform(col("__raw"), x =>
-          when(col("__n") > 0,
-            graft.ext.Num.roundLike(x.cast("double") / col("__n"), 6))
-            .otherwise(lit(0.0)).cast("float")).as("embedding"))
+        when(col("__n") > 0,
+          transform(col("__raw"), x =>
+            graft.ext.Num.roundLike(x.cast("double") / col("__n"), 6)
+              .cast("float")))
+          .otherwise(array_repeat(lit(0.0f), dim)).as("embedding"))
   }
 }
