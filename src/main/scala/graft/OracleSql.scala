@@ -1163,6 +1163,21 @@ SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
 SELECT c.doc_a, c.doc_b, $jaccardSql AS jaccard
 FROM cands c JOIN dsh a ON c.doc_a = a.doc_id JOIN dsh b ON c.doc_b = b.doc_id""",
       extra = lshCandCtes),
+    // d12: the oracle is d2's FULL-corpus candidate SQL verbatim,
+    // restricted to pairs touching the % 10 = 9 batch — matching it
+    // proves the engine's incremental path (standing band index +
+    // batch probe, no standing re-pair) equals the rebuild
+    "d12_incremental_dedup" -> dq(raw"""
+SELECT c.doc_a, c.doc_b, $jaccardSql AS jaccard
+FROM cands c JOIN dsh a ON c.doc_a = a.doc_id JOIN dsh b ON c.doc_b = b.doc_id
+WHERE c.doc_a % 10 = 9 OR c.doc_b % 10 = 9""",
+      extra = lshCandCtes),
+    // served twin: snapshot-read standing index, identical semantics
+    "d12_incremental_served" -> dq(raw"""
+SELECT c.doc_a, c.doc_b, $jaccardSql AS jaccard
+FROM cands c JOIN dsh a ON c.doc_a = a.doc_id JOIN dsh b ON c.doc_b = b.doc_id
+WHERE c.doc_a % 10 = 9 OR c.doc_b % 10 = 9""",
+      extra = lshCandCtes),
     // dedupClusters mirrored: d2 candidates at jaccard >= 0.5 →
     // min-label closure over lpad-20 keys (numeric == string order;
     // 20 > the 19 digits of a non-negative long, so ids never truncate),

@@ -445,6 +445,21 @@ object QueryDefs {
       Retrieval.openBm25Index(s, dir)
     })
 
+  /** Standing-corpus band-index snapshot for the d12 served twin
+    * (same lifecycle as [[bm25IndexServed]]): rep 1 of the bench lane
+    * pays the standing index build+write, the median is the
+    * batch-probe serve over the reopened snapshot. */
+  private val bandIndexCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+  private def bandIndexServed(s: SparkSession, d: String): DataFrame =
+    bandIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bands").toString
+      Dedup.writeBandIndex(
+        table(s, d, "documents").filter(col("doc_id") % 10 =!= 9), dir)
+      Dedup.openBandIndex(s, dir)
+    })
+
   /** The s11 tree-write body, parameterized by the document-writer
     * regime. The listing reports LOGICAL tree files: the distributed
     * writer produces `chr<c>.json` as a directory of part files whose
@@ -487,6 +502,28 @@ object QueryDefs {
     "d1_exact_dedup" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
     "d2_minhash_lsh" -> ((s, d) =>
       Dedup.minhashCandidates(table(s, d, "documents"))),
+    // d12: INCREMENTAL dedup — the last-decile ids (doc_id % 10 = 9)
+    // arrive as a new batch, probed against the standing corpus's band
+    // index; the oracle is the FULL d2 rebuild restricted to
+    // batch-touching pairs, so the hash match IS the
+    // incremental ≡ rebuild equivalence proof (s9_graph_compact /
+    // r6_bm25_compacted precedent, dedup leg)
+    "d12_incremental_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val standing = docs.filter(col("doc_id") % 10 =!= 9)
+      Dedup.incrementalCandidates(standing,
+        Dedup.lshBands(standing, "doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 9))
+    }),
+    // ...and the SERVED twin: the standing band index read from a
+    // parquet snapshot instead of recomputed — the warm per-batch
+    // ingest shape (r1_bm25_served precedent). SAME oracle as d12.
+    "d12_incremental_served" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalCandidates(
+        docs.filter(col("doc_id") % 10 =!= 9), bandIndexServed(s, d),
+        docs.filter(col("doc_id") % 10 === 9))
+    }),
     "d3_simhash" -> ((s, d) =>
       Dedup.simhashDF(table(s, d, "documents"), "doc_id", "text", 16)),
     "d4_ngram_jaccard" -> ((s, d) => {
@@ -666,9 +703,16 @@ object QueryDefs {
     // -> hashed embedding -> brute-force cosine top-k, full row hash
     "t14_embed_knn" -> ((s, d) => {
       val docs = table(s, d, "documents").filter(col("doc_id") < 2000)
+      // MATERIALIZE the embedding frame before any consumer: the
+      // hashEmbed projection is a dim-lambda transform that Catalyst
+      // inlines into every downstream expression (filter + both join
+      // sides of the topK), multiplying its interpreted cost; at
+      // scale embeddings are computed once and persisted, never
+      // re-derived per consumer (T14Probe: topK 3.4 s inlined vs
+      // 0.33 s materialized on the same 2000 vectors).
       // positive-norm guard mirrors the oracle's HAVING: a zero vector
       // (bigram-less doc, or full sign cancellation) has no cosine
-      val emb = TextOps.hashEmbed(docs)
+      val emb = TextOps.hashEmbed(docs).localCheckpoint(eager = true)
         .filter(aggregate(col("embedding"), lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double")) > 0)
       Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 5),
@@ -722,12 +766,16 @@ object QueryDefs {
           (row_number().over(Window.orderBy(col("doc_id"),
             col("chunk_idx"))) - 1).cast("long"))
         .localCheckpoint(eager = true)
+      // checkpoint BEFORE the norm filter so the filter (and the ANN
+      // stages) scan concrete arrays instead of re-inlining the
+      // hashEmbed projection per consumer (same reasoning as
+      // t14_embed_knn)
       val vecs = TextOps.hashEmbed(cid, idCol = "vec_id",
           textCol = "chunk_text")
         .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint(eager = true)
         .filter(aggregate(col("embedding"), lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double")) > 0)
-        .localCheckpoint(eager = true)
       val g = Similarity.knnGraphNNDescent(vecs)
       val pool = Similarity.graphBeamSearch(vecs,
           g.select(col("src"), col("dst")), probeMax = 5, k = 20)
@@ -1459,7 +1507,12 @@ object QueryDefs {
     // round-11 w-family: the sort-merge as-of join (one shuffle +
     // window vs the oracle's quadratic range join — the event-log
     // enrichment shape)
-    "w1_asof_join")
+    "w1_asof_join",
+    // round-11 back half: the dedup leg's maintenance shape (batch
+    // probe against the standing band index — the s9_graph_insert
+    // analogue for MinHash-LSH) and its snapshot-served warm twin
+    // (rep 1 builds the standing index, the median is the probe)
+    "d12_incremental_dedup", "d12_incremental_served")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

@@ -135,6 +135,94 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Build-time half of the incremental-dedup serving pair: persist
+    * the standing corpus's band index as a parquet snapshot (sorted
+    * within partitions by (band, band_hash) so a batch probe prunes
+    * row groups via the parquet min/max index; at cluster scale the
+    * same frame would bucket by (band, band_hash) to make the probe
+    * join shuffle-free on the standing side). One-off cost per
+    * corpus, amortized over every ingest batch — and because
+    * [[lshBands]] is per-document pure, appending a processed batch's
+    * own band rows to the snapshot IS the index update. */
+  def writeBandIndex(docs: DataFrame, dir: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 3, bands: Int = 4,
+                     rowsPerBand: Int = 4): Unit =
+    lshBands(docs, idCol, textCol, k, bands, rowsPerBand)
+      .sortWithinPartitions("band", "band_hash")
+      .write.parquet(s"$dir/bands")
+
+  def openBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bands")
+
+  /** INCREMENTAL MinHash-LSH dedup — the maintenance shape for the
+    * dedup leg (the s9 graph-ANN insert / e13 postings-segment
+    * precedent): a NEW document batch is near-dup-checked against a
+    * STANDING corpus via its persisted band index, without re-pairing
+    * the standing corpus against itself.
+    *
+    * Because [[lshBands]] is a PURE per-document function (no
+    * corpus-level state enters a signature), the standing index is
+    * append-only: this call reads it, never rewrites it, and the new
+    * batch's own band rows are exactly what a later compaction (or
+    * the next incremental call's `standingBands`) unions in.
+    * Equivalence contract, pinned by the d12 gate oracle: the result
+    * equals the FULL-corpus [[minhashCandidates]] rebuild restricted
+    * to pairs touching the batch — band-pair generation distributes
+    * over the standing/batch split, and the Jaccard verify is
+    * per-pair.
+    *
+    * Cost shape at 100 TB: candidate generation is two equi-joins on
+    * (band, band_hash) — standing⋈batch (the standing side shuffles
+    * only its 4-row-per-doc band index, never text) and batch⋈batch
+    * (batch-sized) — and the verify step re-reads TEXT only for docs
+    * that appear in some candidate pair (left-semi pushdown below),
+    * so per-batch work scales with batch size + candidate count, not
+    * standing-corpus size.
+    *
+    * `standing`/`batch` carry (idCol, textCol); `standingBands` is
+    * the standing corpus's [[lshBands]] frame (recomputed or read
+    * from a snapshot — byte-identical either way, purity again).
+    * Same one-text-per-id precondition as [[minhashCandidates]].
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, ≥1 side in the
+    * batch. */
+  def incrementalCandidates(standing: DataFrame, standingBands: DataFrame,
+                            batch: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", k: Int = 3,
+                            bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bb = lshBands(batch, idCol, textCol, k, bands, rowsPerBand)
+    val cross = standingBands.as("l").join(bb.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc") =!= col("r.doc"))
+      .select(least(col("l.doc"), col("r.doc")).as("doc_a"),
+        greatest(col("l.doc"), col("r.doc")).as("doc_b"))
+    val intra = bb.as("l").join(bb.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+    val pairs = cross.union(intra).distinct()
+    // verify with candidate-bounded text access: only docs that made
+    // it into a pair have their shingle sets (re)computed — at scale
+    // the standing side is a semi-join-pruned scan, not a full pass
+    val ids = pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+    val sh = standing.select(col(idCol).as("doc"), col(textCol).as("__tx"))
+      .union(batch.select(col(idCol).as("doc"), col(textCol).as("__tx")))
+      .join(ids, Seq("doc"), "left_semi")
+      .select(col("doc"), array_distinct(
+        shinglesOfTokens(TextOps.tokens(lower(col("__tx"))), k)).as("sh"))
+    pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.roundLike(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))).cast("double"), 4)
+          .as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for a pair of text columns. */
   def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
     val sa = array_distinct(shingles(a, k))

@@ -29,6 +29,25 @@ class TextDedupSpec extends SparkSpec {
     assert(!cands.keySet.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
   }
 
+  test("incremental dedup == full rebuild restricted to batch-touching pairs") {
+    val batch = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (6L, "completely different words entirely unrelated here then"), // near 4
+      (7L, "nothing in common with anything else at all"))
+      .toDF("doc_id", "text")
+    val full = docs.union(batch)
+    val inc = Dedup.incrementalCandidates(docs,
+        Dedup.lshBands(docs, "doc_id", "text"), batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rebuilt = Dedup.minhashCandidates(full).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .filter { case ((a, b), _) => a >= 5L || b >= 5L }
+    assert(inc == rebuilt)                    // the equivalence contract
+    assert(inc.contains((1L, 5L)) && inc((1L, 5L)) == 1.0) // cross standing×batch
+    // standing-internal pairs (e.g. 1-3 exact dups) never re-emitted
+    assert(!inc.keySet.exists { case (a, b) => a < 5L && b < 5L })
+  }
+
   test("ngram jaccard: identical 1.0, disjoint 0.0") {
     val out = docs.as("a").join(docs.as("b"),
         col("a.doc_id") === 1L && col("b.doc_id") === 3L)
