@@ -3329,6 +3329,32 @@ UNION ALL
 SELECT doc_id, NULL AS term, CAST(0 AS BIGINT) AS tf,
        CAST(0 AS BIGINT) AS dl
 FROM toks WHERE len(toks) = 0"""),
+    // e15 streamed band segments == batch lshBands (per-document-pure
+    // like e13's postings). OWN CTE chain rather than lshCandCtes'
+    // `bands`: the shared `sh` CTE leaves array_to_string([]) NULL for
+    // zero-token docs where the engine's concat_ws gives '' — invisible
+    // in d2's PAIR form (a singleton band_hash pairs with nothing
+    // either way) but e15 pins the band rows DIRECTLY, so the empty-doc
+    // shingle must be the engine's '' exactly
+    "e15_stream_band_ingest" -> dq(raw"""
+SELECT doc_id, CAST(t.b AS BIGINT) AS band,
+       md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
+FROM sigE, (SELECT unnest([0,1,2,3]) AS b) t""",
+      extra = raw"""
+shE AS (SELECT doc_id,
+  CASE WHEN len(toks) < 3 THEN [coalesce(array_to_string(toks, ' '), '')]
+       ELSE list_transform(generate_series(0, len(toks)-3),
+              i -> array_to_string(toks[i+1:i+3], ' ')) END AS sh
+  FROM toks),
+dshE AS (SELECT doc_id, list_distinct(sh) AS sh FROM shE),
+hshE AS (SELECT doc_id,
+  list_transform(sh, s -> CAST('0x'||substr(md5(s||':a'),1,15) AS BIGINT)) AS n1s,
+  list_transform(sh, s -> CAST('0x'||substr(md5(s||':b'),1,15) AS BIGINT)
+                          % 140737488355327) AS n2s
+  FROM dshE),
+sigE AS (SELECT doc_id, list_transform(generate_series(0,15),
+  j -> list_min(list_transform(generate_series(1, len(n1s)),
+         i -> n1s[i] + j*n2s[i]))) AS sig FROM hshE)""".drop(1)),
     // r4 RM3-style PRF: pass-1 feedback docs = lex rank<=10, candidate
     // terms score Σ tf·idf (4 dp, original terms excluded), top-5 join
     // the query, pass 2 re-runs the bm25 chain over qt1 — mirrors

@@ -1252,6 +1252,22 @@ object QueryDefs {
       EventStreams.bm25IngestStreamFromParquet(s, s"$tmp/docs",
         docs.schema, s"$tmp/out")
     }),
+    // e15: the dedup-leg LSM twin of e12/e13 — documents stream in as
+    // two micro-batches (odd/even doc_id files), each appending its
+    // MinHash band segment; batch lshBands over the same corpus is the
+    // exact oracle (band rows are per-document-pure)
+    "e15_stream_band_ingest" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e15").toString
+      val now = System.currentTimeMillis()
+      writeOneFile(docs.filter(col("doc_id") % 2 === 0),
+        s"$tmp/docs/b0.parquet", now - 60000L)
+      writeOneFile(docs.filter(col("doc_id") % 2 === 1),
+        s"$tmp/docs/b1.parquet", now)
+      EventStreams.bandIngestStreamFromParquet(s, s"$tmp/docs",
+        docs.schema, s"$tmp/out")
+    }),
     // e14: the as-of join as a STATEFUL stream — two event-time-split
     // micro-batches (the file source's in-order contract); per-user
     // state carries the latest reference across the batch boundary, so
@@ -1580,7 +1596,8 @@ object QueryDefs {
         "e6_stream_ivf_assign", "e7_stream_decontaminate",
         "e8_stream_sample", "e9_stream_sq8", "e10_stream_intradoc",
         "e11_stream_response_cache", "e12_stream_graph_ingest",
-        "e13_stream_bm25_ingest", "e14_stream_asof")),
+        "e13_stream_bm25_ingest", "e14_stream_asof",
+        "e15_stream_band_ingest")),
       // reader/format lanes: bounded fixture IO, benched once via
       // s11_tree_write's full pipeline scan
       ("bounded fixture reader" -> Seq(

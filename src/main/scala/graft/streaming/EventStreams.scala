@@ -559,6 +559,42 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** e15: the DEDUP-leg LSM ingest, completing the streaming-ingest
+    * trilogy with e12 (dense graph-ANN) and e13 (lexical postings):
+    * document micro-batches drain through foreachBatch, each batch
+    * appending its [[graft.ext.Dedup.lshBands]] MinHash band segment
+    * (doc_id, band, band_hash) to `outDir`. A document is
+    * near-dup-probeable the moment its batch commits — the standing
+    * index [[graft.ext.Dedup.incrementalCandidates]] reads IS this
+    * accumulated segment set (band rows are a pure per-document
+    * function, no corpus-level state), so ingest and probe share one
+    * frame and "compaction" is a no-op beyond file coalescing.
+    * Purity also makes the batch lshBands over the same corpus the
+    * exact oracle regardless of batch splits, ordering, or replay.
+    * `maxFilesPerTrigger=1` makes each document file one
+    * micro-batch. */
+  def bandIngestStreamFromParquet(spark: SparkSession, docDir: String,
+                                  rawSchema: org.apache.spark.sql.types.StructType,
+                                  outDir: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("e15ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.Dedup.lshBands(batch.toDF(), "doc_id", "text")
+          .select(col("doc").as("doc_id"),
+            col("band").cast("long").as("band"), col("band_hash"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.read.parquet(outDir)
+  }
+
   /** e11: the S12 response memo-cache as a STREAMING service loop —
     * request micro-batches drain through foreachBatch, and EVERY batch
     * runs [[graft.core.Serving.serveCachedDir]] against the SAME

@@ -313,6 +313,53 @@ class EventStreamsSpec extends SparkSpec {
       "compacted-segment serve == direct batch bm25")
   }
 
+  test("streaming band ingest emits exactly the batch lshBands segments " +
+      "across a two-batch split, and the incremental probe reads them") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different words entirely unrelated here"),
+      (5L, "")  // zero-token doc: '' shingle, still banded
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("e15spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/docs/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "b0", now - 60000L)
+    writeOne(docs.filter(col("doc_id") % 2 === 1), "b1", now)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val streamed = EventStreams.bandIngestStreamFromParquet(spark,
+      s"$tmp/docs", docs.schema, s"$tmp/out")
+    val batchSeg = graft.ext.Dedup.lshBands(docs, "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("band").cast("long"),
+        col("band_hash"))
+    assert(canon(streamed) == canon(batchSeg), "stream == batch bands")
+    assert(streamed.filter(col("doc_id") === 5L).count() == 4,
+      "zero-token doc still carries its 4 band rows")
+    // the streamed segments ARE the standing index an incremental
+    // probe reads — new batch 6 finds its dup of doc 1 through them
+    val batch6 = Seq((6L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val inc = graft.ext.Dedup.incrementalCandidates(
+        docs, streamed.select(col("doc_id").as("doc"), col("band"),
+          col("band_hash")), batch6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc.contains((1L, 6L)) && inc((1L, 6L)) == 1.0,
+      "probe through streamed segments finds the planted dup")
+  }
+
   test("streaming as-of enriches batch-2 probes against batch-1 state " +
       "and matches the batch twin") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
