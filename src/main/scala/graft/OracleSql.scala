@@ -1550,6 +1550,63 @@ per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(nt) AS BIGINT) AS n_tokens FROM ptoks GROUP BY source),
 ptot AS (SELECT sum(n_tokens) AS total, max(n_tokens) AS mx FROM per)"""
         .drop(1)),
+    // p9: the shard is the first 12 md5 hex digits of id:salt mod
+    // nShards, the position the per-shard rank of the full md5 key —
+    // mirrors Sampling.shardShuffle literal for literal
+    "p9_shard_shuffle" -> raw"""
+WITH b AS (SELECT doc_id,
+    md5(CAST(doc_id AS VARCHAR)||':p9') AS k,
+    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':p9'),1,12) AS BIGINT)
+      % 8 AS shard
+  FROM documents)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+    AS BIGINT) AS pos
+FROM b""",
+    // p10: replays p3's per/ptot weight aggregation, rescales ×2.5,
+    // then floor(w) + (u < frac) copies per doc with the p1-style
+    // 48-bit keyed uniform — identical IEEE doubles in both engines
+    "p10_epoch_upsample" -> dq(raw"""
+SELECT doc_id, "group", CAST(unnest(generate_series(0, n_copies - 1))
+    AS BIGINT) AS copy_idx, n_copies
+FROM ucnt WHERE n_copies > 0""",
+      extra = raw"""
+ptoks AS (SELECT source, len(list_filter(string_split_regex(
+            trim(lower(text)), '\s+'), t -> t <> '')) AS nt
+          FROM documents),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS n_tokens FROM ptoks GROUP BY source),
+ptot AS (SELECT sum(n_tokens) AS total, max(n_tokens) AS mx FROM per),
+wgt AS (SELECT source,
+    round(sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)), 6)
+      * 2.5 AS w
+  FROM per, ptot),
+ubase AS (SELECT d.doc_id, d.source AS "group", g.w,
+    CAST('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||':p10'),1,12)
+      AS BIGINT) / 281474976710656.0 AS u
+  FROM documents d JOIN wgt g ON g.source = d.source),
+ucnt AS (SELECT doc_id, "group",
+    CAST(floor(w) AS BIGINT)
+      + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+  FROM ubase)""".drop(1)),
+    // v1: snapshot diff over the %7/%11/%5 fixture split — status from
+    // hash presence/inequality exactly as Versioning.corpusDiff
+    "v1_corpus_diff" -> raw"""
+WITH oldv AS (SELECT doc_id, md5(text) AS old_hash FROM documents
+    WHERE doc_id % 7 <> 3),
+newv AS (SELECT doc_id,
+    md5(CASE WHEN doc_id % 5 = 0 THEN text||' v2' ELSE text END)
+      AS new_hash
+  FROM documents WHERE doc_id % 11 <> 0),
+dv AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+    CASE WHEN o.old_hash IS NULL THEN 'added'
+         WHEN n.new_hash IS NULL THEN 'removed'
+         WHEN o.old_hash <> n.new_hash THEN 'changed'
+         ELSE 'same' END AS status,
+    o.old_hash, n.new_hash
+  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+SELECT doc_id, status, old_hash, new_hash FROM dv
+WHERE status <> 'same'""",
     // piiScrub mirrored: same planted PII construction, same
     // Java/RE2-identical patterns, same email → IP → phone sequential
     // count-then-replace composition

@@ -925,6 +925,34 @@ object QueryDefs {
     // map-only, full chunk-text row hash
     "p8_chunk_docs" -> ((s, d) =>
       Sampling.chunkDocs(table(s, d, "documents"))),
+    // p9: deterministic training-order shuffle → (shard, pos) — the
+    // epoch-reproducible shard materialization; one balanced window
+    // shuffle, full row hash
+    "p9_shard_shuffle" -> ((s, d) =>
+      Sampling.shardShuffle(table(s, d, "documents"))),
+    // p10: materialize the mixture p3 prescribes — temperature weights
+    // rescaled ×2.5 so the gate exercises floor≥1 repeats AND the
+    // fractional keyed-uniform copy on real data; broadcast join +
+    // map-only posexplode, full copy-row hash
+    "p10_epoch_upsample" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Sampling.epochUpsample(docs,
+        Sampling.mixtureWeights(docs)
+          .select(col("source"), (col("temp_weight") * 2.5).as("weight")))
+    }),
+    // v1: corpus snapshot diff — the between-runs delta (added /
+    // removed / changed) driving incremental re-embedding/re-deduping;
+    // fixture: old drops the %7=3 ids, new drops %11=0 and rewrites
+    // the %5=0 texts
+    "v1_corpus_diff" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Versioning.corpusDiff(
+        docs.filter(col("doc_id") % 7 =!= 3),
+        docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text")))
+    }),
     "t9_bigram_lm" -> ((s, d) =>
       TextOps.bigramCounts(table(s, d, "documents"))),
     "t10_lm_crossentropy" -> ((s, d) =>
@@ -1598,6 +1626,12 @@ object QueryDefs {
         "e11_stream_response_cache", "e12_stream_graph_ingest",
         "e13_stream_bm25_ingest", "e14_stream_asof",
         "e15_stream_band_ingest")),
+      // sub-second at the bench SF: single balanced shuffle (p9) /
+      // broadcast join + map-only explode (p10) / one id-hash join
+      // (v1) — their engines are plain builtin shapes the heavier
+      // family lanes already time
+      ("sub-second map-only or single-shuffle lane" -> Seq(
+        "p9_shard_shuffle", "p10_epoch_upsample", "v1_corpus_diff")),
       // reader/format lanes: bounded fixture IO, benched once via
       // s11_tree_write's full pipeline scan
       ("bounded fixture reader" -> Seq(

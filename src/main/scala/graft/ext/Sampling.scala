@@ -298,16 +298,91 @@ object Sampling {
                 textCol: String = "text"): DataFrame = {
     require(overlap < chunkTokens, "overlap must leave a positive stride")
     val stride = chunkTokens - overlap
-    val toks = TextOps.tokens(col(textCol))
-    val starts = when(size(toks) > 0,
-        sequence(lit(0), size(toks) - 1, lit(stride)))
+    // tokenize behind an explode(array(...)) Generate boundary so the
+    // slice lambda below reads a concrete array attribute — an outer
+    // tokenizer expression inside a HOF lambda body re-evaluates once
+    // PER CHUNK (the t14 lesson, TextOps.hashEmbed)
+    val toksOf = docs.select(col(idCol).as("doc_id"),
+      explode(array(TextOps.tokens(col(textCol)))).as("__t"))
+    val t = col("__t")
+    val starts = when(size(t) > 0,
+        sequence(lit(0), size(t) - 1, lit(stride)))
       .otherwise(array().cast("array<int>"))
     val chunks = transform(starts,
-      s => slice(toks, s + 1, lit(chunkTokens)))
-    docs
-      .select(col(idCol).as("doc_id"), posexplode(chunks))
+      s => slice(t, s + 1, lit(chunkTokens)))
+    toksOf
+      .select(col("doc_id"), posexplode(chunks))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         size(col("col")).cast("long").as("n_tokens"),
         concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
+  /** Deterministic training-order shuffle + fixed shard assignment —
+    * the corpus-to-training-shards materialization step: every doc
+    * gets a pseudo-random SHARD (first 12 md5 hex digits of id:salt,
+    * mod nShards — the [[stratifiedSample]] keyed-uniform trick) and a
+    * pseudo-random POSITION within its shard (rank of the md5 key,
+    * doc-id tiebreak), so a shard writer emits each shard's docs in
+    * `pos` order and the global read order is epoch-reproducible from
+    * (salt, nShards) alone — no RNG state, retry/cluster-shape
+    * independent.
+    *
+    * Scale: ONE shuffle (the per-shard rank window); shards are
+    * md5-uniform so the nShards window partitions are balanced, and
+    * parallelism = nShards independent sorted windows (the
+    * [[packSequences]] regime) — no global-order single-task window,
+    * which is exactly what this construction dodges: a total order
+    * DEFINED as (shard, pos) needs no global sort to materialize.
+    * Output: (doc_id, shard, pos). */
+  def shardShuffle(docs: DataFrame, nShards: Int = 8,
+                   idCol: String = "doc_id",
+                   salt: String = "p9"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__k"), col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), key.as("__k"),
+        pmod(conv(substring(key, 1, 12), 16, 10).cast("long"),
+          lit(nShards.toLong)).as("shard"))
+      .select(col("doc_id"), col("shard"),
+        (row_number().over(w) - 1).cast("long").as("pos"))
+  }
+
+  /** Deterministic fractional upsampling — materialize the mixture a
+    * weight table prescribes (e.g. [[mixtureWeights]]' temperature
+    * weights rescaled to target epochs): a doc in a group with weight
+    * w is emitted floor(w) times always, plus once more when its
+    * keyed-uniform u < frac(w) — so realized group sizes hit w ×
+    * n_docs in expectation with ZERO RNG state, and every copy is
+    * identified by copy_idx (a trainer shuffles copies apart via
+    * [[shardShuffle]] on (doc_id, copy_idx)).
+    *
+    * Scale: one broadcast join (the weight table is one row per
+    * group) + a map-only posexplode — ≈ w copies per doc, no shuffle,
+    * no state. Weights < 1 downsample (floor 0 + probabilistic keep:
+    * exactly [[stratifiedSample]]'s acceptance), weights > 1
+    * upsample; w ≤ 0 drops the group.
+    * Output: (doc_id, group, copy_idx, n_copies). */
+  def epochUpsample(docs: DataFrame, weights: DataFrame,
+                    byCol: String = "source", idCol: String = "doc_id",
+                    weightCol: String = "weight",
+                    salt: String = "p10"): DataFrame = {
+    val u = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 12),
+      16, 10).cast("long").cast("double") / lit(281474976710656.0)
+    val nCopies = (floor(col("__w")).cast("long") +
+      when(u < col("__w") - floor(col("__w")), lit(1L)).otherwise(lit(0L)))
+      .as("n_copies")
+    docs
+      .select(col(idCol).as("doc_id"), col(byCol).as("group"))
+      .join(broadcast(weights.select(col(byCol).as("group"),
+        col(weightCol).cast("double").as("__w"))), Seq("group"))
+      .select(col("doc_id"), col("group"), nCopies)
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("group"),
+        posexplode(sequence(lit(0L), col("n_copies") - 1)), col("n_copies"))
+      .select(col("doc_id"), col("group"),
+        col("col").as("copy_idx"), col("n_copies"))
   }
 }

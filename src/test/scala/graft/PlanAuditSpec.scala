@@ -107,7 +107,9 @@ class PlanAuditSpec extends SparkSpec {
     "t12_perplexity_buckets" ->
       "per-doc score frame × broadcast 1-row quantile cut points (TextOps.perplexityBuckets)",
     "p7_cluster_mixture" ->
-      "corpus × broadcast centroid codebook (k=16) + k-row counts × 1-row totals (Sampling.clusterMixture)")
+      "corpus × broadcast centroid codebook (k=16) + k-row counts × 1-row totals (Sampling.clusterMixture)",
+    "p10_epoch_upsample" ->
+      "the weight table comes from mixtureWeights: per-source frame × broadcast 1-row corpus totals (the p3 cross); the upsample itself is one broadcast equi-join + map-only posexplode (Sampling.epochUpsample)")
 
   test("every registered query plans without an unlisted cartesian/nested-loop join") {
     val dir = "/root/testdata/sf0.001"

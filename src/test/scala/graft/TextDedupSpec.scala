@@ -285,6 +285,51 @@ class TextDedupSpec extends SparkSpec {
     assert(re == out.view.mapValues(_._3).toMap)
   }
 
+  test("shard shuffle: dense per-shard positions, total preserved, salt changes order") {
+    val d = spark.range(0, 200).toDF("doc_id")
+    val out = Sampling.shardShuffle(d, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 200)
+    assert(out.map(_._1).toSet == (0L until 200L).toSet, "every doc placed once")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        "positions dense 0..n-1 within each shard") }
+    val again = Sampling.shardShuffle(d, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet, "deterministic across runs")
+    val salted = Sampling.shardShuffle(d, nShards = 4, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSet != out.toSet, "salt reshuffles")
+  }
+
+  test("epoch upsample: integer weights copy exactly, fractional in expectation, zero drops") {
+    val d = spark.range(0, 300)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+          .otherwise("c").as("source"))
+    val w = Seq(("a", 2.0), ("b", 0.5), ("c", 0.0)).toDF("source", "weight")
+    val out = Sampling.epochUpsample(d, w).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byGroup = out.groupBy(_._2)
+    assert(byGroup("a").length == 200, "w=2.0 -> exactly two copies of each")
+    assert(byGroup("a").forall(_._4 == 2L))
+    assert(byGroup("a").count(_._3 == 1L) == 100, "copy_idx identifies copies")
+    val b = byGroup("b")
+    assert(b.forall(r => r._3 == 0L && r._4 == 1L), "w=0.5 -> at most one copy")
+    assert(b.length > 20 && b.length < 80, s"~half of 100 kept, got ${b.length}")
+    assert(!byGroup.contains("c"), "w=0 drops the group")
+  }
+
+  test("corpus diff: added/removed/changed classified, unchanged suppressed") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "beta"), (3L, "gamma CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Versioning.corpusDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
   test("cluster mixture: per-centroid counts, exact shares, √-temperature weights") {
     val cb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
       .toDF("centroid_id", "centv")
