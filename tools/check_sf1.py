@@ -57,11 +57,23 @@ for name in sorted(status):
     print(f"{results[name]['verdict']:14s} {name} "
           f"({results[name]['sec']}s)", flush=True)
 
+# MERGE into an existing artifact rather than overwrite: a side-dir
+# run covering only new lanes must not clobber the consolidated
+# full-registry verdicts (the foot-gun that twice truncated the
+# committed artifact to the session's 3 lanes before this guard)
+merged = dict(results)
+try:
+    with open("CORRECTNESS_sf1.json") as f:
+        prior = json.load(f).get("results", {})
+    merged = {**prior, **results}
+except (FileNotFoundError, json.JSONDecodeError):
+    pass
 counts = {}
-for r in results.values():
+for r in merged.values():
     counts[r["verdict"]] = counts.get(r["verdict"], 0) + 1
 summary = {"sf_dir": sf, "timeout_s": tmo, "counts": counts,
-           "results": results}
+           "results": merged}
 with open("CORRECTNESS_sf1.json", "w") as f:
     json.dump(summary, f, indent=1, sort_keys=True)
-print(json.dumps(counts))
+print(json.dumps(counts), f"({len(results)} checked this run, "
+      f"{len(merged)} total in artifact)")
