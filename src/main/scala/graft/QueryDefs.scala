@@ -873,10 +873,17 @@ object QueryDefs {
     "t3_lang_id" -> ((s, d) =>
       table(s, d, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang"))),
+    // tokens pre-bound through a Generate boundary so the rolling
+    // window lambda slices an attribute instead of re-tokenizing per
+    // window (the t14/chunkDocs lesson)
     "t4_fingerprints" -> ((s, d) =>
-      table(s, d, "documents").select(col("doc_id"),
-        TextOps.fingerprint(col("text")).as("fingerprint"),
-        TextOps.rollingFingerprint(col("text"), 8).as("rolling_fp"))),
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(array(TextOps.tokens(lower(col("text"))))).as("__t"))
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fingerprint"),
+          TextOps.rollingFingerprintOfTokens(col("__t"), 8)
+            .as("rolling_fp"))),
     "t5_tfidf" -> ((s, d) => TextOps.tfidf(table(s, d, "documents"))),
     "t11_gopher_filter" -> ((s, d) =>
       TextOps.gopherFilter(table(s, d, "documents"))),
@@ -1163,8 +1170,9 @@ object QueryDefs {
     "e7_stream_decontaminate" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val benchRow = docs.filter(col("doc_id") % 37 === 0)
-        .select(explode(array_distinct(Dedup.shinglesOfTokens(
-          TextOps.tokens(lower(col("text"))), 5))).as("__g"))
+        .select(TextOps.tokens(lower(col("text"))).as("__toks"))
+        .select(explode(array_distinct(
+          Dedup.shinglesOfTokens(col("__toks"), 5))).as("__g"))
         .select(substring(md5(col("__g")), 1, 16).as("__gh")).distinct()
         .groupBy().agg(sort_array(collect_set(col("__gh"))).as("bgrams"))
         .localCheckpoint(eager = true) // freeze before the stream starts

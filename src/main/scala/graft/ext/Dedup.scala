@@ -212,8 +212,10 @@ object Dedup {
     val sh = standing.select(col(idCol).as("doc"), col(textCol).as("__tx"))
       .union(batch.select(col(idCol).as("doc"), col(textCol).as("__tx")))
       .join(ids, Seq("doc"), "left_semi")
-      .select(col("doc"), array_distinct(
-        shinglesOfTokens(TextOps.tokens(lower(col("__tx"))), k)).as("sh"))
+      .select(col("doc"),
+        TextOps.tokens(lower(col("__tx"))).as("__toks"))
+      .select(col("doc"),
+        array_distinct(shinglesOfTokens(col("__toks"), k)).as("sh"))
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc"))

@@ -87,15 +87,23 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Rolling (windowed) fingerprint: min md5 over all w-token windows —
-    * a winnowing-style content fingerprint robust to prefix/suffix edits. */
-  def rollingFingerprint(text: Column, w: Int = 8): Column = {
-    val toks = tokens(lower(text))
-    val windows = transform(
+  /** Rolling (windowed) fingerprint over a PRE-BOUND token-array
+    * column (the [[Dedup.shinglesOfTokens]] contract — bind the
+    * tokenizer into a real column/Generate boundary first): min md5
+    * over all w-token windows — a winnowing-style content fingerprint
+    * robust to prefix/suffix edits. */
+  def rollingFingerprintOfTokens(toks: Column, w: Int = 8): Column =
+    array_min(transform(
       sequence(lit(0), greatest(size(toks) - w, lit(0))),
-      i => md5(concat_ws(" ", slice(toks, i + 1, lit(w)))))
-    array_min(windows)
-  }
+      i => md5(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+
+  /** Single-expression form for ad-hoc / per-pair use ONLY: the
+    * tokenizer sits inside the window lambda's body, so interpreted
+    * HOF eval re-runs it once PER WINDOW — O(tokens × tokenize) per
+    * doc (the t14 lesson). Batch paths pre-bind and call
+    * [[rollingFingerprintOfTokens]]. */
+  def rollingFingerprint(text: Column, w: Int = 8): Column =
+    rollingFingerprintOfTokens(tokens(lower(text)), w)
 
   /** tf-idf weights per (document, term): `tf` = in-document term
     * count, `df` = number of documents containing the term, `tfidf` =

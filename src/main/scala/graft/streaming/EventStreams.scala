@@ -351,11 +351,15 @@ object EventStreams {
     val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", base).parquet(dir)
     val ckpt = java.nio.file.Files.createTempDirectory("e7ckpt").toString
+    // tokens pre-bound into a real column first (the shinglesOfTokens
+    // contract): a raw tokenizer expression inside the shingle lambda
+    // re-runs once per shingle
     val grams = array_distinct(transform(
-      graft.ext.Dedup.shinglesOfTokens(
-        graft.ext.TextOps.tokens(lower(col("text"))), n),
+      graft.ext.Dedup.shinglesOfTokens(col("__toks"), n),
       g => substring(md5(g), 1, 16)))
     val q = raw.filter(streamFilter)
+      .select(col("doc_id"),
+        graft.ext.TextOps.tokens(lower(col("text"))).as("__toks"))
       .select(col("doc_id"), grams.as("__grams"))
       .crossJoin(benchRow)
       .select(col("doc_id"),
