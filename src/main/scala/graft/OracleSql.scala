@@ -2646,6 +2646,10 @@ FROM read_parquet('$fxRoot/s9_snapshot/*/*.parquet', hive_partitioning=true)""")
     * it every round instead of trusting the ScalaTest equality specs. */
   val distRegime: Map[String, String] = Map(
     "a6_components_dist" -> graph("a6_components"),
+    // incremental CC pins the FULL-rebuild oracle verbatim — the split
+    // never appears in SQL, so the match proves fold-in ≡ rebuild
+    "a6_components_inc" -> graph("a6_components"),
+    "a6_components_inc_served" -> graph("a6_components"),
     "a7_diameter_dist" -> graph("a7_diameter"),
     "g6_randomize_dist" -> randomizeOracles("g6_randomize"),
     // distributedDocs=Some(true): chr<c>.json becomes a part-file

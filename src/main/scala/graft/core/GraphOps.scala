@@ -431,6 +431,59 @@ object GraphOps {
 
   /** Component count + largest-component share "NN.NN%" (2 dp) —
     * reference metadata fields (network_generator_lib.R:415-417). */
+  /** INCREMENTAL connected components — the graph leg of the
+    * maintenance family (s9 dense-ANN insert / r6 lexical compaction /
+    * d12 dedup probe): fold a NEW edge batch into a STANDING labeling
+    * (the (id, comp) frame a prior [[connectedComponents]] produced)
+    * without re-traversing the standing graph.
+    *
+    * Construction: batch endpoints resolve to their standing labels
+    * (an endpoint the standing graph never saw is its own label); the
+    * contracted LABEL graph — at most 2·|batch| nodes, regardless of
+    * standing size — runs the ordinary CC; the resulting root map
+    * relabels only the standing components it mentions. Because every
+    * standing label IS the min id of its component, the min over a
+    * merged group of labels equals the min over all member ids, so the
+    * output is bit-identical to a full rebuild over
+    * standing ∪ batch — which is exactly what the a6_components_inc
+    * gate oracle pins (full-rebuild SQL, no split in sight).
+    *
+    * Cost shape at scale: two batch-sized equi-joins against the
+    * standing labels (the standing side shuffles nothing — the labels
+    * frame is id-keyed and the batch broadcasts when small), one CC
+    * over the contracted batch-label graph, and one broadcast-sized
+    * relabel join; components untouched by the batch pass through
+    * with their rows unchanged. */
+  def incrementalComponents(standing: DataFrame,
+                            newEdges: DataFrame,
+                            maxIter: Int = 50): DataFrame = {
+    val lbl = standing.select(col("id"), col("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val le = newEdges.select(col("src"), col("dst"))
+        .join(lbl.select(col("id").as("src"), col("comp").as("__ls")),
+          Seq("src"), "left")
+        .join(lbl.select(col("id").as("dst"), col("comp").as("__ld")),
+          Seq("dst"), "left")
+        .select(coalesce(col("__ls"), col("src")).as("src"),
+          coalesce(col("__ld"), col("dst")).as("dst"))
+      // merged: (label, new root) for every label incident to the batch
+      val merged = connectedComponents(le, maxIter)
+        .localCheckpoint(eager = true)
+      val relabeled = lbl
+        .join(merged.select(col("id").as("comp"), col("comp").as("__new")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("__new"), col("comp")).as("comp"))
+      // nodes that exist only in the batch: their label is their own id
+      val newRows = newEdges.select(col("src").as("id"))
+        .union(newEdges.select(col("dst").as("id"))).distinct()
+        .join(lbl.select(col("id")), Seq("id"), "left_anti")
+        .join(merged, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      relabeled.unionByName(newRows).localCheckpoint(eager = true)
+    } finally lbl.unpersist(blocking = false)
+  }
+
   def componentStats(edges: DataFrame): DataFrame = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     try componentStatsSym(sym, sym.count())

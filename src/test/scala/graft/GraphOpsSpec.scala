@@ -42,6 +42,31 @@ class GraphOpsSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("A6 incremental CC == full rebuild: merges, new nodes, untouched components") {
+    // standing: {a,b,c} (label a), {x,y} (label x), {p,q} (label p)
+    val standingEdges = edgesOf(Seq(
+      "a" -> "b", "b" -> "c", "x" -> "y", "p" -> "q"))
+    val standing = GraphOps.connectedComponents(standingEdges)
+    // batch: bridges the a- and x-components, attaches brand-new node
+    // n to y, and adds a fully-new pair (u, v); {p,q} untouched
+    val batch = edgesOf(Seq("c" -> "x", "y" -> "n", "u" -> "v"))
+    val inc = GraphOps.incrementalComponents(standing, batch).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val full = GraphOps.connectedComponents(
+        standingEdges.unionByName(batch)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inc == full, "incremental == rebuild")
+    assert(inc("n") == "a" && inc("x") == "a", "merge + new node labeled")
+    assert(inc("u") == "u" && inc("v") == "u", "fully-new pair labeled")
+    assert(inc("p") == "p" && inc("q") == "p", "untouched component intact")
+    // empty batch is the identity
+    val id = GraphOps.incrementalComponents(standing,
+      edgesOf(Seq.empty)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(id == standing.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap)
+  }
+
   test("A6 component stats formats the largest-share percentage") {
     val row = GraphOps.componentStats(twoComponents).collect()(0)
     assert(row.getLong(0) == 2L)
