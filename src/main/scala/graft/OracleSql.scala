@@ -1124,6 +1124,26 @@ cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id)"""
     .drop(1)
 
+  /** The short-doc-exact band chain (Dedup.lshBands mirrored for a
+    * DIRECT band-row pin — see the e15 oracle comment), parameterized
+    * by the (doc_id, toks) source CTE so e15 (the documents table)
+    * and v2 (the refreshed snapshot) share one construction. */
+  private def bandChainCtes(src: String): String = raw"""
+shE AS (SELECT doc_id,
+  CASE WHEN len(toks) < 3 THEN [coalesce(array_to_string(toks, ' '), '')]
+       ELSE list_transform(generate_series(0, len(toks)-3),
+              i -> array_to_string(toks[i+1:i+3], ' ')) END AS sh
+  FROM $src),
+dshE AS (SELECT doc_id, list_distinct(sh) AS sh FROM shE),
+hshE AS (SELECT doc_id,
+  list_transform(sh, s -> CAST('0x'||substr(md5(s||':a'),1,15) AS BIGINT)) AS n1s,
+  list_transform(sh, s -> CAST('0x'||substr(md5(s||':b'),1,15) AS BIGINT)
+                          % 140737488355327) AS n2s
+  FROM dshE),
+sigE AS (SELECT doc_id, list_transform(generate_series(0,15),
+  j -> list_min(list_transform(generate_series(1, len(n1s)),
+         i -> n1s[i] + j*n2s[i]))) AS sig FROM hshE)""".drop(1)
+
   /** Dedup.simhash(text, 16) mirrored bit-by-bit. */
   private val simhash16Sql: String = (0 until 16).map { j =>
     val pos = j / 4 + 1
@@ -1589,6 +1609,19 @@ ucnt AS (SELECT doc_id, "group",
     CAST(floor(w) AS BIGINT)
       + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n_copies
   FROM ubase)""".drop(1)),
+    // v2: refresh ≡ rebuild — the oracle bands the WHOLE refreshed
+    // snapshot (the engine touched only the delta); same chain as e15
+    "v2_index_refresh" -> (raw"""
+WITH vnew AS (SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text||' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0),
+toksV AS (SELECT doc_id,
+  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')
+    AS toks FROM vnew),
+""" + bandChainCtes("toksV") + raw"""
+SELECT doc_id, CAST(t.b AS BIGINT) AS band,
+       md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
+FROM sigE, (SELECT unnest([0,1,2,3]) AS b) t"""),
     // v1: snapshot diff over the %7/%11/%5 fixture split — status from
     // hash presence/inequality exactly as Versioning.corpusDiff
     "v1_corpus_diff" -> raw"""
@@ -3395,27 +3428,13 @@ FROM toks WHERE len(toks) = 0"""),
     // `bands`: the shared `sh` CTE leaves array_to_string([]) NULL for
     // zero-token docs where the engine's concat_ws gives '' — invisible
     // in d2's PAIR form (a singleton band_hash pairs with nothing
-    // either way) but e15 pins the band rows DIRECTLY, so the empty-doc
-    // shingle must be the engine's '' exactly
-    "e15_stream_band_ingest" -> dq(raw"""
-SELECT doc_id, CAST(t.b AS BIGINT) AS band,
-       md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash
-FROM sigE, (SELECT unnest([0,1,2,3]) AS b) t""",
-      extra = raw"""
-shE AS (SELECT doc_id,
-  CASE WHEN len(toks) < 3 THEN [coalesce(array_to_string(toks, ' '), '')]
-       ELSE list_transform(generate_series(0, len(toks)-3),
-              i -> array_to_string(toks[i+1:i+3], ' ')) END AS sh
-  FROM toks),
-dshE AS (SELECT doc_id, list_distinct(sh) AS sh FROM shE),
-hshE AS (SELECT doc_id,
-  list_transform(sh, s -> CAST('0x'||substr(md5(s||':a'),1,15) AS BIGINT)) AS n1s,
-  list_transform(sh, s -> CAST('0x'||substr(md5(s||':b'),1,15) AS BIGINT)
-                          % 140737488355327) AS n2s
-  FROM dshE),
-sigE AS (SELECT doc_id, list_transform(generate_series(0,15),
-  j -> list_min(list_transform(generate_series(1, len(n1s)),
-         i -> n1s[i] + j*n2s[i]))) AS sig FROM hshE)""".drop(1)),
+    // either way) but e15/v2 pin the band rows DIRECTLY, so the
+    // empty-doc shingle must be the engine's '' exactly
+    "e15_stream_band_ingest" -> dq(
+      "SELECT doc_id, CAST(t.b AS BIGINT) AS band,\n" +
+      "       md5(array_to_string(sig[t.b*4+1:t.b*4+4], '|')) AS band_hash\n" +
+      "FROM sigE, (SELECT unnest([0,1,2,3]) AS b) t",
+      extra = bandChainCtes("toks")),
     // r4 RM3-style PRF: pass-1 feedback docs = lex rank<=10, candidate
     // terms score Σ tf·idf (4 dp, original terms excluded), top-5 join
     // the query, pass 2 re-runs the bm25 chain over qt1 — mirrors

@@ -982,6 +982,24 @@ object QueryDefs {
         Sampling.mixtureWeights(docs)
           .select(col("source"), (col("temp_weight") * 2.5).as("weight")))
     }),
+    // v2: the diff DRIVES an index refresh — stale band rows dropped,
+    // fresh ones appended from the new snapshot's text; the oracle is
+    // the e15 band SQL over the WHOLE new snapshot, so the hash match
+    // proves refresh ≡ rebuild (per-refresh work scales with the
+    // delta, never the corpus)
+    "v2_index_refresh" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 3)
+      val nw = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Versioning.refreshBandIndex(
+          Dedup.lshBands(old, "doc_id", "text"),
+          Versioning.corpusDiff(old, nw), nw)
+        .select(col("doc").as("doc_id"),
+          col("band").cast("long").as("band"), col("band_hash"))
+    }),
     // v1: corpus snapshot diff — the between-runs delta (added /
     // removed / changed) driving incremental re-embedding/re-deduping;
     // fixture: old drops the %7=3 ids, new drops %11=0 and rewrites
@@ -1677,7 +1695,8 @@ object QueryDefs {
       // (v1) — their engines are plain builtin shapes the heavier
       // family lanes already time
       ("sub-second map-only or single-shuffle lane" -> Seq(
-        "p9_shard_shuffle", "p10_epoch_upsample", "v1_corpus_diff")),
+        "p9_shard_shuffle", "p10_epoch_upsample", "v1_corpus_diff",
+        "v2_index_refresh")),
       // reader/format lanes: bounded fixture IO, benched once via
       // s11_tree_write's full pipeline scan
       ("bounded fixture reader" -> Seq(

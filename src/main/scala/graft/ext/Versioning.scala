@@ -42,4 +42,30 @@ object Versioning {
         col("old_hash"), col("new_hash"))
       .filter(col("status") =!= "same")
   }
+
+  /** Index refresh driven by a [[corpusDiff]] delta: drop the stale
+    * band rows (removed + changed docs), append fresh ones (added +
+    * changed docs, banded from the NEW snapshot's text), and the
+    * result is bit-identical to rebuilding [[Dedup.lshBands]] over
+    * the whole new snapshot — the purity argument one more time
+    * (band rows are per-document functions, and unchanged docs have
+    * unchanged text). The v2 gate oracle pins exactly that rebuild.
+    *
+    * Cost shape: one anti-join of the standing index against the
+    * (small) delta ids, one semi-join-pruned band computation over
+    * delta docs — per-refresh work scales with the delta, never the
+    * corpus. Output: lshBands' (doc, band, band_hash) form. */
+  def refreshBandIndex(oldBands: DataFrame, diff: DataFrame,
+                       newDocs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", k: Int = 3,
+                       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val stale = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id").as("doc"))
+    val fresh = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id").as(idCol))
+    oldBands.join(stale, Seq("doc"), "left_anti")
+      .unionByName(Dedup.lshBands(
+        newDocs.join(fresh, Seq(idCol), "left_semi"),
+        idCol, textCol, k, bands, rowsPerBand))
+  }
 }

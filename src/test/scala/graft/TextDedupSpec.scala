@@ -330,6 +330,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("index refresh from a diff == rebuild over the new snapshot") {
+    val old = Seq((1L, "alpha bravo charlie delta"),
+      (2L, "echo foxtrot golf hotel"), (3L, "india juliet kilo lima"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "alpha bravo charlie delta"),          // unchanged
+      (2L, "echo foxtrot golf hotel CHANGED"),               // changed
+      (4L, "mike november oscar papa"))                      // added; 3 removed
+      .toDF("doc_id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap   // multiset
+    val refreshed = graft.ext.Versioning.refreshBandIndex(
+      Dedup.lshBands(old, "doc_id", "text"),
+      graft.ext.Versioning.corpusDiff(old, nw), nw)
+    assert(canon(refreshed) == canon(Dedup.lshBands(nw, "doc_id", "text")),
+      "refresh == rebuild, as a band-row multiset")
+  }
+
   test("cluster mixture: per-centroid counts, exact shares, √-temperature weights") {
     val cb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
       .toDF("centroid_id", "centv")
