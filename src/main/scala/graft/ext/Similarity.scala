@@ -907,6 +907,13 @@ object Similarity {
     * 0.80 at 500 vectors, 0.62 at 2000 (rounds = 4). Clustered
     * real-world embedding corpora converge much faster — the paper's
     * 90%+ regime. */
+  /** Regime bound for the one-task [[LocalKnn]] twin (the a6/a7/g8
+    * routing precedent): below it the relational rounds' per-round
+    * shuffle+checkpoint fixed cost dwarfs the arithmetic. 4096 covers
+    * the oracle-capped gate corpora and RAG chunk sets; everything
+    * larger takes the distributed rounds unchanged. */
+  private[ext] val LocalKnnMaxVectors = 4096L
+
   def knnGraphNNDescent(corpus: DataFrame, k: Int = 10, rounds: Int = 4,
                         maxNeighborhood: Int = 20,
                         idCol: String = "vec_id",
@@ -915,6 +922,30 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint(eager = true) // read 2x per scoring round
     val n = vecs.count() // 1-row driver aggregate (the id-space modulus)
+    if (n <= LocalKnnMaxVectors) {
+      // one-task twin, bit-identical edges (LocalKnn scaladoc); every
+      // downstream gate lane hash-pins the full graph, so the regimes
+      // cannot silently diverge
+      val spark = vecs.sparkSession
+      val rows = vecs.coalesce(1).rdd.mapPartitions { it =>
+        val arr = it.map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray)).toArray
+        LocalKnn.descent(arr, k, rounds, maxNeighborhood)
+          .map { case (s, rk, d, c) =>
+            org.apache.spark.sql.Row(s, rk, d, c) }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dst",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType)))
+      return spark.createDataFrame(rows, schema)
+        .localCheckpoint(eager = true)
+    }
     val init = vecs.select(col("vid").as("src"),
         explode(array((0 until k).map(lit): _*)).as("__i"))
       .select(col("src"),
