@@ -1019,6 +1019,13 @@ object QueryDefs {
       TextOps.lmCrossEntropy(table(s, d, "documents"))),
     "t12_perplexity_buckets" -> ((s, d) =>
       TextOps.perplexityBuckets(table(s, d, "documents"))),
+    // t15: MODEL-BASED quality filter — multinomial NB trained on the
+    // %3 seed split labeled by the t2 heuristic at the 0.72
+    // corpus-median cut, applied to every document; scores are exact
+    // fixed-point longs (the t10 argument), so labels and margins are
+    // hash-pinned, not thresholded doubles
+    "t15_nb_quality" -> ((s, d) =>
+      TextOps.nbQualityClassifier(table(s, d, "documents"))),
     // Bloom-filter decontamination over the same t8 bench split; the
     // relational filter is deterministic arithmetic, so hits AND false
     // positives hash-match the oracle
@@ -1620,7 +1627,11 @@ object QueryDefs {
     // plus the graph leg (incremental CC fold-in; rep 1 pays the
     // standing labeling, the fold itself is batch-sized)
     "d12_incremental_dedup", "d12_incremental_served",
-    "a6_components_inc", "a6_components_inc_served")
+    "a6_components_inc", "a6_components_inc_served",
+    // round-11 session 2: the model-based quality filter (NB train on
+    // the seed split + full-corpus scoring — two count shuffles + one
+    // term-keyed scoring join)
+    "t15_nb_quality")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

@@ -551,4 +551,90 @@ object TextOps {
               .cast("float")))
           .otherwise(array_repeat(lit(0.0f), dim)).as("embedding"))
   }
+
+  /** Multinomial Naive Bayes quality classifier — the MODEL-BASED
+    * quality-filter stage big-corpus pipelines run after the hand
+    * heuristics (GPT-3's reference-corpus classifier, Brown et al.
+    * 2020 §A.2; CCNet's LM tiers): a deterministic seed split
+    * (doc_id % seedMod == 0) is labeled by the heuristic
+    * [[qualityScore]] ≥ threshold, a bag-of-words NB model is trained
+    * on it (add-one token smoothing, Laplace class priors), and EVERY
+    * document is scored by the learned vocabulary evidence — so the
+    * verdict on the 2/3 unlabeled corpus comes from token likelihoods
+    * the four hand signals never see.
+    *
+    * Determinism (the t10 fixed-point argument): every probability is
+    * an exact integer quotient (cnt+1)/(tot+V), its −ln is scaled to
+    * an exact LONG (floor(·1e6 + 0.5)), and per-document scores are
+    * integer sums of (tf × token-nll) — order-independent across
+    * partitionings and engines; ln is the one transcendental (1-ulp
+    * class, identical exact-quotient input both sides). Labels and
+    * margins compare longs, so the argmax can never split on a
+    * rounding boundary.
+    *
+    * Scale shape: training is two map-side-combined count shuffles
+    * over the SEED split only; the model is vocab-sized and joined to
+    * the corpus token stream by ONE term-keyed equi-join (never
+    * broadcast — vocabulary is unbounded at corpus scale, AQE may
+    * still pick broadcast when it measures small); scoring is one
+    * per-doc integer-sum aggregation. The only crosses are 1-row
+    * prior/total aggregates riding broadcasts. Linear in corpus
+    * tokens end-to-end. */
+  def nbQualityClassifier(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", seedMod: Int = 3,
+                          threshold: Double = 0.72): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("__toks"),
+      qualityScore(col(textCol)).as("__q"))
+    val seed = base.filter(col("doc_id") % seedMod === 0)
+      .select(col("doc_id"),
+        when(col("__q") >= threshold, lit("pos")).otherwise(lit("neg"))
+          .as("__cls"),
+        col("__toks"))
+    // Laplace priors (Nc+1)/(N+2): a one-sided seed never hits ln(0)
+    val pri = seed.agg(
+      sum(when(col("__cls") === "pos", 1L).otherwise(0L)).as("__np"),
+      count(lit(1)).as("__n"))
+    // (term, class) occurrence counts, pivoted by conditional sums —
+    // the oracle replays the identical FILTER-aggregate shape
+    val tcnt = seed
+      .select(col("__cls"), explode(col("__toks")).as("__term"))
+      .groupBy("__term")
+      .agg(sum(when(col("__cls") === "pos", 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__cls") === "neg", 1L).otherwise(0L)).as("__cn"))
+    val tot = tcnt.agg(sum("__cp").as("__tp"), sum("__cn").as("__tn"),
+      count(lit(1)).as("__v"))
+    def nll(num: Column, den: Column): Column =
+      floor(-log(num.cast("double") / den.cast("double")) * 1e6 + lit(0.5))
+        .cast("long")
+    val model = tcnt.crossJoin(broadcast(tot))
+      .select(col("__term"),
+        nll(col("__cp") + 1L, col("__tp") + col("__v")).as("__nllp"),
+        nll(col("__cn") + 1L, col("__tn") + col("__v")).as("__nlln"))
+    val dtf = base
+      .select(col("doc_id"), explode(col("__toks")).as("__term"))
+      .groupBy("doc_id", "__term").agg(count(lit(1)).as("__tf"))
+    val sums = dtf.join(model, Seq("__term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("__tf"),
+        // OOV smoothing mass 1/(totc+V) — same scaled-ln arithmetic
+        coalesce(col("__nllp"),
+          nll(lit(1L), col("__tp") + col("__v"))).as("__op"),
+        coalesce(col("__nlln"),
+          nll(lit(1L), col("__tn") + col("__v"))).as("__on"))
+      .groupBy("doc_id")
+      .agg(sum(col("__tf") * col("__op")).as("__sp"),
+        sum(col("__tf") * col("__on")).as("__sn"))
+    base.select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("n_tokens"),
+        (coalesce(col("__sp"), lit(0L)) +
+          nll(col("__np") + 1L, col("__n") + 2L)).as("score_pos"),
+        (coalesce(col("__sn"), lit(0L)) +
+          nll(col("__n") - col("__np") + 1L, col("__n") + 2L)).as("score_neg"))
+      .withColumn("nb_label",
+        when(col("score_pos") <= col("score_neg"), lit("pos"))
+          .otherwise(lit("neg")))
+  }
 }

@@ -70,6 +70,8 @@ class PlanAuditSpec extends SparkSpec {
       "bounded 20-probe set × FULL corpus brute-force truth — the k·n truth scan is the certificate's point; graph build and beam serve are all equi-joins (Similarity.beamSearchRecall uncapped)",
     "r4_prf_expand" ->
       "both BM25 passes and the expansion scoring each cross the broadcast 1-row corpus stats (Retrieval.prfExpand); postings joins stay equi",
+    "t15_nb_quality" ->
+      "corpus token stream × broadcast 1-row vocab-total and prior aggregates (TextOps.nbQualityClassifier); the model join stays term-keyed equi",
     "r5_hard_negatives" ->
       "bounded anchor set × corpus for the dense pool (Similarity.bruteForceTopK); the positive knock-out is an equi anti-join (Retrieval.hardNegatives)",
     "r2_hybrid_rrf" ->

@@ -762,4 +762,38 @@ class TextDedupSpec extends SparkSpec {
     assert(top(1L) == 2L && top(2L) == 1L, "exact dup pair is mutual top-1")
     assert(top(3L) == 4L && top(4L) == 3L, "near dup pair is mutual top-1")
   }
+
+  test("NB quality classifier: token evidence labels the unseeded docs") {
+    // ids % 3 == 0 are the seed; 0/6 score ≥ 0.7 on the heuristic
+    // (stopword-rich, varied), 3/9/12 below it (repetitive, no
+    // stopwords) — so the learned token classes are known exactly
+    val d = Seq(
+      (0L, "the cats sat upon a mat and the dogs sat down"),
+      (3L, "zz zz zz zz zz zz zz zz"),
+      (6L, "the foxes run to a dens and the birds flew in"),
+      (9L, "qq qq qq qq qq qq qq qq"),
+      (12L, ""),
+      (1L, "the cats and dogs sat on a mat"), // pos-class tokens only
+      (2L, "zz qq zz qq zz qq"))              // neg-class tokens only
+      .toDF("doc_id", "text")
+    val out = TextOps.nbQualityClassifier(d, threshold = 0.7)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(4), r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L)._1 == "pos", "pos-token doc follows the evidence")
+    assert(out(2L)._1 == "neg", "neg-token doc follows the evidence")
+    // zero-token doc scores are the Laplace priors alone — exact
+    // fixed-point longs: pos {0,6}, neg {3,9,12} of 5 seed docs, so
+    // score_pos = floor(−ln(3/7)·1e6 + 0.5), score_neg = −ln(4/7)
+    assert(out(12L) == (("neg", 0L, 847298L, 559616L)))
+    // determinism across partitionings: exact integer sums
+    val b = TextOps.nbQualityClassifier(d.repartition(13), threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val a = TextOps.nbQualityClassifier(d, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(a == b)
+  }
 }
