@@ -1278,6 +1278,25 @@ rblk AS (SELECT doc_id, s.blk AS blk, s.btext AS btext,
     row_number() OVER (PARTITION BY md5(s.btext)
       ORDER BY doc_id, s.blk) AS rn
   FROM blk)""".drop(1)),
+    // boilerplateDedup mirrored: same raw-case 3-token aligned blocks
+    // as d9, df = distinct-doc count per block text, df >= 4 drops the
+    // block from EVERY doc, survivors reassemble in block order
+    "d13_boilerplate_dedup" -> dq(raw"""
+SELECT doc_id, count(*) AS n_blocks,
+       CAST(sum(CASE WHEN d13.df IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       coalesce(string_agg(CASE WHEN d13.df IS NULL THEN btext END, ' '
+         ORDER BY blk), '') AS text_clean
+FROM fb13 LEFT JOIN d13 USING (btext) GROUP BY doc_id""",
+      extra = raw"""
+fb13 AS (SELECT doc_id, s.blk AS blk, s.btext AS btext FROM (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(0, CAST((len(toks) + 2) // 3 AS BIGINT) - 1),
+      i -> struct_pack(blk := i,
+        btext := array_to_string(toks[i*3+1 : i*3+3], ' ')))) AS s
+    FROM rtoks WHERE len(toks) > 0) t),
+d13 AS (SELECT btext, count(DISTINCT doc_id) AS df FROM fb13
+  GROUP BY btext HAVING count(DISTINCT doc_id) >= 4)""".drop(1)),
     // the streaming intra-doc dedup emits the same order-independent
     // row set as batch d11 — identical oracle
     "e10_stream_intradoc" -> dq(raw"""

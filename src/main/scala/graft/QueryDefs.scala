@@ -938,6 +938,11 @@ object QueryDefs {
     // (~19% of blocks dedup at B=3; at B=16 nothing repeats)
     "d9_block_dedup" -> ((s, d) =>
       Dedup.blockDedup(table(s, d, "documents"), blockTokens = 3)),
+    // d13: the boilerplate rule d9 can't express — a block in ≥4
+    // DISTINCT docs is dropped from ALL of them (first copy included);
+    // minDf=4 removes ~3% of gate blocks, so both verdicts exercise
+    "d13_boilerplate_dedup" -> ((s, d) =>
+      Dedup.boilerplateDedup(table(s, d, "documents"))),
     "d11_intradoc_dedup" -> ((s, d) =>
       Dedup.intraDocDedup(table(s, d, "documents"))),
     // content-defined cuts at window=2 / divisor=4 (~3.7-token chunks,
@@ -1630,8 +1635,9 @@ object QueryDefs {
     "a6_components_inc", "a6_components_inc_served",
     // round-11 session 2: the model-based quality filter (NB train on
     // the seed split + full-corpus scoring — two count shuffles + one
-    // term-keyed scoring join)
-    "t15_nb_quality")
+    // term-keyed scoring join), and the corpus-boilerplate pass (d9's
+    // fan-out plus the df join)
+    "t15_nb_quality", "d13_boilerplate_dedup")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

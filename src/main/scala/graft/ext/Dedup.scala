@@ -638,4 +638,57 @@ object Dedup {
         col("__rank").cast("long").as("rank"),
         not(coalesce(col("__dup"), lit(false))).as("keep"))
   }
+
+  /** Corpus-level BOILERPLATE removal — the third member of the
+    * block-dedup family, with the semantics [[blockDedup]] (keep the
+    * FIRST occurrence) cannot express: a block whose exact text
+    * appears in at least `minDf` DISTINCT documents is boilerplate
+    * (cookie banners, navigation chrome, templated footers) and is
+    * removed from EVERY document — including the first. This is
+    * CCNet's paragraph-hash dedup effect (Wenzek et al. 2020,
+    * arXiv:1911.00359 — duplicated boilerplate paragraphs vanish
+    * entirely) and RefinedWeb's line-wise corrections (Penedo et al.
+    * 2023, arXiv:2306.01116 §3.2) with aligned `blockTokens`-token
+    * blocks standing in for natural lines, which the synthetic corpus
+    * lacks. Rare blocks (df < minDf) survive verbatim in order; docs
+    * reduced to nothing still emit a row (`text_clean` = '').
+    *
+    * Scale shape: one `posexplode` fan-out, then the document
+    * frequency is two map-side-combined aggregations over (block
+    * hash, doc_id) — NOT a count-distinct window — and the verdict
+    * returns by ONE hash-keyed equi-join (the boilerplate side is
+    * corpus-dependent, never broadcast by construction; AQE may still
+    * choose broadcast when it measures small) before the per-doc
+    * reassembly agg. Three uniform-key shuffles, linear in corpus
+    * tokens, no driver state — the same 100 TB shape as [[blockDedup]]
+    * plus one join. */
+  def boilerplateDedup(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", blockTokens: Int = 3,
+                       minDf: Int = 4): DataFrame = {
+    val b = blockTokens
+    val blocks = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0),
+          expr(s"CAST((size(__toks) + ${b - 1}) div $b AS INT)") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * b + 1, lit(b))))))
+      .select(col("doc_id"), col("pos").as("__blk"),
+        col("col").as("__btext"), md5(col("col")).as("__h"))
+    // df per block hash: distinct (hash, doc) then count — both phases
+    // partial-aggregate map-side, unlike a countDistinct window
+    val bp = blocks.select(col("__h"), col("doc_id")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), lit(true).as("__bp"))
+    blocks.join(bp, Seq("__h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__bp").isNull,
+            struct(col("__blk"), col("__btext"))))),
+          s => s.getField("__btext"))).as("text_clean"))
+  }
 }

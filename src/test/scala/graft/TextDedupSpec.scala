@@ -763,6 +763,31 @@ class TextDedupSpec extends SparkSpec {
     assert(top(3L) == 4L && top(4L) == 3L, "near dup pair is mutual top-1")
   }
 
+  test("boilerplate dedup: df>=minDf blocks vanish from every doc, intra-doc repeats don't count") {
+    val d = Seq(
+      (1L, "aa bb cc dd ee ff"),       // boilerplate + own content
+      (2L, "aa bb cc gg hh ii"),       // boilerplate + own content
+      (3L, "xx yy zz"),                // untouched
+      (4L, "aa bb cc"),                // reduced to nothing
+      (5L, "pp qq rr pp qq rr"),       // SAME block twice in ONE doc: df=1
+      (6L, ""))                        // zero tokens: no output row
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateDedup(d, minDf = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L) == ((2L, 1L, "dd ee ff")), "first copy dropped too")
+    assert(out(2L) == ((2L, 1L, "gg hh ii")))
+    assert(out(3L) == ((1L, 1L, "xx yy zz")), "rare blocks survive verbatim")
+    assert(out(4L) == ((1L, 0L, "")), "all-boilerplate doc still emits a row")
+    assert(out(5L) == ((2L, 2L, "pp qq rr pp qq rr")),
+      "df counts DISTINCT docs, not occurrences")
+    val again = Dedup.boilerplateDedup(d.repartition(7), minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(again == out.map { case (k, (a, b, c)) => (k, a, b, c) }.toSet)
+  }
+
   test("NB quality classifier: token evidence labels the unseeded docs") {
     // ids % 3 == 0 are the seed; 0/6 score ≥ 0.7 on the heuristic
     // (stopword-rich, varied), 3/9/12 below it (repetitive, no
