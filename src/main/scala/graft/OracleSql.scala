@@ -1101,6 +1101,44 @@ dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)"""
   private def dq(body: String, extra: String = ""): String =
     s"WITH $docCtes${if (extra.nonEmpty) "," + extra else ""}\n$body"
 
+  /** t16 BPE-training replay: round r splits the wrapped symbol
+    * string, counts adjacent pairs weighted by word frequency, picks
+    * the (cnt DESC, a, b) top-1, and applies it with the identical
+    * replace the engine ran (TextOps.bpeCore). `sum(wcount)` is cast
+    * to BIGINT (DuckDB sum(BIGINT) is HUGEINT). */
+  private val T16Rounds = 12
+  private val bpeCtes: String = {
+    val w1 = raw"""
+bw1 AS MATERIALIZED (SELECT word, wcount,
+    '|' || array_to_string(list_transform(generate_series(1, length(word)),
+      i -> word[i:i]) || ['</w>'], '||') || '|' AS wstr
+  FROM (SELECT word, CAST(count(*) AS BIGINT) AS wcount
+        FROM (SELECT unnest(toks) AS word FROM toks) uw
+        WHERE word NOT LIKE '%|%' GROUP BY word) w0)""".drop(1)
+    // bw$r and bb$r are MULTI-CONSUMER (bw feeds the split AND the
+    // next round; bb feeds the next round AND the final union) —
+    // without MATERIALIZED, DuckDB's default CTE inlining re-evaluates
+    // the whole prefix chain per consumer: 2^rounds blowup (the a17
+    // lesson)
+    val rs = (1 to T16Rounds).map { r => raw"""
+bs$r AS (SELECT wcount,
+    string_split(wstr[2:length(wstr)-1], '||') AS syms FROM bw$r),
+bp$r AS (SELECT p.a AS a, p.b AS b, CAST(sum(wcount) AS BIGINT) AS cnt
+  FROM (SELECT wcount, unnest(list_transform(
+      generate_series(1, len(syms) - 1),
+      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p FROM bs$r) ue
+  GROUP BY 1, 2),
+bb$r AS MATERIALIZED (SELECT a, b, cnt FROM bp$r
+  ORDER BY cnt DESC, a, b LIMIT 1),
+bw${r + 1} AS MATERIALIZED (SELECT word, wcount,
+    replace(wstr, '|' || b.a || '||' || b.b || '|',
+      '|' || b.a || b.b || '|') AS wstr
+  FROM bw$r, bb$r b)""".drop(1)
+    }
+    (w1 +: rs).mkString(",\n")
+  }
+
+
   private val jaccardSql: String =
     raw"""round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          / len(list_distinct(list_concat(a.sh, b.sh))), 4)"""
@@ -1427,6 +1465,28 @@ SELECT doc_id, round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
     // the add-one model, and every probability's −ln is scaled to an
     // exact BIGINT before the per-document integer sums — ln runs on
     // the identical exact-quotient double both engines (t10 caveat)
+    // bpeTrain mirrored: T16Rounds of (pair count over the distinct-
+    // word frame → best pair by (cnt DESC, a, b) → greedy merge)
+    // macro-expanded; the merge is the SAME plain string replace both
+    // engines run on the |-wrapped symbol string, so left-to-right
+    // non-overlap (incl. same-symbol run parity) needs no window logic
+    "t16_bpe_train" -> dq(raw"""
+SELECT CAST(r AS BIGINT) AS merge_round, lhs, rhs,
+       lhs || rhs AS merged, cnt AS pair_count
+FROM (${(1 to T16Rounds).map(r =>
+      s"SELECT $r AS r, a AS lhs, b AS rhs, cnt FROM bb$r")
+      .mkString("\n  UNION ALL ")}) mu""",
+      extra = bpeCtes),
+    // bpeTokenize mirrored: the doc word stream inner-joins the round-
+    // T16Rounds vocab (|-containing words fall out of both sides)
+    "t16_bpe_tokenize" -> dq(raw"""
+SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(
+         w.wstr[2:length(w.wstr)-1], '||'))) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(toks) AS word FROM toks) dw
+JOIN bw${T16Rounds + 1} w USING (word)
+GROUP BY dw.doc_id""",
+      extra = bpeCtes),
     "t15_nb_quality" -> dq(raw"""
 SELECT b.doc_id, b.n_tokens,
        CAST(coalesce(s.sp, 0) + pri.nllp AS BIGINT) AS score_pos,

@@ -1031,6 +1031,13 @@ object QueryDefs {
     // hash-pinned, not thresholded doubles
     "t15_nb_quality" -> ((s, d) =>
       TextOps.nbQualityClassifier(table(s, d, "documents"))),
+    // t16: TRUE BPE induction (12 merge rounds, vocab-frame training,
+    // merge = one string replace — see TextOps.bpeTrain) + the corpus
+    // tokenized under the learned vocabulary
+    "t16_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(table(s, d, "documents"))),
+    "t16_bpe_tokenize" -> ((s, d) =>
+      TextOps.bpeTokenize(table(s, d, "documents"))),
     // Bloom-filter decontamination over the same t8 bench split; the
     // relational filter is deterministic arithmetic, so hits AND false
     // positives hash-match the oracle
@@ -1637,7 +1644,10 @@ object QueryDefs {
     // the seed split + full-corpus scoring — two count shuffles + one
     // term-keyed scoring join), and the corpus-boilerplate pass (d9's
     // fan-out plus the df join)
-    "t15_nb_quality", "d13_boilerplate_dedup")
+    "t15_nb_quality", "d13_boilerplate_dedup",
+    // the BPE pair: 12 driver rounds over the vocab frame (train) and
+    // the corpus-wide vocab join (tokenize)
+    "t16_bpe_train", "t16_bpe_tokenize")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

@@ -637,4 +637,107 @@ object TextOps {
         when(col("score_pos") <= col("score_neg"), lit("pos"))
           .otherwise(lit("neg")))
   }
+
+  /** BPE merge-table training (Sennrich et al. 2016, arXiv:1508.07909)
+    * — TRUE byte-pair-encoding induction, not the [[bpeishTokenCount]]
+    * boundary proxy: each round counts all adjacent symbol pairs
+    * weighted by word frequency, picks the most frequent (ties broken
+    * by (lhs, rhs) binary order — deterministic), and merges it
+    * greedily left-to-right in every word. Words carry a terminal
+    * `</w>` symbol, so end-of-word units learn separately from
+    * mid-word units, as in the original algorithm.
+    *
+    * The merge step is the novelty: a word's symbol sequence is kept
+    * as ONE delimiter-wrapped string (`|l||o||w||</w>|`), and merging
+    * pair (a,b) is the plain non-overlapping left-to-right string
+    * `replace("|a||b|" → "|ab|")` — which IS greedy BPE merge
+    * semantics, including the floor(run/2) parity on same-symbol runs
+    * (`|a||a||a|` → `|aa||a|`), because replace resumes scanning after
+    * each match. One codegen'd string op per round; no per-symbol
+    * explode, no window, no fold. The identical replace runs in the
+    * DuckDB oracle, so the whole training loop macro-expands to SQL.
+    * Contract: the delimiter `|` must not appear inside a token —
+    * offending words are dropped from training and tokenization alike.
+    *
+    * Scale shape: training runs on the DISTINCT-WORD frequency frame
+    * (the standard BPE trick — vocab-bounded, corpus-size-independent
+    * after the initial word count, which is one map-side-combined
+    * shuffle over corpus tokens). Per round: a pair-count aggregation
+    * over vocab rows, a TakeOrdered(1) for the best pair (the only
+    * driver collect — 1 row), and one string replace; the words frame
+    * is localCheckpoint'd per round to keep lineage flat. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 12, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val (merges, _) = bpeCore(docs, rounds, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Tokenize the corpus under a [[bpeTrain]]-induced vocabulary:
+    * per-document word count and BPE-token count (the post-merge
+    * symbol count summed over the doc's words). Corpus-sized work is
+    * ONE term-keyed equi-join of the doc word stream against the
+    * trained vocab frame — the vocab is corpus-dependent, so it is
+    * not broadcast by construction (AQE may when it measures small).
+    * Zero-token docs emit no row, like the other tokenizing lanes. */
+  def bpeTokenize(docs: DataFrame, rounds: Int = 12,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val (_, words) = bpeCore(docs, rounds, textCol)
+    val nsyms = words.select(col("word"),
+      size(split(expr("substring(wstr, 2, length(wstr) - 2)"), "\\|\\|"))
+        .cast("long").as("__nsyms"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(!col("word").contains("|"))
+      .join(nsyms, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nsyms")).as("n_bpe_tokens"))
+  }
+
+  /** Shared trainer: returns the learned merges and the final words
+    * frame (word, wcount, wstr). */
+  private def bpeCore(docs: DataFrame, rounds: Int, textCol: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(!col("word").contains("|"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+      .select(col("word"), col("wcount"),
+        concat(lit("|"), array_join(concat(
+            transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1))),
+            array(lit("</w>"))), "||"), lit("|")).as("wstr"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = split(expr("substring(wstr, 2, length(wstr) - 2)"),
+        "\\|\\|")
+      val best = words
+        .select(col("wcount"),
+          explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wcount")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, c))
+        words = words.withColumn("wstr",
+            replace(col("wstr"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
 }

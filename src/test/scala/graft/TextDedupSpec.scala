@@ -763,6 +763,41 @@ class TextDedupSpec extends SparkSpec {
     assert(top(3L) == 4L && top(4L) == 3L, "near dup pair is mutual top-1")
   }
 
+  test("BPE train: frequency-weighted merges, lexicographic ties, end-of-word units") {
+    // the Sennrich et al. worked example shape: low:3 lower:1 lowest:1
+    val d = Seq((1L, "low lower lowest"), (2L, "low low"))
+      .toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(d, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(m === Seq(
+      (1L, "l", "o", "lo", 5L),          // tie with (o,w) broken by lhs
+      (2L, "lo", "w", "low", 5L),
+      (3L, "low", "</w>", "low</w>", 3L), // end-of-word unit learned
+      (4L, "low", "e", "lowe", 2L),
+      (5L, "lowe", "r", "lower", 1L)))    // 5-way cnt=1 tie: min (lhs, rhs)
+  }
+
+  test("BPE train: same-symbol run parity, vocab exhaustion, tokenize under the merges") {
+    val d = Seq((1L, "aaa")).toDF("doc_id", "text")
+    // run of 3 a's: greedy left-to-right merges floor(2/2)=1 pair
+    val m = TextOps.bpeTrain(d, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(m === Seq((1L, "aa", 2L), (2L, "a</w>", 1L),
+      (3L, "aaa</w>", 1L)), s"got ${m.toSeq}")
+    // round 4 found no pair left: training stops at 3 rows (above)
+    val tok = TextOps.bpeTokenize(d, rounds = 4).collect()
+    assert(tok.length == 1 &&
+      tok(0).getLong(1) == 1L && tok(0).getLong(2) == 1L,
+      "fully merged word tokenizes to one unit")
+    val tok1 = TextOps.bpeTokenize(d, rounds = 1).collect()
+    assert(tok1(0).getLong(2) == 3L, "after one merge: [aa, a, </w>]")
+    // the delimiter contract: '|'-bearing words drop from both sides
+    val bar = Seq((7L, "ab a|b ab")).toDF("doc_id", "text")
+    val tb = TextOps.bpeTokenize(bar, rounds = 0).collect()
+    assert(tb(0).getLong(1) == 2L, "a|b excluded from training and counting")
+  }
+
   test("boilerplate dedup: df>=minDf blocks vanish from every doc, intra-doc repeats don't count") {
     val d = Seq(
       (1L, "aa bb cc dd ee ff"),       // boilerplate + own content
