@@ -125,6 +125,28 @@ l$k AS MATERIALIZED (
   SELECT a.id, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
   FROM n$k a LEFT JOIN n$k b ON b.id = a.lbl)"""
   }
+  /** g9 fixed-point PageRank replay: P9Rounds power iterations over
+    * the thin graph's symmetric edge list, all-LONG arithmetic
+    * (GraphOps.pageRank). `sum`/`85*` pass through HUGEINT and are
+    * cast back; `//` = Spark's `div` on non-negative longs. Every
+    * round is MATERIALIZED — pr$k has two consumers (the contribution
+    * join and nothing else, but the chain is deep enough that default
+    * inlining would re-evaluate the prefix per reference). */
+  private val P9Rounds = 10
+  private val prCtes: String = raw"""
+prdeg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+  FROM tsym GROUP BY src),
+pr0 AS MATERIALIZED (SELECT id, CAST(1000000000 AS BIGINT) AS r, deg
+  FROM prdeg)""".drop(1) + "," +
+    (1 to P9Rounds).map { k => raw"""
+pr$k AS MATERIALIZED (
+  SELECT d.id, CAST(150000000 + (85 * s.s) // 100 AS BIGINT) AS r, d.deg
+  FROM prdeg d JOIN (
+    SELECT e.dst AS id, sum(p.r // p.deg) AS s
+    FROM tsym e JOIN pr${k - 1} p ON p.id = e.src GROUP BY e.dst) s
+  USING (id))""".drop(1)
+    }.mkString(",")
+
   private val thinCtes: String = raw"""
 thin AS (SELECT src, dst FROM simplified WHERE score > 47.0),
 tsym AS (SELECT src, dst FROM thin UNION ALL SELECT dst, src FROM thin),
@@ -423,6 +445,10 @@ FROM (SELECT count(*) AS nodes,
                       THEN 1 ELSE 0 END) AS BIGINT) AS interchromosomal
       FROM typed) e"""),
     "a6_components" -> gq("SELECT * FROM comps", extra = thinCtes.drop(1)),
+    // pageRank mirrored: P9Rounds macro-expanded integer power
+    // iterations on the same thin/tsym frames as a6/a7
+    "g9_pagerank" -> gq(s"SELECT id, r AS rank_fp FROM pr$P9Rounds",
+      extra = thinCtes.drop(1) + "," + prCtes),
     "a7_diameter" -> a7CertSql,
     "a7_diameter_cert" -> a7DiamCertSql,
     "a7_diameter_exact" -> gq(raw"""

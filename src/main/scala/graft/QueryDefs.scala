@@ -32,6 +32,10 @@ object QueryDefs {
     "a5_graph_metadata" -> ((s, d) =>
       GraphOps.graphMetadata(verts(s, d), typed(s, d))),
     "a6_components" -> ((s, d) => GraphOps.connectedComponents(thin(s, d))),
+    // g9: fixed-point integer PageRank — node importance on the same
+    // thin graph the other iterative lanes pin (10 power iterations,
+    // all-LONG arithmetic, see GraphOps.pageRank)
+    "g9_pagerank" -> ((s, d) => GraphOps.pageRank(thin(s, d))),
     // INCREMENTAL CC: a deterministic ~10% edge batch folds into the
     // standing labeling via the contracted label graph; the oracle is
     // a6's FULL-rebuild SQL with no split in sight — the hash match IS
@@ -1646,8 +1650,9 @@ object QueryDefs {
     // fan-out plus the df join)
     "t15_nb_quality", "d13_boilerplate_dedup",
     // the BPE pair: 12 driver rounds over the vocab frame (train) and
-    // the corpus-wide vocab join (tokenize)
-    "t16_bpe_train", "t16_bpe_tokenize")
+    // the corpus-wide vocab join (tokenize), plus integer PageRank
+    // (10 join+agg power iterations on the thin graph)
+    "t16_bpe_train", "t16_bpe_tokenize", "g9_pagerank")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

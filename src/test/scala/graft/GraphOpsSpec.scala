@@ -371,4 +371,23 @@ class GraphOpsSpec extends SparkSpec {
       assert(cert.getLong(0) == local && cert.getBoolean(1), s"seed=$seed")
     }
   }
+
+  test("G9 PageRank: exact fixed-point longs on the hand-computed path") {
+    // a-b-c, 2 rounds, SCALE=1e9: r1 = (.575e9, 1.85e9, .575e9),
+    // r2(a) = 15e7 + 85*(1.85e9 div 2)//100 = 936250000,
+    // r2(b) = 15e7 + 85*(2*575e6)//100     = 1127500000
+    val g = edgesOf(Seq("a" -> "b", "b" -> "c"))
+    val r = GraphOps.pageRank(g, rounds = 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 936250000L, "b" -> 1127500000L,
+      "c" -> 936250000L))
+    // partitioning independence: integer sums only
+    val r2 = GraphOps.pageRank(g.repartition(9), rounds = 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 == r)
+    // mass conservation within the floor-loss bound: total stays
+    // between n*(0.15*SCALE) and n*SCALE
+    val tot = r.values.sum
+    assert(tot > 3L * 150000000L && tot <= 3L * 1000000000L)
+  }
 }
