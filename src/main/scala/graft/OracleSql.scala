@@ -1995,7 +1995,26 @@ FROM (SELECT doc_id, shard, n_tokens,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           - n_tokens AS strt
       FROM (SELECT doc_id, doc_id % 8 AS shard,
-              CAST(len(toks) AS BIGINT) AS n_tokens FROM toks) l) c"""))
+              CAST(len(toks) AS BIGINT) AS n_tokens FROM toks) l) c"""),
+    // bpePack mirrored: p4's shard prefix-sum window fed by the t16
+    // BPE token counts (the composed train-tokenizer → tokenize →
+    // pack pipeline, one seam-free oracle)
+    "p11_bpe_pack" -> dq(raw"""
+SELECT doc_id, shard, n_bpe_tokens,
+  strt // 512 AS pack_id,
+  strt % 512 AS pack_offset
+FROM (SELECT doc_id, shard, n_bpe_tokens,
+        CAST(sum(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          - n_bpe_tokens AS strt
+      FROM (SELECT doc_id, doc_id % 8 AS shard, n_bpe_tokens
+            FROM bptok) l) c""",
+      extra = bpeCtes + raw""",
+bptok AS (SELECT dw.doc_id, CAST(sum(len(string_split(
+    w.wstr[2:length(w.wstr)-1], '||'))) AS BIGINT) AS n_bpe_tokens
+  FROM (SELECT doc_id, unnest(toks) AS word FROM toks) dw
+  JOIN bw${T16Rounds + 1} w USING (word)
+  GROUP BY dw.doc_id)"""))
 
   // ------------------------------------------------- embeddings oracles
   private val embCtes: String = raw"""

@@ -1042,6 +1042,10 @@ object QueryDefs {
       TextOps.bpeTrain(table(s, d, "documents"))),
     "t16_bpe_tokenize" -> ((s, d) =>
       TextOps.bpeTokenize(table(s, d, "documents"))),
+    // p11: the composed pretraining path — t16 tokenizer feeding p4's
+    // packing window, pinned as one seam-free lane
+    "p11_bpe_pack" -> ((s, d) =>
+      Sampling.bpePack(table(s, d, "documents"))),
     // Bloom-filter decontamination over the same t8 bench split; the
     // relational filter is deterministic arithmetic, so hits AND false
     // positives hash-match the oracle
@@ -1652,7 +1656,9 @@ object QueryDefs {
     // the BPE pair: 12 driver rounds over the vocab frame (train) and
     // the corpus-wide vocab join (tokenize), plus integer PageRank
     // (10 join+agg power iterations on the thin graph)
-    "t16_bpe_train", "t16_bpe_tokenize", "g9_pagerank")
+    "t16_bpe_train", "t16_bpe_tokenize", "g9_pagerank",
+    // the composed tokenizer→pack pipeline (t16's cost + one window)
+    "p11_bpe_pack")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

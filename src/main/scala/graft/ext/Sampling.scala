@@ -138,6 +138,35 @@ object Sampling {
         pmod(col("__start"), lit(budget)).as("pack_offset"))
   }
 
+  /** [[packSequences]] driven by a LEARNED tokenizer instead of the
+    * whitespace count — the composed pretraining data path
+    * (train BPE → tokenize corpus → pack fixed-budget sequences) as
+    * one pinned operator, the same seam-free-composition claim
+    * rag_retrieve makes for the retrieval stack. Token counts come
+    * from [[TextOps.bpeTokenize]] under a [[TextOps.bpeTrain]]-induced
+    * vocabulary; packing is the identical shard-local prefix-sum
+    * window. Docs with zero tokens emit no row (they pack nothing —
+    * the tokenize contract). Scale: tokenize's vocab join + ONE
+    * window over (shard, doc_id) — shard keys are uniform by
+    * construction. */
+  def bpePack(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", rounds: Int = 12,
+              nShards: Int = 8, budget: Long = 512L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    TextOps.bpeTokenize(docs, rounds, idCol, textCol)
+      .select(col("doc_id"),
+        (col("doc_id") % nShards).cast("long").as("shard"),
+        col("n_bpe_tokens"))
+      .withColumn("__start", sum("n_bpe_tokens").over(w) - col("n_bpe_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_bpe_tokens"),
+        expr(s"__start div ${budget}L").as("pack_id"),
+        pmod(col("__start"), lit(budget)).as("pack_offset"))
+  }
+
   /** Leakage-safe train/val/test split: a plain per-document hash
     * split puts near-duplicates on BOTH sides of the cut — the eval
     * set then leaks into training and the val/test numbers are

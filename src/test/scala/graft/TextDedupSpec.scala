@@ -798,6 +798,19 @@ class TextDedupSpec extends SparkSpec {
     assert(tb(0).getLong(1) == 2L, "a|b excluded from training and counting")
   }
 
+  test("BPE pack: learned-vocab token counts drive the packing window") {
+    // rounds=5 on the low-corpus: low→[low</w>]=1, lower→[lower,</w>]=2,
+    // lowest→[lowe,s,t,</w>]=4; one shard, budget 3
+    val d = Seq((1L, "low lower lowest"), (2L, "low low"))
+      .toDF("doc_id", "text")
+    val out = Sampling.bpePack(d, rounds = 5, nShards = 1, budget = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(out === Seq(
+      (1L, 0L, 7L, 0L, 0L),   // starts at 0
+      (2L, 0L, 2L, 2L, 1L)))  // starts at 7 = pack 2, offset 1
+  }
+
   test("boilerplate dedup: df>=minDf blocks vanish from every doc, intra-doc repeats don't count") {
     val d = Seq(
       (1L, "aa bb cc dd ee ff"),       // boilerplate + own content
