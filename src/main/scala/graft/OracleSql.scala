@@ -449,6 +449,10 @@ FROM (SELECT count(*) AS nodes,
     // iterations on the same thin/tsym frames as a6/a7
     "g9_pagerank" -> gq(s"SELECT id, r AS rank_fp FROM pr$P9Rounds",
       extra = thinCtes.drop(1) + "," + prCtes),
+    // the forced-distributed twin runs the SAME oracle: the hash match
+    // IS the regime-equivalence proof (a6_dist precedent)
+    "g9_pagerank_dist" -> gq(s"SELECT id, r AS rank_fp FROM pr$P9Rounds",
+      extra = thinCtes.drop(1) + "," + prCtes),
     "a7_diameter" -> a7CertSql,
     "a7_diameter_cert" -> a7DiamCertSql,
     "a7_diameter_exact" -> gq(raw"""

@@ -119,6 +119,9 @@ object QueryDefs {
     // otherwise keep out of the driver's hash gate
     "a6_components_dist" -> ((s, d) =>
       GraphOps.connectedComponents(thin(s, d), localMaxEdges = 0L)),
+    // the distributed power-iteration twin, pinned against g9's oracle
+    "g9_pagerank_dist" -> ((s, d) =>
+      GraphOps.pageRank(thin(s, d), localMaxEdges = 0L)),
     // localMaxEdges=0 forces past the one-task regime AND
     // broadcastMaxEdges=0 past the broadcast-CSR regime, so this entry
     // pins the pure DataFrame multi-source-BFS descent — the shape
@@ -1693,6 +1696,7 @@ object QueryDefs {
         "t12_perplexity_buckets", "t14_hash_embed", "p2_length_quartiles",
         "p3_mixture_weights", "p5_leak_safe_split", "p7_cluster_mixture",
         "p6_dsir_weights", "s7_knn_refine", "a7_diameter_dist",
+        "g9_pagerank_dist",
         "m5_decode_real",
         "m5_resize_real", "m5_decode_audio_real", "m5_decode_video_real",
         "m4_pixel_stats")),

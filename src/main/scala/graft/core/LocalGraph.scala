@@ -106,6 +106,36 @@ private[graft] object LocalGraph {
   }
 
   /** (componentCount, largestComponentSize, totalNodes). */
+  /** Fixed-point integer PageRank on the CSR — the one-task twin of
+    * [[GraphOps.pageRank]]'s relational rounds: the IDENTICAL LONG
+    * arithmetic (contrib = r div deg, r' = 0.15·scale + (85·s) div
+    * 100), so ranks are bit-identical across regimes. Adjacency is
+    * symmetric, so pushing contributions along out-edges equals the
+    * relational dst-keyed incoming sum. */
+  def pageRankFp(g: Csr, rounds: Int, scale: Long)
+      : Iterator[(String, Long)] = {
+    val n = g.n
+    val base = scale * 15L / 100L
+    var r = Array.fill(n)(scale)
+    var k = 0
+    while (k < rounds) {
+      val s = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        val c = r(v) / g.degree(v)
+        var e = g.off(v); val end = g.off(v + 1)
+        while (e < end) { s(g.adj(e)) += c; e += 1 }
+        v += 1
+      }
+      val nr = new Array[Long](n)
+      v = 0
+      while (v < n) { nr(v) = base + 85L * s(v) / 100L; v += 1 }
+      r = nr
+      k += 1
+    }
+    Iterator.range(0, n).map(v => (g.ids(v), r(v)))
+  }
+
   def componentStats(g: Csr): (Long, Long, Long) = {
     val comp = compIds(g)
     val nComp = if (comp.isEmpty) 0 else comp.max + 1

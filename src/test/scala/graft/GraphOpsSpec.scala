@@ -385,6 +385,11 @@ class GraphOpsSpec extends SparkSpec {
     val r2 = GraphOps.pageRank(g.repartition(9), rounds = 2).collect()
       .map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r2 == r)
+    // regime equivalence: the distributed power-iteration twin is
+    // bit-identical to the one-task CSR pass
+    val rd = GraphOps.pageRank(g, rounds = 2, localMaxEdges = 0L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rd == r)
     // mass conservation within the floor-loss bound: total stays
     // between n*(0.15*SCALE) and n*SCALE
     val tot = r.values.sum
