@@ -1243,6 +1243,65 @@ f3 AS (SELECT *, ${folds(1)} FROM f2),
 f4 AS (SELECT *, ${folds(2)} FROM f3)"""
   }
 
+  /** t15/e16 shared oracle: the NB quality chain (see
+    * TextOps.nbQualityClassifier) — the e16 streaming serve scores
+    * with the identical frozen model, so one SQL pins both lanes. */
+  private val t15Sql: String = dq(raw"""
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(s.sp, 0) + pri.nllp AS BIGINT) AS score_pos,
+       CAST(coalesce(s.sn, 0) + pri.nlln AS BIGINT) AS score_neg,
+       CASE WHEN coalesce(s.sp, 0) + pri.nllp
+              <= coalesce(s.sn, 0) + pri.nlln
+            THEN 'pos' ELSE 'neg' END AS nb_label
+FROM bt b LEFT JOIN sums s USING (doc_id), pri""",
+      extra = raw"""
+q15 AS (SELECT doc_id, round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
+                     + 0.25*alpha + 0.25*dst, 4) AS q FROM (
+  SELECT doc_id,
+    CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.0 END AS lenok,
+    stop, alpha, dst FROM (
+    SELECT doc_id,
+      CAST(length(array_to_string(toks,'')) AS DOUBLE)/greatest(len(toks),1) AS ml,
+      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
+        AS DOUBLE)/greatest(len(toks),1) AS stop,
+      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        /greatest(length(text),1) AS alpha,
+      CAST(len(list_distinct(toks)) AS DOUBLE)/greatest(len(toks),1) AS dst
+    FROM rtoks) i) o),
+seed15 AS (SELECT t.doc_id,
+    CASE WHEN q15.q >= 0.72 THEN 'pos' ELSE 'neg' END AS cls, t.toks
+  FROM toks t JOIN q15 USING (doc_id) WHERE t.doc_id % 3 = 0),
+pri0 AS (SELECT CAST(count(*) FILTER (WHERE cls = 'pos') AS BIGINT) AS np,
+    CAST(count(*) AS BIGINT) AS n FROM seed15),
+tcnt AS (SELECT term,
+    CAST(count(*) FILTER (WHERE cls = 'pos') AS BIGINT) AS cp,
+    CAST(count(*) FILTER (WHERE cls = 'neg') AS BIGINT) AS cn
+  FROM (SELECT cls, unnest(toks) AS term FROM seed15) u GROUP BY term),
+tot AS (SELECT coalesce(sum(cp), 0) AS tp, coalesce(sum(cn), 0) AS tn,
+    CAST(count(*) AS BIGINT) AS v FROM tcnt),
+model AS (SELECT term,
+    CAST(floor(-ln((cp + 1.0) / (tp + v)) * 1e6 + 0.5) AS BIGINT) AS nllp,
+    CAST(floor(-ln((cn + 1.0) / (tn + v)) * 1e6 + 0.5) AS BIGINT) AS nlln
+  FROM tcnt, tot),
+dtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) u GROUP BY 1, 2),
+sums AS (SELECT d.doc_id,
+    sum(d.tf * coalesce(m.nllp,
+      CAST(floor(-ln(1.0 / (tot.tp + tot.v)) * 1e6 + 0.5) AS BIGINT)))
+      AS sp,
+    sum(d.tf * coalesce(m.nlln,
+      CAST(floor(-ln(1.0 / (tot.tn + tot.v)) * 1e6 + 0.5) AS BIGINT)))
+      AS sn
+  FROM dtf d LEFT JOIN model m USING (term), tot
+  GROUP BY d.doc_id),
+bt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+pri AS (SELECT
+    CAST(floor(-ln((np + 1.0) / (n + 2.0)) * 1e6 + 0.5) AS BIGINT)
+      AS nllp,
+    CAST(floor(-ln((n - np + 1.0) / (n + 2.0)) * 1e6 + 0.5) AS BIGINT)
+      AS nlln
+  FROM pri0)""".drop(1))
+
   val docs: Map[String, String] = Map(
     "d1_exact_dedup" -> raw"""
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
@@ -1517,61 +1576,11 @@ FROM (SELECT doc_id, unnest(toks) AS word FROM toks) dw
 JOIN bw${T16Rounds + 1} w USING (word)
 GROUP BY dw.doc_id""",
       extra = bpeCtes),
-    "t15_nb_quality" -> dq(raw"""
-SELECT b.doc_id, b.n_tokens,
-       CAST(coalesce(s.sp, 0) + pri.nllp AS BIGINT) AS score_pos,
-       CAST(coalesce(s.sn, 0) + pri.nlln AS BIGINT) AS score_neg,
-       CASE WHEN coalesce(s.sp, 0) + pri.nllp
-              <= coalesce(s.sn, 0) + pri.nlln
-            THEN 'pos' ELSE 'neg' END AS nb_label
-FROM bt b LEFT JOIN sums s USING (doc_id), pri""",
-      extra = raw"""
-q15 AS (SELECT doc_id, round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
-                     + 0.25*alpha + 0.25*dst, 4) AS q FROM (
-  SELECT doc_id,
-    CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.0 END AS lenok,
-    stop, alpha, dst FROM (
-    SELECT doc_id,
-      CAST(length(array_to_string(toks,'')) AS DOUBLE)/greatest(len(toks),1) AS ml,
-      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
-        AS DOUBLE)/greatest(len(toks),1) AS stop,
-      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        /greatest(length(text),1) AS alpha,
-      CAST(len(list_distinct(toks)) AS DOUBLE)/greatest(len(toks),1) AS dst
-    FROM rtoks) i) o),
-seed15 AS (SELECT t.doc_id,
-    CASE WHEN q15.q >= 0.72 THEN 'pos' ELSE 'neg' END AS cls, t.toks
-  FROM toks t JOIN q15 USING (doc_id) WHERE t.doc_id % 3 = 0),
-pri0 AS (SELECT CAST(count(*) FILTER (WHERE cls = 'pos') AS BIGINT) AS np,
-    CAST(count(*) AS BIGINT) AS n FROM seed15),
-tcnt AS (SELECT term,
-    CAST(count(*) FILTER (WHERE cls = 'pos') AS BIGINT) AS cp,
-    CAST(count(*) FILTER (WHERE cls = 'neg') AS BIGINT) AS cn
-  FROM (SELECT cls, unnest(toks) AS term FROM seed15) u GROUP BY term),
-tot AS (SELECT coalesce(sum(cp), 0) AS tp, coalesce(sum(cn), 0) AS tn,
-    CAST(count(*) AS BIGINT) AS v FROM tcnt),
-model AS (SELECT term,
-    CAST(floor(-ln((cp + 1.0) / (tp + v)) * 1e6 + 0.5) AS BIGINT) AS nllp,
-    CAST(floor(-ln((cn + 1.0) / (tn + v)) * 1e6 + 0.5) AS BIGINT) AS nlln
-  FROM tcnt, tot),
-dtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) u GROUP BY 1, 2),
-sums AS (SELECT d.doc_id,
-    sum(d.tf * coalesce(m.nllp,
-      CAST(floor(-ln(1.0 / (tot.tp + tot.v)) * 1e6 + 0.5) AS BIGINT)))
-      AS sp,
-    sum(d.tf * coalesce(m.nlln,
-      CAST(floor(-ln(1.0 / (tot.tn + tot.v)) * 1e6 + 0.5) AS BIGINT)))
-      AS sn
-  FROM dtf d LEFT JOIN model m USING (term), tot
-  GROUP BY d.doc_id),
-bt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
-pri AS (SELECT
-    CAST(floor(-ln((np + 1.0) / (n + 2.0)) * 1e6 + 0.5) AS BIGINT)
-      AS nllp,
-    CAST(floor(-ln((n - np + 1.0) / (n + 2.0)) * 1e6 + 0.5) AS BIGINT)
-      AS nlln
-  FROM pri0)""".drop(1)),
+    "t15_nb_quality" -> t15Sql,
+    // e16 serves the SAME frozen model against the document stream —
+    // scores are a pure (document, model) function, so the batch
+    // classifier's SQL is the oracle verbatim (e10/e13/e15 precedent)
+    "e16_stream_nb_score" -> t15Sql,
     "t3_lang_id" -> dq(raw"""
 SELECT doc_id,
   CASE WHEN length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) > 0

@@ -1387,6 +1387,26 @@ object QueryDefs {
       EventStreams.bandIngestStreamFromParquet(s, s"$tmp/docs",
         docs.schema, s"$tmp/out")
     }),
+    // e16: the t15 model SERVED against a document stream — NB model
+    // trained once batch-side, frozen, each micro-batch scored by the
+    // pure (document, model) function; t15's oracle applies verbatim
+    "e16_stream_nb_score" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val m = TextOps.nbTrain(docs)
+      val frozen = TextOps.NbModel(
+        m.model.localCheckpoint(eager = true),
+        m.tot.localCheckpoint(eager = true),
+        m.pri.localCheckpoint(eager = true))
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e16").toString
+      val now = System.currentTimeMillis()
+      writeOneFile(docs.filter(col("doc_id") % 2 === 0),
+        s"$tmp/docs/b0.parquet", now - 60000L)
+      writeOneFile(docs.filter(col("doc_id") % 2 === 1),
+        s"$tmp/docs/b1.parquet", now)
+      EventStreams.nbScoreStreamFromParquet(s, s"$tmp/docs",
+        docs.schema, frozen, s"$tmp/out")
+    }),
     // e14: the as-of join as a STATEFUL stream — two event-time-split
     // micro-batches (the file source's in-order contract); per-user
     // state carries the latest reference across the batch boundary, so
@@ -1731,7 +1751,7 @@ object QueryDefs {
         "e8_stream_sample", "e9_stream_sq8", "e10_stream_intradoc",
         "e11_stream_response_cache", "e12_stream_graph_ingest",
         "e13_stream_bm25_ingest", "e14_stream_asof",
-        "e15_stream_band_ingest")),
+        "e15_stream_band_ingest", "e16_stream_nb_score")),
       // sub-second at the bench SF: single balanced shuffle (p9) /
       // broadcast join + map-only explode (p10) / one id-hash join
       // (v1) — their engines are plain builtin shapes the heavier

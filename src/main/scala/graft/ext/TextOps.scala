@@ -582,11 +582,32 @@ object TextOps {
     * tokens end-to-end. */
   def nbQualityClassifier(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", seedMod: Int = 3,
-                          threshold: Double = 0.72): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      tokens(lower(col(textCol))).as("__toks"),
-      qualityScore(col(textCol)).as("__q"))
-    val seed = base.filter(col("doc_id") % seedMod === 0)
+                          threshold: Double = 0.72): DataFrame =
+    nbScore(docs, nbTrain(docs, idCol, textCol, seedMod, threshold),
+      idCol, textCol)
+
+  /** A trained NB quality model: `model` is the vocab-sized
+    * (term, −ln P(term|class)) frame; `tot` and `pri` are 1-row
+    * class-total and prior frames. Frozen and reusable — the serving
+    * split [[nbScore]] (and the e16 streaming twin) score against. */
+  final case class NbModel(model: DataFrame, tot: DataFrame, pri: DataFrame)
+
+  private def nbNll(num: Column, den: Column): Column =
+    floor(-log(num.cast("double") / den.cast("double")) * 1e6 + lit(0.5))
+      .cast("long")
+
+  /** The training half of [[nbQualityClassifier]]: label the
+    * deterministic seed split with the heuristic, build the add-one
+    * model. Two map-side-combined count shuffles over the seed split
+    * only. */
+  def nbTrain(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", seedMod: Int = 3,
+              threshold: Double = 0.72): NbModel = {
+    val seed = docs
+      .select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("__toks"),
+        qualityScore(col(textCol)).as("__q"))
+      .filter(col("doc_id") % seedMod === 0)
       .select(col("doc_id"),
         when(col("__q") >= threshold, lit("pos")).otherwise(lit("neg"))
           .as("__cls"),
@@ -604,35 +625,45 @@ object TextOps {
         sum(when(col("__cls") === "neg", 1L).otherwise(0L)).as("__cn"))
     val tot = tcnt.agg(sum("__cp").as("__tp"), sum("__cn").as("__tn"),
       count(lit(1)).as("__v"))
-    def nll(num: Column, den: Column): Column =
-      floor(-log(num.cast("double") / den.cast("double")) * 1e6 + lit(0.5))
-        .cast("long")
     val model = tcnt.crossJoin(broadcast(tot))
       .select(col("__term"),
-        nll(col("__cp") + 1L, col("__tp") + col("__v")).as("__nllp"),
-        nll(col("__cn") + 1L, col("__tn") + col("__v")).as("__nlln"))
+        nbNll(col("__cp") + 1L, col("__tp") + col("__v")).as("__nllp"),
+        nbNll(col("__cn") + 1L, col("__tn") + col("__v")).as("__nlln"))
+    NbModel(model, tot, pri)
+  }
+
+  /** The scoring half of [[nbQualityClassifier]]: per-document integer
+    * evidence sums against a frozen [[NbModel]]. Scores depend only on
+    * the document and the model — batch splits, ordering, and replay
+    * can't change them, which is what makes the streaming twin's
+    * oracle the batch classifier verbatim. One term-keyed equi-join +
+    * one per-doc aggregation over the scored frame. */
+  def nbScore(docs: DataFrame, m: NbModel, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("__toks"))
     val dtf = base
       .select(col("doc_id"), explode(col("__toks")).as("__term"))
       .groupBy("doc_id", "__term").agg(count(lit(1)).as("__tf"))
-    val sums = dtf.join(model, Seq("__term"), "left")
-      .crossJoin(broadcast(tot))
+    val sums = dtf.join(m.model, Seq("__term"), "left")
+      .crossJoin(broadcast(m.tot))
       .select(col("doc_id"), col("__tf"),
         // OOV smoothing mass 1/(totc+V) — same scaled-ln arithmetic
         coalesce(col("__nllp"),
-          nll(lit(1L), col("__tp") + col("__v"))).as("__op"),
+          nbNll(lit(1L), col("__tp") + col("__v"))).as("__op"),
         coalesce(col("__nlln"),
-          nll(lit(1L), col("__tn") + col("__v"))).as("__on"))
+          nbNll(lit(1L), col("__tn") + col("__v"))).as("__on"))
       .groupBy("doc_id")
       .agg(sum(col("__tf") * col("__op")).as("__sp"),
         sum(col("__tf") * col("__on")).as("__sn"))
     base.select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
       .join(sums, Seq("doc_id"), "left")
-      .crossJoin(broadcast(pri))
+      .crossJoin(broadcast(m.pri))
       .select(col("doc_id"), col("n_tokens"),
         (coalesce(col("__sp"), lit(0L)) +
-          nll(col("__np") + 1L, col("__n") + 2L)).as("score_pos"),
+          nbNll(col("__np") + 1L, col("__n") + 2L)).as("score_pos"),
         (coalesce(col("__sn"), lit(0L)) +
-          nll(col("__n") - col("__np") + 1L, col("__n") + 2L)).as("score_neg"))
+          nbNll(col("__n") - col("__np") + 1L, col("__n") + 2L)).as("score_neg"))
       .withColumn("nb_label",
         when(col("score_pos") <= col("score_neg"), lit("pos"))
           .otherwise(lit("neg")))

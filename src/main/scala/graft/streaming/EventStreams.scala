@@ -563,6 +563,38 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** e16: MODEL-SERVING stream for the t15 NB quality classifier —
+    * the model is trained ONCE batch-side and FROZEN (the e6
+    * trained-codebook / e8 frozen-bench-row serving shape applied to
+    * the model-based quality-filter stage): document micro-batches
+    * drain through foreachBatch, each scored by
+    * [[graft.ext.TextOps.nbScore]] against the frozen model frames and
+    * appended. Scores are a pure function of (document, model), so the
+    * batch classifier over the same corpus is the exact oracle
+    * regardless of batch splits, ordering, or replay.
+    * `maxFilesPerTrigger=1` makes each document file one
+    * micro-batch. */
+  def nbScoreStreamFromParquet(spark: SparkSession, docDir: String,
+                               rawSchema: org.apache.spark.sql.types.StructType,
+                               model: graft.ext.TextOps.NbModel,
+                               outDir: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("e16ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.TextOps.nbScore(batch.toDF(), model)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.read.parquet(outDir)
+  }
+
   /** e15: the DEDUP-leg LSM ingest, completing the streaming-ingest
     * trilogy with e12 (dense graph-ANN) and e13 (lexical postings):
     * document micro-batches drain through foreachBatch, each batch

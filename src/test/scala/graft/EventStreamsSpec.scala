@@ -541,4 +541,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.forall(_._3 == "short"))
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming NB scoring against a frozen model == batch classifier " +
+      "across a two-batch split") {
+    val docs = Seq(
+      (0L, "the cats sat upon a mat and the dogs sat down"),
+      (3L, "zz zz zz zz zz zz zz zz"),
+      (6L, "the foxes run to a dens and the birds flew in"),
+      (9L, "qq qq qq qq qq qq qq qq"),
+      (12L, ""),
+      (1L, "the cats and dogs sat on a mat"),
+      (2L, "zz qq zz qq zz qq")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("e16spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/docs/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "b0", now - 60000L)
+    writeOne(docs.filter(col("doc_id") % 2 === 1), "b1", now)
+    val m = graft.ext.TextOps.nbTrain(docs, threshold = 0.7)
+    val frozen = graft.ext.TextOps.NbModel(
+      m.model.localCheckpoint(eager = true),
+      m.tot.localCheckpoint(eager = true),
+      m.pri.localCheckpoint(eager = true))
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val streamed = EventStreams.nbScoreStreamFromParquet(spark,
+      s"$tmp/docs", docs.schema, frozen, s"$tmp/out")
+    val batch = graft.ext.TextOps.nbQualityClassifier(docs,
+      threshold = 0.7)
+    assert(canon(streamed) == canon(batch), "stream == batch scores")
+    // the split put pos-evidence doc 1 and its seed docs in DIFFERENT
+    // batches: the frozen model carried the evidence across
+    assert(streamed.filter(col("doc_id") === 1L).collect()(0)
+      .getString(4) == "pos")
+  }
 }
