@@ -1243,6 +1243,17 @@ f3 AS (SELECT *, ${folds(1)} FROM f2),
 f4 AS (SELECT *, ${folds(2)} FROM f3)"""
   }
 
+  /** t16 tokenize oracle, shared by the cold lane and the
+    * snapshot-served twin (the trained vocab frame is identical). */
+  private val t16TokSql: String = dq(raw"""
+SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(
+         w.wstr[2:length(w.wstr)-1], '||'))) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(toks) AS word FROM toks) dw
+JOIN bw${T16Rounds + 1} w USING (word)
+GROUP BY dw.doc_id""",
+      extra = bpeCtes)
+
   /** t15/e16 shared oracle: the NB quality chain (see
     * TextOps.nbQualityClassifier) — the e16 streaming serve scores
     * with the identical frozen model, so one SQL pins both lanes. */
@@ -1568,14 +1579,10 @@ FROM (${(1 to T16Rounds).map(r =>
       extra = bpeCtes),
     // bpeTokenize mirrored: the doc word stream inner-joins the round-
     // T16Rounds vocab (|-containing words fall out of both sides)
-    "t16_bpe_tokenize" -> dq(raw"""
-SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(len(string_split(
-         w.wstr[2:length(w.wstr)-1], '||'))) AS BIGINT) AS n_bpe_tokens
-FROM (SELECT doc_id, unnest(toks) AS word FROM toks) dw
-JOIN bw${T16Rounds + 1} w USING (word)
-GROUP BY dw.doc_id""",
-      extra = bpeCtes),
+    "t16_bpe_tokenize" -> t16TokSql,
+    // t16 served tokenizes from the PERSISTED vocab snapshot — the
+    // trained frame is identical, so the cold lane's SQL pins it
+    "t16_bpe_served" -> t16TokSql,
     "t15_nb_quality" -> t15Sql,
     // e16 serves the SAME frozen model against the document stream —
     // scores are a pure (document, model) function, so the batch

@@ -481,6 +481,20 @@ object QueryDefs {
       Retrieval.openBm25Index(s, dir)
     })
 
+  /** Persisted BPE-vocabulary snapshot for the t16 served twin (same
+    * lifecycle as [[bm25IndexServed]]): rep 1 of the bench lane pays
+    * the 12-round train+write, the median is the one-join tokenize
+    * over the reopened vocab. */
+  private val bpeVocabCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+  private def bpeVocabServed(s: SparkSession, d: String): DataFrame =
+    bpeVocabCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bpe").toString
+      TextOps.writeBpeVocab(table(s, d, "documents"), dir)
+      TextOps.openBpeVocab(s, dir)
+    })
+
   /** Standing-corpus band-index snapshot for the d12 served twin
     * (same lifecycle as [[bm25IndexServed]]): rep 1 of the bench lane
     * pays the standing index build+write, the median is the
@@ -1049,6 +1063,11 @@ object QueryDefs {
     // packing window, pinned as one seam-free lane
     "p11_bpe_pack" -> ((s, d) =>
       Sampling.bpePack(table(s, d, "documents"))),
+    // t16 served: tokenize from the persisted vocab snapshot — same
+    // oracle as the cold lane (r1_bm25_served precedent)
+    "t16_bpe_served" -> ((s, d) =>
+      TextOps.bpeTokenizeServed(table(s, d, "documents"),
+        bpeVocabServed(s, d))),
     // Bloom-filter decontamination over the same t8 bench split; the
     // relational filter is deterministic arithmetic, so hits AND false
     // positives hash-match the oracle
@@ -1680,8 +1699,10 @@ object QueryDefs {
     // the corpus-wide vocab join (tokenize), plus integer PageRank
     // (10 join+agg power iterations on the thin graph)
     "t16_bpe_train", "t16_bpe_tokenize", "g9_pagerank",
-    // the composed tokenizer→pack pipeline (t16's cost + one window)
-    "p11_bpe_pack")
+    // the composed tokenizer→pack pipeline (t16's cost + one window),
+    // and the snapshot-served tokenize (rep 1 pays train+write, the
+    // median is the one-join warm serve)
+    "p11_bpe_pack", "t16_bpe_served")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

@@ -714,9 +714,30 @@ object TextOps {
     * Zero-token docs emit no row, like the other tokenizing lanes. */
   def bpeTokenize(docs: DataFrame, rounds: Int = 12,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val (_, words) = bpeCore(docs, rounds, textCol)
-    val nsyms = words.select(col("word"),
+                  textCol: String = "text"): DataFrame =
+    bpeTokenizeServed(docs, bpeCore(docs, rounds, textCol)._2,
+      idCol, textCol)
+
+  /** Persist a trained BPE vocabulary (word, wcount, wstr) — the
+    * tokenizer's serving snapshot ([[graft.ext.Retrieval.writeBm25Index]]
+    * lifecycle): train once, write, and every downstream tokenize
+    * call is ONE vocab join against the reopened frame — no
+    * retraining. */
+  def writeBpeVocab(docs: DataFrame, dir: String, rounds: Int = 12,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): Unit =
+    bpeCore(docs, rounds, textCol)._2
+      .write.mode("overwrite").parquet(dir)
+
+  def openBpeVocab(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** The serving half of [[bpeTokenize]]: per-doc word/BPE-token
+    * counts against an already-trained vocab frame (word, wstr). */
+  def bpeTokenizeServed(docs: DataFrame, vocab: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val nsyms = vocab.select(col("word"),
       size(split(expr("substring(wstr, 2, length(wstr) - 2)"), "\\|\\|"))
         .cast("long").as("__nsyms"))
     docs.select(col(idCol).as("doc_id"),

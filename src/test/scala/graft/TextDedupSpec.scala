@@ -796,6 +796,14 @@ class TextDedupSpec extends SparkSpec {
     val bar = Seq((7L, "ab a|b ab")).toDF("doc_id", "text")
     val tb = TextOps.bpeTokenize(bar, rounds = 0).collect()
     assert(tb(0).getLong(1) == 2L, "a|b excluded from training and counting")
+    // serving snapshot roundtrip: persisted vocab tokenizes identically
+    val dir = java.nio.file.Files.createTempDirectory("bpespec").toString
+    TextOps.writeBpeVocab(d, dir, rounds = 4)
+    val served = TextOps.bpeTokenizeServed(d, TextOps.openBpeVocab(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cold = TextOps.bpeTokenize(d, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == cold, "snapshot-served tokenize == cold tokenize")
   }
 
   test("BPE pack: learned-vocab token counts drive the packing window") {
