@@ -1137,36 +1137,41 @@ dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)"""
     * replace the engine ran (TextOps.bpeCore). `sum(wcount)` is cast
     * to BIGINT (DuckDB sum(BIGINT) is HUGEINT). */
   private val T16Rounds = 12
-  private val bpeCtes: String = {
+  /** The training chain parameterized by the (doc_id, toks) source
+    * CTE and a name prefix, so the corpus lanes (src=toks, p=b) and
+    * the curate composition (src=ctoks, p=cb) share one
+    * construction — the e15/v2 band-chain precedent. */
+  private def bpeCtesFrom(src: String, p: String): String = {
     val w1 = raw"""
-bw1 AS MATERIALIZED (SELECT word, wcount,
+${p}w1 AS MATERIALIZED (SELECT word, wcount,
     '|' || array_to_string(list_transform(generate_series(1, length(word)),
       i -> word[i:i]) || ['</w>'], '||') || '|' AS wstr
   FROM (SELECT word, CAST(count(*) AS BIGINT) AS wcount
-        FROM (SELECT unnest(toks) AS word FROM toks) uw
+        FROM (SELECT unnest(toks) AS word FROM $src) uw
         WHERE word NOT LIKE '%|%' GROUP BY word) w0)""".drop(1)
-    // bw$r and bb$r are MULTI-CONSUMER (bw feeds the split AND the
-    // next round; bb feeds the next round AND the final union) —
+    // ${p}w$r and ${p}b$r are MULTI-CONSUMER (w feeds the split AND the
+    // next round; b feeds the next round AND the final union) —
     // without MATERIALIZED, DuckDB's default CTE inlining re-evaluates
     // the whole prefix chain per consumer: 2^rounds blowup (the a17
     // lesson)
     val rs = (1 to T16Rounds).map { r => raw"""
-bs$r AS (SELECT wcount,
-    string_split(wstr[2:length(wstr)-1], '||') AS syms FROM bw$r),
-bp$r AS (SELECT p.a AS a, p.b AS b, CAST(sum(wcount) AS BIGINT) AS cnt
+${p}s$r AS (SELECT wcount,
+    string_split(wstr[2:length(wstr)-1], '||') AS syms FROM ${p}w$r),
+${p}p$r AS (SELECT pp.a AS a, pp.b AS b, CAST(sum(wcount) AS BIGINT) AS cnt
   FROM (SELECT wcount, unnest(list_transform(
       generate_series(1, len(syms) - 1),
-      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p FROM bs$r) ue
+      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS pp FROM ${p}s$r) ue
   GROUP BY 1, 2),
-bb$r AS MATERIALIZED (SELECT a, b, cnt FROM bp$r
+${p}b$r AS MATERIALIZED (SELECT a, b, cnt FROM ${p}p$r
   ORDER BY cnt DESC, a, b LIMIT 1),
-bw${r + 1} AS MATERIALIZED (SELECT word, wcount,
+${p}w${r + 1} AS MATERIALIZED (SELECT word, wcount,
     replace(wstr, '|' || b.a || '||' || b.b || '|',
       '|' || b.a || b.b || '|') AS wstr
-  FROM bw$r, bb$r b)""".drop(1)
+  FROM ${p}w$r, ${p}b$r b)""".drop(1)
     }
     (w1 +: rs).mkString(",\n")
   }
+  private val bpeCtes: String = bpeCtesFrom("toks", "b")
 
 
   private val jaccardSql: String =
@@ -1257,15 +1262,9 @@ GROUP BY dw.doc_id""",
   /** t15/e16 shared oracle: the NB quality chain (see
     * TextOps.nbQualityClassifier) — the e16 streaming serve scores
     * with the identical frozen model, so one SQL pins both lanes. */
-  private val t15Sql: String = dq(raw"""
-SELECT b.doc_id, b.n_tokens,
-       CAST(coalesce(s.sp, 0) + pri.nllp AS BIGINT) AS score_pos,
-       CAST(coalesce(s.sn, 0) + pri.nlln AS BIGINT) AS score_neg,
-       CASE WHEN coalesce(s.sp, 0) + pri.nllp
-              <= coalesce(s.sn, 0) + pri.nlln
-            THEN 'pos' ELSE 'neg' END AS nb_label
-FROM bt b LEFT JOIN sums s USING (doc_id), pri""",
-      extra = raw"""
+  /** The NB training+scoring CTE chain, shared by t15/e16 and the
+    * curate composition. */
+  private val nbCtes: String = raw"""
 q15 AS (SELECT doc_id, round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
                      + 0.25*alpha + 0.25*dst, 4) AS q FROM (
   SELECT doc_id,
@@ -1311,7 +1310,57 @@ pri AS (SELECT
       AS nllp,
     CAST(floor(-ln((n - np + 1.0) / (n + 2.0)) * 1e6 + 0.5) AS BIGINT)
       AS nlln
-  FROM pri0)""".drop(1))
+  FROM pri0)""".drop(1)
+
+  private val t15Sql: String = dq(raw"""
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(s.sp, 0) + pri.nllp AS BIGINT) AS score_pos,
+       CAST(coalesce(s.sn, 0) + pri.nlln AS BIGINT) AS score_neg,
+       CASE WHEN coalesce(s.sp, 0) + pri.nllp
+              <= coalesce(s.sn, 0) + pri.nlln
+            THEN 'pos' ELSE 'neg' END AS nb_label
+FROM bt b LEFT JOIN sums s USING (doc_id), pri""", extra = nbCtes)
+
+  /** curate_corpus oracle: the t15 chain picks survivors, the d13
+    * block-df pass (recomputed on the SURVIVOR corpus) scrubs
+    * boilerplate, the BPE chain retrains on the curated text
+    * (bpeCtesFrom("ctoks", "cb")), and the p11 pack window emits the
+    * final rows — four pinned lanes composed into one statement. */
+  private val curateSql: String = dq(raw"""
+SELECT doc_id, shard, n_bpe_tokens,
+  strt // 512 AS pack_id,
+  strt % 512 AS pack_offset
+FROM (SELECT doc_id, shard, n_bpe_tokens,
+        CAST(sum(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          - n_bpe_tokens AS strt
+      FROM (SELECT doc_id, doc_id % 8 AS shard, n_bpe_tokens
+            FROM cbtok) l) c""",
+      extra = nbCtes + "," + raw"""
+ckeep AS MATERIALIZED (SELECT b.doc_id
+  FROM bt b LEFT JOIN sums s USING (doc_id), pri
+  WHERE coalesce(s.sp, 0) + pri.nllp <= coalesce(s.sn, 0) + pri.nlln),
+cfb AS MATERIALIZED (SELECT doc_id, s.blk AS blk, s.btext AS btext FROM (
+  SELECT r.doc_id, unnest(list_transform(
+      generate_series(0, CAST((len(r.toks) + 2) // 3 AS BIGINT) - 1),
+      i -> struct_pack(blk := i,
+        btext := array_to_string(r.toks[i*3+1 : i*3+3], ' ')))) AS s
+    FROM rtoks r JOIN ckeep USING (doc_id) WHERE len(r.toks) > 0) t),
+cdf AS (SELECT btext, count(DISTINCT doc_id) AS df FROM cfb
+  GROUP BY btext HAVING count(DISTINCT doc_id) >= 4),
+cdocs AS (SELECT doc_id,
+    coalesce(string_agg(CASE WHEN cdf.df IS NULL THEN cfb.btext END, ' '
+      ORDER BY blk), '') AS ctext
+  FROM cfb LEFT JOIN cdf USING (btext) GROUP BY doc_id),
+ctoks AS MATERIALIZED (SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(ctext)), '\s+'),
+      t -> t <> '') AS toks
+  FROM cdocs),""".drop(1) + "\n" + bpeCtesFrom("ctoks", "cb") + "," + raw"""
+cbtok AS (SELECT dw.doc_id, CAST(sum(len(string_split(
+    w.wstr[2:length(w.wstr)-1], '||'))) AS BIGINT) AS n_bpe_tokens
+  FROM (SELECT doc_id, unnest(toks) AS word FROM ctoks) dw
+  JOIN cbw${T16Rounds + 1} w USING (word)
+  GROUP BY dw.doc_id)""".drop(1))
 
   val docs: Map[String, String] = Map(
     "d1_exact_dedup" -> raw"""
@@ -1584,6 +1633,9 @@ FROM (${(1 to T16Rounds).map(r =>
     // trained frame is identical, so the cold lane's SQL pins it
     "t16_bpe_served" -> t16TokSql,
     "t15_nb_quality" -> t15Sql,
+    // the end-to-end curation pipeline: quality-filter → boilerplate
+    // scrub → BPE retrain on curated text → pack, one statement
+    "curate_corpus" -> curateSql,
     // e16 serves the SAME frozen model against the document stream —
     // scores are a pure (document, model) function, so the batch
     // classifier's SQL is the oracle verbatim (e10/e13/e15 precedent)

@@ -1068,6 +1068,11 @@ object QueryDefs {
     "t16_bpe_served" -> ((s, d) =>
       TextOps.bpeTokenizeServed(table(s, d, "documents"),
         bpeVocabServed(s, d))),
+    // the END-TO-END curation pipeline as one pinned lane: t15 NB
+    // filter → d13 boilerplate scrub → t16 BPE retrained on the
+    // curated text → p11 pack (see Sampling.curateCorpus)
+    "curate_corpus" -> ((s, d) =>
+      Sampling.curateCorpus(table(s, d, "documents"))),
     // Bloom-filter decontamination over the same t8 bench split; the
     // relational filter is deterministic arithmetic, so hits AND false
     // positives hash-match the oracle
@@ -1702,7 +1707,9 @@ object QueryDefs {
     // the composed tokenizer→pack pipeline (t16's cost + one window),
     // and the snapshot-served tokenize (rep 1 pays train+write, the
     // median is the one-join warm serve)
-    "p11_bpe_pack", "t16_bpe_served")
+    "p11_bpe_pack", "t16_bpe_served",
+    // the composed curation pipeline (filter + scrub + retrain + pack)
+    "curate_corpus")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

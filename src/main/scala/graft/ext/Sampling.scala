@@ -167,6 +167,39 @@ object Sampling {
         pmod(col("__start"), lit(budget)).as("pack_offset"))
   }
 
+  /** The END-TO-END corpus-curation pipeline as ONE operator — what a
+    * CCNet/RefinedWeb-style preprocessing run actually executes, each
+    * stage an already-pinned lane, composed seam-free (the
+    * rag_retrieve claim for the curation leg):
+    *
+    *   1. model-based quality filter — keep docs the trained NB
+    *      classifier labels 'pos' ([[TextOps.nbQualityClassifier]]);
+    *   2. corpus-boilerplate removal over the SURVIVORS — block df
+    *      recomputed on the filtered corpus ([[Dedup.boilerplateDedup]]);
+    *   3. tokenizer induction on the CURATED text + tokenize + pack
+    *      ([[bpePack]] = [[TextOps.bpeTrain]]/[[TextOps.bpeTokenize]]
+    *      feeding [[packSequences]]'s window).
+    *
+    * Docs scrubbed to nothing by stage 2 tokenize to zero and emit no
+    * pack row. Scale: each stage's own shape (all linear, term/hash
+    * equi-joins, vocab-frame training); stages hand off doc-granular
+    * frames, so nothing materializes beyond the stage outputs. */
+  def curateCorpus(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", rounds: Int = 12,
+                   nShards: Int = 8, budget: Long = 512L): DataFrame = {
+    val kept = docs.join(
+      TextOps.nbQualityClassifier(docs, idCol, textCol)
+        .filter(col("nb_label") === "pos")
+        .select(col("doc_id").as("__keep_id")),
+      col(idCol) === col("__keep_id"), "left_semi")
+    // checkpoint the curated text once: BPE training and the tokenize
+    // join both read it (12 collect rounds would re-run stages 1-2)
+    val cleaned = Dedup.boilerplateDedup(kept, idCol, textCol)
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .localCheckpoint()
+    bpePack(cleaned, rounds = rounds, nShards = nShards, budget = budget)
+  }
+
   /** Leakage-safe train/val/test split: a plain per-document hash
     * split puts near-duplicates on BOTH sides of the cut — the eval
     * set then leaks into training and the val/test numbers are

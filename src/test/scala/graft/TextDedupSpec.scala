@@ -819,6 +819,35 @@ class TextDedupSpec extends SparkSpec {
       (2L, 0L, 2L, 2L, 1L)))  // starts at 7 = pack 2, offset 1
   }
 
+  test("curate corpus: composed pipeline == stages run in sequence, with every stage active") {
+    // pos-shaped docs share a boilerplate prefix (df>=4); neg-shaped
+    // docs are junk the NB filter should drop
+    val pos = (0 to 7).map(i =>
+      (i.toLong * 2, s"the cats sat upon a mat and the dogs ran c$i here"))
+    val neg = (0 to 5).map(i => (i.toLong * 2 + 1, s"zz$i " * 6))
+    val d = (pos ++ neg).toDF("doc_id", "text")
+    val composed = Sampling.curateCorpus(d, rounds = 3, nShards = 1,
+      budget = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // manual staging with the same knobs
+    val kept = d.join(TextOps.nbQualityClassifier(d)
+        .filter(col("nb_label") === "pos").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.boilerplateDedup(kept)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val manual = Sampling.bpePack(cleaned, rounds = 3, nShards = 1,
+      budget = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(composed == manual, "composition introduces no seam")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds.size < 14, "NB filter was active")
+    // the shared prefix block (df = 8 kept docs >= 4) was scrubbed:
+    // no surviving doc packs the full original token count (11)
+    assert(composed.forall(_._3 < 11L), "boilerplate scrub was active")
+  }
+
   test("boilerplate dedup: df>=minDf blocks vanish from every doc, intra-doc repeats don't count") {
     val d = Seq(
       (1L, "aa bb cc dd ee ff"),       // boilerplate + own content
