@@ -1633,6 +1633,19 @@ FROM (${(1 to T16Rounds).map(r =>
     // trained frame is identical, so the cold lane's SQL pins it
     "t16_bpe_served" -> t16TokSql,
     "t15_nb_quality" -> t15Sql,
+    // noveltyScore mirrored: d2's dsh shingles, df over the shingle
+    // key, per-doc unique fraction rounded 4dp (the t2 convention)
+    "t17_novelty" -> dq(raw"""
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*), 4) AS novelty
+FROM (SELECT doc_id, unnest(sh) AS s FROM dsh) e
+JOIN (SELECT s, count(*) AS df
+      FROM (SELECT doc_id, unnest(sh) AS s FROM dsh) u GROUP BY s) d
+  USING (s)
+GROUP BY e.doc_id"""),
     // the end-to-end curation pipeline: quality-filter → boilerplate
     // scrub → BPE retrain on curated text → pack, one statement
     "curate_corpus" -> curateSql,

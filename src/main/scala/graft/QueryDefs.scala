@@ -1052,6 +1052,10 @@ object QueryDefs {
     // hash-pinned, not thresholded doubles
     "t15_nb_quality" -> ((s, d) =>
       TextOps.nbQualityClassifier(table(s, d, "documents"))),
+    // t17: corpus-novelty fraction per doc (unique-shingle share —
+    // the dual of the t5/t6 repetition signals)
+    "t17_novelty" -> ((s, d) =>
+      TextOps.noveltyScore(table(s, d, "documents"))),
     // t16: TRUE BPE induction (12 merge rounds, vocab-frame training,
     // merge = one string replace — see TextOps.bpeTrain) + the corpus
     // tokenized under the learned vocabulary
@@ -1709,7 +1713,8 @@ object QueryDefs {
     // median is the one-join warm serve)
     "p11_bpe_pack", "t16_bpe_served",
     // the composed curation pipeline (filter + scrub + retrain + pack)
-    "curate_corpus")
+    // and the corpus-novelty pass (shingle df + per-doc re-agg)
+    "curate_corpus", "t17_novelty")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

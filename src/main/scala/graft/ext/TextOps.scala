@@ -669,6 +669,34 @@ object TextOps {
           .otherwise(lit("neg")))
   }
 
+  /** Corpus-novelty scoring — the per-document fraction of DISTINCT
+    * 3-token shingles that occur in NO other document: the curation
+    * signal dual to the repetition family (t5/t6 measure what a doc
+    * repeats; this measures what the CORPUS repeats of the doc —
+    * near-1 means fresh content, near-0 means the doc is assembled
+    * from corpus-common text, the memorization-risk shape of Lee et
+    * al. 2022's duplicate-text analysis, arXiv:2107.06499 §5).
+    * Shingles are [[Dedup.shingles]]' exact d2 construction, so the
+    * score is consistent with what the MinHash lanes band on.
+    *
+    * Scale shape: shingle fan-out, ONE map-side-combined df count
+    * over the uniform shingle key, one shingle-keyed equi-join back,
+    * one per-doc re-agg — [[Dedup.blockDedup]]'s linear corpus shape.
+    * The ratio divides two exact longs and rounds to 4dp (the t2
+    * convention), so the hash is stable in any IEEE engine. */
+  def noveltyScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(Dedup.shingles(col(textCol)))).as("__s"))
+    val df = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
+    ex.join(df, Seq("__s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", Num.roundLike(
+        col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
   /** BPE merge-table training (Sennrich et al. 2016, arXiv:1508.07909)
     * — TRUE byte-pair-encoding induction, not the [[bpeishTokenCount]]
     * boundary proxy: each round counts all adjacent symbol pairs

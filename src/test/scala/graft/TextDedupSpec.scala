@@ -819,6 +819,21 @@ class TextDedupSpec extends SparkSpec {
       (2L, 0L, 2L, 2L, 1L)))  // starts at 7 = pack 2, offset 1
   }
 
+  test("novelty: unique-shingle fraction, dups score 0, fresh docs 1") {
+    val d = Seq(
+      (1L, "a b c d"),       // dup pair: every shingle shared
+      (2L, "a b c d"),
+      (3L, "x y z w"),       // all shingles unique
+      (4L, "a b c q r"))     // "a b c" shared, 2 of 3 novel
+      .toDF("doc_id", "text")
+    val out = TextOps.noveltyScore(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)) && out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    assert(out(4L) == ((3L, 2L, 0.6667)))
+  }
+
   test("curate corpus: composed pipeline == stages run in sequence, with every stage active") {
     // pos-shaped docs share a boilerplate prefix (df>=4); neg-shaped
     // docs are junk the NB filter should drop
