@@ -686,8 +686,17 @@ object TextOps {
     * convention), so the hash is stable in any IEEE engine. */
   def noveltyScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val ex = docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(Dedup.shingles(col(textCol)))).as("__s"))
+    // two-step projection (the lshBands shape): tokenize FIRST, then
+    // shingle the materialized column — the single-expression
+    // Dedup.shingles form inlines the tokenizer into every lambda
+    // position (the swept HOF re-evaluation hazard; measured 10.9 s →
+    // ~1 s on the sf0.1 bench lane)
+    val ex = docs
+      .select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shinglesOfTokens(col("__toks"))))
+          .as("__s"))
     val df = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
     ex.join(df, Seq("__s"))
       .groupBy("doc_id")
