@@ -309,6 +309,25 @@ object Serving {
     * memo append read the same checkpointed frame, so a
     * nondeterministic compute (the reference's R-pipeline analogue)
     * cannot store a response that differs from the one served. */
+  /** Bucketed symmetric-edge snapshot — the CO-LOCATED join layout
+    * for src-keyed workloads: `bucketBy(src)` + `sortBy(src)` via
+    * saveAsTable, so every src-keyed equi-join (incl. the edge⋈edge
+    * self-join of triangle/2-hop queries) and every src-keyed
+    * aggregation over the standing edges reads pre-shuffled,
+    * pre-sorted buckets and plans with ZERO Exchange on the bucketed
+    * side(s) — BucketedJoinSpec pins the plan property and the
+    * result equality. At cluster scale this is the difference
+    * between re-shuffling the full edge list on every query and
+    * never shuffling it again after ingest (the same reasoning as
+    * the chromosome-partitioned snapshot, applied to join KEYS
+    * instead of scan PRUNING). */
+  def writeBucketedEdges(sym: DataFrame, tableName: String,
+                         buckets: Int = 8): Unit =
+    sym.select("src", "dst")
+      .write.format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+      .mode("overwrite").saveAsTable(tableName)
+
   def serveCachedDir(requests: DataFrame, dir: String,
                      compute: DataFrame => DataFrame): DataFrame = {
     val spark = requests.sparkSession
