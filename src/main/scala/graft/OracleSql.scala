@@ -1352,10 +1352,14 @@ cdocs AS (SELECT doc_id,
     coalesce(string_agg(CASE WHEN cdf.df IS NULL THEN cfb.btext END, ' '
       ORDER BY blk), '') AS ctext
   FROM cfb LEFT JOIN cdf USING (btext) GROUP BY doc_id),
+cdd AS (SELECT doc_id, ctext FROM (
+    SELECT doc_id, ctext, row_number() OVER (
+      PARTITION BY md5(ctext) ORDER BY doc_id) AS rn FROM cdocs) z
+  WHERE rn = 1),
 ctoks AS MATERIALIZED (SELECT doc_id,
     list_filter(string_split_regex(trim(lower(ctext)), '\s+'),
       t -> t <> '') AS toks
-  FROM cdocs),""".drop(1) + "\n" + bpeCtesFrom("ctoks", "cb") + "," + raw"""
+  FROM cdd),""".drop(1) + "\n" + bpeCtesFrom("ctoks", "cb") + "," + raw"""
 cbtok AS (SELECT dw.doc_id, CAST(sum(len(string_split(
     w.wstr[2:length(w.wstr)-1], '||'))) AS BIGINT) AS n_bpe_tokens
   FROM (SELECT doc_id, unnest(toks) AS word FROM ctoks) dw

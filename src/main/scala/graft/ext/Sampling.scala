@@ -176,14 +176,20 @@ object Sampling {
     *      classifier labels 'pos' ([[TextOps.nbQualityClassifier]]);
     *   2. corpus-boilerplate removal over the SURVIVORS — block df
     *      recomputed on the filtered corpus ([[Dedup.boilerplateDedup]]);
-    *   3. tokenizer induction on the CURATED text + tokenize + pack
+    *   3. exact dedup of the SCRUBBED text — first occurrence (min
+    *      doc_id) per post-scrub text survives, [[Dedup.exact]]'s
+    *      canonical rule (scrubbing first matters: docs differing only
+    *      in boilerplate become exact dups only after stage 2);
+    *   4. tokenizer induction on the CURATED text + tokenize + pack
     *      ([[bpePack]] = [[TextOps.bpeTrain]]/[[TextOps.bpeTokenize]]
     *      feeding [[packSequences]]'s window).
     *
-    * Docs scrubbed to nothing by stage 2 tokenize to zero and emit no
-    * pack row. Scale: each stage's own shape (all linear, term/hash
-    * equi-joins, vocab-frame training); stages hand off doc-granular
-    * frames, so nothing materializes beyond the stage outputs. */
+    * Docs scrubbed to nothing by stage 2 collapse to one empty
+    * survivor in stage 3, which tokenizes to zero and emits no pack
+    * row. Scale: each stage's own shape (all linear, term/hash
+    * equi-joins, one md5-keyed window, vocab-frame training); stages
+    * hand off doc-granular frames, so nothing materializes beyond the
+    * stage outputs. */
   def curateCorpus(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", rounds: Int = 12,
                    nShards: Int = 8, budget: Long = 512L): DataFrame = {
@@ -192,10 +198,14 @@ object Sampling {
         .filter(col("nb_label") === "pos")
         .select(col("doc_id").as("__keep_id")),
       col(idCol) === col("__keep_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     // checkpoint the curated text once: BPE training and the tokenize
-    // join both read it (12 collect rounds would re-run stages 1-2)
+    // join both read it (12 collect rounds would re-run stages 1-3)
     val cleaned = Dedup.boilerplateDedup(kept, idCol, textCol)
       .select(col("doc_id"), col("text_clean").as("text"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint()
     bpePack(cleaned, rounds = rounds, nShards = nShards, budget = budget)
   }

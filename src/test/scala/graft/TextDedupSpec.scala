@@ -840,7 +840,12 @@ class TextDedupSpec extends SparkSpec {
     val pos = (0 to 7).map(i =>
       (i.toLong * 2, s"the cats sat upon a mat and the dogs ran c$i here"))
     val neg = (0 to 5).map(i => (i.toLong * 2 + 1, s"zz$i " * 6))
-    val d = (pos ++ neg).toDF("doc_id", "text")
+    // post-scrub EXACT dups: identical content after the shared
+    // boilerplate prefix is removed — stage 3 must keep only id 100
+    val dup = Seq(
+      (100L, "the cats sat upon a mat and the dogs ran twin pair here"),
+      (102L, "the cats sat upon a mat and the dogs ran twin pair here"))
+    val d = (pos ++ neg ++ dup).toDF("doc_id", "text")
     val composed = Sampling.curateCorpus(d, rounds = 3, nShards = 1,
       budget = 4L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -849,18 +854,30 @@ class TextDedupSpec extends SparkSpec {
     val kept = d.join(TextOps.nbQualityClassifier(d)
         .filter(col("nb_label") === "pos").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val cleaned = Dedup.boilerplateDedup(kept)
       .select(col("doc_id"), col("text_clean").as("text"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val manual = Sampling.bpePack(cleaned, rounds = 3, nShards = 1,
       budget = 4L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     assert(composed == manual, "composition introduces no seam")
     val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(keptIds.nonEmpty && keptIds.size < 14, "NB filter was active")
-    // the shared prefix block (df = 8 kept docs >= 4) was scrubbed:
-    // no surviving doc packs the full original token count (11)
-    assert(composed.forall(_._3 < 11L), "boilerplate scrub was active")
+    assert(keptIds.nonEmpty && keptIds.size < 16, "NB filter was active")
+    val outIds = composed.map(_._1)
+    assert(outIds.contains(100L) && !outIds.contains(102L),
+      "exact-dedup stage keeps the first post-scrub copy only")
+    // the shared 9-token prefix (df = 10 kept docs >= 4) was scrubbed:
+    // every surviving doc's curated text is shorter than its original
+    val orig = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cur = cleaned.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur.nonEmpty &&
+      cur.forall { case (id, t) => t.length < orig(id).length },
+      "boilerplate scrub was active")
   }
 
   test("boilerplate dedup: df>=minDf blocks vanish from every doc, intra-doc repeats don't count") {
