@@ -3804,6 +3804,12 @@ SELECT event_id, user_id, ts, asof_ref_id, asof_ref_value FROM (
     "w2_hll_distinct" -> raw"""
 SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol
 FROM events GROUP BY event_type""",
+    // e17 serves the SAME certificate from streamed-and-merged HLL
+    // segment state — register max-merge makes the micro-batch split
+    // immaterial, so w2's oracle pins it verbatim
+    "e17_stream_hll_ingest" -> raw"""
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol
+FROM events GROUP BY event_type""",
     "w3_quantile_cert" -> raw"""
 WITH ex AS (SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS exs,
                    count(*) AS n FROM lineitem)

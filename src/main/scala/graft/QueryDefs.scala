@@ -1435,6 +1435,22 @@ object QueryDefs {
       EventStreams.nbScoreStreamFromParquet(s, s"$tmp/docs",
         docs.schema, frozen, s"$tmp/out")
     }),
+    // e17: the sketch-leg LSM ingest — event micro-batches append
+    // per-group HLL segments; the serve side unions the accumulated
+    // sketch state and certifies vs exact (w2's oracle verbatim;
+    // register max-merge makes the split immaterial)
+    "e17_stream_hll_ingest" -> ((s, d) => {
+      val ev = events(s, d)
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e17").toString
+      val now = System.currentTimeMillis()
+      writeOneFile(ev.filter(col("user_id") % 2 === 0),
+        s"$tmp/ev/b0.parquet", now - 60000L)
+      writeOneFile(ev.filter(col("user_id") % 2 === 1),
+        s"$tmp/ev/b1.parquet", now)
+      EventStreams.hllIngestStreamFromParquet(s, s"$tmp/ev",
+        ev.schema, ev, s"$tmp/out")
+    }),
     // e14: the as-of join as a STATEFUL stream — two event-time-split
     // micro-batches (the file source's in-order contract); per-user
     // state carries the latest reference across the batch boundary, so
@@ -1784,7 +1800,8 @@ object QueryDefs {
         "e8_stream_sample", "e9_stream_sq8", "e10_stream_intradoc",
         "e11_stream_response_cache", "e12_stream_graph_ingest",
         "e13_stream_bm25_ingest", "e14_stream_asof",
-        "e15_stream_band_ingest", "e16_stream_nb_score")),
+        "e15_stream_band_ingest", "e16_stream_nb_score",
+        "e17_stream_hll_ingest")),
       // sub-second at the bench SF: single balanced shuffle (p9) /
       // broadcast join + map-only explode (p10) / one id-hash join
       // (v1) — their engines are plain builtin shapes the heavier

@@ -46,6 +46,39 @@ object Sketches {
         (abs(col("n_approx") - col("n_exact")) <=
           lit(tol) * col("n_exact")).as("within_tol"))
 
+  /** Per-segment mergeable HLL state: one Datasketches-HLL binary
+    * column per group over the given slice — the pure per-batch unit
+    * an LSM-style ingest appends (e12/e13/e15 precedent applied to
+    * SKETCH state). Segments from disjoint slices union losslessly:
+    * HLL registers merge by per-register max, which is associative
+    * and commutative, so any batch split of the data reaches the
+    * same merged register state as a one-shot aggregation. */
+  def hllSegments(events: DataFrame, groupCol: String = "event_type",
+                  keyCol: String = "user_id", lgK: Int = 14): DataFrame =
+    events.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("hll"))
+
+  /** The w2 certificate driven from MERGED segment state instead of a
+    * one-shot aggregate: per group, union the accumulated segment
+    * sketches (`hll_union_agg` — a tiny reduce over sketch binaries,
+    * the 100 TB serving path reads NO raw data), estimate, and check
+    * against the exact count. Emits w2's exact columns, so w2's
+    * oracle pins it verbatim. */
+  def hllMergedCert(segments: DataFrame, events: DataFrame,
+                    groupCol: String = "event_type",
+                    keyCol: String = "user_id",
+                    tol: Double = 0.05): DataFrame = {
+    val merged = segments.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_approx"))
+    events.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+      .join(merged, Seq(groupCol))
+      .select(col(groupCol),
+        col("n_exact").cast("long").as("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          lit(tol) * col("n_exact")).as("within_tol"))
+  }
+
   /** Quantile-sketch certificate: exact interpolated percentiles
     * (`percentile` — global sort, the form that does NOT scale) next to
     * `percentile_approx` (Greenwald-Khanna-style digest, rank error ≤

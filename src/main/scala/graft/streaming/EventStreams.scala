@@ -595,6 +595,38 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** e17: SKETCH-state LSM ingest — event micro-batches drain through
+    * foreachBatch, each appending its per-group Datasketches-HLL
+    * segment ([[graft.ext.Sketches.hllSegments]]); the serve side
+    * unions the accumulated segments and certifies the merged
+    * estimate against the exact distinct count
+    * ([[graft.ext.Sketches.hllMergedCert]] — w2's oracle verbatim).
+    * Register max-merge is associative/commutative, so batch splits,
+    * ordering, and replay-free re-segmentation cannot change the
+    * merged state — the property that makes sketches THE aggregation
+    * currency of a 100 TB streaming pipeline (tiny mergeable state
+    * per group instead of a distinct-key shuffle per query). */
+  def hllIngestStreamFromParquet(spark: SparkSession, evDir: String,
+                                 rawSchema: org.apache.spark.sql.types.StructType,
+                                 exact: DataFrame,
+                                 outDir: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("e17ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(evDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.Sketches.hllSegments(batch.toDF())
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    graft.ext.Sketches.hllMergedCert(spark.read.parquet(outDir), exact)
+  }
+
   /** e15: the DEDUP-leg LSM ingest, completing the streaming-ingest
     * trilogy with e12 (dense graph-ANN) and e13 (lexical postings):
     * document micro-batches drain through foreachBatch, each batch

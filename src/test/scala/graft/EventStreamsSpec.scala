@@ -586,4 +586,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.filter(col("doc_id") === 1L).collect()(0)
       .getString(4) == "pos")
   }
+
+  test("streaming HLL ingest: merged segment registers == one-shot sketch, cert holds") {
+    import spark.implicits._
+    val ev = Seq(("click", 1L), ("click", 2L), ("click", 2L),
+      ("view", 1L), ("view", 3L), ("view", 4L), ("view", 4L),
+      ("buy", 9L)).toDF("event_type", "user_id")
+    // register max-merge: union of per-slice segments estimates
+    // exactly what the one-shot sketch over the whole frame does —
+    // even with OVERLAPPING slices (user 2 in both)
+    val segs = graft.ext.Sketches.hllSegments(
+        ev.filter(col("user_id") % 2 === 0))
+      .union(graft.ext.Sketches.hllSegments(
+        ev.filter(col("user_id") % 2 === 1)))
+      .union(graft.ext.Sketches.hllSegments(ev.filter(col("user_id") === 2L)))
+    val merged = segs.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot, "segment merge != one-shot sketch")
+    // end-to-end stream: two micro-batches, cert against exact
+    val tmp = java.nio.file.Files.createTempDirectory("e17spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/ev/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(ev.filter(col("user_id") % 2 === 0), "b0", now - 60000L)
+    writeOne(ev.filter(col("user_id") % 2 === 1), "b1", now)
+    val out = EventStreams.hllIngestStreamFromParquet(spark, s"$tmp/ev",
+      ev.schema, ev, s"$tmp/out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(("click", 2L, true), ("view", 3L, true),
+      ("buy", 1L, true)))
+  }
 }
