@@ -1197,6 +1197,25 @@ cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id)"""
     .drop(1)
 
+  /** dedupClusters' shared closure chain (d7 labels it, d14 rewrites
+    * with it): verified ≥0.5-Jaccard pairs → lpad-20 keys → min-label
+    * closure (RECURSIVE — the caller's WITH must say so) → per-id
+    * component in `ddcomp`. */
+  private val d7ClusterCtes: String = raw"""
+jpairs AS (SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN dsh a ON c.doc_a = a.doc_id
+  JOIN dsh b ON c.doc_b = b.doc_id
+  WHERE $jaccardSql >= 0.5),
+dedges AS (SELECT lpad(CAST(doc_a AS VARCHAR), 20, '0') AS src,
+                  lpad(CAST(doc_b AS VARCHAR), 20, '0') AS dst FROM jpairs),
+ddsym AS (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges),
+ddnodes AS (SELECT DISTINCT src AS id FROM ddsym),
+ddclos AS (SELECT id, id AS reach FROM ddnodes
+  UNION
+  SELECT c.id, e.dst FROM ddclos c JOIN ddsym e ON c.reach = e.src),
+ddcomp AS (SELECT id, min(reach) AS comp FROM ddclos GROUP BY id)"""
+    .drop(1)
+
   /** The short-doc-exact band chain (Dedup.lshBands mirrored for a
     * DIRECT band-row pin — see the e15 oracle comment), parameterized
     * by the (doc_id, toks) source CTE so e15 (the documents table)
@@ -1394,23 +1413,21 @@ WHERE c.doc_a % 10 = 9 OR c.doc_b % 10 = 9""",
     // 20 > the 19 digits of a non-negative long, so ids never truncate),
     // min id canonical. RECURSIVE covers the whole WITH list.
     "d7_dedup_clusters" ->
-      (s"WITH RECURSIVE $docCtes,$lshCandCtes," + raw"""
-jpairs AS (SELECT c.doc_a, c.doc_b
-  FROM cands c JOIN dsh a ON c.doc_a = a.doc_id
-  JOIN dsh b ON c.doc_b = b.doc_id
-  WHERE $jaccardSql >= 0.5),
-dedges AS (SELECT lpad(CAST(doc_a AS VARCHAR), 20, '0') AS src,
-                  lpad(CAST(doc_b AS VARCHAR), 20, '0') AS dst FROM jpairs),
-ddsym AS (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges),
-ddnodes AS (SELECT DISTINCT src AS id FROM ddsym),
-ddclos AS (SELECT id, id AS reach FROM ddnodes
-  UNION
-  SELECT c.id, e.dst FROM ddclos c JOIN ddsym e ON c.reach = e.src),
-ddcomp AS (SELECT id, min(reach) AS comp FROM ddclos GROUP BY id),
+      (s"WITH RECURSIVE $docCtes,$lshCandCtes,$d7ClusterCtes," + raw"""
 ddsize AS (SELECT comp, count(*) AS cluster_size FROM ddcomp GROUP BY comp)
 SELECT CAST(d.id AS BIGINT) AS doc_id, CAST(d.comp AS BIGINT) AS cluster_id,
        s.cluster_size, d.id = d.comp AS is_canonical
 FROM ddcomp d JOIN ddsize s USING (comp)"""),
+    // fuzzyRewrite mirrored: d7's cluster chain VERBATIM, then the
+    // corpus anti-joined against its non-canonical members (min-id
+    // survivor); text pinned by digest
+    "d14_fuzzy_rewrite" ->
+      (s"WITH RECURSIVE $docCtes,$lshCandCtes,$d7ClusterCtes" + raw"""
+SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS text_md5
+FROM documents d
+LEFT JOIN ddcomp c
+  ON lpad(CAST(d.doc_id AS VARCHAR), 20, '0') = c.id AND c.id <> c.comp
+WHERE c.id IS NULL"""),
     // semDedup mirrored: planted 0.75-scaled copies (direction
     // preserved → cosine ≈ 1.0 to their source), md5-sampled codebook
     // assignment exactly as s2, rank by rounded centroid-sim within
@@ -2115,6 +2132,53 @@ norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vexp GROUP BY vec_id)"""
   private def eq(body: String, extra: String = ""): String =
     s"WITH $embCtes${if (extra.nonEmpty) "," + extra else ""}\n$body"
 
+  /** ivfTopKFiltered mirrored (shared by the cold s13_filtered_ivf and
+    * the snapshot-served s13_filtered_served — a reopened index must
+    * be row-identical to the fresh assignment): s2's coarse chain,
+    * candidates restricted to the probe's OWN label via the
+    * (centroid, label) pre-filter join — nProbe=2, probes vec_id < 5,
+    * exactly the engine lanes. */
+  private val s13FilteredSql: String = eq(raw"""
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, corpus_id,
+       round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY round(cosine, 6) DESC, corpus_id) AS rank
+      FROM scored2) r
+WHERE rank <= 10""",
+      extra = raw"""
+lab AS (SELECT vec_id, label FROM embeddings),
+cb AS (SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cdot AS (SELECT v.vec_id, c.centroid_id, sum(v.x * cv.x) AS dot
+  FROM vexp v JOIN cb c ON true
+  JOIN vexp cv ON cv.vec_id = c.centroid_id AND cv.i = v.i
+  GROUP BY v.vec_id, c.centroid_id),
+csim AS (SELECT cdot.vec_id, cdot.centroid_id,
+    cdot.dot/(nv.nrm*nc.nrm) AS sim
+  FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+  JOIN norms nc ON nc.vec_id = cdot.centroid_id),
+assigned AS (SELECT vec_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn FROM csim) t
+  WHERE rn = 1),
+pbuckets AS (SELECT vec_id AS probe_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
+  FROM csim WHERE vec_id < 5) t WHERE rn <= 2),
+cand AS (SELECT pb.probe_id, a.vec_id AS corpus_id
+  FROM pbuckets pb JOIN assigned a ON a.centroid_id = pb.centroid_id
+  JOIN lab la ON la.vec_id = a.vec_id
+  JOIN lab lp ON lp.vec_id = pb.probe_id AND la.label = lp.label
+  WHERE a.vec_id <> pb.probe_id),
+cdots2 AS (SELECT c.probe_id, c.corpus_id, sum(pa.x*pb.x) AS dot
+  FROM cand c JOIN vexp pa ON pa.vec_id = c.probe_id
+  JOIN vexp pb ON pb.vec_id = c.corpus_id AND pb.i = pa.i
+  GROUP BY c.probe_id, c.corpus_id),
+scored2 AS (SELECT cdots2.probe_id, cdots2.corpus_id,
+    cdots2.dot/(na.nrm*nb.nrm) AS cosine
+  FROM cdots2 JOIN norms na ON na.vec_id = cdots2.probe_id
+  JOIN norms nb ON nb.vec_id = cdots2.corpus_id)""".drop(1))
+
   val embeddings: Map[String, String] = Map(
     // candidate scoring via list_dot_product on the raw arrays (cast to
     // DOUBLE — float32 list math would wobble the 6-dp hash): the old
@@ -2410,6 +2474,71 @@ bf AS (SELECT probe_id, corpus_id FROM (
   FROM (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
           sum(a.x*b.x) AS dot
         FROM vexp a JOIN vexp b ON a.i = b.i
+        WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+        GROUP BY a.vec_id, b.vec_id) dd
+  JOIN norms na ON na.vec_id = dd.probe_id
+  JOIN norms nb ON nb.vec_id = dd.corpus_id) r WHERE rank <= 10)""".drop(1)),
+    "s13_filtered_ivf" -> s13FilteredSql,
+    // served twin: the reopened labeled-index snapshot must reproduce
+    // the fresh assignment row for row — SAME oracle verbatim
+    "s13_filtered_served" -> s13FilteredSql,
+    // pruned-served twin: directory-level bucket pruning over the
+    // centroid-partitioned snapshot must not change a row
+    "s13_filtered_served_pruned" -> s13FilteredSql,
+    // filteredIvfRecall: BOTH sides recomputed over the same-label
+    // slice (s2_ivf_recall shape — the recall VALUE is pinned, the
+    // TRUE literal pins the 0.7 target on top), nProbe=14, 20 probes
+    "s13_filtered_recall" -> eq(raw"""
+SELECT CAST(hits AS BIGINT) AS n_matched, CAST(tot AS BIGINT) AS n_total,
+       round(hits/tot, 6) AS recall, TRUE AS meets_target
+FROM (SELECT count(*) FILTER (WHERE i.corpus_id IS NOT NULL) AS hits,
+             count(*) AS tot
+      FROM bf b LEFT JOIN ivf i
+      ON i.probe_id = b.probe_id AND i.corpus_id = b.corpus_id) t""",
+      extra = raw"""
+lab AS (SELECT vec_id, label FROM embeddings),
+cb AS (SELECT vec_id AS centroid_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cdot AS (SELECT v.vec_id, c.centroid_id, sum(v.x * cv.x) AS dot
+  FROM vexp v JOIN cb c ON true
+  JOIN vexp cv ON cv.vec_id = c.centroid_id AND cv.i = v.i
+  GROUP BY v.vec_id, c.centroid_id),
+csim AS (SELECT cdot.vec_id, cdot.centroid_id,
+    cdot.dot/(nv.nrm*nc.nrm) AS sim
+  FROM cdot JOIN norms nv ON nv.vec_id = cdot.vec_id
+  JOIN norms nc ON nc.vec_id = cdot.centroid_id),
+assigned AS (SELECT vec_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn FROM csim) t
+  WHERE rn = 1),
+pbuckets AS (SELECT vec_id AS probe_id, centroid_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, centroid_id) AS rn
+  FROM csim WHERE vec_id < 20) t WHERE rn <= 14),
+cand AS (SELECT pb.probe_id, a.vec_id AS corpus_id
+  FROM pbuckets pb JOIN assigned a ON a.centroid_id = pb.centroid_id
+  JOIN lab la ON la.vec_id = a.vec_id
+  JOIN lab lp ON lp.vec_id = pb.probe_id AND la.label = lp.label
+  WHERE a.vec_id <> pb.probe_id),
+ivf AS (SELECT probe_id, corpus_id FROM (
+  SELECT c.probe_id, c.corpus_id, row_number() OVER (
+      PARTITION BY c.probe_id
+      ORDER BY round(c.dot/(na.nrm*nb.nrm), 6) DESC, c.corpus_id) AS rank
+  FROM (SELECT cd.probe_id, cd.corpus_id, sum(pa.x*pb.x) AS dot
+        FROM cand cd JOIN vexp pa ON pa.vec_id = cd.probe_id
+        JOIN vexp pb ON pb.vec_id = cd.corpus_id AND pb.i = pa.i
+        GROUP BY cd.probe_id, cd.corpus_id) c
+  JOIN norms na ON na.vec_id = c.probe_id
+  JOIN norms nb ON nb.vec_id = c.corpus_id) r WHERE rank <= 10),
+bf AS (SELECT probe_id, corpus_id FROM (
+  SELECT dd.probe_id, dd.corpus_id, row_number() OVER (
+      PARTITION BY dd.probe_id
+      ORDER BY round(dd.dot/(na.nrm*nb.nrm), 6) DESC, dd.corpus_id) AS rank
+  FROM (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
+          sum(a.x*b.x) AS dot
+        FROM vexp a JOIN vexp b ON a.i = b.i
+        JOIN lab la ON la.vec_id = a.vec_id
+        JOIN lab lb ON lb.vec_id = b.vec_id AND la.label = lb.label
         WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
         GROUP BY a.vec_id, b.vec_id) dd
   JOIN norms na ON na.vec_id = dd.probe_id

@@ -465,6 +465,41 @@ object QueryDefs {
           table(s, d, "embeddings").filter(col("vec_id") < 2000))
         .localCheckpoint(eager = true))
 
+  /** Per-(session, sfDir) memo of the persisted LABELED IVF index —
+    * the filtered-ANN serving lifecycle ([[knnGraphServed]] /
+    * [[bm25IndexServed]] precedent): the attribute-carrying assigned
+    * frame is written once and reopened from parquet; the
+    * s13_filtered_served lane runs only the search stage over it. */
+  private val filteredIvfCache =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]
+  private def filteredIvfServed(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    filteredIvfCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val emb = table(s, d, "embeddings")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_attr").toString
+      Similarity.writeIvfIndex(
+        Similarity.ivfAssignAttr(emb, Similarity.codebook(emb, 16)), dir)
+      Similarity.readIvfIndex(s, dir)
+    })
+
+  /** The centroid-PARTITIONED labeled index (one directory per coarse
+    * bucket): the s13_filtered_served_pruned lane's scan lists only
+    * the probed buckets' directories ([[partitionedSnapshot]]
+    * precedent for the ANN leg). */
+  private val filteredIvfPartCache =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]
+  private def filteredIvfPartServed(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    filteredIvfPartCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val emb = table(s, d, "embeddings")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_attr_part").toString
+      Similarity.writeIvfIndexPartitioned(
+        Similarity.ivfAssignAttr(emb, Similarity.codebook(emb, 16)), dir)
+      s.read.parquet(dir)
+    })
+
   /** Per-(session, sfDir) memo of the persisted BM25 postings index —
     * the retrieval stack's serving lifecycle ([[servedDataset]] /
     * [[knnGraphServed]] precedent): rep 1 of the r1_bm25_served bench
@@ -918,6 +953,49 @@ object QueryDefs {
           k = 10, nProbe = 2)
         .select(col("n_total"), col("meets_target"))
     }),
+    // s13: attribute-constrained (filtered) ANN — top-k among the
+    // probe's own label only, the tenant/language-scoped search every
+    // production vector store serves. Pre-filter shape: the label
+    // joins into the (centroid, attr) candidate key, so discarded
+    // rows are never scored (Similarity.ivfTopKFiltered scaladoc).
+    "s13_filtered_ivf" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cb = Similarity.codebook(emb, 16)
+      Similarity.ivfTopKFiltered(emb, cb, emb.filter(col("vec_id") < 5),
+          k = 10, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // s13 SERVED: the search stage over the PERSISTED labeled index
+    // (rep 1 of a bench would pay assign+write; every call here reads
+    // the reopened parquet snapshot) — same oracle as the cold lane
+    // verbatim: a reopened index must be row-identical to a fresh one
+    "s13_filtered_served" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cb = Similarity.codebook(emb, 16)
+      Similarity.ivfSearchFiltered(filteredIvfServed(s, d), cb,
+          emb.filter(col("vec_id") < 5), k = 10, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // s13 PRUNED serve: the same search over the centroid-PARTITIONED
+    // snapshot — probed bucket ids (bounded) push into the scan as a
+    // literal isin, the FileIndex lists only those directories; same
+    // oracle verbatim: directory pruning must not change a row
+    "s13_filtered_served_pruned" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cb = Similarity.codebook(emb, 16)
+      Similarity.ivfSearchFilteredPruned(filteredIvfPartServed(s, d), cb,
+          emb.filter(col("vec_id") < 5), k = 10, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // filtered-search certificate: recall vs the filtered EXACT scan
+    // over 20 probes — the oracle recomputes both sides (s2_ivf_recall
+    // shape), so the recall VALUE is pinned, not just the flag
+    "s13_filtered_recall" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cb = Similarity.codebook(emb, 16)
+      Similarity.filteredIvfRecall(emb, cb, emb.filter(col("vec_id") < 20),
+        k = 10, nProbe = 14, target = 0.7)
+    }),
     "t1_token_stats" -> ((s, d) =>
       table(s, d, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -949,6 +1027,11 @@ object QueryDefs {
       Dedup.sharedSubstring(table(s, d, "documents"))),
     "d7_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(table(s, d, "documents"))),
+    // d14: the corpus REWRITE d7 only labels — near-dup clusters keep
+    // their min-id member, everything else passes through; one
+    // broadcast anti join over the corpus, text compared by digest
+    "d14_fuzzy_rewrite" -> ((s, d) =>
+      Dedup.fuzzyRewrite(table(s, d, "documents"))),
     "d8_semdedup" -> ((s, d) => {
       val corpus = dupEmbeddings(s, d)
       val cb = Similarity.codebook(table(s, d, "embeddings"), 16)
@@ -1730,7 +1813,11 @@ object QueryDefs {
     "p11_bpe_pack", "t16_bpe_served",
     // the composed curation pipeline (filter + scrub + retrain + pack)
     // and the corpus-novelty pass (shingle df + per-doc re-agg)
-    "curate_corpus", "t17_novelty")
+    "curate_corpus", "t17_novelty",
+    // the fuzzy-dedup corpus REWRITE (d2 candidates + verified-pair
+    // closure + one broadcast anti join — the MinHash curation stage
+    // end-to-end, not just the cluster labels)
+    "d14_fuzzy_rewrite")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench
@@ -1755,6 +1842,8 @@ object QueryDefs {
         "g8_layout_cose_dist", "g8_layout_cose_bh", "g1_hic_vertices",
         "g1_hic_edges", "j10_ego_edges", "j11_induced_subgraph",
         "s2_similarity_ivf", "s3_similarity_pq", "s4_ivfpq_residual",
+        "s13_filtered_ivf", "s13_filtered_served",
+        "s13_filtered_served_pruned",
         "s6_ivfsq8_rerank", "s9_graph_compact", "s10_graph_delete",
         "q2_gene_search_indexed", "q4_gene_list_search_indexed",
         "q5_range_search", "q5_range_nearest", "q6_search_served_pruned",
@@ -1784,6 +1873,7 @@ object QueryDefs {
         "s2_ivf_recall_kmeans", "s3_pq_recall_trained",
         "s3_pq_precision_clustered", "s4_ivfpq_precision",
         "s7_knn_recall", "s7_refine_recall", "s8_beam_recall",
+        "s13_filtered_recall",
         "s8_beam_recall_full", "s9_insert_recall", "s10_delete_cert",
         "t6_repetition", "t8_decontaminate",
         "p1_stratified_sample", "p4_pack_sequences", "m1_decode_meta",

@@ -436,6 +436,34 @@ object Dedup {
         (col("id") === col("comp")).as("is_canonical"))
   }
 
+  /** Fuzzy dedup WITH removal — the corpus-rewrite counterpart of
+    * [[dedupClusters]] (which only labels): every near-duplicate
+    * cluster keeps its canonical member (min doc id — the same
+    * first-wins order as [[exact]]) and drops the rest; documents in
+    * no cluster pass through. This is the full MinHash pipeline stage
+    * of large-scale corpus curation (GPT-3, Gopher, RefinedWeb all
+    * describe MinHash-dedup-then-drop passes): candidates are
+    * LSH-banded (never all-pairs), clusters close over the verified
+    * ≥`threshold` Jaccard pairs, and the rewrite is ONE anti join of
+    * the corpus against the non-canonical ids — at 100 TB the corpus
+    * is touched exactly twice (shingle pass + anti join), and the
+    * anti-join build side is |duplicates|, broadcastable in any
+    * realistically deduplicated corpus shard.
+    *
+    * Output: the surviving rows (all non-text attribute columns) with
+    * `text_md5` standing in for the payload so the gate compares
+    * digests, not megabytes. */
+  def fuzzyRewrite(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   threshold: Double = 0.5): DataFrame = {
+    val losers = dedupClusters(docs, idCol, textCol, threshold)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id").as(idCol))
+    val keep = docs.columns.filter(c => c != textCol).map(col)
+    docs.join(losers, Seq(idCol), "left_anti")
+      .select(keep :+ md5(col(textCol)).as("text_md5"): _*)
+  }
+
   /** Block-level exact dedup WITH removal — the reassembly counterpart
     * of [[sharedSubstring]] (which only reports pairs). The corpus is
     * cut into non-overlapping `blockTokens`-token blocks; every block

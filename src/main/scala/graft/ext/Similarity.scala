@@ -262,6 +262,185 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Filtered (attribute-constrained) ANN: every production vector
+  // store serves "top-k WHERE attr = x" (tenant scoping, language or
+  // license filters). Strategy here is PRE-filtering at candidate
+  // generation: the attribute equality joins INTO the bucket-probe
+  // join key, so candidates shrink to same-bucket AND same-attribute
+  // rows BEFORE any cosine is scored or shuffled — at 100 TB the
+  // probe-side work scales with the filtered bucket slice, not the
+  // corpus. (Post-filtering — search then drop — would need k/sel
+  // oversampling and still score discarded rows.)
+  // ------------------------------------------------------------------
+
+  /** Brute-force filtered top-k: exact ground truth for the filtered
+    * search — corpus rows with the probe's attribute value, ranked by
+    * 6-dp cosine (same total order as [[bruteForceTopK]]). The cross
+    * join becomes a broadcast HASH join on the attribute. */
+  def bruteForceTopKFiltered(corpus: DataFrame, probes: DataFrame, k: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             attrCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(attrCol).as("__attr"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(attrCol).as("__attr"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("cosine"), 6).desc, col("corpus_id"))
+    c.join(broadcast(p), Seq("__attr"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(col("pv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        Num.roundLike(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Coarse assignment that KEEPS the filter attribute:
+    * (idCol, attrCol, vecCol, centroid_id) — the persistable
+    * filtered-index frame ([[writeIvfIndex]]/[[readIvfIndex]]
+    * round-trip it for the served lifecycle). Assignment arithmetic
+    * is [[ivfAssign]]'s exactly. */
+  def ivfAssignAttr(corpus: DataFrame, cb: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    attrCol: String = "label"): DataFrame = {
+    val wa = Window.partitionBy(col(idCol))
+      .orderBy(Num.roundLike(col("__sim"), 6).desc, col("centroid_id"))
+    corpus
+      .select(col(idCol), col(attrCol),
+        col(vecCol).cast("array<double>").as(vecCol))
+      .crossJoin(broadcast(cb))
+      .withColumn("__sim", cosine(col(vecCol), col("centv")))
+      .withColumn("__rn", row_number().over(wa))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(attrCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** Each probe's nProbe nearest coarse buckets, attribute attached:
+    * (probe_id, pv, __attr, centroid_id) — bounded by probes·nProbe. */
+  private def filteredProbeBuckets(cb: DataFrame, probes: DataFrame,
+                                   nProbe: Int, idCol: String,
+                                   vecCol: String,
+                                   attrCol: String): DataFrame = {
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("__sim"), 6).desc, col("centroid_id"))
+    probes
+      .select(col(idCol).as("probe_id"), col(attrCol).as("__attr"),
+        col(vecCol).cast("array<double>").as("pv"))
+      .crossJoin(broadcast(cb))
+      .withColumn("__sim", cosine(col("pv"), col("centv")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("__attr"), col("centroid_id"))
+  }
+
+  /** Score-and-rank over pre-filtered candidates: the
+    * (centroid_id, attribute) equi-join, self-exclusion, per-probe
+    * top-k by (6-dp cosine, id). */
+  private def filteredSearchCore(a: DataFrame, probeBuckets: DataFrame,
+                                 k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(Num.roundLike(col("cosine"), 6).desc, col("corpus_id"))
+    probeBuckets.join(a, Seq("centroid_id", "__attr"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(col("pv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        Num.roundLike(col("cosine"), 6).as("cosine"))
+  }
+
+  /** The search stage over an attribute-carrying assigned frame
+    * ([[ivfAssignAttr]]'s shape, fresh or reopened from a snapshot):
+    * probe buckets as [[ivfTopK]], candidates keyed on
+    * (centroid_id, attribute) — the pre-filter join. */
+  def ivfSearchFiltered(assigned: DataFrame, cb: DataFrame,
+                        probes: DataFrame,
+                        k: Int, nProbe: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        attrCol: String = "label"): DataFrame = {
+    val a = assigned.select(col("centroid_id"),
+      col(attrCol).as("__attr"), col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    filteredSearchCore(a,
+      filteredProbeBuckets(cb, probes, nProbe, idCol, vecCol, attrCol), k)
+  }
+
+  /** Centroid-partitioned index snapshot: the assigned frame lands as
+    * one directory per coarse bucket (`centroid_id=<c>/`), so a serve
+    * that probes nProbe of nCentroids buckets LISTS only those
+    * directories — at 100 TB the scan IO is nProbe/nCentroids of the
+    * index, enforced by the file index, not a row filter (the
+    * chromosome-partitioned Serving snapshot precedent). */
+  def writeIvfIndexPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(path)
+
+  /** The pruned serve over a [[writeIvfIndexPartitioned]] snapshot:
+    * probe buckets compute as usual (bounded probes × broadcast
+    * codebook), their distinct centroid ids — ≤ probes·nProbe values —
+    * collect to the driver (the bounded-dimension-list pattern of
+    * Serving.geneSearchPruned) and push into the partitioned scan as a
+    * LITERAL isin, which the FileIndex prunes at directory level.
+    * Row-identical to [[ivfSearchFiltered]] over the full index. */
+  def ivfSearchFilteredPruned(index: DataFrame, cb: DataFrame,
+                              probes: DataFrame,
+                              k: Int, nProbe: Int = 2,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              attrCol: String = "label"): DataFrame = {
+    val pb = filteredProbeBuckets(cb, probes, nProbe, idCol, vecCol, attrCol)
+      .localCheckpoint(eager = true)
+    val bucketIds = pb.select(col("centroid_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val a = index
+      .filter(col("centroid_id").isin(bucketIds: _*))
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col(attrCol).as("__attr"), col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+    filteredSearchCore(a, pb, k)
+  }
+
+  /** IVF filtered top-k in one call: [[ivfAssignAttr]] then
+    * [[ivfSearchFiltered]] — the cold shape; the served lifecycle
+    * persists the assigned frame and reopens it instead. */
+  def ivfTopKFiltered(corpus: DataFrame, cb: DataFrame, probes: DataFrame,
+                      k: Int, nProbe: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      attrCol: String = "label"): DataFrame =
+    ivfSearchFiltered(ivfAssignAttr(corpus, cb, idCol, vecCol, attrCol),
+      cb, probes, k, nProbe, idCol, vecCol, attrCol)
+
+  /** Recall@k of the filtered IVF search vs the filtered exact scan —
+    * one row (n_matched, n_total, recall, meets_target), the s2
+    * certificate shape. On isotropic embeddings the filter is
+    * geometry-independent, so recall stays ≈ nProbe/nCentroids exactly
+    * as unfiltered IVF — the property this certificate pins. */
+  def filteredIvfRecall(corpus: DataFrame, cb: DataFrame, probes: DataFrame,
+                        k: Int, nProbe: Int, target: Double = 0.7,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        attrCol: String = "label"): DataFrame = {
+    val ivf = ivfTopKFiltered(corpus, cb, probes, k, nProbe,
+        idCol, vecCol, attrCol)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("__hit"))
+    val bf = bruteForceTopKFiltered(corpus, probes, k, idCol, vecCol, attrCol)
+    bf.join(ivf, Seq("probe_id", "corpus_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_matched"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_matched"), col("n_total"),
+        Num.roundLike(col("n_matched") / col("n_total"), 6).as("recall"),
+        (col("n_matched") / col("n_total") >= target).as("meets_target"))
+  }
+
+  // ------------------------------------------------------------------
   // Product quantization (PQ): compress each vector to m sub-centroid
   // ids (here 8 codes of 4 bits = 4 bytes vs 256 bytes of floats — the
   // memory step that makes billion-vector ANN fit a cluster), score

@@ -28,6 +28,12 @@ class PlanAuditSpec extends SparkSpec {
       "probe × broadcast centroid codebook (k≤256 rows; Similarity.scala:159)",
     "s2_ivf_recall" ->
       "recall join of two bounded top-k result sets + codebook cross (Similarity.scala:61,159)",
+    "s13_filtered_ivf" ->
+      "probe/corpus × broadcast centroid codebook (k=16 rows); the filtered candidate join stays equi on (centroid_id, attr) (Similarity.ivfTopKFiltered)",
+    "s13_filtered_served" ->
+      "probe × broadcast centroid codebook over the reopened labeled index; the candidate join stays equi on (centroid_id, attr) (Similarity.ivfSearchFiltered)",
+    "s13_filtered_recall" ->
+      "recall join of two bounded top-k result sets + codebook crosses; the filtered exact baseline joins equi on the attribute (Similarity.filteredIvfRecall)",
     "s2_ivf_recall_kmeans" ->
       "same recall shape with the Lloyd-trained codebook (Similarity.scala:61,159)",
     "s3_similarity_pq" ->

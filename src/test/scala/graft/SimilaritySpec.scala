@@ -102,6 +102,85 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0 && r.getBoolean(3))
   }
 
+  private def embLab = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.8f, 0.2f, 0.0f), 1),
+    (4L, Array(0.95f, 0.05f, 0.0f), 0),
+    (5L, Array(0.1f, 0.9f, 0.0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("filtered ANN: every result shares the probe's label, ranked by cosine") {
+    val probes = embLab.filter(col("vec_id") === 0L)
+    val bf = Similarity.bruteForceTopKFiltered(embLab, probes, k = 3).collect()
+    // label-0 corpus minus self = {1, 4}; 4 is the nearer vector
+    assert(bf.map(_.getLong(2)).toSeq == Seq(4L, 1L))
+    val cb = Similarity.codebook(embLab, 2)
+    val ivf = Similarity.ivfTopKFiltered(embLab, cb, probes,
+      k = 3, nProbe = 2).collect()
+    assert(ivf.map(_.getLong(2)).toSeq == Seq(4L, 1L))
+    // a label-1 probe never sees label-0 vectors, even nearer ones
+    val p1 = Similarity.ivfTopKFiltered(embLab, cb,
+      embLab.filter(col("vec_id") === 3L), k = 3, nProbe = 2).collect()
+    assert(p1.map(_.getLong(2)).toSet == Set(2L, 5L))
+  }
+
+  test("filtered index snapshot roundtrip serves identical rankings") {
+    val cb = Similarity.codebook(embLab, 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_attr_t").toString
+    Similarity.writeIvfIndex(Similarity.ivfAssignAttr(embLab, cb), dir)
+    val probes = embLab.filter(col("vec_id") < 2)
+    val served = Similarity.ivfSearchFiltered(
+      Similarity.readIvfIndex(spark, dir), cb, probes, k = 2, nProbe = 2)
+    val fresh = Similarity.ivfTopKFiltered(embLab, cb, probes,
+      k = 2, nProbe = 2)
+    assert(served.collect().map(_.toString).sorted.toSeq ==
+      fresh.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("partitioned filtered index prunes to the probed buckets and " +
+      "serves rows identical to the full index") {
+    val cb = Similarity.codebook(embLab, 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_part_t").toString
+    Similarity.writeIvfIndexPartitioned(
+      Similarity.ivfAssignAttr(embLab, cb), dir)
+    val index = spark.read.parquet(dir)
+    // the layout on disk is centroid_id=<c>/ directories
+    assert(new java.io.File(dir).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("centroid_id=")))
+    val probes = embLab.filter(col("vec_id") === 0L)
+    // nProbe=1 of 2 buckets: the scan must list ONLY the probed
+    // bucket's directory (FileSourceScanExec.partitionFilters →
+    // FileIndex.listFiles — the SearchSpec pruning contract)
+    val pruned = Similarity.ivfSearchFilteredPruned(index, cb, probes,
+      k = 3, nProbe = 1)
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "bucket predicate was not classified as a partition filter")
+    val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(files.nonEmpty && files.size < index.inputFiles.length)
+    // SEMANTICS: pruned serve == full-index serve, row for row
+    val full = Similarity.ivfSearchFiltered(
+      Similarity.ivfAssignAttr(embLab, cb), cb, probes, k = 3, nProbe = 1)
+    assert(pruned.collect().map(_.toString).sorted.toSeq ==
+      full.collect().map(_.toString).sorted.toSeq)
+    assert(pruned.count() > 0)
+  }
+
+  test("filtered recall certificate: full probe = exact recall 1.0") {
+    val cb = Similarity.codebook(embLab, 2)
+    val r = Similarity.filteredIvfRecall(embLab, cb,
+      embLab.filter(col("vec_id") < 2), k = 2, nProbe = 2).collect()(0)
+    assert(r.getLong(0) == r.getLong(1))       // all exact hits recovered
+    assert(r.getDouble(2) == 1.0 && r.getBoolean(3))
+  }
+
   test("multimodal decode stub: deterministic metadata, image has no duration") {
     val media = Multimodal.synthesize(
       Seq((0L, "hello"), (1L, "world"), (2L, "again")).toDF("id", "t"), "id", "t")

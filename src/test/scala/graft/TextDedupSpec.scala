@@ -29,6 +29,18 @@ class TextDedupSpec extends SparkSpec {
     assert(!cands.keySet.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
   }
 
+  test("fuzzy rewrite keeps cluster canonicals and unclustered docs only") {
+    val d = docs.withColumn("lang", lit("en"))
+    val out = Dedup.fuzzyRewrite(d).collect()
+    // the exact pair {1,3} clusters (1 canonical, 3 dropped); 2 never
+    // shares a full LSH band with 1 in this 4-doc fixture and 4 is
+    // unrelated — both pass through
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    // text replaced by its digest, attribute columns carried through
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "text_md5"))
+  }
+
   test("incremental dedup == full rebuild restricted to batch-touching pairs") {
     val batch = Seq(
       (5L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
