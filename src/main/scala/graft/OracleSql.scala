@@ -1428,6 +1428,38 @@ FROM documents d
 LEFT JOIN ddcomp c
   ON lpad(CAST(d.doc_id AS VARCHAR), 20, '0') = c.id AND c.id <> c.comp
 WHERE c.id IS NULL"""),
+    // incrementalRewrite mirrored: d12's batch-touching restriction on
+    // the shared cands, verified pairs close (d7's chain shape), a
+    // batch doc drops when its cluster holds a standing member
+    // (id % 10 <> 9 — standing membership derives from the id split)
+    // or a smaller batch sibling; the standing side never appears in
+    // the output
+    "d15_incremental_rewrite" ->
+      (s"WITH RECURSIVE $docCtes,$lshCandCtes," + raw"""
+ipairs AS (SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN dsh a ON c.doc_a = a.doc_id
+  JOIN dsh b ON c.doc_b = b.doc_id
+  WHERE (c.doc_a % 10 = 9 OR c.doc_b % 10 = 9)
+    AND $jaccardSql >= 0.5),
+iedges AS (SELECT lpad(CAST(doc_a AS VARCHAR), 20, '0') AS src,
+                  lpad(CAST(doc_b AS VARCHAR), 20, '0') AS dst FROM ipairs),
+isym AS (SELECT src, dst FROM iedges UNION ALL SELECT dst, src FROM iedges),
+inodes AS (SELECT DISTINCT src AS id FROM isym),
+iclos AS (SELECT id, id AS reach FROM inodes
+  UNION
+  SELECT c.id, e.dst FROM iclos c JOIN isym e ON c.reach = e.src),
+icomp AS (SELECT id, min(reach) AS comp FROM iclos GROUP BY id),
+stcomp AS (SELECT DISTINCT comp FROM icomp
+  WHERE CAST(id AS BIGINT) % 10 <> 9),
+ilosers AS (SELECT id FROM icomp WHERE comp IN (SELECT comp FROM stcomp)
+  UNION ALL
+  SELECT id FROM icomp WHERE comp NOT IN (SELECT comp FROM stcomp)
+    AND id <> comp)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS text_md5
+FROM documents d
+WHERE d.doc_id % 10 = 9
+  AND lpad(CAST(d.doc_id AS VARCHAR), 20, '0')
+      NOT IN (SELECT id FROM ilosers)"""),
     // semDedup mirrored: planted 0.75-scaled copies (direction
     // preserved → cosine ≈ 1.0 to their source), md5-sampled codebook
     // assignment exactly as s2, rank by rounded centroid-sim within

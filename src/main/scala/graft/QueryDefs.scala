@@ -1032,6 +1032,17 @@ object QueryDefs {
     // broadcast anti join over the corpus, text compared by digest
     "d14_fuzzy_rewrite" -> ((s, d) =>
       Dedup.fuzzyRewrite(table(s, d, "documents"))),
+    // d15: d14's INGEST form — the %10 batch folds into the standing
+    // corpus via the d12 incremental probe; standing-touching clusters
+    // drop their batch members (first-ingested wins), pure-batch
+    // clusters keep min id, the standing side is never rewritten
+    "d15_incremental_rewrite" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val standing = docs.filter(col("doc_id") % 10 =!= 9)
+      Dedup.incrementalRewrite(standing,
+        Dedup.lshBands(standing, "doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 9))
+    }),
     "d8_semdedup" -> ((s, d) => {
       val corpus = dupEmbeddings(s, d)
       val cb = Similarity.codebook(table(s, d, "embeddings"), 16)
@@ -1816,8 +1827,10 @@ object QueryDefs {
     "curate_corpus", "t17_novelty",
     // the fuzzy-dedup corpus REWRITE (d2 candidates + verified-pair
     // closure + one broadcast anti join — the MinHash curation stage
-    // end-to-end, not just the cluster labels)
-    "d14_fuzzy_rewrite")
+    // end-to-end, not just the cluster labels) and its INGEST form
+    // (batch-bounded incremental probe + closure, standing side never
+    // rewritten — the dedup leg's LSM maintenance shape)
+    "d14_fuzzy_rewrite", "d15_incremental_rewrite")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

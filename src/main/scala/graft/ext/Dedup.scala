@@ -464,6 +464,44 @@ object Dedup {
       .select(keep :+ md5(col(textCol)).as("text_md5"): _*)
   }
 
+  /** Incremental fuzzy dedup WITH removal — [[fuzzyRewrite]]'s ingest
+    * form, the d12/s9 LSM shape: a NEW batch folds into a standing
+    * (already-deduplicated) corpus without re-pairing or rewriting the
+    * standing side. Batch-touching candidate pairs come from
+    * [[incrementalCandidates]] (standing-standing pairs never form);
+    * verified ≥`threshold` pairs close into clusters (the closure
+    * input is batch-bounded — every pair touches the batch); a batch
+    * document drops if its cluster contains ANY standing member
+    * (first-ingested wins, the LSM invariant) or a smaller-id batch
+    * sibling; everything else survives. Standing membership derives by
+    * anti-joining cluster members against the broadcast batch-id list
+    * — the standing corpus itself is touched only by the candidate
+    * probe's semi-join-pruned shingle pass, never rewritten.
+    *
+    * Output: the batch's surviving rows, [[fuzzyRewrite]]'s shape
+    * (attribute columns + `text_md5`). */
+  def incrementalRewrite(standing: DataFrame, standingBands: DataFrame,
+                         batch: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         threshold: Double = 0.5): DataFrame = {
+    val key = (c: Column) => lpad(c.cast("string"), 20, "0")
+    val pairs = incrementalCandidates(standing, standingBands, batch,
+        idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .select(key(col("doc_a")).as("src"), key(col("doc_b")).as("dst"))
+    val cc = graft.core.GraphOps.connectedComponents(pairs)
+    val bIds = batch.select(key(col(idCol)).as("id"))
+    val stComps = cc.join(bIds, Seq("id"), "left_anti")
+      .select(col("comp")).distinct()
+    val losers = cc.join(stComps, Seq("comp"), "left_semi")
+      .select(col("id"))
+      .unionAll(cc.join(stComps, Seq("comp"), "left_anti")
+        .filter(col("id") =!= col("comp")).select(col("id")))
+    val keep = batch.columns.filter(_ != textCol).map(col)
+    batch.join(losers, key(col(idCol)) === col("id"), "left_anti")
+      .select(keep :+ md5(col(textCol)).as("text_md5"): _*)
+  }
+
   /** Block-level exact dedup WITH removal — the reassembly counterpart
     * of [[sharedSubstring]] (which only reports pairs). The corpus is
     * cut into non-overlapping `blockTokens`-token blocks; every block

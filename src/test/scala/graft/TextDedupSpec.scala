@@ -41,6 +41,24 @@ class TextDedupSpec extends SparkSpec {
       Seq("doc_id", "lang", "text_md5"))
   }
 
+  test("incremental rewrite: standing wins, pure-batch clusters keep min id") {
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different words entirely unrelated here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"),   // dup of standing 1
+      (5L, "an entirely fresh batch document with new words"),
+      (6L, "an entirely fresh batch document with new words"), // dup of 5
+      (7L, "another singleton batch document nothing matches"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalRewrite(standing,
+      Dedup.lshBands(standing, "doc_id", "text"), batch).collect()
+    // 3 drops to standing 1; {5,6} is a pure-batch cluster keeping 5;
+    // 7 is untouched — and the standing side never appears
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(5L, 7L))
+  }
+
   test("incremental dedup == full rebuild restricted to batch-touching pairs") {
     val batch = Seq(
       (5L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
