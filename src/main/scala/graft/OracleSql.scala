@@ -1213,7 +1213,7 @@ ddnodes AS (SELECT DISTINCT src AS id FROM ddsym),
 ddclos AS (SELECT id, id AS reach FROM ddnodes
   UNION
   SELECT c.id, e.dst FROM ddclos c JOIN ddsym e ON c.reach = e.src),
-ddcomp AS (SELECT id, min(reach) AS comp FROM ddclos GROUP BY id)"""
+ddcomp AS MATERIALIZED (SELECT id, min(reach) AS comp FROM ddclos GROUP BY id)"""
     .drop(1)
 
   /** The short-doc-exact band chain (Dedup.lshBands mirrored for a
@@ -1448,10 +1448,10 @@ inodes AS (SELECT DISTINCT src AS id FROM isym),
 iclos AS (SELECT id, id AS reach FROM inodes
   UNION
   SELECT c.id, e.dst FROM iclos c JOIN isym e ON c.reach = e.src),
-icomp AS (SELECT id, min(reach) AS comp FROM iclos GROUP BY id),
-stcomp AS (SELECT DISTINCT comp FROM icomp
+icomp AS MATERIALIZED (SELECT id, min(reach) AS comp FROM iclos GROUP BY id),
+stcomp AS MATERIALIZED (SELECT DISTINCT comp FROM icomp
   WHERE CAST(id AS BIGINT) % 10 <> 9),
-ilosers AS (SELECT id FROM icomp WHERE comp IN (SELECT comp FROM stcomp)
+ilosers AS MATERIALIZED (SELECT id FROM icomp WHERE comp IN (SELECT comp FROM stcomp)
   UNION ALL
   SELECT id FROM icomp WHERE comp NOT IN (SELECT comp FROM stcomp)
     AND id <> comp)
@@ -1460,6 +1460,73 @@ FROM documents d
 WHERE d.doc_id % 10 = 9
   AND lpad(CAST(d.doc_id AS VARCHAR), 20, '0')
       NOT IN (SELECT id FROM ilosers)"""),
+    // dedupIngestStream mirrored as a SEQUENTIAL two-fold macro
+    // expansion: fold 1 = batch (%20=9) against standing0 (%10<>9);
+    // fold 2 = batch (%20=19) against standing0 ∪ fold-1 survivors
+    // (survivors-only state growth — dropped duplicates never join the
+    // index). Each fold is the d15 chain: batch-touching verified
+    // pairs within the fold's universe, closure, standing-wins /
+    // min-id-sibling drop rule.
+    "e18_stream_dedup_ingest" ->
+      (s"WITH RECURSIVE $docCtes,$lshCandCtes," + raw"""
+mdsh AS MATERIALIZED (SELECT * FROM dsh),
+mcands AS MATERIALIZED (SELECT * FROM cands),
+e1p AS MATERIALIZED (SELECT c.doc_a, c.doc_b
+  FROM mcands c JOIN mdsh a ON c.doc_a = a.doc_id
+  JOIN mdsh b ON c.doc_b = b.doc_id
+  WHERE (c.doc_a % 20 = 9 OR c.doc_b % 20 = 9)
+    AND (c.doc_a % 10 <> 9 OR c.doc_a % 20 = 9)
+    AND (c.doc_b % 10 <> 9 OR c.doc_b % 20 = 9)
+    AND $jaccardSql >= 0.5),
+e1e AS (SELECT lpad(CAST(doc_a AS VARCHAR), 20, '0') AS src,
+               lpad(CAST(doc_b AS VARCHAR), 20, '0') AS dst FROM e1p),
+e1s AS (SELECT src, dst FROM e1e UNION ALL SELECT dst, src FROM e1e),
+e1n AS (SELECT DISTINCT src AS id FROM e1s),
+e1c AS (SELECT id, id AS reach FROM e1n
+  UNION
+  SELECT c.id, e.dst FROM e1c c JOIN e1s e ON c.reach = e.src),
+e1m AS MATERIALIZED (SELECT id, min(reach) AS comp FROM e1c GROUP BY id),
+e1st AS MATERIALIZED (SELECT DISTINCT comp FROM e1m WHERE CAST(id AS BIGINT) % 10 <> 9),
+e1l AS MATERIALIZED (SELECT id FROM e1m WHERE comp IN (SELECT comp FROM e1st)
+  UNION ALL
+  SELECT id FROM e1m WHERE comp NOT IN (SELECT comp FROM e1st)
+    AND id <> comp),
+surv1 AS MATERIALIZED (SELECT doc_id FROM documents
+  WHERE doc_id % 20 = 9
+    AND lpad(CAST(doc_id AS VARCHAR), 20, '0')
+        NOT IN (SELECT id FROM e1l)),
+e2p AS MATERIALIZED (SELECT c.doc_a, c.doc_b
+  FROM mcands c JOIN mdsh a ON c.doc_a = a.doc_id
+  JOIN mdsh b ON c.doc_b = b.doc_id
+  WHERE (c.doc_a % 20 = 19 OR c.doc_b % 20 = 19)
+    AND (c.doc_a % 10 <> 9 OR c.doc_a % 20 = 19
+         OR c.doc_a IN (SELECT doc_id FROM surv1))
+    AND (c.doc_b % 10 <> 9 OR c.doc_b % 20 = 19
+         OR c.doc_b IN (SELECT doc_id FROM surv1))
+    AND $jaccardSql >= 0.5),
+e2e AS (SELECT lpad(CAST(doc_a AS VARCHAR), 20, '0') AS src,
+               lpad(CAST(doc_b AS VARCHAR), 20, '0') AS dst FROM e2p),
+e2s AS (SELECT src, dst FROM e2e UNION ALL SELECT dst, src FROM e2e),
+e2n AS (SELECT DISTINCT src AS id FROM e2s),
+e2c AS (SELECT id, id AS reach FROM e2n
+  UNION
+  SELECT c.id, e.dst FROM e2c c JOIN e2s e ON c.reach = e.src),
+e2m AS MATERIALIZED (SELECT id, min(reach) AS comp FROM e2c GROUP BY id),
+e2st AS MATERIALIZED (SELECT DISTINCT comp FROM e2m
+  WHERE CAST(id AS BIGINT) % 10 <> 9
+     OR CAST(id AS BIGINT) IN (SELECT doc_id FROM surv1)),
+e2l AS MATERIALIZED (SELECT id FROM e2m WHERE comp IN (SELECT comp FROM e2st)
+  UNION ALL
+  SELECT id FROM e2m WHERE comp NOT IN (SELECT comp FROM e2st)
+    AND id <> comp),
+surv2 AS MATERIALIZED (SELECT doc_id FROM documents
+  WHERE doc_id % 20 = 19
+    AND lpad(CAST(doc_id AS VARCHAR), 20, '0')
+        NOT IN (SELECT id FROM e2l))
+SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS text_md5
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM surv1)
+   OR d.doc_id IN (SELECT doc_id FROM surv2)"""),
     // semDedup mirrored: planted 0.75-scaled copies (direction
     // preserved → cosine ≈ 1.0 to their source), md5-sampled codebook
     // assignment exactly as s2, rank by rounded centroid-sim within

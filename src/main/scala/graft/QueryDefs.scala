@@ -1497,6 +1497,25 @@ object QueryDefs {
     // two micro-batches (odd/even doc_id files), each appending its
     // MinHash band segment; batch lshBands over the same corpus is the
     // exact oracle (band rows are per-document-pure)
+    // e18: the dedup-ingest DECISION loop — the %10 batch streams in
+    // two mtime-ordered halves; each micro-batch's survivors emit
+    // against the standing-so-far state (standing corpus + survivors
+    // of earlier batches), and only survivors grow the state. The
+    // oracle macro-expands the two folds sequentially.
+    "e18_stream_dedup_ingest" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 9)
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e18").toString
+      val now = System.currentTimeMillis()
+      writeOneFile(batch.filter(col("doc_id") % 20 === 9),
+        s"$tmp/docs/b0.parquet", now - 60000L)
+      writeOneFile(batch.filter(col("doc_id") % 20 === 19),
+        s"$tmp/docs/b1.parquet", now)
+      EventStreams.dedupIngestStreamFromParquet(s, s"$tmp/docs",
+        docs.schema, docs.filter(col("doc_id") % 10 =!= 9),
+        s"$tmp/state", s"$tmp/out")
+    }),
     "e15_stream_band_ingest" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val tmp =
@@ -1904,7 +1923,7 @@ object QueryDefs {
         "e11_stream_response_cache", "e12_stream_graph_ingest",
         "e13_stream_bm25_ingest", "e14_stream_asof",
         "e15_stream_band_ingest", "e16_stream_nb_score",
-        "e17_stream_hll_ingest")),
+        "e17_stream_hll_ingest", "e18_stream_dedup_ingest")),
       // sub-second at the bench SF: single balanced shuffle (p9) /
       // broadcast join + map-only explode (p10) / one id-hash join
       // (v1) — their engines are plain builtin shapes the heavier

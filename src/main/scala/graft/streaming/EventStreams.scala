@@ -641,6 +641,61 @@ object EventStreams {
     * exact oracle regardless of batch splits, ordering, or replay.
     * `maxFilesPerTrigger=1` makes each document file one
     * micro-batch. */
+  /** e18: the dedup leg's FULL serving loop — document micro-batches
+    * fold into a GROWING deduplicated corpus. Each batch runs
+    * [[graft.ext.Dedup.incrementalRewrite]] against the
+    * standing-so-far state (docs + band index, both parquet dirs),
+    * emits its survivors, and appends ONLY the survivors back into the
+    * state — the deduplicated corpus IS the state, so a later batch's
+    * near-dup of an earlier batch's survivor is caught (cross-batch
+    * continuity, the property one batch call cannot exhibit) while
+    * dropped duplicates never grow the index. This is e15's band
+    * ingest completed into the decision loop, and the dedup-leg
+    * analogue of the e11 memo loop / e12+s9 LSM pair: per-batch work
+    * scales with the batch and its candidates, the standing state is
+    * append-only. Survivors/kept frames materialize (localCheckpoint)
+    * BEFORE appending to the dirs their plans read — an unforced
+    * read-your-own-append would double-count. The rewrite's
+    * join+window chain is stream-illegal, hence foreachBatch;
+    * `maxFilesPerTrigger=1` + mtime-ordered fixture files give a
+    * deterministic batch sequence the oracle replays as a two-fold
+    * macro expansion. */
+  def dedupIngestStreamFromParquet(spark: SparkSession, docDir: String,
+                                   rawSchema: org.apache.spark.sql.types.StructType,
+                                   standing0: DataFrame,
+                                   stateDir: String,
+                                   outDir: String): DataFrame = {
+    import graft.ext.Dedup
+    standing0.write.mode("overwrite").parquet(s"$stateDir/docs")
+    Dedup.lshBands(standing0, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$stateDir/bands")
+    val ckpt = java.nio.file.Files.createTempDirectory("e18ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint(eager = true)
+        val surv = Dedup.incrementalRewrite(
+            spark.read.parquet(s"$stateDir/docs"),
+            spark.read.parquet(s"$stateDir/bands"), b)
+          .localCheckpoint(eager = true)
+        surv.write.mode("append").parquet(outDir)
+        val kept = b.join(surv.select(col("doc_id")), Seq("doc_id"),
+            "left_semi")
+          .localCheckpoint(eager = true)
+        kept.write.mode("append").parquet(s"$stateDir/docs")
+        Dedup.lshBands(kept, "doc_id", "text")
+          .write.mode("append").parquet(s"$stateDir/bands")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.read.parquet(outDir)
+  }
+
   def bandIngestStreamFromParquet(spark: SparkSession, docDir: String,
                                   rawSchema: org.apache.spark.sql.types.StructType,
                                   outDir: String): DataFrame = {

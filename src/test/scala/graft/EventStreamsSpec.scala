@@ -313,6 +313,48 @@ class EventStreamsSpec extends SparkSpec {
       "compacted-segment serve == direct batch bm25")
   }
 
+  test("streaming dedup ingest: standing wins across batches, a later " +
+      "batch's dup of an earlier survivor drops, state grows survivors-only") {
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val b0 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"),   // dup of standing
+      (5L, "an entirely fresh batch document with new words"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (7L, "an entirely fresh batch document with new words"), // dup of b0's 5
+      (9L, "another singleton batch document nothing matches"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("e18spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/docs/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(b0, "b0", now - 60000L)
+    writeOne(b1, "b1", now)
+    val out = EventStreams.dedupIngestStreamFromParquet(spark,
+      s"$tmp/docs", standing.schema, standing, s"$tmp/state", s"$tmp/out")
+    // 3 drops to standing 1 (batch 0); 5 survives and joins the state;
+    // 7 then drops to SURVIVOR 5 (cross-batch continuity); 9 survives
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(5L, 9L))
+    // survivors-only state: the standing docs dir holds 1, 5, 9 — the
+    // dropped 3 and 7 never grew the index
+    assert(spark.read.parquet(s"$tmp/state/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 5L, 9L))
+  }
+
   test("streaming band ingest emits exactly the batch lshBands segments " +
       "across a two-batch split, and the incremental probe reads them") {
     val docs = Seq(
