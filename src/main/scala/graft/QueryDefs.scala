@@ -1004,6 +1004,32 @@ object QueryDefs {
     "t2_quality_score" -> ((s, d) =>
       table(s, d, "documents").select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))),
+    // the corpus DATA CARD: the per-(lang, source) dataset report
+    // every curation run publishes — doc counts and corpus share,
+    // token/char volume, mean quality — in ONE scan + one (lang,
+    // source) agg + a 1-row total broadcast. All sums are exact longs
+    // (quality rides as a 1e4 fixed-point int, the t15 trick), so the
+    // card is bit-stable under any partitioning.
+    "report_corpus" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val e = docs.select(col("lang"), col("source"), col("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("__tok"),
+        Num.roundLike(TextOps.qualityScore(col("text")) * 10000, 0)
+          .cast("long").as("__q4"))
+      val tot = e.agg(count(lit(1)).cast("double").as("__n"))
+      e.groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("__tok").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          sum("__q4").as("__qs"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"),
+          Num.roundLike(col("n_docs").cast("double") / col("__n"), 6)
+            .as("share"),
+          col("total_tokens"), col("total_chars"),
+          Num.roundLike(col("__qs").cast("double") /
+            (col("n_docs") * lit(10000)), 4).as("mean_quality"))
+    }),
     "t3_lang_id" -> ((s, d) =>
       table(s, d, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang"))),
@@ -1930,7 +1956,7 @@ object QueryDefs {
       // family lanes already time
       ("sub-second map-only or single-shuffle lane" -> Seq(
         "p9_shard_shuffle", "p10_epoch_upsample", "v1_corpus_diff",
-        "v2_index_refresh")),
+        "v2_index_refresh", "report_corpus")),
       // reader/format lanes: bounded fixture IO, benched once via
       // s11_tree_write's full pipeline scan
       ("bounded fixture reader" -> Seq(

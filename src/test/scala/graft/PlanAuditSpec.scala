@@ -106,6 +106,8 @@ class PlanAuditSpec extends SparkSpec {
       "1-row node count × 1-row edge summary (GraphOps.scala:681)",
     "t5_tfidf" ->
       "tf⋈df frame × broadcast 1-row corpus count (TextOps.tfidf)",
+    "report_corpus" ->
+      "(lang, source) card frame × broadcast 1-row corpus total (QueryDefs report_corpus)",
     "p2_length_quartiles" ->
       "doc-length frame × broadcast 1-row quartile cut points (Sampling.lengthQuartiles)",
     "p3_mixture_weights" ->
