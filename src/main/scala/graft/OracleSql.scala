@@ -132,6 +132,21 @@ l$k AS MATERIALIZED (
     * round is MATERIALIZED — pr$k has two consumers (the contribution
     * join and nothing else, but the chain is deep enough that default
     * inlining would re-evaluate the prefix per reference). */
+  /** g10 label-propagation replay: LpRounds synchronous rounds over
+    * tsym — neighbor-label counts, argmax by (count DESC, label ASC).
+    * Each round MATERIALIZED (the prCtes lesson). */
+  private val LpRounds = 4
+  private val lpCtes: String = raw"""
+lpr0 AS MATERIALIZED (SELECT id, id AS lab FROM tnodes)""".drop(1) + "," +
+    (1 to LpRounds).map { k => raw"""
+lpr$k AS MATERIALIZED (SELECT id, lab FROM (
+  SELECT e.dst AS id, p.lab, count(*) AS c,
+         row_number() OVER (PARTITION BY e.dst
+           ORDER BY count(*) DESC, p.lab) AS rn
+  FROM tsym e JOIN lpr${k - 1} p ON p.id = e.src
+  GROUP BY e.dst, p.lab) t WHERE rn = 1)""".drop(1)
+    }.mkString(",")
+
   private val P9Rounds = 10
   private val prCtes: String = raw"""
 prdeg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
@@ -453,6 +468,11 @@ FROM (SELECT count(*) AS nodes,
     // IS the regime-equivalence proof (a6_dist precedent)
     "g9_pagerank_dist" -> gq(s"SELECT id, r AS rank_fp FROM pr$P9Rounds",
       extra = thinCtes.drop(1) + "," + prCtes),
+    // labelPropagation mirrored: LpRounds synchronous rounds, each a
+    // neighbor-label count + (count DESC, label ASC) argmax, over the
+    // same tsym/tnodes frames
+    "g10_label_prop" -> gq(s"SELECT id, lab AS label FROM lpr$LpRounds",
+      extra = thinCtes.drop(1) + "," + lpCtes),
     "a7_diameter" -> a7CertSql,
     "a7_diameter_cert" -> a7DiamCertSql,
     "a7_diameter_exact" -> gq(raw"""

@@ -36,6 +36,12 @@ object QueryDefs {
     // thin graph the other iterative lanes pin (10 power iterations,
     // all-LONG arithmetic, see GraphOps.pageRank)
     "g9_pagerank" -> ((s, d) => GraphOps.pageRank(thin(s, d))),
+    // g10: deterministic synchronous label propagation — community
+    // labels after exactly 4 rounds, (count DESC, label ASC) tie
+    // order; the oracle macro-expands every round over the same
+    // thin/tsym frames as a6/g9
+    "g10_label_prop" -> ((s, d) =>
+      GraphOps.labelPropagation(thin(s, d))),
     // INCREMENTAL CC: a deterministic ~10% edge batch folds into the
     // standing labeling via the contracted label graph; the oracle is
     // a6's FULL-rebuild SQL with no split in sight — the hash match IS
@@ -1863,6 +1869,9 @@ object QueryDefs {
     // the corpus-wide vocab join (tokenize), plus integer PageRank
     // (10 join+agg power iterations on the thin graph)
     "t16_bpe_train", "t16_bpe_tokenize", "g9_pagerank",
+    // g10: 4 synchronous label-propagation rounds (join+agg+window
+    // per round on the thin graph — the community-detection shape)
+    "g10_label_prop",
     // the composed tokenizer→pack pipeline (t16's cost + one window),
     // and the snapshot-served tokenize (rep 1 pays train+write, the
     // median is the one-join warm serve)

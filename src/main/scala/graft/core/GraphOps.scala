@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -933,6 +934,39 @@ object GraphOps {
     * twin of checkpointing to cluster storage). Every node in an edge
     * list has deg ≥ 1 and an incoming direction, so no dangling-mass
     * term is needed. */
+  /** Synchronous label propagation (Raghavan et al. 2007,
+    * arXiv:0709.2938) made deterministic: `rounds` FIXED rounds, each
+    * node adopting its neighbors' most frequent label with a
+    * (count DESC, label ASC) total tie order — synchronous update +
+    * total order ⇒ the same labeling on any partitioning or engine
+    * (the classic algorithm's random asynchronous order is replaced,
+    * like g6's seeded swaps). The result is pinned AFTER exactly
+    * `rounds` rounds, not at convergence — honest fixed-horizon
+    * semantics the oracle macro-expands round for round. One
+    * |E|-sized equi-join + (node, label) count + per-node argmax
+    * window per round; labels are node ids (strings), so no state
+    * beyond the (id, label) frame ever shuffles. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lab = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to rounds) {
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("__c").desc, col("label"))
+        lab = sym.join(lab.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("id"), col("label"))
+          .localCheckpoint(eager = true)
+      }
+      lab
+    } finally sym.unpersist()
+  }
+
   def pageRank(edges: DataFrame, rounds: Int = 10,
                scale: Long = 1000000000L,
                localMaxEdges: Long = LocalMaxEdges): DataFrame = {

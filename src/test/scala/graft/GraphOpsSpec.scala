@@ -372,6 +372,23 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("G10 label propagation: disjoint triangles converge to min-id " +
+      "labels, partitioning-independent") {
+    import spark.implicits._
+    val edges = Seq(("1", "2"), ("2", "3"), ("1", "3"),
+      ("4", "5"), ("5", "6"), ("4", "6")).toDF("src", "dst")
+    def labels(e: org.apache.spark.sql.DataFrame) =
+      GraphOps.labelPropagation(e).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val out = labels(edges)
+    // hand-traced: each triangle's labels collapse to its min id by
+    // round 3 (round 1 crowns the min's OWN label "2"/"5", rounds 2-3
+    // propagate the min id back through the tie order)
+    assert(out == Map("1" -> "1", "2" -> "1", "3" -> "1",
+      "4" -> "4", "5" -> "4", "6" -> "4"))
+    assert(labels(edges.repartition(7)) == out)
+  }
+
   test("G9 PageRank: exact fixed-point longs on the hand-computed path") {
     // a-b-c, 2 rounds, SCALE=1e9: r1 = (.575e9, 1.85e9, .575e9),
     // r2(a) = 15e7 + 85*(1.85e9 div 2)//100 = 936250000,
