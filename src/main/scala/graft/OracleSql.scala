@@ -1405,6 +1405,44 @@ cbtok AS (SELECT dw.doc_id, CAST(sum(len(string_split(
   JOIN cbw${T16Rounds + 1} w USING (word)
   GROUP BY dw.doc_id)""".drop(1))
 
+  /** reportCorpus mirrored (shared by the batch report_corpus and the
+    * streamed e19 card — exact integer sums make the stream fold
+    * order-independent, so one oracle pins both): the t2 quality
+    * chain per doc as a 1e4 fixed-point BIGINT, token counts from the
+    * same raw-token frame, one (lang, source) agg + the 1-row total
+    * cross. */
+  private val reportCorpusSql: String = dq(raw"""
+SELECT lang, source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / tot, 6) AS share,
+       total_tokens, total_chars,
+       round(CAST(qs AS DOUBLE) / (n_docs * 10000), 4) AS mean_quality
+FROM (SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(q4) AS BIGINT) AS qs
+      FROM dcard GROUP BY lang, source) g,
+     (SELECT CAST(count(*) AS DOUBLE) AS tot FROM documents) t""",
+      extra = raw"""
+dq4 AS (SELECT doc_id,
+  CAST(round(round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
+       + 0.25*alpha + 0.25*dst, 4) * 10000) AS BIGINT) AS q4
+  FROM (
+  SELECT doc_id,
+    CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.0 END AS lenok,
+    stop, alpha, dst FROM (
+    SELECT doc_id,
+      CAST(length(array_to_string(toks,'')) AS DOUBLE)/greatest(len(toks),1) AS ml,
+      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
+        AS DOUBLE)/greatest(len(toks),1) AS stop,
+      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        /greatest(length(text),1) AS alpha,
+      CAST(len(list_distinct(toks)) AS DOUBLE)/greatest(len(toks),1) AS dst
+    FROM rtoks) i) o),
+dtok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM rtoks),
+dcard AS (SELECT d.lang, d.source, d.n_chars, dt.ntok, dqq.q4
+  FROM documents d JOIN dtok dt ON dt.doc_id = d.doc_id
+  JOIN dq4 dqq ON dqq.doc_id = d.doc_id)""".drop(1))
+
   val docs: Map[String, String] = Map(
     "d1_exact_dedup" -> raw"""
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
@@ -1749,41 +1787,10 @@ SELECT doc_id, round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
         /greatest(length(text),1) AS alpha,
       CAST(len(list_distinct(toks)) AS DOUBLE)/greatest(len(toks),1) AS dst
     FROM rtoks) i) o"""),
-    // reportCorpus mirrored: the t2 quality chain per doc (quality as
-    // a 1e4 fixed-point BIGINT, exactly the engine's scaling), token
-    // counts from the same raw-token frame, one (lang, source) agg +
-    // the 1-row total cross
-    "report_corpus" -> dq(raw"""
-SELECT lang, source, n_docs,
-       round(CAST(n_docs AS DOUBLE) / tot, 6) AS share,
-       total_tokens, total_chars,
-       round(CAST(qs AS DOUBLE) / (n_docs * 10000), 4) AS mean_quality
-FROM (SELECT lang, source, count(*) AS n_docs,
-        CAST(sum(ntok) AS BIGINT) AS total_tokens,
-        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        CAST(sum(q4) AS BIGINT) AS qs
-      FROM dcard GROUP BY lang, source) g,
-     (SELECT CAST(count(*) AS DOUBLE) AS tot FROM documents) t""",
-      extra = raw"""
-dq4 AS (SELECT doc_id,
-  CAST(round(round(0.25*lenok + 0.25*least(stop*10.0, 1.0)
-       + 0.25*alpha + 0.25*dst, 4) * 10000) AS BIGINT) AS q4
-  FROM (
-  SELECT doc_id,
-    CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.0 END AS lenok,
-    stop, alpha, dst FROM (
-    SELECT doc_id,
-      CAST(length(array_to_string(toks,'')) AS DOUBLE)/greatest(len(toks),1) AS ml,
-      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
-        AS DOUBLE)/greatest(len(toks),1) AS stop,
-      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        /greatest(length(text),1) AS alpha,
-      CAST(len(list_distinct(toks)) AS DOUBLE)/greatest(len(toks),1) AS dst
-    FROM rtoks) i) o),
-dtok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM rtoks),
-dcard AS (SELECT d.lang, d.source, d.n_chars, dt.ntok, dqq.q4
-  FROM documents d JOIN dtok dt ON dt.doc_id = d.doc_id
-  JOIN dq4 dqq ON dqq.doc_id = d.doc_id)""".drop(1)),
+    "report_corpus" -> reportCorpusSql,
+    // e19 streamed card: same oracle VERBATIM (segment merge ==
+    // batch card by exact-integer associativity)
+    "e19_stream_card_ingest" -> reportCorpusSql,
     // nbQualityClassifier mirrored: the t2 quality chain labels the
     // %3 seed at the 0.72 cut, (term, class) FILTER-aggregates build
     // the add-one model, and every probability's −ln is scaled to an

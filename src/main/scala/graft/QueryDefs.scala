@@ -1548,6 +1548,22 @@ object QueryDefs {
         docs.schema, docs.filter(col("doc_id") % 10 =!= 9),
         s"$tmp/state", s"$tmp/out")
     }),
+    // e19: the data card as a streaming fold — each micro-batch
+    // appends a partial per-(lang, source) exact-long segment, the
+    // serve is one merge + the share divide; report_corpus's oracle
+    // pins the stream verbatim (integer sums are order-independent)
+    "e19_stream_card_ingest" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e19").toString
+      val now = System.currentTimeMillis()
+      writeOneFile(docs.filter(col("doc_id") % 2 === 0),
+        s"$tmp/docs/b0.parquet", now - 60000L)
+      writeOneFile(docs.filter(col("doc_id") % 2 === 1),
+        s"$tmp/docs/b1.parquet", now)
+      EventStreams.cardIngestStreamFromParquet(s, s"$tmp/docs",
+        docs.schema, s"$tmp/out")
+    }),
     "e15_stream_band_ingest" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val tmp =
@@ -1958,7 +1974,8 @@ object QueryDefs {
         "e11_stream_response_cache", "e12_stream_graph_ingest",
         "e13_stream_bm25_ingest", "e14_stream_asof",
         "e15_stream_band_ingest", "e16_stream_nb_score",
-        "e17_stream_hll_ingest", "e18_stream_dedup_ingest")),
+        "e17_stream_hll_ingest", "e18_stream_dedup_ingest",
+        "e19_stream_card_ingest")),
       // sub-second at the bench SF: single balanced shuffle (p9) /
       // broadcast join + map-only explode (p10) / one id-hash join
       // (v1) — their engines are plain builtin shapes the heavier

@@ -696,6 +696,58 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** e19: the corpus data card as a STREAMING fold — document
+    * micro-batches each append a PARTIAL card segment (per-(lang,
+    * source) exact-long sums: n, tokens, chars, 1e4 fixed-point
+    * quality), and the served card is one re-aggregation over the
+    * segments plus the share divide. Because every statistic is an
+    * exact integer sum of per-document values, segments merge
+    * associatively and commutatively — any batch split/order yields
+    * the batch card bit-for-bit (the e13/e15 per-document-purity
+    * argument lifted to aggregates), so report_corpus's oracle pins
+    * the stream verbatim. This is the mergeable-partial shape that
+    * keeps a 100 TB data card incrementally maintainable: per-batch
+    * cost is one batch-sized agg, the standing segments never
+    * recompute. */
+  def cardIngestStreamFromParquet(spark: SparkSession, docDir: String,
+                                  rawSchema: org.apache.spark.sql.types.StructType,
+                                  outDir: String): DataFrame = {
+    import graft.ext.{Num, TextOps}
+    val ckpt = java.nio.file.Files.createTempDirectory("e19ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().select(col("lang"), col("source"), col("n_chars"),
+            TextOps.tokenCount(col("text")).cast("long").as("__tok"),
+            Num.roundLike(TextOps.qualityScore(col("text")) * 10000, 0)
+              .cast("long").as("__q4"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"), sum("__tok").as("tok"),
+            sum("n_chars").as("chars"), sum("__q4").as("q4"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    // serve: merge the segments and attach the corpus share
+    val seg = spark.read.parquet(outDir)
+    val merged = seg.groupBy("lang", "source").agg(
+      sum("n").as("n_docs"), sum("tok").as("total_tokens"),
+      sum("chars").as("total_chars"), sum("q4").as("__qs"))
+    val tot = merged.agg(sum("n_docs").cast("double").as("__n"))
+    merged.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"),
+        Num.roundLike(col("n_docs").cast("double") / col("__n"), 6)
+          .as("share"),
+        col("total_tokens"), col("total_chars"),
+        Num.roundLike(col("__qs").cast("double") /
+          (col("n_docs") * lit(10000)), 4).as("mean_quality"))
+  }
+
   def bandIngestStreamFromParquet(spark: SparkSession, docDir: String,
                                   rawSchema: org.apache.spark.sql.types.StructType,
                                   outDir: String): DataFrame = {

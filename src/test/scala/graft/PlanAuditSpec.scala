@@ -108,6 +108,8 @@ class PlanAuditSpec extends SparkSpec {
       "tf⋈df frame × broadcast 1-row corpus count (TextOps.tfidf)",
     "report_corpus" ->
       "(lang, source) card frame × broadcast 1-row corpus total (QueryDefs report_corpus)",
+    "e19_stream_card_ingest" ->
+      "merged card segments × broadcast 1-row corpus total (EventStreams.cardIngestStreamFromParquet serve stage)",
     "p2_length_quartiles" ->
       "doc-length frame × broadcast 1-row quartile cut points (Sampling.lengthQuartiles)",
     "p3_mixture_weights" ->
