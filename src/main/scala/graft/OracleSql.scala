@@ -2870,6 +2870,14 @@ dec AS (SELECT media_id, kind, text, h,
     s"CAST(CAST((($hi*16 + $lo)/127.5 - 1.0) AS FLOAT) AS DOUBLE) AS val FROM m"
   }.mkString("\nUNION ALL\n")
 
+  /** m6/m8 perceptual near-dup oracle: pure planting-rule arithmetic
+    * (each perturbed copy pairs with its base at hamming 0). */
+  private val m6NeardupSql: String = raw"""
+WITH s AS (SELECT max(doc_id) + 1 AS v FROM documents)
+SELECT doc_id AS media_a, doc_id + (SELECT v FROM s) AS media_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id % 7 = 0"""
+
   val misc: Map[String, String] = Map(
     // trained-codebook ANN certificate: 20 probes x k=10 rows compared,
     // recall target met at nProbe=2 (vs 14 for the untrained codebook
@@ -3019,11 +3027,13 @@ FROM dec WHERE kind IN ('video', 'audio')"""),
     // so the TRUE pair set is exactly the planted copies at hamming 0.
     // The planted-id shift is max(doc_id)+1, mirroring plantShift —
     // SF-safe (shifted ids never collide with base ids).
-    "m6_phash_neardup" -> raw"""
-WITH s AS (SELECT max(doc_id) + 1 AS v FROM documents)
-SELECT doc_id AS media_a, doc_id + (SELECT v FROM s) AS media_b,
-       CAST(0 AS BIGINT) AS hamming
-FROM documents WHERE doc_id % 7 = 0""",
+    "m6_phash_neardup" -> m6NeardupSql,
+    // m8 incremental probe: same planting arithmetic VERBATIM — every
+    // planted pair touches the batch and no standing-standing pair
+    // exists in the fixture, so the full-rebuild restriction is the
+    // identity (the spec proves the standing-standing exclusion on a
+    // crafted fixture)
+    "m8_phash_incremental" -> m6NeardupSql,
     // cluster arithmetic: each planted copy (any regime) clusters with
     // its base; label = lpad(min id) = the base id; bases with any
     // copy list themselves too (cluster size >= 2)

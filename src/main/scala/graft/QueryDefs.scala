@@ -1677,6 +1677,19 @@ object QueryDefs {
       // keeps a 3-flip margin on both sides at every SF
       Multimodal.phashNearDup(base.unionByName(planted), maxHamming = 2)
     }),
+    // m8: the d12 maintenance shape on the multimodal leg — the
+    // planted batch probes the STANDING corpus's persisted hash
+    // index; only batch payloads decode. Same oracle as m6 (every
+    // planted pair touches the batch, standing-standing never forms)
+    "m8_phash_incremental" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val shift = plantShift(docs)
+      val base = Multimodal.synthesizeCellImages(docs, "doc_id")
+      val planted = Multimodal.perturbImages(
+        base.filter(col("media_id") % 7 === 0), shiftId = shift)
+      Multimodal.phashIncremental(Multimodal.hashIndex(base), planted,
+        maxHamming = 2)
+    }),
     // perceptual CLUSTER resolution, all three copy regimes planted
     // (S = plantShift — SF-safe): byte-identical (+2S, every 11th),
     // noise-perturbed re-encode with the SAME hash (+S, every 7th —
@@ -1940,7 +1953,7 @@ object QueryDefs {
         "g9_pagerank_dist",
         "m5_decode_real",
         "m5_resize_real", "m5_decode_audio_real", "m5_decode_video_real",
-        "m4_pixel_stats")),
+        "m4_pixel_stats", "m8_phash_incremental")),
       // sub-second certificate / metadata / tiny-result lanes: the
       // median would time JVM noise, not the operator (their engines
       // are benched via the underlying family lane)

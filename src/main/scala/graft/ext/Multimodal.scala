@@ -465,6 +465,48 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
+  /** The persistable perceptual-hash index frame: (media_id, dhash)
+    * for every decodable payload. dHash is a PURE per-image function,
+    * so the index is append-only — a processed batch's rows are
+    * exactly what the next [[phashIncremental]] call's standing side
+    * unions in (the [[graft.ext.Dedup.lshBands]] purity argument on
+    * the multimodal leg). */
+  def hashIndex(media: DataFrame): DataFrame = dHashes(media)
+
+  /** Incremental perceptual near-dup probe — the d12 maintenance
+    * shape on the multimodal leg, completing the incremental story
+    * across every index family (text d12, lexical e13/r6, graph-ANN
+    * s9, CC a6_inc): a NEW image batch is near-dup-checked against a
+    * STANDING corpus via its persisted [[hashIndex]] frame, without
+    * re-pairing (or re-DECODING) the standing corpus — only the
+    * batch's payloads decode, the standing side contributes 16 bytes
+    * + id per image. Candidates are the same hamming-banded
+    * (band, byte) equi-joins as [[phashNearDup]]: standing⋈batch
+    * plus batch⋈batch, never standing⋈standing. Equivalence
+    * contract (the m8 gate oracle): the result equals the
+    * full-corpus [[phashNearDup]] rebuild restricted to pairs
+    * touching the batch. */
+  def phashIncremental(standingHashes: DataFrame, batch: DataFrame,
+                       maxHamming: Int = 2): DataFrame = {
+    val bh = dHashes(batch).localCheckpoint(true)
+    val sb = withBandKeys(standingHashes.select("media_id", "dhash"))
+    val bb = withBandKeys(bh.select("media_id", "dhash"))
+    val cross = sb.as("a").join(bb.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+        col("a.media_id") =!= col("b.media_id"))
+      .select(least(col("a.media_id"), col("b.media_id")).as("media_a"),
+        greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("hamming"))
+    val intra = bb.as("a").join(bb.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("hamming"))
+    cross.unionByName(intra).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Hamming-banded pairing over a (media_id, dhash) frame — see
     * [[phashNearDup]] for the economics. */
   /** Adds the 8 exploded hamming-band keys (one per hash byte, tagged

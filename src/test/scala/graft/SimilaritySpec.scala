@@ -181,6 +181,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0 && r.getBoolean(3))
   }
 
+  test("incremental phash probe: batch pairs emit, standing pairs never do") {
+    val docs = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val base = Multimodal.synthesizeCellImages(docs, "doc_id")
+    // standing holds a byte-identical dup pair (1, 5) of its own
+    val standing = base.unionByName(base.filter(col("media_id") === 1L)
+      .withColumn("media_id", lit(5L)))
+    // the batch re-introduces image 1 under a new id
+    val batch = base.filter(col("media_id") === 1L)
+      .withColumn("media_id", lit(10L))
+    val out = Multimodal.phashIncremental(
+        Multimodal.hashIndex(standing), batch, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both standing copies pair with the batch arrival; the
+    // standing-standing dup (1, 5) is NOT re-paired
+    assert(out == Set((1L, 10L), (5L, 10L)))
+  }
+
   test("multimodal decode stub: deterministic metadata, image has no duration") {
     val media = Multimodal.synthesize(
       Seq((0L, "hello"), (1L, "world"), (2L, "again")).toDF("id", "t"), "id", "t")
