@@ -3034,6 +3034,10 @@ FROM dec WHERE kind IN ('video', 'audio')"""),
     // identity (the spec proves the standing-standing exclusion on a
     // crafted fixture)
     "m8_phash_incremental" -> m6NeardupSql,
+    // e20 streamed probe: same planting arithmetic VERBATIM — the
+    // pair set is batch-split-invariant in this fixture (no
+    // planted-planted pairs), cross-batch pairing spec-proven
+    "e20_stream_phash_ingest" -> m6NeardupSql,
     // cluster arithmetic: each planted copy (any regime) clusters with
     // its base; label = lpad(min id) = the base id; bases with any
     // copy list themselves too (cluster size >= 2)

@@ -1548,6 +1548,29 @@ object QueryDefs {
         docs.schema, docs.filter(col("doc_id") % 10 =!= 9),
         s"$tmp/state", s"$tmp/out")
     }),
+    // e20: the m8 probe as the multimodal ingest loop — planted
+    // images stream in two mtime-ordered halves, each micro-batch
+    // probes the standing-so-far hash index and appends its own
+    // hashes. Same oracle as m6/m8: every pair touches the batch
+    // stream and planted⋈planted pairs never form in this fixture
+    // (cross-batch pairing is proven on a crafted fixture in the spec)
+    "e20_stream_phash_ingest" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val shift = plantShift(docs)
+      val base = Multimodal.synthesizeCellImages(docs, "doc_id")
+      val planted = Multimodal.perturbImages(
+        base.filter(col("media_id") % 7 === 0), shiftId = shift)
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_e20").toString
+      val now = System.currentTimeMillis()
+      writeOneFile(planted.filter(col("media_id") % 2 === 0),
+        s"$tmp/media/b0.parquet", now - 60000L)
+      writeOneFile(planted.filter(col("media_id") % 2 === 1),
+        s"$tmp/media/b1.parquet", now)
+      EventStreams.phashIngestStreamFromParquet(s, s"$tmp/media",
+        planted.schema, Multimodal.hashIndex(base),
+        s"$tmp/state", s"$tmp/out")
+    }),
     // e19: the data card as a streaming fold — each micro-batch
     // appends a partial per-(lang, source) exact-long segment, the
     // serve is one merge + the share divide; report_corpus's oracle
@@ -1988,7 +2011,7 @@ object QueryDefs {
         "e13_stream_bm25_ingest", "e14_stream_asof",
         "e15_stream_band_ingest", "e16_stream_nb_score",
         "e17_stream_hll_ingest", "e18_stream_dedup_ingest",
-        "e19_stream_card_ingest")),
+        "e19_stream_card_ingest", "e20_stream_phash_ingest")),
       // sub-second at the bench SF: single balanced shuffle (p9) /
       // broadcast join + map-only explode (p10) / one id-hash join
       // (v1) — their engines are plain builtin shapes the heavier

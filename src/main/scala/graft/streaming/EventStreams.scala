@@ -748,6 +748,45 @@ object EventStreams {
           (col("n_docs") * lit(10000)), 4).as("mean_quality"))
   }
 
+  /** e20: the m8 probe as the multimodal INGEST loop — image
+    * micro-batches near-dup-check against the standing-so-far hash
+    * index, then their OWN hashes append (ALL arrivals, dup or not:
+    * unlike e18's survivors-only corpus, a near-dup REPORT wants
+    * every arrival discoverable — the e12/e13 append-only shape).
+    * Cross-batch continuity: a batch-2 copy of a batch-1 arrival
+    * pairs, the property one batch call cannot show. Only each
+    * batch's payloads ever decode; the standing side is 16 bytes +
+    * id per image, and pairs materialize (localCheckpoint) before
+    * the index append their plan reads from. */
+  def phashIngestStreamFromParquet(spark: SparkSession, mediaDir: String,
+                                   rawSchema: org.apache.spark.sql.types.StructType,
+                                   standing0Hashes: DataFrame,
+                                   stateDir: String,
+                                   outDir: String): DataFrame = {
+    import graft.ext.Multimodal
+    standing0Hashes.write.mode("overwrite").parquet(s"$stateDir/hashes")
+    val ckpt = java.nio.file.Files.createTempDirectory("e20ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(mediaDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint(eager = true)
+        val pairs = Multimodal.phashIncremental(
+            spark.read.parquet(s"$stateDir/hashes"), b, maxHamming = 2)
+          .localCheckpoint(eager = true)
+        pairs.write.mode("append").parquet(outDir)
+        Multimodal.hashIndex(b)
+          .write.mode("append").parquet(s"$stateDir/hashes")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.read.parquet(outDir)
+  }
+
   def bandIngestStreamFromParquet(spark: SparkSession, docDir: String,
                                   rawSchema: org.apache.spark.sql.types.StructType,
                                   outDir: String): DataFrame = {

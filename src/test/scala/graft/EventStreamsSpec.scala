@@ -355,6 +355,43 @@ class EventStreamsSpec extends SparkSpec {
       == Seq(1L, 5L, 9L))
   }
 
+  test("streaming phash ingest: cross-batch pairing against earlier " +
+      "arrivals, unrelated images never pair") {
+    import graft.ext.Multimodal
+    val docs = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val base = Multimodal.synthesizeCellImages(docs, "doc_id")
+    val img1 = base.filter(col("media_id") === 1L)
+    // standing: image 1 only; batch 0: a copy (id 10); batch 1: another
+    // copy (id 20) plus the UNRELATED image 2 re-idd as 21
+    val b0 = img1.withColumn("media_id", lit(10L))
+    val b1 = img1.withColumn("media_id", lit(20L))
+      .unionByName(base.filter(col("media_id") === 2L)
+        .withColumn("media_id", lit(21L)))
+    val tmp = java.nio.file.Files.createTempDirectory("e20spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/media/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(b0, "b0", now - 60000L)
+    writeOne(b1, "b1", now)
+    val out = EventStreams.phashIngestStreamFromParquet(spark,
+        s"$tmp/media", b0.schema, Multimodal.hashIndex(img1),
+        s"$tmp/state", s"$tmp/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0 pairs (1,10); batch 1 pairs (1,20) AND (10,20) — the
+    // cross-batch hit against batch 0's arrival — while 21 never pairs
+    assert(out == Set((1L, 10L), (1L, 20L), (10L, 20L)))
+  }
+
   test("streaming band ingest emits exactly the batch lshBands segments " +
       "across a two-batch split, and the incremental probe reads them") {
     val docs = Seq(
