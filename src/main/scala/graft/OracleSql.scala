@@ -1972,6 +1972,17 @@ FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
       FROM toks) t
 WHERE u < CASE stratum WHEN 'short' THEN 0.25
                        WHEN 'medium' THEN 0.5 ELSE 1.0 END"""),
+    // weightedSample mirrored: the same md5 uniform (+1 over 2^48+1),
+    // -ln(u)/greatest(w,1) rounded at 9 dp (floor(x*1e9+0.5) — the
+    // positive-branch roundLike), n smallest with id tie-breaks
+    "p12_weighted_sample" -> raw"""
+SELECT doc_id, n_chars AS weight,
+       floor(-ln((CAST(CAST('0x' || substr(md5(doc_id || ':p12'), 1, 12)
+                  AS BIGINT) AS DOUBLE) + 1) / 281474976710657)
+             / greatest(n_chars, 1) * 1000000000 + 0.5) / 1000000000
+         AS priority
+FROM documents
+ORDER BY priority, doc_id LIMIT 50""",
     // lengthQuartiles mirrored: quantile_cont IS the type-7 estimator
     // functions.percentile implements; dyadic fractions → identical
     // cut points

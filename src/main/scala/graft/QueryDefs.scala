@@ -1098,6 +1098,10 @@ object QueryDefs {
       Dedup.cdcDedup(table(s, d, "documents"))),
     "p1_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(table(s, d, "documents"))),
+    // p12: Efraimidis-Spirakis weighted sampling — n_chars-weighted
+    // top-50 by deterministic -ln(u)/w priority, TakeOrdered plan
+    "p12_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(table(s, d, "documents"))),
     "p5_leak_safe_split" -> ((s, d) =>
       Sampling.leakSafeSplit(table(s, d, "documents"))),
     "p6_dsir_weights" -> ((s, d) =>
@@ -1995,7 +1999,8 @@ object QueryDefs {
         "s13_filtered_recall",
         "s8_beam_recall_full", "s9_insert_recall", "s10_delete_cert",
         "t6_repetition", "t8_decontaminate",
-        "p1_stratified_sample", "p4_pack_sequences", "m1_decode_meta",
+        "p1_stratified_sample", "p12_weighted_sample",
+        "p4_pack_sequences", "m1_decode_meta",
         "m2_resize_meta", "m3_frame_sample", "m4_feature_extract",
         "m6_phash_clusters", "m7_video_neardup",
         "w2_hll_distinct", "w3_quantile_cert", "w4_cms_heavy_hitters")),

@@ -61,6 +61,33 @@ object Sampling {
     * (not the corpus) bounds memory and this stays exact even at
     * 100 TB. For unbounded-domain columns swap in
     * `approx_percentile(col, p, accuracy)` — same plan shape. */
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, Inf. Process. Lett. 97(5) — the standard
+    * distributed weighted-sample primitive): each row draws priority
+    * `-ln(u)/w` from its own md5 uniform `u` (the [[stratifiedSample]]
+    * seeding — no RNG state, replayable at any parallelism), and the n
+    * SMALLEST priorities are exactly a weight-proportional sample
+    * without replacement. One scan + `TakeOrderedAndProject` (each
+    * partition keeps its local top-n, the driver merges n·parts rows)
+    * — no global sort, no per-group state: the shape that realizes a
+    * mixture policy's weights ([[mixtureWeights]]/[[dsirWeights]])
+    * as an actual drawn subset at 100 TB. Priorities round to 9 dp
+    * with id tie-breaks — the cross-engine total order (ln parity per
+    * the t9/t10 precedent); zero weights clamp to 1. */
+  def weightedSample(docs: DataFrame, n: Int = 50,
+                     idCol: String = "doc_id",
+                     weightCol: String = "n_chars",
+                     salt: String = "p12"): DataFrame = {
+    val u = (conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 12),
+      16, 10).cast("long").cast("double") + 1.0) / lit(281474976710657.0)
+    val w = greatest(col(weightCol), lit(1L)).cast("double")
+    docs.select(col(idCol).as("doc_id"), col(weightCol).as("weight"),
+        Num.roundLike(-log(u) / w, 9).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id"))
+      .limit(n)
+  }
+
   def lengthQuartiles(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val lens = docs.select(col(idCol).as("doc_id"),

@@ -29,6 +29,23 @@ class TextDedupSpec extends SparkSpec {
     assert(!cands.keySet.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
   }
 
+  test("weighted sample: huge weight ranks first, plan is TakeOrdered") {
+    val d = (1L to 100L).map(i => (i, "x", 10L)).toDF("doc_id", "text", "n_chars")
+      .unionByName(Seq((999L, "x", 1000000000L))
+        .toDF("doc_id", "text", "n_chars"))
+    val out = Sampling.weightedSample(d, n = 5)
+    val rows = out.collect()
+    assert(rows.length == 5)
+    // the 1e9-weight doc's priority ~1e-9 beats every weight-10 doc
+    assert(rows.head.getLong(0) == 999L)
+    // priorities ascend and are 9-dp stable
+    val ps = rows.map(_.getDouble(2))
+    assert(ps.sameElements(ps.sorted))
+    // the top-n plans as TakeOrderedAndProject, not a global sort
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("fuzzy rewrite keeps cluster canonicals and unclustered docs only") {
     val d = docs.withColumn("lang", lit("en"))
     val out = Dedup.fuzzyRewrite(d).collect()
