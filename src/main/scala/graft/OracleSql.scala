@@ -3833,6 +3833,11 @@ ai AS (SELECT src AS probe_id, dst AS corpus_id FROM rg
     "r3_mmr_rerank" -> eq(raw"""
 SELECT probe_id, rank, corpus_id, rel, mmr FROM msel$MmrK""",
       extra = mmrCtes),
+    // the relational-iteration regime shares the local twin's oracle
+    // verbatim (regime bit-identity, the a6/g6/g8 precedent)
+    "r3_mmr_rerank_dist" -> eq(raw"""
+SELECT probe_id, rank, corpus_id, rel, mmr FROM msel$MmrK""",
+      extra = mmrCtes),
     "s10_graph_delete" -> eq(raw"""
 SELECT src, CAST(rn AS BIGINT) AS rank, dst, cos AS cosine
 FROM (SELECT src, dst, cos, row_number() OVER (

@@ -787,6 +787,14 @@ object QueryDefs {
       Retrieval.mmrRerank(
         table(s, d, "embeddings").filter(col("vec_id") < 2000),
         probeMax = 20)),
+    // ...and the all-relational greedy iteration against the SAME
+    // oracle — the regime a pool too large for one task would take
+    // (r11 verdict #1: the one-task twin is the serving path, this
+    // pins the distributed iteration stays bit-identical to it)
+    "r3_mmr_rerank_dist" -> ((s, d) =>
+      Retrieval.mmrRerankDist(
+        table(s, d, "embeddings").filter(col("vec_id") < 2000),
+        probeMax = 20)),
     // t14: feature-hashing text embedding — documents become dense
     // vectors with no model; compared in exploded (doc, dim, val) form
     // (the m4 convention), 2000-doc cap like s7/s8
@@ -1977,7 +1985,7 @@ object QueryDefs {
         "t12_perplexity_buckets", "t14_hash_embed", "p2_length_quartiles",
         "p3_mixture_weights", "p5_leak_safe_split", "p7_cluster_mixture",
         "p6_dsir_weights", "s7_knn_refine", "a7_diameter_dist",
-        "g9_pagerank_dist",
+        "g9_pagerank_dist", "r3_mmr_rerank_dist",
         "m5_decode_real",
         "m5_resize_real", "m5_decode_audio_real", "m5_decode_video_real",
         "m4_pixel_stats", "m8_phash_incremental")),

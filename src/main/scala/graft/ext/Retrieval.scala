@@ -320,13 +320,32 @@ object Retrieval {
   def mmrRerank(corpus: DataFrame, probeMax: Long, poolN: Int = 20,
                 k: Int = 10, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    val (vecs, pool) = mmrPool(corpus, probeMax, poolN, idCol, vecCol)
+    mmrFromPool(vecs, pool, k)
+  }
+
+  /** [[mmrRerank]] through the all-relational greedy iteration — the
+    * r3_mmr_rerank_dist lane, pinned against the SAME oracle as the
+    * one-task twin (regime bit-identity, the a6/g6/g8 pattern). */
+  def mmrRerankDist(corpus: DataFrame, probeMax: Long, poolN: Int = 20,
+                    k: Int = 10, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val (vecs, pool) = mmrPool(corpus, probeMax, poolN, idCol, vecCol)
+    mmrFromPoolDist(vecs, pool, k)
+  }
+
+  /** Shared relevance leg of the two MMR regimes: the brute-force
+    * top-`poolN` pool plus the id→vector resolution frame. */
+  private def mmrPool(corpus: DataFrame, probeMax: Long, poolN: Int,
+                      idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
     val vecs = corpus.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint(eager = true)
     val pool = Similarity.bruteForceTopK(corpus,
         corpus.filter(col(idCol) < probeMax), poolN, idCol, vecCol)
       .select(col("probe_id"), col("corpus_id"), col("cosine").as("rel"))
-    mmrFromPool(vecs, pool, k)
+    (vecs, pool)
   }
 
   /** The MMR greedy engine over an EXPLICIT candidate pool — the
@@ -339,6 +358,46 @@ object Retrieval {
     * bruteForceTopK. */
   def mmrFromPool(vecs: DataFrame, pool0: DataFrame,
                   k: Int = 10): DataFrame = {
+    // Per-probe ONE-TASK regime (the LocalGraph/LocalChain pattern).
+    // The greedy loop's whole state is a probe's ≤ poolN pool rows —
+    // running it as k relational rounds costs ~20 synchronous driver
+    // jobs per call (each step ending in an eager localCheckpoint),
+    // which is serving-path latency, not throughput (measured: the
+    // round-11 bench doubled r3_mmr_rerank 2.65→5.14 s on exactly that
+    // refactor). Here ONE shuffle keys the pool by probe and each
+    // probe's greedy selection runs in-task over arrays, bit-identical
+    // to [[mmrFromPoolDist]] (RetrievalSpec pins local == dist on the
+    // same frames; both lanes share the r3 oracle): the in-task
+    // arithmetic reproduces CosineSimExpr's fold order and
+    // Num.roundLike's scaled-double rounding exactly. Scale: the
+    // shuffle is (probes × poolN) rows + their vectors — corpus size
+    // never enters; a million probes are a million independent tasks.
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    val joined = pool0
+      .select(col("probe_id").cast("long"), col("corpus_id").cast("long"),
+        col("rel").cast("double"))
+      .join(vecs.select(col("vid").cast("long").as("corpus_id"),
+        col("v").cast("array<double>").as("v")), Seq("corpus_id"), "left")
+      .select(col("probe_id"), col("corpus_id"), col("rel"), col("v"))
+      .as[(Long, Long, Double, Array[Double])]
+    joined.groupByKey(_._1)
+      .flatMapGroups { (probe: Long,
+                        it: Iterator[(Long, Long, Double, Array[Double])]) =>
+        MmrLocal.select(probe, it, k)
+      }
+      .toDF("probe_id", "rank", "corpus_id", "rel", "mmr")
+  }
+
+  /** The all-relational MMR iteration — [[mmrFromPool]]'s distributed
+    * twin on the SAME oracle (r3_mmr_rerank_dist): each greedy step is
+    * an equi-join of the unselected pool against the selected set's
+    * pairwise-similarity rows, materialized per step. Kept as the
+    * regime a pool too large for one task would need; for the actual
+    * serving shape (pool ≤ poolN per probe) the one-task twin is
+    * strictly better — same results, ~k fewer synchronous jobs. */
+  def mmrFromPoolDist(vecs: DataFrame, pool0: DataFrame,
+                      k: Int = 10): DataFrame = {
     val pool = pool0.localCheckpoint(eager = true)
     // pairwise sims among each probe's pool members, computed once
     val sims = pool.select(col("probe_id"), col("corpus_id").as("id_a"))
@@ -384,5 +443,120 @@ object Retrieval {
     }
     sel.select(col("probe_id"), col("rank"), col("corpus_id"),
       col("rel"), col("mmr"))
+  }
+}
+
+/** The in-task greedy engine behind [[Retrieval.mmrFromPool]] — a
+  * probe's whole MMR selection over its ≤ poolN pool rows, run as
+  * plain-Scala arithmetic pinned BIT-FOR-BIT to the relational twin
+  * ([[Retrieval.mmrFromPoolDist]]) so both regimes share one oracle:
+  *  - [[rl6]] is Num.roundLike(_, 6) scalar-for-scalar (scaled-double
+  *    floor, half away from zero — NOT the JVM's shortest-decimal
+  *    round; see Num.scala for why the engines disagree otherwise);
+  *  - [[cosine]] replays CosineSimExpr's single left-to-right fold
+  *    (dot/na/nb accumulators, then dot / (sqrt(na)·sqrt(nb))) —
+  *    IEEE-commutative per pair, so sim(a,b) == sim(b,a) exactly and
+  *    the dist twin's (id_a=candidate, id_b=selected) orientation is
+  *    reproduced;
+  *  - the objective is rl6(0.5·rel − 0.5·maxsim) with 0.5 halves
+  *    exact in IEEE, ties break on corpus_id — the same total order
+  *    the dist twin's window (mmr DESC NULLS LAST, corpus_id) ranks.
+  * Missing/undefined similarities mirror the dist twin's join
+  * semantics: a pool member with no vector row still wins rank 1 on
+  * rel alone but never enters a later step (the sims inner join has
+  * no row for it), and a candidate whose every sim is undefined keeps
+  * a NULL objective (max() over all-NULL), sorting after every
+  * defined one. Engine-wide inputs are norm-filtered non-null
+  * vectors, so these branches are contracts, not hot paths. */
+private[graft] object MmrLocal {
+  private val P6 = math.pow(10, 6)
+
+  /** Num.roundLike(c, 6) in scalar form. */
+  private def rl6(x: Double): Double =
+    (if (x >= 0) math.floor(x * P6 + 0.5)
+     else -math.floor(-x * P6 + 0.5)) / P6
+
+  /** CosineSimExpr's exact fold; None where the expression yields
+    * NULL (length mismatch) or a zero divisor. */
+  private def cosine(a: Array[Double], b: Array[Double]): Option[Double] = {
+    if (a.length != b.length) return None
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val div = math.sqrt(na) * math.sqrt(nb)
+    if (div == 0.0) None else Some(dot / div)
+  }
+
+  /** One probe's greedy MMR selection: rows are (probe_id, corpus_id,
+    * rel, vector-or-null), output is (probe_id, rank, corpus_id, rel,
+    * mmr) in selection order, ≤ k rows. */
+  def select(probe: Long,
+             it: Iterator[(Long, Long, Double, Array[Double])],
+             k: Int): Iterator[(Long, Long, Long, Double, Option[Double])] = {
+    val ms = it.toArray.sortBy(_._2)
+    val n = ms.length
+    if (n == 0 || k <= 0) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Option[Double])]
+    val isSel = new Array[Boolean](n)
+    // rank 1: max rel, corpus_id tiebreak (ms is id-sorted, so strict
+    // > keeps the smallest id among ties)
+    var first = 0
+    var j = 1
+    while (j < n) { if (ms(j)._3 > ms(first)._3) first = j; j += 1 }
+    isSel(first) = true
+    out += ((probe, 1L, ms(first)._2, ms(first)._3, Some(ms(first)._3)))
+    var selWithVec = if (ms(first)._4 != null) 1 else 0
+    var lastSel = first
+    // maxsim(j): running max over selected of rl6(cos(v_j, v_sel)),
+    // None while no pair has a defined similarity
+    val maxsim = Array.fill[Option[Double]](n)(None)
+    var rank = 2L
+    while (rank <= k && out.size < n) {
+      // fold the latest selection into every candidate's running max
+      if (ms(lastSel)._4 != null) {
+        var c = 0
+        while (c < n) {
+          if (!isSel(c) && ms(c)._4 != null) {
+            cosine(ms(c)._4, ms(lastSel)._4).foreach { s =>
+              val r = rl6(s)
+              if (maxsim(c).forall(r > _)) maxsim(c) = Some(r)
+            }
+          }
+          c += 1
+        }
+      }
+      // candidates the dist twin's sims inner join would surface: own
+      // vector present AND at least one selected vector present
+      var best = -1
+      var bestMmr: Option[Double] = None
+      var c = 0
+      while (c < n) {
+        if (!isSel(c) && ms(c)._4 != null && selWithVec > 0) {
+          val m = maxsim(c).map(s => rl6(0.5 * ms(c)._3 - 0.5 * s))
+          val better =
+            if (best < 0) true
+            else (m, bestMmr) match {
+              case (Some(a), Some(b)) => a > b // ties keep smaller id
+              case (Some(_), None)    => true  // defined before NULL
+              case (None, Some(_))    => false
+              case (None, None)       => false // id order: keep first
+            }
+          if (better) { best = c; bestMmr = m }
+        }
+        c += 1
+      }
+      if (best < 0) return out.iterator // no eligible candidate: done
+      isSel(best) = true
+      if (ms(best)._4 != null) selWithVec += 1
+      lastSel = best
+      out += ((probe, rank, ms(best)._2, ms(best)._3, bestMmr))
+      rank += 1L
+    }
+    out.iterator
   }
 }

@@ -210,4 +210,31 @@ class RetrievalSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("mmr one-task regime is bit-identical to the relational twin") {
+    // deterministic pseudo-random vectors (hash-mixed, no RNG state):
+    // enough probes/pool members to exercise tie-breaks, running-max
+    // updates and the full k greedy steps in both regimes
+    val rows = (0 until 60).map { i =>
+      val v = Array.tabulate(8) { d =>
+        val h = (i * 1000003 + d * 97) % 17
+        ((h - 8).toFloat / 8.0f)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val local = graft.ext.Retrieval.mmrRerank(df, probeMax = 5,
+      poolN = 12, k = 7).collect()
+    val dist = graft.ext.Retrieval.mmrRerankDist(df, probeMax = 5,
+      poolN = 12, k = 7).collect()
+    // bit-for-bit: compare raw doubles via their bit patterns
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs.map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        if (r.isNullAt(4)) Long.MinValue
+        else java.lang.Double.doubleToLongBits(r.getDouble(4)))
+    }.toSet
+    assert(keyed(local) == keyed(dist))
+    assert(local.length == 5 * 7)
+  }
 }
