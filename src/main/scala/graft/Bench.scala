@@ -20,6 +20,26 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    // Refuse to measure on a loaded box (r11: the telemetry flagged
+    // "load":[2.1,2.21] but the artifact still became the round's
+    // number, smearing four lanes into ambiguity). Bounded wait: while
+    // the 1-min loadavg exceeds the gate, sleep and resample — up to
+    // maxWait — then proceed regardless (a driver bench that never
+    // reports is worse than a flagged one; the load field still tells
+    // the judge). The wait itself lands in the artifact as
+    // "load_waited_sec" so a gated run is visible.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE",
+      "1.0").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT",
+      "600").toInt
+    var waited = 0
+    while (load1m > loadGate && waited < maxWaitSec) {
+      System.err.println(
+        s"[bench] box loaded (${load1m} > $loadGate), waiting 30s " +
+          s"($waited/$maxWaitSec)")
+      Thread.sleep(30000)
+      waited += 30
+    }
     val loadStart = load1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -96,7 +116,7 @@ object Bench {
       jstr(k) + ":" + jstr(m.take(200)) }.mkString("{", ",", "}")
     val total = sec(results.map(_._2).filter(_ >= 0).sum)
     val load = s"[${sec(loadStart)},${sec(load1m)}]"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // the FULL result (incl. per-lane spreads) goes to a file the
     // driver/judge can always read whole...
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -111,7 +131,7 @@ object Bench {
     // shutdown logging cannot trail it, and build.sbt suppresses sbt's
     // own "[success]" trailer.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
     System.out.flush()
   }
 }
