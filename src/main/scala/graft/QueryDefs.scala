@@ -77,6 +77,19 @@ object QueryDefs {
       // exact variant on the bounded P-P slice of the thin graph
       val t = thin(s, d)
       val pp = GraphOps.subsetPP(t, t.select(col("src").as("id")))
+      // dump the pp-slice witness certificate alongside the scalar:
+      // at sf0.01 the gate judges this lane by the all-pairs closure
+      // (which never reads the fixture); at sf1 — where that closure
+      // is quadratic-OOM — the override oracle re-runs one bounded
+      // BFS per witness here (OracleSql.sf1Overrides)
+      val srcs = GraphOps.diameterCertificate(pp)
+        .collect().map(_.getString(0)).distinct.sorted
+      val dir = java.nio.file.Paths.get(ReaderHarness.fixtureRoot,
+        s"a7_exact_cert_${ReaderHarness.sfToken(d)}")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("sources.csv"),
+        "source\n" + (if (srcs.isEmpty) ""
+                      else srcs.mkString("\n") + "\n"))
       s.range(1).select(lit(GraphOps.diameterExact(pp)).as("diameter"))
     }),
     // the CERTIFICATE form of a7: per component the root pivot + the
@@ -1199,6 +1212,12 @@ object QueryDefs {
     // tokenized under the learned vocabulary
     "t16_bpe_train" -> ((s, d) =>
       TextOps.bpeTrain(table(s, d, "documents"))),
+    // ...and the relational per-round loop forced past the one-task
+    // trainer regime, on the SAME oracle (r11 verdict #4: BpeLocal is
+    // the realistic-vocab path — 1 job instead of 1 per merge — and
+    // this pin keeps the distributed fallback bit-identical to it)
+    "t16_bpe_train_dist" -> ((s, d) =>
+      TextOps.bpeTrainDist(table(s, d, "documents"))),
     "t16_bpe_tokenize" -> ((s, d) =>
       TextOps.bpeTokenize(table(s, d, "documents"))),
     // p11: the composed pretraining path — t16 tokenizer feeding p4's
@@ -1985,7 +2004,7 @@ object QueryDefs {
         "t12_perplexity_buckets", "t14_hash_embed", "p2_length_quartiles",
         "p3_mixture_weights", "p5_leak_safe_split", "p7_cluster_mixture",
         "p6_dsir_weights", "s7_knn_refine", "a7_diameter_dist",
-        "g9_pagerank_dist", "r3_mmr_rerank_dist",
+        "g9_pagerank_dist", "r3_mmr_rerank_dist", "t16_bpe_train_dist",
         "m5_decode_real",
         "m5_resize_real", "m5_decode_audio_real", "m5_decode_video_real",
         "m4_pixel_stats", "m8_phash_incremental")),

@@ -64,6 +64,15 @@ object Verify {
         s"${q(k)}: ${q(v.replace("__SF_TOKEN__", sfTok))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sf1-override oracles (certificate-form replacements for the
+    // quadratic diameter closures): a SEPARATE file so the driver's
+    // sf0.01 gate keeps judging by oracle_sql.json; tools/check_sf1.py
+    // overlays these via CHECK_ORACLE_OVERRIDES
+    val sf1Json = OracleSql.sf1Overrides
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SF_TOKEN__", sfTok))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_sf1.json"), sf1Json)
     spark.stop()
   }
 }

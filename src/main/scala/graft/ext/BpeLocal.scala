@@ -1,0 +1,176 @@
+package graft.ext
+
+import scala.collection.mutable
+
+/** One-task BPE trainer — the scale regime behind
+  * [[TextOps.bpeTrain]]/[[TextOps.bpeCore]].
+  *
+  * The relational trainer drives ONE Spark job per merge round (a
+  * vocab-frame pair aggregation + `limit(1).collect()`): correct, and
+  * fine at the gate's 12 rounds, but a realistic tokenizer needs
+  * 32k–100k merges — 100k sequential driver jobs is not a plan (round
+  * 11 verdict, "What's wrong" #3). The standard fix is the standard
+  * BPE implementation shape (Sennrich's own, SentencePiece, HF
+  * tokenizers): training state is the DISTINCT-WORD frequency table —
+  * vocab-bounded, corpus-size-independent — so after the one
+  * distributed word-count shuffle the whole merge loop fits in ONE
+  * task with INCREMENTAL pair-count maintenance: merging pair (a,b)
+  * touches only the words that contain it, and each merge round is
+  * O(affected words · word length) plus a lazy-heap pop — no rescans
+  * of the vocabulary, no Spark jobs.
+  *
+  * Bit-identity with the relational rounds (TextOpsSpec pins it, and
+  * t16_bpe_train keeps its oracle hash when routed through here):
+  *  - the best pair is max by (count DESC, lhs ASC, rhs ASC) with
+  *    strings in UTF-8 BYTE order — the order Spark's orderBy puts on
+  *    string columns (UTF8String), NOT Java's UTF-16 compareTo (they
+  *    diverge above the BMP);
+  *  - pair counts sum wcount over every adjacent POSITION (same-symbol
+  *    runs count each overlap, exactly like the relational
+  *    zip_with+explode);
+  *  - the merge is greedy left-to-right non-overlapping, resuming
+  *    AFTER each replacement — `|a||a||a|` → `|aa||a|` — which is the
+  *    relational `replace` semantics;
+  *  - training stops early only when NO adjacent pair remains (every
+  *    word is one symbol), like the relational empty-explode check.
+  *
+  * The lazy heap: every count change pushes a fresh (count, lhs, rhs)
+  * entry; stale entries (pushed count ≠ current count, or pair gone)
+  * are discarded at pop time. The true maximum's current count is
+  * always present (pushed when it last changed), so the first valid
+  * pop IS the max under the tie-break order. */
+object BpeLocal {
+
+  /** UTF-8 byte comparison — UTF8String / DuckDB BLOB order. */
+  private[ext] def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  // heap priority: larger count first; among equal counts the SMALLEST
+  // (lhs, rhs) in byte order dequeues first
+  private val heapOrd: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(p: (Long, String, String),
+                  q: (Long, String, String)): Int = {
+        if (p._1 != q._1) java.lang.Long.compare(p._1, q._1)
+        else {
+          val a = utf8Cmp(q._2, p._2) // reversed: smaller lhs = higher
+          if (a != 0) a else utf8Cmp(q._3, p._3)
+        }
+      }
+    }
+
+  /** Train `rounds` merges over a (word, wcount) iterator; returns the
+    * merge table rows (round, lhs, rhs, merged, pair_count) and the
+    * final per-word state (word, wcount, wstr) in the relational
+    * trainer's `|s1||s2||…|` encoding. */
+  def train(wordsIn: Iterator[(String, Long)], rounds: Int)
+      : (Seq[(Long, String, String, String, Long)],
+         Seq[(String, Long, String)]) = {
+    val words = wordsIn.toArray
+    val n = words.length
+    val syms = new Array[Array[String]](n)
+    var wi = 0
+    while (wi < n) {
+      val w = words(wi)._1
+      // split by CODE POINT: Spark's substr(i, 1) walks code points,
+      // not UTF-16 units — charAt would split surrogate pairs
+      val cps = w.codePoints().toArray
+      val s = new Array[String](cps.length + 1)
+      var j = 0
+      while (j < cps.length) {
+        s(j) = new String(Character.toChars(cps(j))); j += 1
+      }
+      s(cps.length) = "</w>"
+      syms(wi) = s
+      wi += 1
+    }
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+
+    def bump(w: Int, sign: Long): Unit = {
+      val s = syms(w)
+      val c = words(w)._2 * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nv = pairCnt.getOrElse(p, 0L) + c
+        if (nv == 0L) pairCnt.remove(p)
+        else {
+          pairCnt(p) = nv
+          heap.enqueue((nv, p._1, p._2))
+        }
+        if (sign > 0L) pairWords.getOrElseUpdate(p,
+          mutable.HashSet.empty[Int]) += w
+        j += 1
+      }
+    }
+    wi = 0
+    while (wi < n) { bump(wi, 1L); wi += 1 }
+
+    def popBest(): Option[(String, String, Long)] = {
+      while (heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (pairCnt.get((a, b)).contains(c)) return Some((a, b, c))
+      }
+      None
+    }
+
+    def mergeWord(s: Array[String], a: String, b: String,
+                  ab: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+          out += ab; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      popBest() match {
+        case None => exhausted = true
+        case Some((a, b, c)) =>
+          val ab = a + b
+          merges += ((r.toLong, a, b, ab, c))
+          val affected = pairWords.getOrElse((a, b),
+            mutable.HashSet.empty[Int]).toArray
+          var k = 0
+          while (k < affected.length) {
+            val w = affected(k)
+            val s = syms(w)
+            var has = false
+            var j = 0
+            while (!has && j < s.length - 1) {
+              has = s(j) == a && s(j + 1) == b; j += 1
+            }
+            if (has) { // membership sets keep stale entries; re-check
+              bump(w, -1L)
+              syms(w) = mergeWord(s, a, b, ab)
+              bump(w, 1L)
+            }
+            k += 1
+          }
+          pairWords.remove((a, b))
+          r += 1
+      }
+    }
+    val wordRows = (0 until n).map { w =>
+      (words(w)._1, words(w)._2, "|" + syms(w).mkString("||") + "|")
+    }
+    (merges.result(), wordRows)
+  }
+}

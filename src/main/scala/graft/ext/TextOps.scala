@@ -742,6 +742,18 @@ object TextOps {
     merges.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** [[bpeTrain]] forced through the relational per-round loop — the
+    * t16_bpe_train_dist regime pin (same oracle as the one-task path,
+    * the a6/g6/r3 bit-identity pattern). */
+  def bpeTrainDist(docs: DataFrame, rounds: Int = 12,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val (merges, _) = bpeCore(docs, rounds, textCol, localMaxWords = 0L)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Tokenize the corpus under a [[bpeTrain]]-induced vocabulary:
     * per-document word count and BPE-token count (the post-merge
     * symbol count summed over the doc's words). Corpus-sized work is
@@ -786,14 +798,59 @@ object TextOps {
         sum(col("__nsyms")).as("n_bpe_tokens"))
   }
 
+  /** Regime cutoff for the BPE trainer: a distinct-word frame at or
+    * under this many rows trains in ONE task ([[BpeLocal]] — lazy-heap
+    * incremental pair counts, no per-round Spark jobs); above it the
+    * relational per-round loop runs. The word-frequency table is
+    * vocab-bounded (corpus-size-INDEPENDENT after the one word-count
+    * shuffle — English web corpora plateau at a few million distinct
+    * words at any corpus size), so the local regime is the realistic
+    * path at every scale; the relational loop remains the spill-safe
+    * fallback for pathological vocabularies and is pinned by
+    * t16_bpe_train_dist on the same oracle. */
+  val BpeLocalMaxWords: Long = 2000000L
+
   /** Shared trainer: returns the learned merges and the final words
     * frame (word, wcount, wstr). */
-  private def bpeCore(docs: DataFrame, rounds: Int, textCol: String)
+  private def bpeCore(docs: DataFrame, rounds: Int, textCol: String,
+                      localMaxWords: Long = BpeLocalMaxWords)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var words = docs
+    val wordFreq = docs
       .select(explode(tokens(lower(col(textCol)))).as("word"))
       .filter(!col("word").contains("|"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
+      .localCheckpoint()
+    if (wordFreq.count() <= localMaxWords) {
+      // one-task regime: the whole merge loop runs inside a single
+      // mapPartitions over the vocab frame; merges and final word
+      // states come back as one tagged frame (one job, checkpointed)
+      // and split driver-side — bit-identical to the rounds below
+      // (BpeLocal scaladoc lists the four pinned invariants)
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val tagged = wordFreq.as[(String, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val (ms, ws) = BpeLocal.train(it, rounds)
+          ms.iterator.map(m =>
+            ("m", m._1, m._2, m._3, m._4, m._5, null: String, 0L,
+              null: String)) ++
+            ws.iterator.map(w =>
+              ("w", 0L, null: String, null: String, null: String, 0L,
+                w._1, w._2, w._3))
+        }
+        .toDF("kind", "mround", "lhs", "rhs", "merged", "pcount",
+          "word", "wcount", "wstr")
+        .localCheckpoint()
+      val merges = tagged.filter(col("kind") === "m")
+        .orderBy("mround").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getString(3),
+          r.getString(4), r.getLong(5))).toSeq
+      val words = tagged.filter(col("kind") === "w")
+        .select(col("word"), col("wcount"), col("wstr"))
+      return (merges, words)
+    }
+    var words = wordFreq
       .select(col("word"), col("wcount"),
         concat(lit("|"), array_join(concat(
             transform(sequence(lit(1), length(col("word"))),

@@ -853,6 +853,26 @@ class TextDedupSpec extends SparkSpec {
     assert(served == cold, "snapshot-served tokenize == cold tokenize")
   }
 
+  test("BPE one-task trainer is bit-identical to the relational rounds") {
+    // deterministic word soup with heavy tie pressure: repeated
+    // fragments, same-symbol runs, shared prefixes/suffixes — enough
+    // rounds that early merges feed later pair counts in both regimes
+    val docs = (0 until 40).map { i =>
+      val w1 = "ab" * (1 + i % 3)
+      val w2 = "ba" + ("c" * (i % 4))
+      val w3 = if (i % 2 == 0) "aaa" else "aab"
+      (i.toLong, s"$w1 $w2 $w3 $w1 zz${i % 5}")
+    }.toDF("doc_id", "text")
+    def canon(rs: Array[org.apache.spark.sql.Row]) = rs.map { r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))
+    }.sortBy(_._1).toSeq
+    val local = canon(TextOps.bpeTrain(docs, rounds = 30).collect())
+    val dist = canon(TextOps.bpeTrainDist(docs, rounds = 30).collect())
+    assert(local == dist, s"regimes diverge:\n$local\nvs\n$dist")
+    assert(local.nonEmpty)
+  }
+
   test("BPE pack: learned-vocab token counts drive the packing window") {
     // rounds=5 on the low-corpus: low→[low</w>]=1, lower→[lower,</w>]=2,
     // lowest→[lowe,s,t,</w>]=4; one shard, budget 3

@@ -6,6 +6,7 @@ exclusions instead of hanging the suite. Writes CORRECTNESS_sf1.json.
   python3 tools/check_sf1.py /tmp/v_sf1 /tmp/graft_sf1 [timeout_s]
 """
 import json
+import os
 import subprocess
 import sys
 import time
@@ -13,6 +14,13 @@ import time
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/v_sf1"
 sf = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 tmo = int(sys.argv[3]) if len(sys.argv) > 3 else 900
+
+# at sf1 the quadratic diameter-closure oracles are replaced by their
+# certificate forms (OracleSql.sf1Overrides, dumped by Verify next to
+# the main oracle file) — overlay them for every child check.py
+env = dict(os.environ)
+if os.path.exists(f"{out}/oracle_sql_sf1.json"):
+    env["CHECK_ORACLE_OVERRIDES"] = f"{out}/oracle_sql_sf1.json"
 
 status = json.load(open(f"{out}/status.json"))
 results = {}
@@ -32,7 +40,7 @@ for name in sorted(status):
     try:
         p = subprocess.run(
             [sys.executable, "tools/check.py", out, sf, name],
-            capture_output=True, text=True, timeout=tmo)
+            capture_output=True, text=True, timeout=tmo, env=env)
         last = [l for l in p.stdout.splitlines() if l.strip()]
         verdict = next((l for l in last if l.startswith(("OK", "FAIL",
             "ROWS"))), None)
