@@ -3807,6 +3807,17 @@ FROM msel$MmrK m JOIN rck k ON k.vec_id = m.corpus_id""",
         s8CtesFor("e.vec_id < 5") + ",\n" + raw"""
 mpool AS MATERIALIZED (SELECT probe_id, node AS corpus_id, cos AS rel
   FROM c$S8Steps)""".drop(1) + ",\n" + mmrChainCtes),
+    // the warm twin serves the identical composition from persisted
+    // artifacts — the parquet roundtrip changes no values, so the
+    // cold lane's SQL pins it verbatim (r1_bm25_served precedent)
+    "rag_served" -> dq(raw"""
+SELECT m.probe_id, m.rank, m.corpus_id, k.doc_id, k.chunk_idx,
+       m.rel, m.mmr
+FROM msel$MmrK m JOIN rck k ON k.vec_id = m.corpus_id""",
+      extra = ragCorpusCtes + ",\n" + s7BodyCtes + ",\n" +
+        s8CtesFor("e.vec_id < 5") + ",\n" + raw"""
+mpool AS MATERIALIZED (SELECT probe_id, node AS corpus_id, cos AS rel
+  FROM c$S8Steps)""".drop(1) + ",\n" + mmrChainCtes),
     // the AT-SCALE s8 certificate: the engine runs the FULL-corpus
     // graph build + beam serve + brute-force truth (20k vectors at
     // sf1) and reports (n_total, meets_target); the oracle pins

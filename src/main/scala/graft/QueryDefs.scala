@@ -321,8 +321,7 @@ object QueryDefs {
     // pipeline oracle (a build that drops or duplicates rows fails).
     "q6_snapshot_build" -> ((s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_snap_build").toString
+      val dir = scratchDir("graft_snap_build")
       Serving.buildSnapshot(verts(s, d), simplified(s, d), dir)
       Seq(
         ("edges", graft.io.Readers.loadSnapshot(s, s"$dir/edges").count()),
@@ -407,7 +406,7 @@ object QueryDefs {
     "s11_tree_refresh" -> ((s, d) => {
       import s.implicits._
       val out =
-        java.nio.file.Files.createTempDirectory("graft_refresh").toString
+        scratchDir("graft_refresh")
       val ds = Pipeline.build(
         TestMapping.interactions(s, d),
         threshold = TestMapping.ThinScore)
@@ -448,8 +447,7 @@ object QueryDefs {
   private def servedDataset(s: SparkSession, d: String)
       : Serving.ServedDataset =
     servedCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_serving").toString
+      val dir = scratchDir("graft_serving")
       Serving.buildSnapshot(verts(s, d), simplified(s, d), dir)
       Serving.open(s, dir)
     })
@@ -462,8 +460,7 @@ object QueryDefs {
   private def partitionedSnapshot(s: SparkSession, d: String)
       : Serving.PartitionedSnapshot =
     partSnapCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_serving_part").toString
+      val dir = scratchDir("graft_serving_part")
       Serving.buildSnapshotPartitioned(verts(s, d), simplified(s, d), dir)
       Serving.openPartitioned(s, dir)
     })
@@ -484,6 +481,91 @@ object QueryDefs {
           table(s, d, "embeddings").filter(col("vec_id") < 2000))
         .localCheckpoint(eager = true))
 
+  /** Lane-scratch temp dir with CLEANUP (ADVICE r11: the served caches
+    * and stream lanes leaked one temp tree per invocation): every dir
+    * created here is recursively deleted on JVM exit, so repeated
+    * gate/bench runs stop accumulating unbounded /tmp garbage. In-run
+    * lifetime is unchanged — the served caches are per-(session, dir)
+    * memos, so a dir lives as long as the frames reading it. */
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => () })
+      } catch { case scala.util.control.NonFatal(_) => () }))
+    p.toString
+  }
+
+  /** The rag composition's build stage, shared by the cold lane and
+    * the served twin: capped chunk corpus with dense retrieval-unit
+    * ids, norm-filtered hashed chunk embeddings, and the NN-Descent
+    * kNN graph over them. */
+  private def ragBuild(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Sampling.chunkDocs(
+      table(s, d, "documents").filter(col("doc_id") < 400),
+      chunkTokens = 16, overlap = 4)
+    // dense retrieval-unit ids: lane plumbing over the CAPPED chunk
+    // corpus (a global row_number is fine at 2k rows; a production
+    // pipeline assigns ids at chunk-write time)
+    val cid = chunks.withColumn("vec_id",
+        (row_number().over(Window.orderBy(col("doc_id"),
+          col("chunk_idx"))) - 1).cast("long"))
+      .localCheckpoint(eager = true)
+    // checkpoint BEFORE the norm filter so the filter (and the ANN
+    // stages) scan concrete arrays instead of re-inlining the
+    // hashEmbed projection per consumer (same reasoning as
+    // t14_embed_knn)
+    val vecs = TextOps.hashEmbed(cid, idCol = "vec_id",
+        textCol = "chunk_text")
+      .withColumnRenamed("doc_id", "vec_id")
+      .localCheckpoint(eager = true)
+      .filter(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0)
+    val g = Similarity.knnGraphNNDescent(vecs)
+    (cid, vecs, g)
+  }
+
+  /** The rag composition's QUERY stage — beam-search candidate pool,
+    * MMR diversification, provenance join — over whatever artifact
+    * frames the caller hands it (freshly built or reopened). */
+  private def ragServe(cid: DataFrame, vecs: DataFrame,
+                       g: DataFrame): DataFrame = {
+    val pool = Similarity.graphBeamSearch(vecs,
+        g.select(col("src"), col("dst")), probeMax = 5, k = 20)
+      .select(col("probe_id"), col("corpus_id"), col("cosine").as("rel"))
+    val sel = Retrieval.mmrFromPool(
+      vecs.select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v")), pool, k = 10)
+    sel.join(cid.select(col("vec_id").as("corpus_id"), col("doc_id"),
+        col("chunk_idx")), Seq("corpus_id"))
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        col("doc_id"), col("chunk_idx"), col("rel"), col("mmr"))
+  }
+
+  /** Persisted rag artifacts (chunk frame, chunk embeddings, kNN
+    * graph) for the rag_served warm twin — the [[bm25IndexServed]]
+    * lifecycle: built and written once per (session, sfDir), every
+    * serve call reopens the parquet snapshots. */
+  private val ragCache = new scala.collection.concurrent.TrieMap[
+    String, (DataFrame, DataFrame, DataFrame)]
+  private def ragArtifactsServed(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ragCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val dir = scratchDir("graft_rag")
+      val (cid, vecs, g) = ragBuild(s, d)
+      cid.write.parquet(s"$dir/chunks")
+      vecs.write.parquet(s"$dir/vecs")
+      g.write.parquet(s"$dir/graph")
+      (s.read.parquet(s"$dir/chunks"), s.read.parquet(s"$dir/vecs"),
+        s.read.parquet(s"$dir/graph"))
+    })
+
   /** Per-(session, sfDir) memo of the persisted LABELED IVF index —
     * the filtered-ANN serving lifecycle ([[knnGraphServed]] /
     * [[bm25IndexServed]] precedent): the attribute-carrying assigned
@@ -495,8 +577,7 @@ object QueryDefs {
       : org.apache.spark.sql.DataFrame =
     filteredIvfCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
       val emb = table(s, d, "embeddings")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivf_attr").toString
+      val dir = scratchDir("graft_ivf_attr")
       Similarity.writeIvfIndex(
         Similarity.ivfAssignAttr(emb, Similarity.codebook(emb, 16)), dir)
       Similarity.readIvfIndex(s, dir)
@@ -512,8 +593,7 @@ object QueryDefs {
       : org.apache.spark.sql.DataFrame =
     filteredIvfPartCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
       val emb = table(s, d, "embeddings")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivf_attr_part").toString
+      val dir = scratchDir("graft_ivf_attr_part")
       Similarity.writeIvfIndexPartitioned(
         Similarity.ivfAssignAttr(emb, Similarity.codebook(emb, 16)), dir)
       s.read.parquet(dir)
@@ -529,8 +609,7 @@ object QueryDefs {
   private def bm25IndexServed(s: SparkSession, d: String)
       : Retrieval.Bm25Index =
     bm25IndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_bm25").toString
+      val dir = scratchDir("graft_bm25")
       Retrieval.writeBm25Index(table(s, d, "documents"), dir)
       Retrieval.openBm25Index(s, dir)
     })
@@ -543,8 +622,7 @@ object QueryDefs {
     new scala.collection.concurrent.TrieMap[String, DataFrame]
   private def bpeVocabServed(s: SparkSession, d: String): DataFrame =
     bpeVocabCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_bpe").toString
+      val dir = scratchDir("graft_bpe")
       TextOps.writeBpeVocab(table(s, d, "documents"), dir)
       TextOps.openBpeVocab(s, dir)
     })
@@ -563,8 +641,7 @@ object QueryDefs {
     new scala.collection.concurrent.TrieMap[String, DataFrame]
   private def bandIndexServed(s: SparkSession, d: String): DataFrame =
     bandIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_bands").toString
+      val dir = scratchDir("graft_bands")
       Dedup.writeBandIndex(
         table(s, d, "documents").filter(col("doc_id") % 10 =!= 9), dir)
       Dedup.openBandIndex(s, dir)
@@ -580,7 +657,7 @@ object QueryDefs {
     * satisfy one oracle. */
   private def treeWrite(distributedDocs: Option[Boolean]): Q = (s, d) => {
     import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_tree").toString
+    val out = scratchDir("graft_tree")
     val ds = Pipeline.build(
       TestMapping.interactions(s, d),
       threshold = TestMapping.ThinScore,
@@ -873,38 +950,17 @@ object QueryDefs {
     // (~2k vectors) for oracle tractability — the s7/s8 cap
     // precedent; every stage is the uncapped operator.
     "rag_retrieve" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val chunks = Sampling.chunkDocs(
-        table(s, d, "documents").filter(col("doc_id") < 400),
-        chunkTokens = 16, overlap = 4)
-      // dense retrieval-unit ids: lane plumbing over the CAPPED chunk
-      // corpus (a global row_number is fine at 2k rows; a production
-      // pipeline assigns ids at chunk-write time)
-      val cid = chunks.withColumn("vec_id",
-          (row_number().over(Window.orderBy(col("doc_id"),
-            col("chunk_idx"))) - 1).cast("long"))
-        .localCheckpoint(eager = true)
-      // checkpoint BEFORE the norm filter so the filter (and the ANN
-      // stages) scan concrete arrays instead of re-inlining the
-      // hashEmbed projection per consumer (same reasoning as
-      // t14_embed_knn)
-      val vecs = TextOps.hashEmbed(cid, idCol = "vec_id",
-          textCol = "chunk_text")
-        .withColumnRenamed("doc_id", "vec_id")
-        .localCheckpoint(eager = true)
-        .filter(aggregate(col("embedding"), lit(0.0),
-          (a, x) => a + x.cast("double") * x.cast("double")) > 0)
-      val g = Similarity.knnGraphNNDescent(vecs)
-      val pool = Similarity.graphBeamSearch(vecs,
-          g.select(col("src"), col("dst")), probeMax = 5, k = 20)
-        .select(col("probe_id"), col("corpus_id"), col("cosine").as("rel"))
-      val sel = Retrieval.mmrFromPool(
-        vecs.select(col("vec_id").as("vid"),
-          col("embedding").cast("array<double>").as("v")), pool, k = 10)
-      sel.join(cid.select(col("vec_id").as("corpus_id"), col("doc_id"),
-          col("chunk_idx")), Seq("corpus_id"))
-        .select(col("probe_id"), col("rank"), col("corpus_id"),
-          col("doc_id"), col("chunk_idx"), col("rel"), col("mmr"))
+      val (cid, vecs, g) = ragBuild(s, d)
+      ragServe(cid, vecs, g)
+    }),
+    // the WARM twin: chunk frame + embeddings + kNN graph persisted
+    // once (rep 1 of the bench lane), the serve is beam search + MMR
+    // + provenance join over the reopened artifacts — the reference's
+    // cache-serving model (backend.py:66-99) applied to the flagship
+    // composition; SAME oracle as rag_retrieve (r11 verdict #5)
+    "rag_served" -> ((s, d) => {
+      val (cid, vecs, g) = ragArtifactsServed(s, d)
+      ragServe(cid, vecs, g)
     }),
     // s8 AT-SCALE certificate: beamSearchRecall over the FULL
     // embeddings table — no 2000-vector cap, so at sf1 the engine
@@ -1495,7 +1551,7 @@ object QueryDefs {
         col("o_orderkey").cast("long").as("request_id"),
         concat(lit("S"), (col("o_orderkey") % 150).cast("string")).as("key"))
       val base =
-        java.nio.file.Files.createTempDirectory("graft_e11").toString
+        scratchDir("graft_e11")
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
                    mtime: Long): Unit = {
         val tmp = s"$base/_tmp_$name"
@@ -1531,7 +1587,7 @@ object QueryDefs {
       val g = Similarity.knnGraphNNDescent(base)
         .localCheckpoint(eager = true) // FROZEN across micro-batches
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e12").toString
+        scratchDir("graft_e12")
       val now = System.currentTimeMillis()
       writeOneFile(batch.filter(col("vec_id") % 2 === 0),
         s"$tmp/vecs/b0.parquet", now - 60000L)
@@ -1547,7 +1603,7 @@ object QueryDefs {
     "e13_stream_bm25_ingest" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e13").toString
+        scratchDir("graft_e13")
       val now = System.currentTimeMillis()
       writeOneFile(docs.filter(col("doc_id") % 2 === 0),
         s"$tmp/docs/b0.parquet", now - 60000L)
@@ -1569,7 +1625,7 @@ object QueryDefs {
       val docs = table(s, d, "documents")
       val batch = docs.filter(col("doc_id") % 10 === 9)
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e18").toString
+        scratchDir("graft_e18")
       val now = System.currentTimeMillis()
       writeOneFile(batch.filter(col("doc_id") % 20 === 9),
         s"$tmp/docs/b0.parquet", now - 60000L)
@@ -1592,7 +1648,7 @@ object QueryDefs {
       val planted = Multimodal.perturbImages(
         base.filter(col("media_id") % 7 === 0), shiftId = shift)
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e20").toString
+        scratchDir("graft_e20")
       val now = System.currentTimeMillis()
       writeOneFile(planted.filter(col("media_id") % 2 === 0),
         s"$tmp/media/b0.parquet", now - 60000L)
@@ -1609,7 +1665,7 @@ object QueryDefs {
     "e19_stream_card_ingest" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e19").toString
+        scratchDir("graft_e19")
       val now = System.currentTimeMillis()
       writeOneFile(docs.filter(col("doc_id") % 2 === 0),
         s"$tmp/docs/b0.parquet", now - 60000L)
@@ -1621,7 +1677,7 @@ object QueryDefs {
     "e15_stream_band_ingest" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e15").toString
+        scratchDir("graft_e15")
       val now = System.currentTimeMillis()
       writeOneFile(docs.filter(col("doc_id") % 2 === 0),
         s"$tmp/docs/b0.parquet", now - 60000L)
@@ -1641,7 +1697,7 @@ object QueryDefs {
         m.tot.localCheckpoint(eager = true),
         m.pri.localCheckpoint(eager = true))
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e16").toString
+        scratchDir("graft_e16")
       val now = System.currentTimeMillis()
       writeOneFile(docs.filter(col("doc_id") % 2 === 0),
         s"$tmp/docs/b0.parquet", now - 60000L)
@@ -1657,7 +1713,7 @@ object QueryDefs {
     "e17_stream_hll_ingest" -> ((s, d) => {
       val ev = events(s, d)
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e17").toString
+        scratchDir("graft_e17")
       val now = System.currentTimeMillis()
       writeOneFile(ev.filter(col("user_id") % 2 === 0),
         s"$tmp/ev/b0.parquet", now - 60000L)
@@ -1674,7 +1730,7 @@ object QueryDefs {
     "e14_stream_asof" -> ((s, d) => {
       val ev = events(s, d)
       val tmp =
-        java.nio.file.Files.createTempDirectory("graft_e14").toString
+        scratchDir("graft_e14")
       val now = System.currentTimeMillis()
       writeOneFile(ev.filter(col("ts") < lit("2024-01-16")),
         s"$tmp/ev/b0.parquet", now - 60000L)
@@ -1931,6 +1987,10 @@ object QueryDefs {
     // proof; and the composed chunk→embed→graph-ANN→MMR RAG loop
     "r1_bm25", "r1_bm25_served", "r5_hard_negatives", "t14_embed_knn",
     "q6_snapshot_build", "rag_retrieve",
+    // round-12: the rag warm twin (rep 1 persists chunk/vec/graph
+    // artifacts, the median is the beam+MMR+join serve — the
+    // cache-serving model applied to the flagship composition)
+    "rag_served",
     // round-11 w-family: the sort-merge as-of join (one shuffle +
     // window vs the oracle's quadratic range join — the event-log
     // enrichment shape)

@@ -32,6 +32,13 @@ class PlanAuditSpec extends SparkSpec {
       "probe/corpus × broadcast centroid codebook (k=16 rows); the filtered candidate join stays equi on (centroid_id, attr) (Similarity.ivfTopKFiltered)",
     "s13_filtered_served" ->
       "probe × broadcast centroid codebook over the reopened labeled index; the candidate join stays equi on (centroid_id, attr) (Similarity.ivfSearchFiltered)",
+    // s13_filtered_served_pruned is deliberately ABSENT: its plan has
+    // no nested loop at all — the probe bucket ids are collected
+    // eagerly at construction (Similarity.ivfSearchFilteredPruned's
+    // documented eager contract) and pushed as a literal isin over the
+    // bucket-partitioned scan, so the audit's positive check (no
+    // cartesian/BNL) is exactly what pins its shape; an allowlist row
+    // would assert the OPPOSITE (audit fails on unused entries).
     "s13_filtered_recall" ->
       "recall join of two bounded top-k result sets + codebook crosses; the filtered exact baseline joins equi on the attribute (Similarity.filteredIvfRecall)",
     "s2_ivf_recall_kmeans" ->
@@ -78,6 +85,8 @@ class PlanAuditSpec extends SparkSpec {
       "both BM25 passes and the expansion scoring each cross the broadcast 1-row corpus stats (Retrieval.prfExpand); postings joins stay equi",
     "t15_nb_quality" ->
       "corpus token stream × broadcast 1-row vocab-total and prior aggregates (TextOps.nbQualityClassifier); the model join stays term-keyed equi",
+    "r3_mmr_rerank" ->
+      "bounded 20-probe set × corpus for the relevance pool (Similarity.bruteForceTopK feeding Retrieval.mmrPool); the one-task greedy stage itself is a single groupByKey over ≤ poolN rows per probe — visible now that the local regime no longer eagerly checkpoints the pool at construction",
     "r5_hard_negatives" ->
       "bounded anchor set × corpus for the dense pool (Similarity.bruteForceTopK); the positive knock-out is an equi anti-join (Retrieval.hardNegatives)",
     "r2_hybrid_rrf" ->
