@@ -388,7 +388,18 @@ object Similarity {
     * collect to the driver (the bounded-dimension-list pattern of
     * Serving.geneSearchPruned) and push into the partitioned scan as a
     * LITERAL isin, which the FileIndex prunes at directory level.
-    * Row-identical to [[ivfSearchFiltered]] over the full index. */
+    * Row-identical to [[ivfSearchFiltered]] over the full index.
+    *
+    * EAGER contract (unlike every other Similarity entry point, which
+    * builds a lazy plan): the probe-bucket resolution runs Spark jobs
+    * AT CALL TIME — a localCheckpoint plus the bounded
+    * (≤ probes·nProbe) bucket-id collect the isin literal needs.
+    * Merely constructing this frame therefore triggers work; callers
+    * composing it lazily (bench harnesses, plan audits) see those jobs
+    * on construction, not first action. An empty probe frame returns
+    * an empty-but-schema'd result explicitly — a bare `isin()` with
+    * zero values would otherwise still plan a full directory listing
+    * just to scan nothing. */
   def ivfSearchFilteredPruned(index: DataFrame, cb: DataFrame,
                               probes: DataFrame,
                               k: Int, nProbe: Int = 2,
@@ -399,6 +410,15 @@ object Similarity {
       .localCheckpoint(eager = true)
     val bucketIds = pb.select(col("centroid_id").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq
+    if (bucketIds.isEmpty) {
+      // no probes → no buckets: return the result schema with no rows
+      // (and no partitioned-scan planning at all)
+      return filteredSearchCore(
+        index.limit(0)
+          .select(col("centroid_id").cast("long").as("centroid_id"),
+            col(attrCol).as("__attr"), col(idCol).as("corpus_id"),
+            col(vecCol).cast("array<double>").as("cv")), pb, k)
+    }
     val a = index
       .filter(col("centroid_id").isin(bucketIds: _*))
       .select(col("centroid_id").cast("long").as("centroid_id"),

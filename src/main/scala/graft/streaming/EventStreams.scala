@@ -53,6 +53,34 @@ object EventStreams {
     rec(new java.io.File(ckpt))
   }
 
+  /** foreachBatch idempotency guard for the STATE-MUTATING ingest
+    * loops (e18 dedup, e20 phash): Structured Streaming replays a
+    * micro-batch after a mid-batch failure or restart, and these loops
+    * append to non-transactional parquet dirs (output + standing
+    * state) — a replayed batch would double-emit its pairs/survivors
+    * and double-grow the state. The last COMMITTED batchId is recorded
+    * in the state dir after all of the batch's appends land; a batch
+    * at or below it is a no-op on replay. Marker writes go through a
+    * temp-file rename (atomic on one filesystem), and the streaming
+    * engine guarantees one foreachBatch invocation at a time per
+    * query, so single-writer is the contract. Under the gate's one
+    * AvailableNow pass the guard never fires — it exists for the
+    * restartable-serving-loop contract (ADVICE r11). */
+  private def lastCommittedBatch(stateDir: String): Long = {
+    val p = java.nio.file.Paths.get(stateDir, "_last_batch")
+    try java.nio.file.Files.readString(p).trim.toLong
+    catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
+  private def commitBatch(stateDir: String, id: Long): Unit = {
+    val dir = java.nio.file.Paths.get(stateDir)
+    val tmp = dir.resolve(s"_last_batch.tmp$id")
+    java.nio.file.Files.writeString(tmp, id.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("_last_batch"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
 
   /** Tumbling-window aggregation — the same plan runs on a streaming or
     * batch `events` DataFrame (pass watermark=None for batch, where
@@ -674,26 +702,55 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(docDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.toDF().localCheckpoint(eager = true)
-        val surv = Dedup.incrementalRewrite(
-            spark.read.parquet(s"$stateDir/docs"),
-            spark.read.parquet(s"$stateDir/bands"), b)
-          .localCheckpoint(eager = true)
-        surv.write.mode("append").parquet(outDir)
-        val kept = b.join(surv.select(col("doc_id")), Seq("doc_id"),
-            "left_semi")
-          .localCheckpoint(eager = true)
-        kept.write.mode("append").parquet(s"$stateDir/docs")
-        Dedup.lshBands(kept, "doc_id", "text")
-          .write.mode("append").parquet(s"$stateDir/bands")
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dedupIngestBatch(spark, batch.toDF(), batchId, stateDir, outDir)
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
     spark.read.parquet(outDir)
+  }
+
+  /** One e18 micro-batch fold, guarded by [[lastCommittedBatch]] —
+    * extracted so the replay no-op is directly testable with explicit
+    * batch ids (EventStreamsSpec). */
+  private[graft] def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
+                                      batchId: Long, stateDir: String,
+                                      outDir: String): Unit = {
+    import graft.ext.Dedup
+    if (batchId > lastCommittedBatch(stateDir)) { // replay = no-op
+      val b = batch.localCheckpoint(eager = true)
+      val surv = Dedup.incrementalRewrite(
+          spark.read.parquet(s"$stateDir/docs"),
+          spark.read.parquet(s"$stateDir/bands"), b)
+        .localCheckpoint(eager = true)
+      surv.write.mode("append").parquet(outDir)
+      val kept = b.join(surv.select(col("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .localCheckpoint(eager = true)
+      kept.write.mode("append").parquet(s"$stateDir/docs")
+      Dedup.lshBands(kept, "doc_id", "text")
+        .write.mode("append").parquet(s"$stateDir/bands")
+      commitBatch(stateDir, batchId)
+    }
+  }
+
+  /** One e20 micro-batch fold, guarded like [[dedupIngestBatch]]. */
+  private[graft] def phashIngestBatch(spark: SparkSession, batch: DataFrame,
+                                      batchId: Long, stateDir: String,
+                                      outDir: String): Unit = {
+    import graft.ext.Multimodal
+    if (batchId > lastCommittedBatch(stateDir)) { // replay = no-op
+      val b = batch.localCheckpoint(eager = true)
+      val pairs = Multimodal.phashIncremental(
+          spark.read.parquet(s"$stateDir/hashes"), b, maxHamming = 2)
+        .localCheckpoint(eager = true)
+      pairs.write.mode("append").parquet(outDir)
+      Multimodal.hashIndex(b)
+        .write.mode("append").parquet(s"$stateDir/hashes")
+      commitBatch(stateDir, batchId)
+    }
   }
 
   /** e19: the corpus data card as a STREAMING fold — document
@@ -770,15 +827,8 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(mediaDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.toDF().localCheckpoint(eager = true)
-        val pairs = Multimodal.phashIncremental(
-            spark.read.parquet(s"$stateDir/hashes"), b, maxHamming = 2)
-          .localCheckpoint(eager = true)
-        pairs.write.mode("append").parquet(outDir)
-        Multimodal.hashIndex(b)
-          .write.mode("append").parquet(s"$stateDir/hashes")
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        phashIngestBatch(spark, batch.toDF(), batchId, stateDir, outDir)
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -355,6 +355,40 @@ class EventStreamsSpec extends SparkSpec {
       == Seq(1L, 5L, 9L))
   }
 
+  test("ingest replay guard: a committed batchId re-delivery is a no-op") {
+    import graft.ext.Dedup
+    val standing = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (5L, "completely different sentence about spark plans"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("e18replay").toString
+    standing.write.parquet(s"$tmp/state/docs")
+    Dedup.lshBands(standing, "doc_id", "text")
+      .write.parquet(s"$tmp/state/bands")
+    def outIds = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def stateIds = spark.read.parquet(s"$tmp/state/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    EventStreams.dedupIngestBatch(spark, batch, 0L, s"$tmp/state",
+      s"$tmp/out")
+    assert(outIds == Seq(5L) && stateIds == Seq(1L, 5L))
+    // REPLAY of batch 0 (the post-failure re-delivery): no double
+    // emit, no double state growth
+    EventStreams.dedupIngestBatch(spark, batch, 0L, s"$tmp/state",
+      s"$tmp/out")
+    assert(outIds == Seq(5L), "replayed batch re-emitted survivors")
+    assert(stateIds == Seq(1L, 5L), "replayed batch re-grew the state")
+    // the NEXT batch id still processes
+    val b1 = Seq((7L, "completely different sentence about spark plans"))
+      .toDF("doc_id", "text") // dup of survivor 5
+    EventStreams.dedupIngestBatch(spark, b1, 1L, s"$tmp/state",
+      s"$tmp/out")
+    assert(outIds == Seq(5L) && stateIds == Seq(1L, 5L),
+      "batch 1's dup-of-survivor should drop")
+  }
+
   test("streaming phash ingest: cross-batch pairing against earlier " +
       "arrivals, unrelated images never pair") {
     import graft.ext.Multimodal
