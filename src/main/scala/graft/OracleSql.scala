@@ -3152,6 +3152,21 @@ UNION ALL
 SELECT doc_id + (SELECT v FROM s), doc_id + 2*(SELECT v FROM s),
        CAST(4 AS BIGINT)
 FROM documents WHERE doc_id % 91 = 0""",
+    // the AVI container runs the SAME plant structure through the same
+    // frame-hash engine — uncompressed DIB round-trips pixels exactly,
+    // so m7's oracle arithmetic pins it verbatim
+    "m7_video_neardup_avi" -> raw"""
+WITH s AS (SELECT max(doc_id) + 1 AS v FROM documents)
+SELECT doc_id AS media_a, doc_id + (SELECT v FROM s) AS media_b,
+       CAST(4 AS BIGINT) AS n_shared_frames
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, doc_id + 2*(SELECT v FROM s), CAST(4 AS BIGINT)
+FROM documents WHERE doc_id % 13 = 0
+UNION ALL
+SELECT doc_id + (SELECT v FROM s), doc_id + 2*(SELECT v FROM s),
+       CAST(4 AS BIGINT)
+FROM documents WHERE doc_id % 91 = 0""",
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql",
     // real-ImageIO pins: Spark DECODES actual PNG bytes; the oracle
     // PREDICTS the metadata from the fixture's id-derived dimension
@@ -3191,6 +3206,14 @@ SELECT doc_id AS media_id,
   CAST(72 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
   CAST(4*(doc_id%20 + 1)*50 AS BIGINT) AS duration_ms,
   'gif' AS codec
+FROM documents""",
+    // the AVI twin: identical arithmetic (avih dwMicroSecPerFrame
+    // carries the same timing rule), different container + codec tag
+    "m5_decode_avi_real" -> raw"""
+SELECT doc_id AS media_id,
+  CAST(72 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+  CAST(4*(doc_id%20 + 1)*50 AS BIGINT) AS duration_ms,
+  'avi' AS codec
 FROM documents""",
     "m5_decode_audio_real" -> raw"""
 SELECT doc_id AS media_id,

@@ -1840,6 +1840,23 @@ object QueryDefs {
           base.filter(col("media_id") % 13 === 0), shiftId = 2 * shift))
       Multimodal.videoNearDup(base.unionByName(planted), maxHamming = 2)
     }),
+    // ...and the SAME near-dup engine over the SECOND real container:
+    // uncompressed-DIB RIFF/AVI fixtures with identical frame/plant
+    // arithmetic (pure-Java RIFF writer+parser, Multimodal.encodeAvi/
+    // decodeAvi), pinned against m7's oracle text verbatim — "video
+    // near-dup" no longer rests on one format (r11 verdict #6; the
+    // MJPEG '00dc' chunk path is spec-pinned in MultimodalSpec, and
+    // MP4/WebM remain the documented non-JDK boundary)
+    "m7_video_neardup_avi" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val shift = plantShift(docs)
+      val base = Multimodal.synthesizeAvis(docs, "doc_id")
+      val planted = Multimodal.perturbAvis(
+          base.filter(col("media_id") % 7 === 0), shiftId = shift)
+        .unionByName(Multimodal.tweakAvis(
+          base.filter(col("media_id") % 13 === 0), shiftId = 2 * shift))
+      Multimodal.videoNearDup(base.unionByName(planted), maxHamming = 2)
+    }),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.decode(Multimodal.synthesize(
@@ -1902,6 +1919,17 @@ object QueryDefs {
     "m5_decode_video_real" -> ((s, d) =>
       Multimodal.decode(
           Multimodal.synthesizeGifs(table(s, d, "documents"), "doc_id"))
+        .select(col("media_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.codec").as("codec"))),
+    // REAL AVI pin: the same arithmetic over RIFF bytes — avih carries
+    // dwMicroSecPerFrame=(id%20+1)·50000 and 4 frames, so duration_ms
+    // matches the GIF rule while Spark parses a different container
+    "m5_decode_avi_real" -> ((s, d) =>
+      Multimodal.decode(
+          Multimodal.synthesizeAvis(table(s, d, "documents"), "doc_id"))
         .select(col("media_id"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
@@ -2067,6 +2095,7 @@ object QueryDefs {
         "g9_pagerank_dist", "r3_mmr_rerank_dist", "t16_bpe_train_dist",
         "m5_decode_real",
         "m5_resize_real", "m5_decode_audio_real", "m5_decode_video_real",
+        "m5_decode_avi_real", "m7_video_neardup_avi",
         "m4_pixel_stats", "m8_phash_incremental")),
       // sub-second certificate / metadata / tiny-result lanes: the
       // median would time JVM noise, not the operator (their engines

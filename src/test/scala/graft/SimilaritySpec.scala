@@ -284,6 +284,53 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.videoNearDup(all, maxHamming = 0).count() == 0L)
   }
 
+  test("AVI container: DIB frames round-trip pixel-exact, headers carry " +
+      "timing, MJPEG chunks decode, mixed GIF+AVI corpora pair") {
+    val ids = Seq(2L, 5L).toDF("id")
+    val gifs = Multimodal.synthesizeGifs(ids, "id", nFrames = 3)
+    val avis = Multimodal.synthesizeAvis(ids, "id", nFrames = 3)
+    // same frame rule, different container: per-frame dHashes agree
+    // EXACTLY (DIB is uncompressed — pixel-perfect round-trip)
+    val gh = Multimodal.videoFrameHashes(gifs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ah = Multimodal.videoFrameHashes(avis
+        .withColumn("media_id", col("media_id") + 100L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (id <- Seq(2L, 5L); f <- 0L until 3L)
+      assert(gh((id, f)) == ah((id + 100L, f)),
+        s"GIF vs AVI frame hash diverged at ($id, $f)")
+    // ...so a MIXED corpus pairs across containers through the one
+    // near-dup engine (the 100 TB reality: formats arrive mixed)
+    val mixed = Multimodal.videoNearDup(
+        gifs.unionByName(avis.withColumn("media_id",
+          col("media_id") + 100L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mixed == Set((2L, 102L, 3L), (5L, 105L, 3L)))
+    // header sniff: avih timing = (id%20+1)*50 ms * 3 frames
+    val meta = Multimodal.decode(avis).select(col("media_id"),
+        col("meta.width"), col("meta.height"), col("meta.duration_ms"),
+        col("meta.codec")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(meta(2L) == ((72, 64, 3 * 3 * 50L, "avi")))
+    assert(meta(5L) == ((72, 64, 3 * 6 * 50L, "avi")))
+    // the MJPEG ('00dc') chunk path: real JPEG frames via ImageIO —
+    // lossy, so dims/count are exact and hashes near (not pinned by
+    // the gate oracle; this spec is its contract)
+    val frames = (0 until 3).map(f =>
+      Multimodal.synthesizeCellImages(Seq(2L * 3 + f).toDF("id"), "id"))
+    val imgs = Seq(0, 1, 2).map { f =>
+      val row = frames(f).collect()(0)
+      val p = row.getAs[Array[Byte]](2)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    }
+    val mj = Multimodal.encodeAvi(imgs, usPerFrame = 40000, mjpeg = true)
+    val dec = Multimodal.decodeAvi(mj)
+    assert(dec.length == 3)
+    assert(dec.head.getWidth == 72 && dec.head.getHeight == 64)
+    assert(Multimodal.sniffAviMeta(mj).contains((72, 64, 120L)))
+  }
+
   test("dHash: perturbed re-encode keeps the hash, distinct ids differ") {
     val ids = Seq(3L, 10L, 17L, 24L).toDF("id")
     val base = Multimodal.synthesizeCellImages(ids, "id")
