@@ -1258,6 +1258,26 @@ ${p}w${r + 1} AS MATERIALIZED (SELECT word, wcount,
 
   /** Dedup.minhashCandidates mirrored: KM double-hash signatures,
     * 4×4 banding, distinct in-bucket pairs (shared by d2 and d7). */
+  /** d16 exact-span shared chain: 40-gram positions from the ACTUAL
+    * substrings, duplicated (non-canonical) positions, and their
+    * consecutive-run groups. The engine computes gram equality via md5
+    * prefix-doubling; this chain uses substr directly — the
+    * algorithm-independent re-derivation. */
+  private val d16SpanCtes: String = raw"""
+d16glen AS (SELECT doc_id, text, length(text) AS n FROM documents),
+d16grams AS (SELECT doc_id, unnest(generate_series(1, n - 39)) AS pos,
+    text FROM d16glen WHERE n >= 40),
+d16g AS (SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS g
+  FROM d16grams),
+d16grp AS (SELECT g, count(*) AS cnt,
+    min(doc_id * 4294967296 + pos) AS canon
+  FROM d16g GROUP BY g),
+d16dup AS (SELECT d.doc_id, d.pos FROM d16g d JOIN d16grp p ON p.g = d.g
+  WHERE p.cnt >= 2 AND d.doc_id * 4294967296 + d.pos <> p.canon),
+d16runs AS (SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d16dup)""".drop(1)
+
   private val lshCandCtes: String = raw"""
 hsh AS (SELECT doc_id,
   list_transform(sh, s -> CAST('0x'||substr(md5(s||':a'),1,15) AS BIGINT)) AS n1s,
@@ -1534,6 +1554,36 @@ ddsize AS (SELECT comp, count(*) AS cluster_size FROM ddcomp GROUP BY comp)
 SELECT CAST(d.id AS BIGINT) AS doc_id, CAST(d.comp AS BIGINT) AS cluster_id,
        s.cluster_size, d.id = d.comp AS is_canonical
 FROM ddcomp d JOIN ddsize s USING (comp)"""),
+    // (shared CTE chain for the two d16 lanes lives in d16SpanCtes)
+    // d16 exact-span dedup: the oracle derives every span from the
+    // ACTUAL 40-char substrings (generate_series positions + substr
+    // grouping) while Spark runs the md5 prefix-doubling chain — an
+    // algorithm-independent pin: a doubling bug OR a hash collision
+    // both hash-mismatch. Same canonical key (doc·2^32 + pos), same
+    // consecutive-run merge.
+    "d16_exact_spans" -> (s"WITH $d16SpanCtes" + raw"""
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 39 AS BIGINT) AS span_end
+FROM d16runs GROUP BY doc_id, grp"""),
+    // the rewrite: per-position chars anti-joined against the span
+    // positions, survivors re-assembled in position order; every doc
+    // emits a row ('' when fully cut)
+    "d16_exact_span_rewrite" -> (s"WITH $d16SpanCtes" + raw""",
+d16spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 39 AS e
+  FROM d16runs GROUP BY doc_id, grp),
+d16cut AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos
+  FROM d16spans),
+d16chars AS (SELECT doc_id, unnest(generate_series(1, n)) AS pos, text
+  FROM d16glen WHERE n >= 1),
+d16kept AS (SELECT c.doc_id,
+    string_agg(substr(c.text, CAST(c.pos AS INTEGER), 1), ''
+      ORDER BY c.pos) AS kept
+  FROM d16chars c LEFT JOIN d16cut x
+    ON x.doc_id = c.doc_id AND x.pos = c.pos
+  WHERE x.doc_id IS NULL
+  GROUP BY c.doc_id)
+SELECT d.doc_id, coalesce(k.kept, '') AS text
+FROM documents d LEFT JOIN d16kept k ON k.doc_id = d.doc_id"""),
     // fuzzyRewrite mirrored: d7's cluster chain VERBATIM, then the
     // corpus anti-joined against its non-canonical members (min-id
     // survivor); text pinned by digest

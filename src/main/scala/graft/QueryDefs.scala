@@ -1141,6 +1141,20 @@ object QueryDefs {
     // broadcast anti join over the corpus, text compared by digest
     "d14_fuzzy_rewrite" -> ((s, d) =>
       Dedup.fuzzyRewrite(table(s, d, "documents"))),
+    // d16: CHARACTER-level exact duplicated-span detection (Lee et
+    // al. 2022 span removal — the residual the block/CDC forms d9/d10
+    // approximate; r11 verdict "What's missing" #3): maximal spans
+    // whose every 40-gram repeats an earlier corpus position, gram
+    // equality via md5 prefix-doubling (log2 L equi-join rounds — no
+    // L-fold substring shuffle, no all-pairs), the oracle re-derives
+    // every span from the ACTUAL substrings (a hash collision would
+    // hash-mismatch, not hide)
+    "d16_exact_spans" -> ((s, d) =>
+      Dedup.exactSpans(table(s, d, "documents"))),
+    // ...and the corpus rewrite under those spans: duplicated chars
+    // cut (canonical occurrences intact), survivors re-assembled
+    "d16_exact_span_rewrite" -> ((s, d) =>
+      Dedup.exactSpanRewrite(table(s, d, "documents"))),
     // d15: d14's INGEST form — the %10 batch folds into the standing
     // corpus via the d12 incremental probe; standing-touching clusters
     // drop their batch members (first-ingested wins), pure-batch
@@ -2055,7 +2069,12 @@ object QueryDefs {
     // end-to-end, not just the cluster labels) and its INGEST form
     // (batch-bounded incremental probe + closure, standing side never
     // rewritten — the dedup leg's LSM maintenance shape)
-    "d14_fuzzy_rewrite", "d15_incremental_rewrite")
+    "d14_fuzzy_rewrite", "d15_incremental_rewrite",
+    // round-12: character-level exact-span removal (the Lee et al.
+    // residual d9/d10 approximate) — the rewrite is the full pipeline
+    // (doubling chain + span merge + cut + re-assembly), plus the rag
+    // warm twin registered above
+    "d16_exact_span_rewrite")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench
@@ -2072,6 +2091,7 @@ object QueryDefs {
         "a15_feature_agg_max", "a15_feature_agg_proportion",
         "a16_binarize", "a17_features_metadata", "d1_exact_dedup",
         "d3_simhash", "d4_ngram_jaccard", "d6_shared_substring",
+        "d16_exact_spans",
         "d7_dedup_clusters", "d8_semdedup", "d11_intradoc_dedup",
         "f1_threshold_filter",
         "f2_chromosome_filter", "f3_pp_only", "g5_subset_pp",

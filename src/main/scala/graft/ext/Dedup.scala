@@ -757,4 +757,113 @@ object Dedup {
             struct(col("__blk"), col("__btext"))))),
           s => s.getField("__btext"))).as("text_clean"))
   }
+
+  // ================= exact duplicated-SPAN dedup (suffix-style) =====
+
+  /** Position-encoding base for the canonical-occurrence key
+    * (doc_id·2³² + pos): the contract is pos < 2³², far above any
+    * real document length. */
+  private val PosBase = 4294967296L // 1L << 32
+
+  /** Gram keys by HASH PREFIX-DOUBLING: for every 1-based character
+    * position that starts a full `minLen`-gram, a 128-bit key equal
+    * iff the grams are equal (md5-chain, collision bound 2⁻⁶⁴ — and
+    * the DuckDB oracle compares the ACTUAL substrings, so a collision
+    * would fail the hash gate rather than hide).
+    *
+    * Why not `substr(text, pos, L)` per position: that shuffles L× the
+    * corpus (a 50-char gram per character position = 50 bytes in
+    * flight per input byte — petabytes at 100 TB). Doubling shuffles
+    * (doc, pos, 32-byte hash) through ⌈log₂ L⌉ self-equi-joins: round
+    * k's key covers length 2ᵏ as md5(h(pos) ∥ h(pos+2ᵏ⁻¹)); a final
+    * two-anchor combine md5(h_P(pos) ∥ h_P(pos+L−P)) reaches any
+    * non-power-of-two L exactly (the suffix-array sparse-table trick
+    * with equality-only ranks, which is all span dedup needs). */
+  private def spanGramKeys(docs: DataFrame, minLen: Int,
+                           idCol: String, textCol: String): DataFrame = {
+    require(minLen >= 2, "minLen must be at least 2")
+    var p = 1
+    while (p * 2 <= minLen) p *= 2
+    var cur = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(col("col")).as("h"))
+    var len = 1
+    while (len < p) {
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - len).as("pos"), col("h").as("__h2"))
+      cur = cur.join(shifted, Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"),
+          md5(concat(col("h"), col("__h2"))).as("h"))
+      len *= 2
+    }
+    if (len == minLen) cur
+    else {
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - (minLen - len)).as("pos"), col("h").as("__h2"))
+      cur.join(shifted, Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"),
+          md5(concat(col("h"), col("__h2"))).as("h"))
+    }
+  }
+
+  /** Exact duplicated-span detection — the character-level form of
+    * Lee et al. 2022\'s "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499) span removal, which d9/d10
+    * approximate at block granularity: every maximal span of length ≥
+    * `minLen` whose every `minLen`-gram also occurs at some EARLIER
+    * corpus position (order = (doc_id, pos)) is reported as
+    * (doc_id, span_start, span_end), 1-based inclusive. The earliest
+    * occurrence of a repeated gram is CANONICAL and never reported —
+    * the keep-one-copy semantics. Gram equality via [[spanGramKeys]];
+    * duplicated positions merge into maximal spans by the
+    * consecutive-run window (pos − row_number). One gram-key shuffle +
+    * one window — no all-pairs, no sort of the corpus. */
+  def exactSpans(docs: DataFrame, minLen: Int = 40,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = spanGramKeys(docs, minLen, idCol, textCol)
+    val grp = grams.groupBy("h").agg(count(lit(1)).as("__n"),
+      min(col("doc_id") * lit(PosBase) + col("pos")).as("__canon"))
+    val dups = grams.join(grp, Seq("h"))
+      .filter(col("__n") >= 2 &&
+        (col("doc_id") * lit(PosBase) + col("pos")) =!= col("__canon"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dups.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minLen - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** The corpus REWRITE under [[exactSpans]]: every character inside a
+    * reported duplicated span is removed (canonical occurrences stay
+    * intact), remaining characters re-assemble in position order —
+    * one row per input document, empty string if everything was cut.
+    * The span frame expands to per-position rows (Σ span lengths ≤
+    * corpus size) so the cut is an equi anti-join, never a range
+    * join. */
+  def exactSpanRewrite(docs: DataFrame, minLen: Int = 40,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spans = exactSpans(docs, minLen, idCol, textCol)
+    val cut = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val chars = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("c"))
+    val kept = chars.join(cut, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")), "").as("__kept"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+  }
 }

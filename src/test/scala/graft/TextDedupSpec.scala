@@ -853,6 +853,48 @@ class TextDedupSpec extends SparkSpec {
     assert(served == cold, "snapshot-served tokenize == cold tokenize")
   }
 
+  test("exact-span dedup: repeated regions found, canonical kept, " +
+      "maximal merge, rewrite cuts only duplicates") {
+    import graft.ext.Dedup
+    // a 48-char region shared verbatim by docs 1 and 2 (doc 1 owns the
+    // canonical first occurrence), fenced by DISTINCT join characters
+    // so no gram straddles a boundary; doc 3 repeats a region WITHIN
+    // itself (intra-doc span); doc 4 has no 40-gram at all
+    val shared = "the exact same forty eight character sentence ok" // 49?
+    val sh = shared.take(48)
+    assert(sh.length == 48)
+    val d = Seq(
+      (1L, "q" * 10 + sh + "r" * 10), // shared at 11..58 (canonical)
+      (2L, "v" * 15 + sh + "wwww"),   // shared at 16..63
+      (3L, "z" * 60 + "y"),
+      (4L, "no repeats here at all just short text"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSpans(d, minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1's copy is canonical -> only doc 2 and doc 3 report spans
+    assert(spans.map(_._1).distinct.toSeq == Seq(2L, 3L), s"got ${spans.toSeq}")
+    // doc 2: every 40-gram inside the shared region duplicates doc
+    // 1's -> one maximal span covering exactly the 48 shared chars
+    assert(spans.filter(_._1 == 2L).toSeq == Seq((2L, 16L, 63L)))
+    // doc 3: "z"*60: 40-grams at 1..21 identical; position 1 is
+    // canonical, 2..21 duplicated -> span [2, 60]
+    assert(spans.filter(_._1 == 3L).toSeq == Seq((3L, 2L, 60L)))
+    // rewrite: docs 1/4 untouched, doc 2 loses exactly the shared 48
+    // chars, doc 3 keeps its canonical first char + the tail 'y'
+    val rw = Dedup.exactSpanRewrite(d, minLen = 40)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rw(1L) == "q" * 10 + sh + "r" * 10)
+    assert(rw(4L) == "no repeats here at all just short text")
+    assert(rw(2L) == "v" * 15 + "wwww")
+    assert(rw(3L) == "zy")
+    // power-of-two path (minLen = 32, no two-anchor combine): the
+    // same shared region reports as one span again
+    val spans32 = Dedup.exactSpans(d, minLen = 32)
+      .filter(col("doc_id") === 2L).collect()
+    assert(spans32.length == 1)
+  }
+
   test("BPE one-task trainer is bit-identical to the relational rounds") {
     // deterministic word soup with heavy tie pressure: repeated
     // fragments, same-symbol runs, shared prefixes/suffixes — enough
