@@ -84,7 +84,14 @@ object Bench {
       var err: Option[String] = None
       val secs = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
         val t0 = System.nanoTime()
-        err = try { fn(spark, sfDir).count(); None } catch {
+        // force via the lane's OWN optimized plan (toRdd), not a bare
+        // count(): Catalyst legally deletes work under count — e.g. a
+        // left join to a unique-keyed right side with no referenced
+        // columns vanishes, and with it everything feeding it
+        // (CountPruneProbe found 10 benched lanes under-measured this
+        // way; worst case s12: 6 joins benched as 1). toRdd executes
+        // every operator the lane declares and counts result rows.
+        err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None } catch {
           // NonFatal only: an OOM/LinkageError must crash the bench
           // (the driver records rc!=0) instead of timing later queries
           // in a possibly-corrupted JVM
