@@ -1155,6 +1155,14 @@ object QueryDefs {
     // cut (canonical occurrences intact), survivors re-assembled
     "d16_exact_span_rewrite" -> ((s, d) =>
       Dedup.exactSpanRewrite(table(s, d, "documents"))),
+    // ...and the INGEST form (the d12/d15 %10 split): the batch's
+    // spans against the standing-so-far gram index, first-ingested
+    // wins, per-batch cost bounded by the batch
+    "d16_incremental_spans" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalSpans(docs.filter(col("doc_id") % 10 =!= 9),
+        docs.filter(col("doc_id") % 10 === 9))
+    }),
     // d15: d14's INGEST form — the %10 batch folds into the standing
     // corpus via the d12 incremental probe; standing-touching clusters
     // drop their batch members (first-ingested wins), pure-batch
@@ -2074,7 +2082,10 @@ object QueryDefs {
     // residual d9/d10 approximate) — the rewrite is the full pipeline
     // (doubling chain + span merge + cut + re-assembly), plus the rag
     // warm twin registered above
-    "d16_exact_span_rewrite")
+    "d16_exact_span_rewrite",
+    // ...and the span family's maintenance shape (batch probe against
+    // the standing gram index — the d12 analogue)
+    "d16_incremental_spans")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

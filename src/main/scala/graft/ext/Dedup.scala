@@ -836,12 +836,52 @@ object Dedup {
       .filter(col("__n") >= 2 &&
         (col("doc_id") * lit(PosBase) + col("pos")) =!= col("__canon"))
       .select(col("doc_id"), col("pos"))
+    mergeRuns(dups, minLen)
+  }
+
+  /** Consecutive duplicated gram positions → maximal spans: the
+    * pos − row_number run grouping, span end = last start + L − 1. */
+  private def mergeRuns(dups: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dups.withColumn("__grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(minLen - 1).cast("long")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** [[exactSpans]]'s INGEST form — the d12/m8/s9 LSM shape for the
+    * span family: a new batch's duplicated spans against the standing
+    * corpus SO FAR, with per-batch cost bounded by the batch. A batch
+    * gram position is duplicated when its gram exists ANYWHERE in the
+    * standing corpus (first-ingested wins — the standing side is
+    * immutable and never re-reported, exactly d15's rule; note this
+    * deliberately differs from a full rebuild when a batch id sorts
+    * below a standing id) or when it loses the (doc, pos) tiebreak
+    * within its own batch. Work: the batch's gram scan + ONE equi-join
+    * against the standing per-gram index (a count-per-key frame ≤ the
+    * standing distinct-gram count — the persistable serving artifact:
+    * appending a processed batch's own gram counts IS the index
+    * update, like the d12 band index) + the batch-internal window.
+    * standing⋈standing never forms. */
+  def incrementalSpans(standing: DataFrame, batch: DataFrame,
+                       minLen: Int = 40, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sg = spanGramKeys(standing, minLen, idCol, textCol)
+      .groupBy("h").agg(count(lit(1)).as("__ns"))
+    val bg = spanGramKeys(batch, minLen, idCol, textCol)
+    val wh = Window.partitionBy("h")
+    val key = col("doc_id") * lit(PosBase) + col("pos")
+    val dups = bg
+      .withColumn("__nb", count(lit(1)).over(wh))
+      .withColumn("__bcanon", min(key).over(wh))
+      .join(sg, Seq("h"), "left")
+      .filter(col("__ns").isNotNull ||
+        (col("__nb") >= 2 && key =!= col("__bcanon")))
+      .select(col("doc_id"), col("pos"))
+    mergeRuns(dups, minLen)
   }
 
   /** The corpus REWRITE under [[exactSpans]]: every character inside a

@@ -895,6 +895,38 @@ class TextDedupSpec extends SparkSpec {
     assert(spans32.length == 1)
   }
 
+  test("incremental exact-span ingest: batch-vs-standing spans, " +
+      "rebuild equivalence under id order, first-ingested wins") {
+    import graft.ext.Dedup
+    val sh = "the exact same forty eight character sentence ok".take(48)
+    val standing = Seq(
+      (1L, "q" * 10 + sh + "r" * 10),
+      (2L, "unrelated standing content with no repeats at all either"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "v" * 15 + sh + "wwww"),   // dups standing doc 1
+      (11L, "z" * 60 + "y"),           // pure-batch intra-doc run
+      (12L, "nothing shared here and far too short"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalSpans(standing, batch, minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // standing ids all < batch ids -> ingest == full rebuild
+    // restricted to batch docs
+    val full = Dedup.exactSpans(standing.unionByName(batch), minLen = 40)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full, s"inc=$inc vs rebuild=$full")
+    assert(inc == Set((10L, 16L, 63L), (11L, 2L, 60L)))
+    // first-ingested wins: a batch doc with a SMALLER id than the
+    // standing owner still defers to the standing copy (a full
+    // rebuild would crown the batch doc canonical instead)
+    val late = Seq((0L, "m" * 12 + sh + "nnnn")).toDF("doc_id", "text")
+    val inc2 = Dedup.incrementalSpans(standing, late, minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc2 == Set((0L, 13L, 60L)),
+      s"batch doc 0 must defer to standing doc 1: $inc2")
+  }
+
   test("BPE one-task trainer is bit-identical to the relational rounds") {
     // deterministic word soup with heavy tie pressure: repeated
     // fragments, same-symbol runs, shared prefixes/suffixes — enough
