@@ -1612,6 +1612,33 @@ i16runs AS (SELECT doc_id, pos,
 SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 39 AS BIGINT) AS span_end
 FROM i16runs GROUP BY doc_id, grp"""),
+    // the snapshot-served twin probes the SAME standing index content
+    // reopened from parquet — the roundtrip changes no values, the
+    // cold ingest lane's SQL pins it verbatim
+    "d16_incremental_served" -> (raw"""
+WITH i16s AS (SELECT substr(text, CAST(p AS INTEGER), 40) AS g
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 39)) AS p
+        FROM documents WHERE doc_id % 10 <> 9 AND length(text) >= 40)
+  GROUP BY 1),
+i16bg AS (SELECT doc_id, p AS pos,
+    substr(text, CAST(p AS INTEGER), 40) AS g
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, length(text) - 39)) AS p
+        FROM documents WHERE doc_id % 10 = 9 AND length(text) >= 40)),
+i16bstat AS (SELECT g, count(*) AS nb,
+    min(doc_id * 4294967296 + pos) AS bcanon
+  FROM i16bg GROUP BY g),
+i16dup AS (SELECT b.doc_id, b.pos
+  FROM i16bg b JOIN i16bstat s ON s.g = b.g
+  LEFT JOIN i16s x ON x.g = b.g
+  WHERE x.g IS NOT NULL
+     OR (s.nb >= 2 AND b.doc_id * 4294967296 + b.pos <> s.bcanon)),
+i16runs AS (SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM i16dup)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 39 AS BIGINT) AS span_end
+FROM i16runs GROUP BY doc_id, grp"""),
     // fuzzyRewrite mirrored: d7's cluster chain VERBATIM, then the
     // corpus anti-joined against its non-canonical members (min-id
     // survivor); text pinned by digest

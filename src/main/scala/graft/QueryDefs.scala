@@ -647,6 +647,20 @@ object QueryDefs {
       Dedup.openBandIndex(s, dir)
     })
 
+  /** Standing per-gram count index snapshot for the d16 ingest served
+    * twin (same lifecycle as [[bandIndexServed]]): rep 1 pays the
+    * standing gram scan + write, the serve is the batch probe over
+    * the reopened snapshot. */
+  private val gramIndexCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+  private def gramIndexServed(s: SparkSession, d: String): DataFrame =
+    gramIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$d", {
+      val dir = scratchDir("graft_grams")
+      Dedup.writeGramIndex(
+        table(s, d, "documents").filter(col("doc_id") % 10 =!= 9), dir)
+      Dedup.readGramIndex(s, dir)
+    })
+
   /** The s11 tree-write body, parameterized by the document-writer
     * regime. The listing reports LOGICAL tree files: the distributed
     * writer produces `chr<c>.json` as a directory of part files whose
@@ -1163,6 +1177,12 @@ object QueryDefs {
       Dedup.incrementalSpans(docs.filter(col("doc_id") % 10 =!= 9),
         docs.filter(col("doc_id") % 10 === 9))
     }),
+    // ...and its snapshot-served twin: the standing gram index
+    // reopened from parquet, the serve is batch scan + probe join
+    // only (same oracle — the d12_incremental_served precedent)
+    "d16_incremental_served" -> ((s, d) =>
+      Dedup.incrementalSpansIndexed(gramIndexServed(s, d),
+        table(s, d, "documents").filter(col("doc_id") % 10 === 9))),
     // d15: d14's INGEST form — the %10 batch folds into the standing
     // corpus via the d12 incremental probe; standing-touching clusters
     // drop their batch members (first-ingested wins), pure-batch
@@ -2084,8 +2104,10 @@ object QueryDefs {
     // warm twin registered above
     "d16_exact_span_rewrite",
     // ...and the span family's maintenance shape (batch probe against
-    // the standing gram index — the d12 analogue)
-    "d16_incremental_spans")
+    // the standing gram index — the d12 analogue: cold fold + its
+    // snapshot-served twin, rep 1 of the served lane pays the index
+    // build+write and the median is the probe-only serve)
+    "d16_incremental_spans", "d16_incremental_served")
 
   /** Registered-but-deliberately-unbenched lanes (the r10 "silent cap"
     * finding: every registry entry must carry an explicit bench

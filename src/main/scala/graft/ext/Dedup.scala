@@ -867,10 +867,38 @@ object Dedup {
     * standing⋈standing never forms. */
   def incrementalSpans(standing: DataFrame, batch: DataFrame,
                        minLen: Int = 40, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sg = spanGramKeys(standing, minLen, idCol, textCol)
+                       textCol: String = "text"): DataFrame =
+    incrementalSpansIndexed(
+      spanGramKeys(standing, minLen, idCol, textCol)
+        .groupBy("h").agg(count(lit(1)).as("__ns")),
+      batch, minLen, idCol, textCol)
+
+  /** Build-time half of the span-ingest serving pair: persist the
+    * standing corpus's per-gram count index (h, __ns) — sorted within
+    * partitions by h so a batch probe prunes row groups via the
+    * parquet min/max index (the writeBandIndex lifecycle; at cluster
+    * scale the frame would bucket by h). Appending a processed
+    * batch's own gram counts is the index update. */
+  def writeGramIndex(docs: DataFrame, dir: String, minLen: Int = 40,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit =
+    spanGramKeys(docs, minLen, idCol, textCol)
       .groupBy("h").agg(count(lit(1)).as("__ns"))
+      .sortWithinPartitions("h")
+      .write.mode("overwrite").parquet(dir)
+
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** [[incrementalSpans]] over an EXPLICIT standing index frame
+    * (freshly aggregated or reopened from a [[writeGramIndex]]
+    * snapshot) — the serve stage runs only the batch's gram scan, the
+    * index equi-join and the batch window. */
+  def incrementalSpansIndexed(standingIndex: DataFrame, batch: DataFrame,
+                              minLen: Int = 40, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sg = standingIndex
     val bg = spanGramKeys(batch, minLen, idCol, textCol)
     val wh = Window.partitionBy("h")
     val key = col("doc_id") * lit(PosBase) + col("pos")

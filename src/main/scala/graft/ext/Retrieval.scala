@@ -69,10 +69,12 @@ object Retrieval {
   /** BM25 over an explicit per-probe TERM frame (probe_id, term) —
     * the inner engine [[bm25]] and [[prfExpand]] both rank with. */
   private def bm25Terms(ix: Bm25Index, qt: DataFrame,
-                        topN: Int): DataFrame = {
-    val scored = qt
+                        topN: Int,
+                        excludeSelf: Boolean = true): DataFrame = {
+    val scored0 = qt
       .join(ix.tf, Seq("term"))
-      .filter(col("doc_id") =!= col("probe_id"))
+    val scored = (if (excludeSelf)
+      scored0.filter(col("doc_id") =!= col("probe_id")) else scored0)
       .join(ix.df, Seq("term"))
       .join(ix.dl, Seq("doc_id"))
       .crossJoin(broadcast(ix.stats))
@@ -94,16 +96,18 @@ object Retrieval {
       explode(TextOps.tokens(lower(col("text")))).as("term"))
     .distinct()
 
-  /** Id-space contract (all bm25 entry points): `query_id` and
-    * `doc_id` share ONE id space — the docs-as-queries shape every
+  /** Id-space contract (all bm25 entry points): by DEFAULT `query_id`
+    * and `doc_id` share ONE id space — the docs-as-queries shape every
     * gate lane uses — and a candidate whose doc_id equals the probe's
     * query_id is its own document, excluded from its result list. An
-    * external caller with an unrelated query-id space must offset its
-    * query ids clear of the corpus ids, or the colliding document is
-    * silently excluded for that probe. */
+    * external caller with an UNRELATED query-id space passes
+    * `excludeSelf = false` (r11 verdict minor #4) — no id offsetting
+    * needed, every document stays eligible for every probe. */
   def bm25(docs: DataFrame, queries: DataFrame, topN: Int = 20,
-           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    bm25Terms(bm25Index(docs, idCol, textCol), queryTerms(queries), topN)
+           idCol: String = "doc_id", textCol: String = "text",
+           excludeSelf: Boolean = true): DataFrame =
+    bm25Terms(bm25Index(docs, idCol, textCol), queryTerms(queries), topN,
+      excludeSelf)
 
   /** Build-time half of the BM25 serving pair: persist the four index
     * frames as a parquet snapshot under `dir` (postings sorted within
@@ -179,8 +183,9 @@ object Retrieval {
     * [[bm25]] (same oracle), minus the per-call corpus tokenization:
     * the warm serving path. */
   def bm25Served(ix: Bm25Index, queries: DataFrame,
-                 topN: Int = 20): DataFrame =
-    bm25Terms(ix, queryTerms(queries), topN)
+                 topN: Int = 20,
+                 excludeSelf: Boolean = true): DataFrame =
+    bm25Terms(ix, queryTerms(queries), topN, excludeSelf)
 
   /** Pseudo-relevance-feedback query expansion (RM3-style — Lavrenko
     * & Croft SIGIR 2001 relevance models, the Rocchio/RM3 pattern as

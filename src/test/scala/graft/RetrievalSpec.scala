@@ -191,6 +191,20 @@ class RetrievalSpec extends SparkSpec {
     assert(served == Retrieval.bm25(docs, q).collect().toSet)
   }
 
+  test("bm25 excludeSelf=false keeps the colliding document eligible") {
+    // external query-id space colliding with a doc id: by default the
+    // collision silently excludes doc 0 for probe 0; the flag keeps it
+    val q = Seq((0L, "rare gamma")).toDF("query_id", "text")
+    val byDefault = Retrieval.bm25(docs, q).collect()
+      .map(_.getLong(2)).toSet
+    val inclusive = Retrieval.bm25(docs, q, excludeSelf = false)
+      .collect().map(_.getLong(2)).toSet
+    assert(!byDefault.contains(0L))
+    // doc 0 contains "rare": it must surface once the exclusion lifts
+    assert(inclusive.contains(0L))
+    assert(inclusive -- byDefault == Set(0L))
+  }
+
   test("mmrFromPool over an explicit pool diversifies like mmrRerank") {
     // 0/1 near-identical, 2 orthogonal-ish: with pool = brute-force
     // top-3 the explicit-pool engine must match the wrapper exactly
