@@ -1639,6 +1639,52 @@ i16runs AS (SELECT doc_id, pos,
 SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 39 AS BIGINT) AS span_end
 FROM i16runs GROUP BY doc_id, grp"""),
+    // e21 streamed span ingest: two-fold macro expansion — fold 0
+    // probes the %10<>9 standing, fold 1 probes standing + ALL of
+    // fold 0 (every arrival becomes standing); per fold the i16 chain
+    // verbatim, outputs unioned
+    "e21_stream_span_ingest" -> (raw"""
+WITH e21as AS (SELECT substr(text, CAST(q AS INTEGER), 40) AS g
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 39)) AS q
+        FROM documents WHERE (doc_id % 10 <> 9) AND length(text) >= 40)
+  GROUP BY 1),
+e21ag AS (SELECT doc_id, q AS pos, substr(text, CAST(q AS INTEGER), 40) AS g
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, length(text) - 39)) AS q
+        FROM documents WHERE (doc_id % 20 = 9) AND length(text) >= 40)),
+e21at AS (SELECT g, count(*) AS nb,
+    min(doc_id * 4294967296 + pos) AS bcanon FROM e21ag GROUP BY g),
+e21ad AS (SELECT b.doc_id, b.pos FROM e21ag b JOIN e21at s ON s.g = b.g
+  LEFT JOIN e21as x ON x.g = b.g
+  WHERE x.g IS NOT NULL
+     OR (s.nb >= 2 AND b.doc_id * 4294967296 + b.pos <> s.bcanon)),
+e21ar AS (SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM e21ad),
+e21asp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+    CAST(max(pos) + 39 AS BIGINT) AS span_end
+  FROM e21ar GROUP BY doc_id, grp),
+e21bs AS (SELECT substr(text, CAST(q AS INTEGER), 40) AS g
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 39)) AS q
+        FROM documents WHERE (doc_id % 10 <> 9 OR doc_id % 20 = 9) AND length(text) >= 40)
+  GROUP BY 1),
+e21bg AS (SELECT doc_id, q AS pos, substr(text, CAST(q AS INTEGER), 40) AS g
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, length(text) - 39)) AS q
+        FROM documents WHERE (doc_id % 20 = 19) AND length(text) >= 40)),
+e21bt AS (SELECT g, count(*) AS nb,
+    min(doc_id * 4294967296 + pos) AS bcanon FROM e21bg GROUP BY g),
+e21bd AS (SELECT b.doc_id, b.pos FROM e21bg b JOIN e21bt s ON s.g = b.g
+  LEFT JOIN e21bs x ON x.g = b.g
+  WHERE x.g IS NOT NULL
+     OR (s.nb >= 2 AND b.doc_id * 4294967296 + b.pos <> s.bcanon)),
+e21br AS (SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM e21bd),
+e21bsp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+    CAST(max(pos) + 39 AS BIGINT) AS span_end
+  FROM e21br GROUP BY doc_id, grp)
+SELECT * FROM e21asp UNION ALL SELECT * FROM e21bsp"""),
     // fuzzyRewrite mirrored: d7's cluster chain VERBATIM, then the
     // corpus anti-joined against its non-canonical members (min-id
     // survivor); text pinned by digest

@@ -1700,6 +1700,26 @@ object QueryDefs {
         planted.schema, Multimodal.hashIndex(base),
         s"$tmp/state", s"$tmp/out")
     }),
+    // e21: the SPAN-ingest loop — the exact-span family's streaming
+    // form (batch d16 / incremental d16_inc / streaming e21, the
+    // d2→d12→e18 triple): two mtime-ordered halves stream in, each
+    // micro-batch probes the standing-so-far gram index, emits its
+    // duplicated spans and appends its own gram segment. Oracle =
+    // two-fold macro expansion (batch 1's standing includes ALL of
+    // batch 0 — every arrival becomes standing, the e20 convention)
+    "e21_stream_span_ingest" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 9)
+      val tmp = scratchDir("graft_e21")
+      val now = System.currentTimeMillis()
+      writeOneFile(batch.filter(col("doc_id") % 20 === 9),
+        s"$tmp/docs/b0.parquet", now - 60000L)
+      writeOneFile(batch.filter(col("doc_id") % 20 === 19),
+        s"$tmp/docs/b1.parquet", now)
+      EventStreams.spanIngestStreamFromParquet(s, s"$tmp/docs",
+        docs.schema, docs.filter(col("doc_id") % 10 =!= 9),
+        s"$tmp/state", s"$tmp/out")
+    }),
     // e19: the data card as a streaming fold — each micro-batch
     // appends a partial per-(lang, source) exact-long segment, the
     // serve is one merge + the share divide; report_corpus's oracle
@@ -2185,7 +2205,8 @@ object QueryDefs {
         "e13_stream_bm25_ingest", "e14_stream_asof",
         "e15_stream_band_ingest", "e16_stream_nb_score",
         "e17_stream_hll_ingest", "e18_stream_dedup_ingest",
-        "e19_stream_card_ingest", "e20_stream_phash_ingest")),
+        "e19_stream_card_ingest", "e20_stream_phash_ingest",
+        "e21_stream_span_ingest")),
       // sub-second at the bench SF: single balanced shuffle (p9) /
       // broadcast join + map-only explode (p10) / one id-hash join
       // (v1) — their engines are plain builtin shapes the heavier

@@ -890,6 +890,16 @@ object Dedup {
   def readGramIndex(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame = spark.read.parquet(dir)
 
+  /** One batch's per-gram count segment (h, __ns) — the appendable
+    * LSM unit of the gram index: a pure per-batch function, so
+    * segments summed per gram over any batch split equal the one-shot
+    * [[writeGramIndex]] frame (the docPostings purity argument). */
+  def gramSegment(batch: DataFrame, minLen: Int = 40,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    spanGramKeys(batch, minLen, idCol, textCol)
+      .groupBy("h").agg(count(lit(1)).as("__ns"))
+
   /** [[incrementalSpans]] over an EXPLICIT standing index frame
     * (freshly aggregated or reopened from a [[writeGramIndex]]
     * snapshot) — the serve stage runs only the batch's gram scan, the

@@ -712,6 +712,62 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** e21: the exact-SPAN ingest loop — the span family's streaming
+    * form, completing its batch (d16_exact_spans) / incremental
+    * (d16_incremental_spans) / streaming triple exactly like d2→d12→
+    * e18 and m6→m8→e20. Document micro-batches probe the standing
+    * per-gram count index, emit their duplicated spans (standing hit =
+    * first-ingested wins, or a batch-internal tiebreak loss), and
+    * append their own gram-count segment — EVERY ingested document
+    * becomes standing, so a later batch's copy of an earlier arrival's
+    * region is caught (cross-batch continuity). The standing index is
+    * LSM segments merged on read (sum per gram — the bm25FromSegments
+    * shape); per-batch cost is the batch's gram scan + one probe join.
+    * Guarded by [[lastCommittedBatch]]: a replayed micro-batch
+    * re-emits nothing and re-grows nothing. */
+  def spanIngestStreamFromParquet(spark: SparkSession, docDir: String,
+                                  rawSchema: org.apache.spark.sql.types.StructType,
+                                  standing0: DataFrame,
+                                  stateDir: String,
+                                  outDir: String): DataFrame = {
+    import graft.ext.Dedup
+    Dedup.writeGramIndex(standing0, s"$stateDir/grams")
+    val ckpt = java.nio.file.Files.createTempDirectory("e21ckpt").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        spanIngestBatch(spark, batch.toDF(), batchId, stateDir, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally dropCheckpoint(ckpt)
+    spark.read.parquet(outDir)
+  }
+
+  /** One e21 micro-batch fold (see [[spanIngestStreamFromParquet]]). */
+  private[graft] def spanIngestBatch(spark: SparkSession, batch: DataFrame,
+                                     batchId: Long, stateDir: String,
+                                     outDir: String): Unit = {
+    import graft.ext.Dedup
+    if (batchId > lastCommittedBatch(stateDir)) { // replay = no-op
+      val b = batch.localCheckpoint(eager = true)
+      // merge the gram segments on read: existence per gram is what
+      // the probe needs, but summed counts keep the index the exact
+      // writeGramIndex frame a compaction would produce
+      val standing = spark.read.parquet(s"$stateDir/grams")
+        .groupBy("h").agg(sum(col("__ns")).as("__ns"))
+      Dedup.incrementalSpansIndexed(standing, b)
+        .localCheckpoint(eager = true) // never read-own-append
+        .write.mode("append").parquet(outDir)
+      Dedup.gramSegment(b)
+        .write.mode("append").parquet(s"$stateDir/grams")
+      commitBatch(stateDir, batchId)
+    }
+  }
+
   /** One e18 micro-batch fold, guarded by [[lastCommittedBatch]] —
     * extracted so the replay no-op is directly testable with explicit
     * batch ids (EventStreamsSpec). */

@@ -355,6 +355,55 @@ class EventStreamsSpec extends SparkSpec {
       == Seq(1L, 5L, 9L))
   }
 
+  test("streaming span ingest: cross-batch region duplication caught, " +
+      "standing wins, unrelated text never spans") {
+    import graft.ext.Dedup
+    val sh = "the exact same forty eight character sentence ok".take(48)
+    val standing = Seq((1L, "q" * 10 + sh + "r" * 10))
+      .toDF("doc_id", "text")
+    // batch 0: a fresh region (its own 44-char run) + unrelated text;
+    // batch 1: copies BOTH batch 0's run (cross-batch continuity — the
+    // property one batch call cannot exhibit) AND the standing region
+    val b0 = Seq(
+      (10L, "a" * 44 + "kkkk"),
+      (11L, "totally unrelated text that matches nothing else"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((20L, "mm" + "a" * 44 + sh + "pp"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("e21spec").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+      val t = s"$tmp/_tmp_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$tmp/docs/$name.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(b0, "b0", now - 60000L)
+    writeOne(b1, "b1", now)
+    val out = EventStreams.spanIngestStreamFromParquet(spark,
+        s"$tmp/docs", standing.schema, standing, s"$tmp/state", s"$tmp/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch 0: doc 10's run is NEW (intra-doc 40-grams at 1..5 — pos 1
+    // canonical, 2..5 dup -> span [2,44]); doc 11 emits nothing.
+    // batch 1: doc 20 duplicates doc 10's run (gram positions 3..7,
+    // all dup against the now-standing batch-0 grams -> span [3,46])
+    // AND the original standing region (positions 47..55 -> [47,94]);
+    // positions 7 and 47 are not consecutive, so the runs stay two
+    // spans even though their coverage abuts
+    assert(out == Set((10L, 2L, 44L), (20L, 3L, 46L), (20L, 47L, 94L)),
+      s"got $out")
+    // the standing gram index grew by BOTH batches' segments
+    val grams = spark.read.parquet(s"$tmp/state/grams")
+    assert(grams.agg(org.apache.spark.sql.functions.sum("__ns"))
+      .collect()(0).getLong(0) > 0)
+  }
+
   test("ingest replay guard: a committed batchId re-delivery is a no-op") {
     import graft.ext.Dedup
     val standing = Seq((1L, "the quick brown fox jumps over the lazy dog"))
