@@ -771,10 +771,7 @@ object Dedup {
     * task (measured 4.4s of the d16 lane \u2014 vs 1.1s after widening). At
     * cluster scale the scan has thousands of partitions and this is a
     * no-op. */
-  private def widened(docs: DataFrame): DataFrame = {
-    val want = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < want) docs.repartition(want) else docs
-  }
+  private def widened(docs: DataFrame): DataFrame = Widen.widened(docs)
 
   /** Gram keys: for every 1-based character position that starts a
     * full `minLen`-gram, a 60-bit key equal iff the grams are equal

@@ -188,7 +188,7 @@ object Multimodal {
   def synthesizeWavs(src: DataFrame, idCol: String): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
-    src.select(col(idCol).cast("long")).as[Long]
+    Widen.widened(src.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val nFrames = ((id % 50) + 1).toInt * 800
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
@@ -219,7 +219,7 @@ object Multimodal {
   def synthesizeImages(src: DataFrame, idCol: String): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
-    src.select(col(idCol).cast("long")).as[Long]
+    Widen.widened(src.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val w = ((id % 19) + 1).toInt * 8
         val h = ((id % 13) + 1).toInt * 8
@@ -331,7 +331,7 @@ object Multimodal {
   def synthesizeCellImages(src: DataFrame, idCol: String): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
-    src.select(col(idCol).cast("long")).as[Long]
+    Widen.widened(src.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(cellImage(id), "png", bos)
@@ -775,7 +775,7 @@ object Multimodal {
                      nFrames: Int = 4): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
-    src.select(col(idCol).cast("long")).as[Long]
+    Widen.widened(src.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         (id, "video",
           encodeAvi((0 until nFrames).map(f => cellImage(id * nFrames + f)),
@@ -965,7 +965,7 @@ object Multimodal {
                      nFrames: Int = 4): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
-    src.select(col(idCol).cast("long")).as[Long]
+    Widen.widened(src.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         (id, "video",
           encodeGif((0 until nFrames).map(f => cellImage(id * nFrames + f)),
