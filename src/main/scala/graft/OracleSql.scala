@@ -1278,6 +1278,43 @@ d16runs AS (SELECT doc_id, pos,
     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
   FROM d16dup)""".drop(1)
 
+  /** The d16 span SELECT over [[d16SpanCtes]] — shared verbatim by the
+    * window-regime lane and its groupBy+join-back at-scale twin
+    * (d16_exact_spans_dist): regime bit-identity on one oracle, the
+    * a6/g6/g8/mmr pattern. */
+  private val d16ExactSpansSql: String = s"WITH $d16SpanCtes" + raw"""
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 39 AS BIGINT) AS span_end
+FROM d16runs GROUP BY doc_id, grp"""
+
+  /** The d16 ingest chain — shared by d16_incremental_spans, its
+    * snapshot-served twin, and the served twin's at-scale regime
+    * (d16_incremental_served_dist). */
+  private val d16IncrementalSql: String = raw"""
+WITH i16s AS (SELECT substr(text, CAST(p AS INTEGER), 40) AS g
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 39)) AS p
+        FROM documents WHERE doc_id % 10 <> 9 AND length(text) >= 40)
+  GROUP BY 1),
+i16bg AS (SELECT doc_id, p AS pos,
+    substr(text, CAST(p AS INTEGER), 40) AS g
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, length(text) - 39)) AS p
+        FROM documents WHERE doc_id % 10 = 9 AND length(text) >= 40)),
+i16bstat AS (SELECT g, count(*) AS nb,
+    min(doc_id * 4294967296 + pos) AS bcanon
+  FROM i16bg GROUP BY g),
+i16dup AS (SELECT b.doc_id, b.pos
+  FROM i16bg b JOIN i16bstat s ON s.g = b.g
+  LEFT JOIN i16s x ON x.g = b.g
+  WHERE x.g IS NOT NULL
+     OR (s.nb >= 2 AND b.doc_id * 4294967296 + b.pos <> s.bcanon)),
+i16runs AS (SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM i16dup)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 39 AS BIGINT) AS span_end
+FROM i16runs GROUP BY doc_id, grp"""
+
   private val lshCandCtes: String = raw"""
 hsh AS (SELECT doc_id,
   list_transform(sh, s -> CAST('0x'||substr(md5(s||':a'),1,15) AS BIGINT)) AS n1s,
@@ -1561,10 +1598,10 @@ FROM ddcomp d JOIN ddsize s USING (comp)"""),
     // algorithm-independent pin: a doubling bug OR a hash collision
     // both hash-mismatch. Same canonical key (doc·2^32 + pos), same
     // consecutive-run merge.
-    "d16_exact_spans" -> (s"WITH $d16SpanCtes" + raw"""
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + 39 AS BIGINT) AS span_end
-FROM d16runs GROUP BY doc_id, grp"""),
+    "d16_exact_spans" -> d16ExactSpansSql,
+    // at-scale regime (groupBy(h)+join-back, no single-key window) on
+    // the same oracle — the skew story a boilerplate corpus needs
+    "d16_exact_spans_dist" -> d16ExactSpansSql,
     // the rewrite: per-position chars anti-joined against the span
     // positions, survivors re-assembled in position order; every doc
     // emits a row ('' when fully cut)
@@ -1588,57 +1625,14 @@ FROM documents d LEFT JOIN d16kept k ON k.doc_id = d.doc_id"""),
     // against the standing distinct-gram set — standing hit OR
     // batch-internal tiebreak loss duplicates a position; same run
     // merge. First-ingested wins like d15 (standing never re-judged).
-    "d16_incremental_spans" -> (raw"""
-WITH i16s AS (SELECT substr(text, CAST(p AS INTEGER), 40) AS g
-  FROM (SELECT text, unnest(generate_series(1, length(text) - 39)) AS p
-        FROM documents WHERE doc_id % 10 <> 9 AND length(text) >= 40)
-  GROUP BY 1),
-i16bg AS (SELECT doc_id, p AS pos,
-    substr(text, CAST(p AS INTEGER), 40) AS g
-  FROM (SELECT doc_id, text,
-          unnest(generate_series(1, length(text) - 39)) AS p
-        FROM documents WHERE doc_id % 10 = 9 AND length(text) >= 40)),
-i16bstat AS (SELECT g, count(*) AS nb,
-    min(doc_id * 4294967296 + pos) AS bcanon
-  FROM i16bg GROUP BY g),
-i16dup AS (SELECT b.doc_id, b.pos
-  FROM i16bg b JOIN i16bstat s ON s.g = b.g
-  LEFT JOIN i16s x ON x.g = b.g
-  WHERE x.g IS NOT NULL
-     OR (s.nb >= 2 AND b.doc_id * 4294967296 + b.pos <> s.bcanon)),
-i16runs AS (SELECT doc_id, pos,
-    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM i16dup)
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + 39 AS BIGINT) AS span_end
-FROM i16runs GROUP BY doc_id, grp"""),
+    "d16_incremental_spans" -> d16IncrementalSql,
     // the snapshot-served twin probes the SAME standing index content
     // reopened from parquet — the roundtrip changes no values, the
     // cold ingest lane's SQL pins it verbatim
-    "d16_incremental_served" -> (raw"""
-WITH i16s AS (SELECT substr(text, CAST(p AS INTEGER), 40) AS g
-  FROM (SELECT text, unnest(generate_series(1, length(text) - 39)) AS p
-        FROM documents WHERE doc_id % 10 <> 9 AND length(text) >= 40)
-  GROUP BY 1),
-i16bg AS (SELECT doc_id, p AS pos,
-    substr(text, CAST(p AS INTEGER), 40) AS g
-  FROM (SELECT doc_id, text,
-          unnest(generate_series(1, length(text) - 39)) AS p
-        FROM documents WHERE doc_id % 10 = 9 AND length(text) >= 40)),
-i16bstat AS (SELECT g, count(*) AS nb,
-    min(doc_id * 4294967296 + pos) AS bcanon
-  FROM i16bg GROUP BY g),
-i16dup AS (SELECT b.doc_id, b.pos
-  FROM i16bg b JOIN i16bstat s ON s.g = b.g
-  LEFT JOIN i16s x ON x.g = b.g
-  WHERE x.g IS NOT NULL
-     OR (s.nb >= 2 AND b.doc_id * 4294967296 + b.pos <> s.bcanon)),
-i16runs AS (SELECT doc_id, pos,
-    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM i16dup)
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + 39 AS BIGINT) AS span_end
-FROM i16runs GROUP BY doc_id, grp"""),
+    "d16_incremental_served" -> d16IncrementalSql,
+    // ...and the served twin's at-scale regime (batch-internal dup
+    // detection via groupBy+join-back instead of a window)
+    "d16_incremental_served_dist" -> d16IncrementalSql,
     // e21 streamed span ingest: two-fold macro expansion — fold 0
     // probes the %10<>9 standing, fold 1 probes standing + ALL of
     // fold 0 (every arrival becomes standing); per fold the i16 chain

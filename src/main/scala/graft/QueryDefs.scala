@@ -1165,6 +1165,11 @@ object QueryDefs {
     // hash-mismatch, not hide)
     "d16_exact_spans" -> ((s, d) =>
       Dedup.exactSpans(table(s, d, "documents"))),
+    // ...and its AT-SCALE regime (r12 verdict #2): per-gram stats via
+    // groupBy(h)+join-back — partial-agg + AQE-skew-splittable, no
+    // single-hot-key window task — same oracle (regime bit-identity)
+    "d16_exact_spans_dist" -> ((s, d) =>
+      Dedup.exactSpansDist(table(s, d, "documents"))),
     // ...and the corpus rewrite under those spans: duplicated chars
     // cut (canonical occurrences intact), survivors re-assembled
     "d16_exact_span_rewrite" -> ((s, d) =>
@@ -1182,6 +1187,11 @@ object QueryDefs {
     // only (same oracle — the d12_incremental_served precedent)
     "d16_incremental_served" -> ((s, d) =>
       Dedup.incrementalSpansIndexed(gramIndexServed(s, d),
+        table(s, d, "documents").filter(col("doc_id") % 10 === 9))),
+    // ...and the served twin's at-scale regime: batch-internal dup
+    // stats via groupBy+join-back (no batch-key window), same oracle
+    "d16_incremental_served_dist" -> ((s, d) =>
+      Dedup.incrementalSpansIndexedDist(gramIndexServed(s, d),
         table(s, d, "documents").filter(col("doc_id") % 10 === 9))),
     // d15: d14's INGEST form — the %10 batch folds into the standing
     // corpus via the d12 incremental probe; standing-touching clusters
@@ -2144,7 +2154,8 @@ object QueryDefs {
         "a15_feature_agg_max", "a15_feature_agg_proportion",
         "a16_binarize", "a17_features_metadata", "d1_exact_dedup",
         "d3_simhash", "d4_ngram_jaccard", "d6_shared_substring",
-        "d16_exact_spans",
+        "d16_exact_spans", "d16_exact_spans_dist",
+        "d16_incremental_served_dist",
         "d7_dedup_clusters", "d8_semdedup", "d11_intradoc_dedup",
         "f1_threshold_filter",
         "f2_chromosome_filter", "f3_pp_only", "g5_subset_pp",

@@ -814,12 +814,15 @@ object Dedup {
     *
     * Dup detection is ONE shuffle: a window over the gram key computes
     * each group's size and canonical key in place — the groupBy +
-    * join-back form shuffles the gram frame twice more and was
-    * measured 3× slower on the same data. No all-pairs anywhere; the
-    * per-key window groups are gram-frequency-bounded (a pathological
-    * single gram repeated 10⁹ times would skew one partition — the
-    * same key-skew exposure as every hash aggregation, AQE's skew
-    * handling applies). */
+    * join-back form ([[exactSpansDist]]) shuffles the gram frame twice
+    * more and was measured 3× slower on the same data, so this is the
+    * small/medium-regime default. The window is NOT skew-safe: a
+    * window must colocate its entire partition key in one task —
+    * map-side partial aggregation does not apply to windows and AQE's
+    * skew splitting applies only to joins — so ONE boilerplate gram
+    * repeated 10⁸-10⁹ times (exactly what a web corpus contains)
+    * lands a single task. At that scale use [[exactSpansDist]] (the
+    * a6/g6/g8/mmr regime-split pattern; same oracle). */
   def exactSpans(docs: DataFrame, minLen: Int = 40,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
@@ -832,6 +835,30 @@ object Dedup {
         min(col("doc_id") * lit(PosBase) + col("pos")).over(wh))
       .filter(col("__n") >= 2 &&
         (col("doc_id") * lit(PosBase) + col("pos")) =!= col("__canon"))
+      .select(col("doc_id"), col("pos"))
+    mergeRuns(dups, minLen)
+  }
+
+  /** [[exactSpans]]'s AT-SCALE regime: the per-gram (count, canonical
+    * key) comes from a `groupBy("h")` — partial-aggregation-safe, so a
+    * hot boilerplate gram combines map-side instead of colocating in
+    * one window task — and joins back onto the gram frame (a
+    * sort-merge equi-join, where AQE's skew splitting DOES apply).
+    * Costs ~3× the window form at gate scale (the gram frame crosses
+    * two more exchanges), which is why the window stays the default
+    * regime; this form is the one that survives a corpus where one
+    * 40-gram repeats 10⁹ times. Identical output, same oracle. */
+  def exactSpansDist(docs: DataFrame, minLen: Int = 40,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val grams = spanGramKeys(docs, minLen, idCol, textCol)
+    val key = col("doc_id") * lit(PosBase) + col("pos")
+    val grp = grams.groupBy("h")
+      .agg(count(lit(1)).as("__n"), min(key).as("__canon"))
+      .filter(col("__n") >= 2)
+      .select(col("h"), col("__canon"))
+    val dups = grams.join(grp, Seq("h"))
+      .filter(key =!= col("__canon"))
       .select(col("doc_id"), col("pos"))
     mergeRuns(dups, minLen)
   }
@@ -909,9 +936,35 @@ object Dedup {
     val bg = spanGramKeys(batch, minLen, idCol, textCol)
     val wh = Window.partitionBy("h")
     val key = col("doc_id") * lit(PosBase) + col("pos")
+    // batch-internal dup detection is the same window as exactSpans —
+    // same hot-gram caveat, same regime split: the window colocates a
+    // whole gram key in one task, so a boilerplate-heavy BATCH should
+    // route through [[incrementalSpansIndexedDist]] (same oracle).
     val dups = bg
       .withColumn("__nb", count(lit(1)).over(wh))
       .withColumn("__bcanon", min(key).over(wh))
+      .join(sg, Seq("h"), "left")
+      .filter(col("__ns").isNotNull ||
+        (col("__nb") >= 2 && key =!= col("__bcanon")))
+      .select(col("doc_id"), col("pos"))
+    mergeRuns(dups, minLen)
+  }
+
+  /** [[incrementalSpansIndexed]]'s AT-SCALE regime — the
+    * [[exactSpansDist]] groupBy+join-back shape applied to the
+    * batch-internal dup detection (the standing-index probe was
+    * already a skew-splittable equi-join in both regimes). Identical
+    * output, same oracle. */
+  def incrementalSpansIndexedDist(standingIndex: DataFrame,
+                                  batch: DataFrame, minLen: Int = 40,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): DataFrame = {
+    val sg = standingIndex
+    val bg = spanGramKeys(batch, minLen, idCol, textCol)
+    val key = col("doc_id") * lit(PosBase) + col("pos")
+    val grp = bg.groupBy("h")
+      .agg(count(lit(1)).as("__nb"), min(key).as("__bcanon"))
+    val dups = bg.join(grp, Seq("h"))
       .join(sg, Seq("h"), "left")
       .filter(col("__ns").isNotNull ||
         (col("__nb") >= 2 && key =!= col("__bcanon")))
@@ -923,35 +976,55 @@ object Dedup {
     * reported duplicated span is removed (canonical occurrences stay
     * intact), remaining characters re-assemble in position order —
     * one row per input document, empty string if everything was cut.
-    * The span frame expands to per-position rows (Σ span lengths ≤
-    * corpus size) so the cut is an equi anti-join, never a range
-    * join. */
+    *
+    * Only the SPAN frame aggregates (Σ spans ≪ corpus — a tiny
+    * per-doc interval list), never the characters: the text is cut by
+    * folding the doc's sorted span list with `aggregate`, appending
+    * the `substr` between a cursor and the next span start — one
+    * map-side projection over the doc row, zero fan-out. (The first
+    * form of this operator exploded every character into rows —
+    * ~26 bytes/char through a shuffle, ≈26× corpus amplification, and
+    * a per-doc collect_list(chars) whose aggregation buffer was
+    * proportional to document length: a 100 MB document was a
+    * single-buffer OOM. The fold's state is one cursor + the output
+    * string — bounded by the OUTPUT, which the operator must
+    * materialize anyway.) Overlapping spans (runs closer than one
+    * gram length) need no pre-merge: the cursor only moves forward
+    * (`greatest`), so a span starting inside the cut region appends
+    * nothing. The cut itself happens under the row-preserving left
+    * join of docs onto their span lists; the bench forces lanes via
+    * `queryExecution.toRdd`, which evaluates every output column, so
+    * a count-style join elimination cannot silently skip the dedup. */
   def exactSpanRewrite(docs: DataFrame, minLen: Int = 40,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val spans = exactSpans(docs, minLen, idCol, textCol)
-    val cut = spans.select(col("doc_id"),
-      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val chars = widened(docs)
+    val spanLists = spans.groupBy("doc_id")
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("__spans"))
+    val base = widened(docs)
       .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), "")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("c"))
-    val kept = chars.join(cut, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")), "").as("__kept"))
-    // inner ∪ anti instead of a LEFT join: a left join against the
-    // unique-keyed `kept` preserves cardinality, so a bare count()
-    // (the bench's forcing action) lets Catalyst ELIMINATE the join —
-    // and with it the entire dedup computation (measured: 0.4s
-    // "rewrite" vs 13s for its own sub-stage). Semi/anti joins change
-    // cardinality and cannot be pruned; output is identical.
-    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
-    ids.join(kept, Seq("doc_id"), "inner")
-      .select(col("doc_id"), col("__kept").as("text"))
-      .unionByName(ids.join(kept, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit("").as("text")))
+        col(textCol).as("__text"))
+    val cur = (acc: Column) => acc.getField("cur")
+    val out = (acc: Column) => acc.getField("out")
+    val rebuilt = aggregate(col("__spans"),
+      struct(lit(1L).as("cur"), lit("").as("out")),
+      (acc, s) => {
+        val ss = s.getField("span_start")
+        val se = s.getField("span_end")
+        struct(
+          greatest(cur(acc), se + lit(1L)).as("cur"),
+          concat(out(acc), when(ss > cur(acc),
+            col("__text").substr(cur(acc).cast("int"),
+              (ss - cur(acc)).cast("int"))).otherwise(lit("")))
+            .as("out"))
+      },
+      acc => concat(out(acc),
+        col("__text").substr(cur(acc).cast("int"),
+          length(col("__text")) - cur(acc).cast("int") + lit(1))))
+    base.join(spanLists, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__spans").isNull, col("__text"))
+          .otherwise(rebuilt).as("text"))
   }
 }

@@ -927,6 +927,77 @@ class TextDedupSpec extends SparkSpec {
       s"batch doc 0 must defer to standing doc 1: $inc2")
   }
 
+  test("exact-span at-scale regime: groupBy+join-back ≡ window on a " +
+      "deliberately hot gram, and no gram-key window in its plan") {
+    import graft.ext.Dedup
+    // HOT gram: one 44-char boilerplate repeated in every doc (the
+    // r12 verdict's skew scenario — a window over the gram key would
+    // colocate all of it in ONE task; the dist regime must not have
+    // such a window at all)
+    val boiler = "this exact boilerplate footer repeats a lot!"
+    assert(boiler.length == 44)
+    val d = (1L to 50L).map(i =>
+        (i, s"doc$i%04d unique lead-in ${"u" * i.toInt} " + boiler))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val win = rows(Dedup.exactSpans(d, minLen = 40))
+    val dist = Dedup.exactSpansDist(d, minLen = 40)
+    assert(rows(dist) == win && win.nonEmpty)
+    // the plan proof: every Window in the dist plan partitions by
+    // doc_id (mergeRuns' run grouping) — none by the gram key h
+    def windowKeys(df: org.apache.spark.sql.DataFrame): Seq[Set[String]] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      }
+    assert(windowKeys(dist).forall(_ == Set("doc_id")),
+      s"dist plan windows: ${windowKeys(dist)}")
+    // ...and the sanity leg: the detector DOES see the default
+    // regime's gram-key window (otherwise the assertion above is vacuous)
+    assert(windowKeys(Dedup.exactSpans(d, minLen = 40))
+      .exists(_ == Set("h")))
+    // same split for the ingest probe: batch-internal stats via
+    // groupBy+join-back, identical output
+    val standing = d.filter(col("doc_id") <= 40L)
+    val batch = d.filter(col("doc_id") > 40L)
+    val idx = Dedup.gramSegment(standing, minLen = 40)
+    val incWin = rows(Dedup.incrementalSpansIndexed(idx, batch, minLen = 40))
+    val incDist = Dedup.incrementalSpansIndexedDist(idx, batch, minLen = 40)
+    assert(rows(incDist) == incWin && incWin.nonEmpty)
+    assert(windowKeys(incDist).forall(_ == Set("doc_id")),
+      s"incDist plan windows: ${windowKeys(incDist)}")
+  }
+
+  test("exactSpanRewrite cuts the union of OVERLAPPING spans via the " +
+      "cursor fold (no per-character explode in the plan)") {
+    import graft.ext.Dedup
+    val g1 = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 40 distinct chars
+    assert(g1.length == 40)
+    val y = g1 + "EF" // grams at pos 1 and pos 3 duplicate d1/d2 below
+    val d = Seq(
+      (1L, "(" + g1 + ")"),            // canonical owner of y's pos-1 gram
+      (2L, "[" + g1.drop(2) + "EF]"),  // canonical owner of y's pos-3 gram
+      (5L, y))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSpans(d, minLen = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 5: duplicated gram positions {1, 3} (pos 2's gram is unique)
+    // -> two runs whose spans OVERLAP: [1,40] and [3,42]
+    assert(spans == Set((5L, 1L, 40L), (5L, 3L, 42L)), s"got $spans")
+    val rw = Dedup.exactSpanRewrite(d, minLen = 40).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the union of the overlapping spans covers every char of doc 5
+    assert(rw(5L) == "")
+    assert(rw(1L) == "(" + g1 + ")" && rw(2L) == "[" + g1.drop(2) + "EF]")
+    // plan proof of the r12 fix: the rewrite must NOT explode the
+    // corpus into characters — no posexplode/sequence fan-out of the
+    // text side, only the span-list aggregation and the fold
+    val plan = Dedup.exactSpanRewrite(d, minLen = 40)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("posexplode"), "per-char explode is back")
+  }
+
   test("BPE one-task trainer is bit-identical to the relational rounds") {
     // deterministic word soup with heavy tie pressure: repeated
     // fragments, same-symbol runs, shared prefixes/suffixes — enough
