@@ -54,18 +54,28 @@ object EventStreams {
   }
 
   /** foreachBatch idempotency guard for the STATE-MUTATING ingest
-    * loops (e18 dedup, e20 phash): Structured Streaming replays a
-    * micro-batch after a mid-batch failure or restart, and these loops
-    * append to non-transactional parquet dirs (output + standing
-    * state) — a replayed batch would double-emit its pairs/survivors
-    * and double-grow the state. The last COMMITTED batchId is recorded
-    * in the state dir after all of the batch's appends land; a batch
-    * at or below it is a no-op on replay. Marker writes go through a
-    * temp-file rename (atomic on one filesystem), and the streaming
-    * engine guarantees one foreachBatch invocation at a time per
-    * query, so single-writer is the contract. Under the gate's one
-    * AvailableNow pass the guard never fires — it exists for the
-    * restartable-serving-loop contract (ADVICE r11). */
+    * loops (e11/e12/e13/e15/e16/e18/e19/e20/e21; e17 is exempt — its
+    * HLL register max-merge is replay-idempotent, see its scaladoc):
+    * Structured Streaming replays a micro-batch after a mid-batch
+    * failure or restart, and these loops append to non-transactional
+    * parquet dirs (output + standing state) — a replayed batch would
+    * double-emit its rows and double-grow the state. The last
+    * COMMITTED batchId is recorded after all of the batch's appends
+    * land; a batch at or below it is a no-op on replay. Marker writes
+    * go through a temp-file rename (atomic on one filesystem), and
+    * the streaming engine guarantees one foreachBatch invocation at a
+    * time per query, so single-writer is the contract.
+    *
+    * Scope of the guarantee (ADVICE r12): replay AFTER commit is a
+    * no-op. The commit lands LAST, so a crash BETWEEN an append and
+    * its commitBatch replays the batch and can re-append rows written
+    * before the crash point — exactly-once would need batchId-scoped
+    * subdirectories with commit-aware readers (or a transactional
+    * table format), which this engine trades away for plain-parquet
+    * appendability; the window is one partially-written batch, and a
+    * compaction pass that dedups on (batch-stable) keys closes it.
+    * Under the gate's one AvailableNow pass the guard never fires —
+    * it exists for the restartable-serving-loop contract. */
   private def lastCommittedBatch(stateDir: String): Long = {
     val p = java.nio.file.Paths.get(stateDir, "_last_batch")
     try java.nio.file.Files.readString(p).trim.toLong
@@ -545,11 +555,17 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(vecDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ext.Similarity.knnGraphForwardEdges(base, graph,
-            batch.toDF(), k)
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // replay guard (r12 verdict #4): forward edges are pure per
+        // vector, but the parquet APPEND is not — a replayed batch
+        // would double-append its adjacency rows. Marker lives inside
+        // outDir (readers skip `_`-prefixed files).
+        if (batchId > lastCommittedBatch(outDir)) {
+          graft.ext.Similarity.knnGraphForwardEdges(base, graph,
+              batch.toDF(), k)
+            .write.mode("append").parquet(outDir)
+          commitBatch(outDir, batchId)
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -568,9 +584,12 @@ object EventStreams {
     * ([[graft.ext.Retrieval.bm25FromSegments]]) — exactly how an LSM
     * index absorbs writes ahead of merge. Segments are a pure
     * per-document function, so the batch docPostings over the same
-    * corpus is the exact oracle regardless of batch splits, ordering,
-    * or micro-batch replay. `maxFilesPerTrigger=1` makes each document
-    * file one micro-batch. */
+    * corpus is the exact oracle regardless of batch splits or
+    * ordering — but NOT of replay: the parquet append is not
+    * idempotent (a replayed batch would double-append its postings
+    * and the compaction would double-count df/tf), hence the
+    * [[lastCommittedBatch]] guard. `maxFilesPerTrigger=1` makes each
+    * document file one micro-batch. */
   def bm25IngestStreamFromParquet(spark: SparkSession, docDir: String,
                                   rawSchema: org.apache.spark.sql.types.StructType,
                                   outDir: String): DataFrame = {
@@ -579,10 +598,12 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(docDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ext.Retrieval.docPostings(batch.toDF())
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastCommittedBatch(outDir)) { // replay = no-op
+          graft.ext.Retrieval.docPostings(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          commitBatch(outDir, batchId)
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -611,10 +632,12 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(docDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ext.TextOps.nbScore(batch.toDF(), model)
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastCommittedBatch(outDir)) { // replay = no-op
+          graft.ext.TextOps.nbScore(batch.toDF(), model)
+            .write.mode("append").parquet(outDir)
+          commitBatch(outDir, batchId)
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -629,11 +652,18 @@ object EventStreams {
     * unions the accumulated segments and certifies the merged
     * estimate against the exact distinct count
     * ([[graft.ext.Sketches.hllMergedCert]] — w2's oracle verbatim).
-    * Register max-merge is associative/commutative, so batch splits,
-    * ordering, and replay-free re-segmentation cannot change the
-    * merged state — the property that makes sketches THE aggregation
-    * currency of a 100 TB streaming pipeline (tiny mergeable state
-    * per group instead of a distinct-key shuffle per query). */
+    * Register max-merge is associative, commutative, AND idempotent,
+    * so batch splits, ordering, re-segmentation — and micro-batch
+    * REPLAY — cannot change the merged state: a replayed batch
+    * appends a byte-identical segment whose per-register max-merge is
+    * absorbed (max(x, x) = x). This loop is therefore deliberately
+    * UNGUARDED — the only foreachBatch appender whose served output
+    * is provably replay-idempotent (the r12-verdict e17 carve-out);
+    * every other state-mutating loop carries the
+    * [[lastCommittedBatch]] guard. That idempotence under duplication
+    * is the property that makes sketches THE aggregation currency of
+    * a 100 TB streaming pipeline (tiny mergeable state per group
+    * instead of a distinct-key shuffle per query). */
   def hllIngestStreamFromParquet(spark: SparkSession, evDir: String,
                                  rawSchema: org.apache.spark.sql.types.StructType,
                                  exact: DataFrame,
@@ -723,8 +753,10 @@ object EventStreams {
     * region is caught (cross-batch continuity). The standing index is
     * LSM segments merged on read (sum per gram — the bm25FromSegments
     * shape); per-batch cost is the batch's gram scan + one probe join.
-    * Guarded by [[lastCommittedBatch]]: a replayed micro-batch
-    * re-emits nothing and re-grows nothing. */
+    * Guarded by [[lastCommittedBatch]]: a replayed micro-batch at or
+    * below the committed marker re-emits nothing and re-grows
+    * nothing (see the guard's scaladoc for the pre-commit-crash
+    * scope). */
   def spanIngestStreamFromParquet(spark: SparkSession, docDir: String,
                                   rawSchema: org.apache.spark.sql.types.StructType,
                                   standing0: DataFrame,
@@ -831,16 +863,21 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(docDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.toDF().select(col("lang"), col("source"), col("n_chars"),
-            TextOps.tokenCount(col("text")).cast("long").as("__tok"),
-            Num.roundLike(TextOps.qualityScore(col("text")) * 10000, 0)
-              .cast("long").as("__q4"))
-          .groupBy("lang", "source")
-          .agg(count(lit(1)).as("n"), sum("__tok").as("tok"),
-            sum("n_chars").as("chars"), sum("__q4").as("q4"))
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // replay guard: exact-integer SUMS are the one segment shape
+        // that is NOT replay-idempotent (unlike e17's max-merge
+        // registers) — a double-appended segment double-counts
+        if (batchId > lastCommittedBatch(outDir)) {
+          batch.toDF().select(col("lang"), col("source"), col("n_chars"),
+              TextOps.tokenCount(col("text")).cast("long").as("__tok"),
+              Num.roundLike(TextOps.qualityScore(col("text")) * 10000, 0)
+                .cast("long").as("__q4"))
+            .groupBy("lang", "source")
+            .agg(count(lit(1)).as("n"), sum("__tok").as("tok"),
+              sum("n_chars").as("chars"), sum("__q4").as("q4"))
+            .write.mode("append").parquet(outDir)
+          commitBatch(outDir, batchId)
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -901,12 +938,14 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(docDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ext.Dedup.lshBands(batch.toDF(), "doc_id", "text")
-          .select(col("doc").as("doc_id"),
-            col("band").cast("long").as("band"), col("band_hash"))
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastCommittedBatch(outDir)) { // replay = no-op
+          graft.ext.Dedup.lshBands(batch.toDF(), "doc_id", "text")
+            .select(col("doc").as("doc_id"),
+              col("band").cast("long").as("band"), col("band_hash"))
+            .write.mode("append").parquet(outDir)
+          commitBatch(outDir, batchId)
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -941,10 +980,18 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(reqDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.core.Serving.serveCachedDir(batch.toDF(), memoDir, compute)
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // replay guard: a replayed batch would re-serve every request
+        // (all memo HITS the second time — flipping the `cached`
+        // flags) AND double-append its response rows. Marker lives in
+        // outDir; the memo dir needs none (its entries are
+        // content-keyed and only ever re-read, so a pre-commit crash
+        // can at worst leave already-valid memo rows behind).
+        if (batchId > lastCommittedBatch(outDir)) {
+          graft.core.Serving.serveCachedDir(batch.toDF(), memoDir, compute)
+            .write.mode("append").parquet(outDir)
+          commitBatch(outDir, batchId)
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -404,6 +404,36 @@ class EventStreamsSpec extends SparkSpec {
       .collect()(0).getLong(0) > 0)
   }
 
+  test("append-only ingest replay guard: a full re-delivery run " +
+      "(lost checkpoint) re-appends nothing") {
+    // r12 verdict #4: the append-only segment loops (e13 here as the
+    // representative; e11/e12/e15/e16/e19 share the same inline guard)
+    // were unguarded — a replayed batch double-appended its segment.
+    // The harshest replay is a RESTART WITH A LOST CHECKPOINT: every
+    // batch re-delivers with batchIds starting again at 0, all at or
+    // below the committed marker, so the whole second run must be a
+    // no-op on the standing outDir.
+    val docs = Seq(
+      (1L, "spark streams micro batches"),
+      (2L, "postings segments append only"),
+      (3L, "replay must not double count"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("e13replay").toString
+    docs.coalesce(1).write.parquet(s"$tmp/docs")
+    def seg = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3)))
+    EventStreams.bm25IngestStreamFromParquet(spark, s"$tmp/docs",
+      docs.schema, s"$tmp/out").queryExecution.toRdd.count()
+    val once = seg.toSeq.sorted
+    assert(once.nonEmpty)
+    // second full run: fresh checkpoint, same outDir — pure replay
+    EventStreams.bm25IngestStreamFromParquet(spark, s"$tmp/docs",
+      docs.schema, s"$tmp/out").queryExecution.toRdd.count()
+    assert(seg.toSeq.sorted == once,
+      "replayed run re-appended postings segments")
+  }
+
   test("ingest replay guard: a committed batchId re-delivery is a no-op") {
     import graft.ext.Dedup
     val standing = Seq((1L, "the quick brown fox jumps over the lazy dog"))
