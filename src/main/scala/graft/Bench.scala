@@ -79,9 +79,20 @@ object Bench {
     // query must not masquerade as a fast one) plus an entry in
     // "errors", and the remaining reps are skipped.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = names.map { name =>
+
+    /** One lane measurement: `reps` forced executions; returns
+      * (median, per-rep secs, error, max 1-min loadavg seen across the
+      * reps). The load column is what makes the artifact adjudicable:
+      * r11 AND r12 both shipped medians smeared by external box load
+      * that only a postmortem could see (r12's start gate passed at
+      * 0.73, then load hit 7.26 MID-run) — now every lane carries the
+      * worst load any of its reps ran under, so the judge can tell a
+      * regression from a noisy neighbor per-lane, not per-run. */
+    def measure(name: String)
+        : (Double, Vector[Double], Option[String], Double) = {
       val fn = SparkEntry.queries(name)
       var err: Option[String] = None
+      var maxLoad = load1m
       val secs = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
         val t0 = System.nanoTime()
         // force via the lane's OWN optimized plan (toRdd), not a bare
@@ -98,11 +109,57 @@ object Bench {
           case scala.util.control.NonFatal(e) =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
+        maxLoad = math.max(maxLoad, load1m)
         (System.nanoTime() - t0) / 1e9
       }.toVector
       val med = if (err.isDefined) -1.0
         else secs.sorted.apply((secs.size - 1) / 2)
-      (name, med, if (err.isDefined) Nil else secs, err)
+      (med, if (err.isDefined) Vector.empty else secs, err, maxLoad)
+    }
+
+    val firstPass = names.map(n => n -> measure(n))
+    // Bounded re-runs (r12 verdict #1): any lane whose reps executed
+    // above the load gate re-measures once the box is idle again —
+    // bounded by a total re-run budget so a permanently-loaded box
+    // still reports (flagged, not blocked). A re-run REPLACES the
+    // lane's numbers only when all its reps stayed under the gate;
+    // otherwise the loaded measurement stands and its load column
+    // flags it. The lane's own Spark work raises loadavg too, so the
+    // effective gate for mid-run samples is laxer: this JVM alone
+    // pushes 1-min load toward the active core count on long lanes —
+    // the re-run threshold compares against gate + cpus, not gate.
+    val rerunBudgetSec = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_RERUN_SEC", "900").toInt
+    // The bench's own 32-thread lanes raise 1-min loadavg well above
+    // the idle gate (the JVM's run queue IS load), so the re-run
+    // trigger compares against a laxer mid-run threshold calibrated
+    // from clean idle-box runs (self-load observed there), not the
+    // start gate. Overridable for a box with a different shape.
+    val rerunGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_GATE",
+      (loadGate + cpus.toInt / 2.0).toString).toDouble
+    val rerunDeadline = System.nanoTime() + rerunBudgetSec * 1e9.toLong
+    val reruns = scala.collection.mutable.Map[String, Int]()
+    val results = firstPass.map { case (name, first) =>
+      var best = first
+      while (best._4 > rerunGate && best._3.isEmpty &&
+          reruns.getOrElse(name, 0) < 2 &&
+          System.nanoTime() < rerunDeadline) {
+        // wait (within budget) for the box to drain before re-running
+        while (load1m > loadGate && System.nanoTime() < rerunDeadline) {
+          System.err.println(
+            s"[bench] rerun $name waiting for idle (${load1m})")
+          Thread.sleep(15000)
+        }
+        if (System.nanoTime() < rerunDeadline) {
+          System.err.println(s"[bench] re-running loaded lane $name " +
+            s"(max rep load ${best._4})")
+          reruns(name) = reruns.getOrElse(name, 0) + 1
+          val again = measure(name)
+          // keep the cleaner of the two measurements
+          if (again._4 < best._4) best = again
+        }
+      }
+      (name, best._1, best._2, best._3, best._4)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -115,15 +172,25 @@ object Bench {
     def sec(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4,
         BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + sec(v) }
+    val qs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + sec(v) }
       .mkString("{", ",", "}")
-    val spread = results.collect { case (k, _, ss, None) if ss.nonEmpty =>
-      jstr(k) + s":[${sec(ss.min)},${sec(ss.max)}]" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(m)) =>
+    val spread = results.collect {
+      case (k, _, ss, None, _) if ss.nonEmpty =>
+        jstr(k) + s":[${sec(ss.min)},${sec(ss.max)}]" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m), _) =>
       jstr(k) + ":" + jstr(m.take(200)) }.mkString("{", ",", "}")
     val total = sec(results.map(_._2).filter(_ >= 0).sum)
     val load = s"[${sec(loadStart)},${sec(load1m)}]"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // per-lane worst rep loadavg + rerun counts: the adjudication
+    // columns (full maps live in the FILE artifact; stdout carries
+    // only the over-gate count to stay inside the driver's tail window)
+    val laneLoad = results.map { case (k, _, _, _, ml) =>
+      jstr(k) + ":" + sec(ml) }.mkString("{", ",", "}")
+    val rer = reruns.toSeq.sortBy(_._1).map { case (k, n) =>
+      jstr(k) + ":" + n }.mkString("{", ",", "}")
+    val overGate = results.count(_._5 > rerunGate)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"rerun_gate":${sec(rerunGate)},"lanes_over_gate":$overGate,"reruns":$rer,"queries":$qs,"spread":$spread,"errors":$errs,"lane_load":$laneLoad,"sf":"$sfDir"}"""
     // the FULL result (incl. per-lane spreads) goes to a file the
     // driver/judge can always read whole...
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -138,7 +205,7 @@ object Bench {
     // shutdown logging cannot trail it, and build.sbt suppresses sbt's
     // own "[success]" trailer.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"lanes_over_gate":$overGate,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
     System.out.flush()
   }
 }

@@ -268,7 +268,16 @@ eccs AS (
     * bounded BFS per engine-dumped witness source (root pivot +
     * diameter witness, ≤2 per component — Σ reachable ≤ 2·V rows at
     * ANY SF), diameter = max recomputed ecc, the standard -1 poison if
-    * the level cap is hit. Verify dumps these into a SEPARATE
+    * the level cap is hit. Witness BFS alone only proves the claimed
+    * diameter is ACHIEVED (an under-reporting engine could dump
+    * witnesses consistent with the wrong value — ADVICE r12), so the
+    * source set also includes an ORACLE-CHOSEN probe: 8 vertices
+    * sampled deterministically by md5 order, independent of anything
+    * the engine dumped; any probe whose recomputed ecc exceeds the
+    * engine diameter makes the oracle max larger than the engine
+    * value — a mismatch. check.py reports these lanes as OK_CERT so
+    * the artifact never conflates a certificate pass with a
+    * full-closure pass. Verify dumps these into a SEPARATE
     * oracle_sql_sf1.json; tools/check_sf1.py overlays them, so the
     * driver's sf0.01 gate keeps the stronger all-pairs oracles and the
     * sf1 sweep certifies all lanes. a7_diameter_exact's witnesses come
@@ -288,9 +297,14 @@ eccs AS (
       gq(select,
         extra = thinCtes.drop(1) + s""",
 $symCte,
-certsrc AS (SELECT source FROM read_csv(
+certwit AS (SELECT source FROM read_csv(
   '/tmp/graft_fixtures/${fix}___SF_TOKEN__/sources.csv', header=true,
   columns={'source':'VARCHAR'})),
+certsamp AS (SELECT src AS source FROM (
+  SELECT DISTINCT src FROM csym
+  ORDER BY md5(CAST(src AS VARCHAR)) LIMIT 8) sm),
+certsrc AS (SELECT source FROM certwit
+  UNION SELECT source FROM certsamp),
 cd0 AS MATERIALIZED (SELECT source AS s, source AS n FROM certsrc),
 cr0 AS MATERIALIZED (SELECT s, n FROM cd0),
 ${deltas.mkString(",\n")},
@@ -303,9 +317,13 @@ eccs AS (SELECT s AS source, CAST(max(k) AS BIGINT) AS ecc
   WHERE dst IN (SELECT src FROM thin)),
 csym AS MATERIALIZED (SELECT src, dst FROM ppthin
   UNION ALL SELECT dst, src FROM ppthin)"""
+    // coalesce like exactSel: an empty witness fixture (degenerate
+    // slice, or the cert lane not yet run before a sweep) must yield
+    // a clean 0-vs-engine verdict, not a NULL mismatch (ADVICE r12)
     val diamSel = s"""
 SELECT CAST(CASE WHEN EXISTS (SELECT 1 FROM cd$A7CertCap) THEN -1
-            ELSE (SELECT max(ecc) FROM eccs) END AS BIGINT) AS diameter,
+            ELSE (SELECT coalesce(max(ecc), 0) FROM eccs) END AS BIGINT)
+       AS diameter,
        TRUE AS exact"""
     val exactSel = s"""
 SELECT CAST(CASE WHEN EXISTS (SELECT 1 FROM cd$A7CertCap) THEN -1
@@ -1219,7 +1237,8 @@ dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)"""
     * CTE and a name prefix, so the corpus lanes (src=toks, p=b) and
     * the curate composition (src=ctoks, p=cb) share one
     * construction — the e15/v2 band-chain precedent. */
-  private def bpeCtesFrom(src: String, p: String): String = {
+  private def bpeCtesFrom(src: String, p: String,
+                          rounds: Int = T16Rounds): String = {
     val w1 = raw"""
 ${p}w1 AS MATERIALIZED (SELECT word, wcount,
     '|' || array_to_string(list_transform(generate_series(1, length(word)),
@@ -1232,7 +1251,7 @@ ${p}w1 AS MATERIALIZED (SELECT word, wcount,
     // without MATERIALIZED, DuckDB's default CTE inlining re-evaluates
     // the whole prefix chain per consumer: 2^rounds blowup (the a17
     // lesson)
-    val rs = (1 to T16Rounds).map { r => raw"""
+    val rs = (1 to rounds).map { r => raw"""
 ${p}s$r AS (SELECT wcount,
     string_split(wstr[2:length(wstr)-1], '||') AS syms FROM ${p}w$r),
 ${p}p$r AS (SELECT pp.a AS a, pp.b AS b, CAST(sum(wcount) AS BIGINT) AS cnt
@@ -1250,6 +1269,54 @@ ${p}w${r + 1} AS MATERIALIZED (SELECT word, wcount,
     (w1 +: rs).mkString(",\n")
   }
   private val bpeCtes: String = bpeCtesFrom("toks", "b")
+
+  /** Merge-table SELECT over a [[bpeCtesFrom]] chain. One SELECT per
+    * round unioned — CHUNKED through intermediate MATERIALIZED CTEs
+    * (≤64-way inner unions, one outer union over the chunks) because
+    * a left-deep many-way UNION ALL exceeds DuckDB's
+    * max_expression_depth of 1000, which the driver's compare session
+    * does not raise. */
+  private def bpeMergeSelect(p: String, rounds: Int,
+                             chunk: Int = 64): (String, String) = {
+    val chunks = (0 until rounds by chunk).map { c =>
+      val sel = (c + 1 to math.min(c + chunk, rounds))
+        .map(r => s"SELECT $r AS r, a AS lhs, b AS rhs, cnt FROM ${p}b$r")
+        .mkString("\n  UNION ALL ")
+      s"${p}mu${c / chunk} AS MATERIALIZED ($sel)"
+    }
+    val outer = chunks.indices
+      .map(i => s"SELECT * FROM ${p}mu$i").mkString("\n UNION ALL ")
+    (chunks.mkString(",\n"), raw"""
+SELECT CAST(r AS BIGINT) AS merge_round, lhs, rhs,
+       lhs || rhs AS merged, cnt AS pair_count
+FROM ($outer) mu""")
+  }
+
+  /** How far the macro-expanded replay can go: 448 merges. The chain's
+    * round CTEs sit ~2 binder-recursion levels apart, and DuckDB's
+    * max_expression_depth is a hard 1000 that the driver's session
+    * never raises — measured: 448 rounds bind and run (~100 s at
+    * sf0.01), 496 throw BinderException (a recursive list-state CTE
+    * avoids the depth but runs >40× slower — measured, rejected).
+    * 448 is 37× the 12-round gate lane and already deep into
+    * one-job-per-merge-is-not-a-plan territory for the relational
+    * regime; the 32k-merge evidence beyond the oracle's reach stays
+    * with BpeScaleProbe. */
+  private val Bpe448Rounds = 448
+
+  /** The [[Bpe448Rounds]]-merge BPE chain over the trigram-derived
+    * corpus (TextOps.trigramDocs mirrored from the SAME pinned `toks`
+    * token stream): the t16_bpe_train_448 oracle — a full independent
+    * DuckDB replay of every merge, not a fixture pin. Measured
+    * ~0.2 s/round, linear in rounds. */
+  private val bpe448Sql: String = {
+    val tri = raw"""
+tritoks AS (SELECT doc_id, list_transform(generate_series(1, len(toks)-2),
+    i -> toks[i]||toks[i+1]||toks[i+2]) AS toks FROM toks)""".drop(1)
+    val (chunkCtes, sel) = bpeMergeSelect("k", Bpe448Rounds)
+    dq(sel, extra = tri + ",\n" +
+      bpeCtesFrom("tritoks", "k", Bpe448Rounds) + ",\n" + chunkCtes)
+  }
 
 
   private val jaccardSql: String =
@@ -2022,6 +2089,10 @@ FROM (${(1 to T16Rounds).map(r =>
       extra = bpeCtes),
     // bpeTokenize mirrored: the doc word stream inner-joins the round-
     // T16Rounds vocab (|-containing words fall out of both sides)
+    // 448 merges over the trigram-derived vocab, every round
+    // independently replayed in SQL (bpe448Sql — chunked unions +
+    // DuckDB's binder-depth ceiling documented at Bpe448Rounds)
+    "t16_bpe_train_448" -> bpe448Sql,
     "t16_bpe_tokenize" -> t16TokSql,
     // t16 served tokenizes from the PERSISTED vocab snapshot — the
     // trained frame is identical, so the cold lane's SQL pins it

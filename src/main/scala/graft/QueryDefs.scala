@@ -1326,6 +1326,17 @@ object QueryDefs {
     // this pin keeps the distributed fallback bit-identical to it)
     "t16_bpe_train_dist" -> ((s, d) =>
       TextOps.bpeTrainDist(table(s, d, "documents"))),
+    // t16 at REALISTIC vocab scale (r12 verdict #5): 448 merges over
+    // the trigram-derived corpus (tens of thousands of distinct words
+    // — the 31-word natural vocab exhausts at ~107 merges), certified
+    // by the same macro-expanded DuckDB replay as the 12-round lane.
+    // 448 is the DuckDB binder-depth ceiling (OracleSql.Bpe448Rounds),
+    // 37x the gate lane and far past where the one-job-per-merge
+    // relational regime stops being a plan; the 32k-merge evidence
+    // stays with BpeScaleProbe.
+    "t16_bpe_train_448" -> ((s, d) =>
+      TextOps.bpeTrain(TextOps.trigramDocs(table(s, d, "documents")),
+        rounds = 448)),
     "t16_bpe_tokenize" -> ((s, d) =>
       TextOps.bpeTokenize(table(s, d, "documents"))),
     // p11: the composed pretraining path — t16 tokenizer feeding p4's
@@ -2112,6 +2123,10 @@ object QueryDefs {
     // the corpus-wide vocab join (tokenize), plus integer PageRank
     // (10 join+agg power iterations on the thin graph)
     "t16_bpe_train", "t16_bpe_tokenize", "g9_pagerank",
+    // round-13: the realistic-vocab BPE scale lane (448 merges over
+    // the trigram-derived corpus through the BpeLocal one-task heap —
+    // the number that proves the trainer regime, not the 12-round toy)
+    "t16_bpe_train_448",
     // g10: 4 synchronous label-propagation rounds (join+agg+window
     // per round on the thin graph — the community-detection shape)
     "g10_label_prop",

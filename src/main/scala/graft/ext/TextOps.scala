@@ -706,6 +706,31 @@ object TextOps {
         col("n_novel").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Trigram-concatenated derived corpus — each token position becomes
+    * the concatenation of its word trigram (w·w₊₁·w₊₂). The synthetic
+    * documents table has a ~31-word vocabulary that BPE exhausts after
+    * ~107 merges; this deterministic derivation yields tens of
+    * thousands of distinct 10-24 char words with a Zipf-ish frequency
+    * profile — the shape a real tokenizer trains on — which is what
+    * lets the t16_bpe_train_448 lane certify the one-task trainer at
+    * a merge count the 12-round gate lane cannot (r12 verdict #5). The
+    * token stream is the [[tokens]]-over-lowered-text frame the BPE
+    * oracle already pins; trigrams are formed by index over that
+    * array (two selects — the d2 shingle lesson: a HOF lambda
+    * re-evaluates inlined expressions per element). */
+  def trigramDocs(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", when(size(col("__toks")) >= 3,
+          transform(sequence(lit(0), size(col("__toks")) - 3),
+            i => concat(col("__toks").getItem(i),
+              col("__toks").getItem(i + 1),
+              col("__toks").getItem(i + 2))))
+          .otherwise(array().cast("array<string>"))).as("text"))
+
   /** BPE merge-table training (Sennrich et al. 2016, arXiv:1508.07909)
     * — TRUE byte-pair-encoding induction, not the [[bpeishTokenCount]]
     * boundary proxy: each round counts all adjacent symbol pairs

@@ -998,6 +998,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("posexplode"), "per-char explode is back")
   }
 
+  test("trigramDocs derives the w·w₊₁·w₊₂ corpus and BPE regime " +
+      "identity holds over it") {
+    val d = Seq(
+      (1L, "  The fast Key order  "), // mixed case + ragged whitespace
+      (2L, "a b"),                    // < 3 tokens -> empty derived doc
+      (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val tri = TextOps.trigramDocs(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tri(1L) == "thefastkey fastkeyorder")
+    assert(tri(2L) == "")
+    assert(tri(3L) == "xyz yzw")
+    // regime identity at a beyond-gate round count on the derived
+    // corpus: the one-task heap trainer == the relational rounds
+    val big = (0 until 30).map(i =>
+        (i.toLong, s"alpha beta gamma delta w$i beta gamma alpha"))
+      .toDF("doc_id", "text")
+    val dd = TextOps.trigramDocs(big).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(rows(TextOps.bpeTrain(dd, rounds = 40)) ==
+      rows(TextOps.bpeTrainDist(dd, rounds = 40)))
+  }
+
   test("BPE one-task trainer is bit-identical to the relational rounds") {
     // deterministic word soup with heavy tie pressure: repeated
     // fragments, same-symbol runs, shared prefixes/suffixes — enough

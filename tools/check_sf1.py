@@ -17,10 +17,15 @@ tmo = int(sys.argv[3]) if len(sys.argv) > 3 else 900
 
 # at sf1 the quadratic diameter-closure oracles are replaced by their
 # certificate forms (OracleSql.sf1Overrides, dumped by Verify next to
-# the main oracle file) — overlay them for every child check.py
+# the main oracle file) — overlay them for every child check.py.
+# check.py itself allowlists the overridable keys and reports
+# certificate-form passes as OK_CERT (distinct from a full-oracle OK)
+# and an absent witness fixture as MISSING_FIXTURE (ADVICE r12).
 env = dict(os.environ)
+overridden = set()
 if os.path.exists(f"{out}/oracle_sql_sf1.json"):
     env["CHECK_ORACLE_OVERRIDES"] = f"{out}/oracle_sql_sf1.json"
+    overridden = set(json.load(open(f"{out}/oracle_sql_sf1.json")))
 
 status = json.load(open(f"{out}/status.json"))
 results = {}
@@ -44,6 +49,9 @@ for name in sorted(status):
         last = [l for l in p.stdout.splitlines() if l.strip()]
         verdict = next((l for l in last if l.startswith(("OK", "FAIL",
             "ROWS"))), None)
+        if verdict is not None and "MISSING_FIXTURE" in verdict:
+            # absent witness CSV: a setup gap, not an engine mismatch
+            verdict = "MISSING_FIXTURE " + verdict.split(":", 1)[-1].strip()
         if verdict is None:
             # subprocess died without a verdict (e.g. DuckDB OOM-kill);
             # keep the stderr tail so the exclusion is documentable
@@ -55,6 +63,8 @@ for name in sorted(status):
             verdict = "ORACLE_OOM " + verdict.split(":", 1)[1].strip()
         results[name] = {"verdict": verdict.split()[0],
                          "detail": verdict[:300],
+                         "oracle": ("certificate_override"
+                                    if name in overridden else "full"),
                          "sec": round(time.time() - t0, 1)}
     except subprocess.TimeoutExpired:
         results[name] = {"verdict": "ORACLE_TIMEOUT",
