@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   * md5, and [[decode]] falls back to exactly those values when the
   * sniff fails, so the stub and real paths compose in one plan. Swap
   * the fallback for more codecs and the rest of the plan is unchanged.
+  *
+  * The full real-vs-stub inventory is a CONTRACT table —
+  * "Codec boundary contract (multimodal)" in COVERAGE.md: five real
+  * codec paths (PNG, JPEG, WAV, GIF, AVI-DIB), one real-but-spec-
+  * pinned (AVI-MJPEG), and the permanent non-JDK stubs (MP4/WebM,
+  * JPEG2000, compressed audio) that plug in at the [[decode]]
+  * mapPartitions boundary without touching anything upstream.
   */
 object Multimodal {
 
