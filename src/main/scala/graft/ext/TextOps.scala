@@ -720,9 +720,9 @@ object TextOps {
     * re-evaluates inlined expressions per element). */
   def trigramDocs(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        tokens(lower(col(textCol))).as("__toks"))
+    Widen.widened(docs) // single-file scan -> one task for a 3x char
+      .select(col(idCol).as("doc_id"), // fan-out + the downstream
+        tokens(lower(col(textCol))).as("__toks")) // word-count explode
       .select(col("doc_id"),
         concat_ws(" ", when(size(col("__toks")) >= 3,
           transform(sequence(lit(0), size(col("__toks")) - 3),
