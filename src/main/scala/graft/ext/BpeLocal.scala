@@ -148,6 +148,30 @@ object BpeLocal {
           merges += ((r.toLong, a, b, ab, c))
           val affected = pairWords.getOrElse((a, b),
             mutable.HashSet.empty[Int]).toArray
+          // Batched count maintenance: accumulate this merge's pair
+          // deltas across ALL affected words, then apply each
+          // distinct pair's net change with ONE map update + ONE
+          // lazy-heap push. The per-word bump() form pushed a heap
+          // entry per pair POSITION — an early merge touching 15k
+          // long words pushed ~600k entries for ~50k distinct pairs,
+          // and those pushes (plus their later stale pops) dominated
+          // the trainer at realistic vocab (measured: the 448-merge
+          // lane spends most of its single task here). Final counts
+          // are identical, so the popped merge sequence is
+          // bit-identical; a pair whose net delta is zero keeps its
+          // already-enqueued current count (the lazy-heap invariant
+          // needs the CURRENT count present, which it is — it was
+          // pushed when it last changed).
+          val delta = mutable.HashMap.empty[(String, String), Long]
+          def acc(s: Array[String], cnt: Long): Unit = {
+            var j = 0
+            while (j < s.length - 1) {
+              val p = (s(j), s(j + 1))
+              val nv = delta.getOrElse(p, 0L) + cnt
+              if (nv == 0L) delta.remove(p) else delta(p) = nv
+              j += 1
+            }
+          }
           var k = 0
           while (k < affected.length) {
             val w = affected(k)
@@ -158,11 +182,30 @@ object BpeLocal {
               has = s(j) == a && s(j + 1) == b; j += 1
             }
             if (has) { // membership sets keep stale entries; re-check
-              bump(w, -1L)
-              syms(w) = mergeWord(s, a, b, ab)
-              bump(w, 1L)
+              val cnt = words(w)._2
+              acc(s, -cnt)
+              val ns = mergeWord(s, a, b, ab)
+              syms(w) = ns
+              acc(ns, cnt)
+              // membership only for the merged symbol's new
+              // adjacencies — every other pair of ns already lists w
+              var i = 0
+              while (i < ns.length - 1) {
+                if (ns(i) == ab || ns(i + 1) == ab)
+                  pairWords.getOrElseUpdate((ns(i), ns(i + 1)),
+                    mutable.HashSet.empty[Int]) += w
+                i += 1
+              }
             }
             k += 1
+          }
+          delta.foreach { case (p, dv) =>
+            val nv = pairCnt.getOrElse(p, 0L) + dv
+            if (nv == 0L) pairCnt.remove(p)
+            else {
+              pairCnt(p) = nv
+              heap.enqueue((nv, p._1, p._2))
+            }
           }
           pairWords.remove((a, b))
           r += 1
