@@ -121,10 +121,12 @@ object Bench {
     // Bounded re-runs (r12 verdict #1): any lane whose reps executed
     // above the load gate re-measures once the box is idle again —
     // bounded by a total re-run budget so a permanently-loaded box
-    // still reports (flagged, not blocked). A re-run REPLACES the
-    // lane's numbers only when all its reps stayed under the gate;
-    // otherwise the loaded measurement stands and its load column
-    // flags it.
+    // still reports (flagged, not blocked). The artifact keeps the
+    // CLEANER of the two measurements (the one whose worst rep saw
+    // the lower load) — a re-run that is itself still smeared cannot
+    // worsen the artifact, and a lane that stays over the gate after
+    // both tries is flagged by its load column (ADVICE r13: this
+    // comment now states the code's actual keep policy).
     val rerunBudgetSec = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_RERUN_SEC", "900").toInt
     // The bench's own 32-thread lanes raise 1-min loadavg well above

@@ -1024,7 +1024,11 @@ object Dedup {
           length(col("__text")) - cur(acc).cast("int") + lit(1))))
     base.join(spanLists, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("__spans").isNull, col("__text"))
+        // null-input contract (ADVICE r13): a NULL text yields '' —
+        // the same output the chars-frame path produced for it before
+        // the left-join rewrite (an empty chars frame rebuilt to ''),
+        // so the operator's output is non-null by construction.
+        when(col("__spans").isNull, coalesce(col("__text"), lit("")))
           .otherwise(rebuilt).as("text"))
   }
 }

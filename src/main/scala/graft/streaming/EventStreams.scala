@@ -53,29 +53,44 @@ object EventStreams {
     rec(new java.io.File(ckpt))
   }
 
-  /** foreachBatch idempotency guard for the STATE-MUTATING ingest
+  /** foreachBatch exactly-once machinery for the STATE-MUTATING ingest
     * loops (e11/e12/e13/e15/e16/e18/e19/e20/e21; e17 is exempt — its
     * HLL register max-merge is replay-idempotent, see its scaladoc):
     * Structured Streaming replays a micro-batch after a mid-batch
-    * failure or restart, and these loops append to non-transactional
-    * parquet dirs (output + standing state) — a replayed batch would
-    * double-emit its rows and double-grow the state. The last
-    * COMMITTED batchId is recorded after all of the batch's appends
-    * land; a batch at or below it is a no-op on replay. Marker writes
-    * go through a temp-file rename (atomic on one filesystem), and
-    * the streaming engine guarantees one foreachBatch invocation at a
-    * time per query, so single-writer is the contract.
+    * failure or restart, and these loops write non-transactional
+    * parquet (output + standing state) — an unguarded replayed batch
+    * would double-emit its rows and double-grow the state.
     *
-    * Scope of the guarantee (ADVICE r12): replay AFTER commit is a
-    * no-op. The commit lands LAST, so a crash BETWEEN an append and
-    * its commitBatch replays the batch and can re-append rows written
-    * before the crash point — exactly-once would need batchId-scoped
-    * subdirectories with commit-aware readers (or a transactional
-    * table format), which this engine trades away for plain-parquet
-    * appendability; the window is one partially-written batch, and a
-    * compaction pass that dedups on (batch-stable) keys closes it.
-    * Under the gate's one AvailableNow pass the guard never fires —
-    * it exists for the restartable-serving-loop contract. */
+    * The contract has three legs (r13 verdict #1 — this closes the
+    * pre-commit-crash window the r12 guard left open):
+    *  1. every write lands in a batchId-SCOPED subdirectory
+    *     ([[writeBatchScoped]]: `dir/b<id>`, mode OVERWRITE) — a
+    *     replayed batch rewrites its own directory wholesale instead
+    *     of appending next to its earlier partial rows;
+    *  2. the last COMMITTED batchId is recorded AFTER all of the
+    *     batch's writes land ([[commitBatch]]; temp-file rename,
+    *     atomic on one filesystem), and a batch at or below the
+    *     marker is a no-op on replay;
+    *  3. readers union ONLY the seed directory plus committed batch
+    *     directories ([[readCommitted]]) — rows from a
+    *     partially-written, never-replayed batch are invisible.
+    * A crash BETWEEN a write and its commit therefore leaves either a
+    * partial directory no reader sees (and the replay overwrites), or
+    * nothing; replay AFTER commit is a no-op via the marker. The
+    * streaming engine guarantees one foreachBatch invocation at a
+    * time per query, so single-writer is the contract.
+    * EventStreamsSpec injects the crash (partial batch writes, no
+    * commit, then replay) and pins multiset equality with the
+    * uncrashed run.
+    *
+    * Restart contract (ADVICE r13): these one-shot entry points use a
+    * fresh temp checkpoint, so batchIds restart at 0 on every
+    * invocation. Re-invoking over the SAME outDir/stateDir with a
+    * GROWN input dir is NOT an incremental ingest — a new input file
+    * whose mtime ordering assigns it a batchId at or below the
+    * committed marker is skipped as replay. Incremental re-ingest
+    * needs either a fresh outDir/stateDir (the lane fixtures always
+    * use one) or a preserved checkpoint so batchIds stay monotone. */
   private def lastCommittedBatch(stateDir: String): Long = {
     val p = java.nio.file.Paths.get(stateDir, "_last_batch")
     try java.nio.file.Files.readString(p).trim.toLong
@@ -84,11 +99,52 @@ object EventStreams {
 
   private def commitBatch(stateDir: String, id: Long): Unit = {
     val dir = java.nio.file.Paths.get(stateDir)
+    java.nio.file.Files.createDirectories(dir)
     val tmp = dir.resolve(s"_last_batch.tmp$id")
     java.nio.file.Files.writeString(tmp, id.toString)
     java.nio.file.Files.move(tmp, dir.resolve("_last_batch"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private[graft] def batchPath(dir: String, id: Long): String =
+    new java.io.File(dir, s"b$id").toString
+
+  private[graft] def seedPath(dir: String): String =
+    new java.io.File(dir, "seed").toString
+
+  /** Seed a standing-state directory with its batch-0-precursor frame
+    * (the pre-stream corpus/index). Lives beside the batch-scoped
+    * subdirectories and is always visible to [[readCommitted]]. */
+  private[graft] def writeSeed(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(seedPath(dir))
+
+  /** Leg 1 of the exactly-once contract: one batch's rows land in
+    * their own `b<id>` subdirectory with OVERWRITE semantics, so a
+    * replay after a pre-commit crash rewrites the partial directory
+    * instead of double-appending beside it. */
+  private[graft] def writeBatchScoped(df: DataFrame, dir: String,
+                                      id: Long): Unit =
+    df.write.mode("overwrite").parquet(batchPath(dir, id))
+
+  /** Leg 3 of the exactly-once contract: union the seed (if present)
+    * with the batch subdirectories AT OR BELOW the committed marker —
+    * a partially-written uncommitted batch directory is invisible.
+    * `markerDir` is the directory holding the `_last_batch` marker
+    * (the loop's single commit point), which may govern several data
+    * directories (e18 commits outDir + docs + bands under one
+    * marker). */
+  private[graft] def readCommitted(spark: SparkSession, dir: String,
+                                   markerDir: String): DataFrame = {
+    val last = lastCommittedBatch(markerDir)
+    val seed = Some(seedPath(dir))
+      .filter(p => new java.io.File(p).exists())
+    val batches = (0L to last).map(batchPath(dir, _))
+      .filter(p => new java.io.File(p).exists())
+    val paths = seed.toSeq ++ batches
+    require(paths.nonEmpty,
+      s"no seed and no committed batches under $dir (marker $markerDir)")
+    spark.read.parquet(paths: _*)
   }
 
 
@@ -556,14 +612,13 @@ object EventStreams {
       .parquet(vecDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // replay guard (r12 verdict #4): forward edges are pure per
-        // vector, but the parquet APPEND is not — a replayed batch
-        // would double-append its adjacency rows. Marker lives inside
-        // outDir (readers skip `_`-prefixed files).
+        // exactly-once (r13 verdict #1): forward edges are pure per
+        // vector, but a plain parquet append is not replay-safe — the
+        // batch's rows land in their own b<id> dir, committed after
+        // the write, and the serve reads committed dirs only.
         if (batchId > lastCommittedBatch(outDir)) {
-          graft.ext.Similarity.knnGraphForwardEdges(base, graph,
-              batch.toDF(), k)
-            .write.mode("append").parquet(outDir)
+          writeBatchScoped(graft.ext.Similarity.knnGraphForwardEdges(
+            base, graph, batch.toDF(), k), outDir, batchId)
           commitBatch(outDir, batchId)
         }
       }
@@ -571,7 +626,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    spark.read.parquet(outDir)
+    readCommitted(spark, outDir, outDir)
   }
 
   /** e13: BM25 postings ingest as a STREAMING job — the LEXICAL twin
@@ -600,8 +655,8 @@ object EventStreams {
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastCommittedBatch(outDir)) { // replay = no-op
-          graft.ext.Retrieval.docPostings(batch.toDF())
-            .write.mode("append").parquet(outDir)
+          writeBatchScoped(graft.ext.Retrieval.docPostings(batch.toDF()),
+            outDir, batchId)
           commitBatch(outDir, batchId)
         }
       }
@@ -609,7 +664,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    spark.read.parquet(outDir)
+    readCommitted(spark, outDir, outDir)
   }
 
   /** e16: MODEL-SERVING stream for the t15 NB quality classifier —
@@ -634,8 +689,8 @@ object EventStreams {
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastCommittedBatch(outDir)) { // replay = no-op
-          graft.ext.TextOps.nbScore(batch.toDF(), model)
-            .write.mode("append").parquet(outDir)
+          writeBatchScoped(graft.ext.TextOps.nbScore(batch.toDF(), model),
+            outDir, batchId)
           commitBatch(outDir, batchId)
         }
       }
@@ -643,7 +698,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    spark.read.parquet(outDir)
+    readCommitted(spark, outDir, outDir)
   }
 
   /** e17: SKETCH-state LSM ingest — event micro-batches drain through
@@ -724,9 +779,9 @@ object EventStreams {
                                    stateDir: String,
                                    outDir: String): DataFrame = {
     import graft.ext.Dedup
-    standing0.write.mode("overwrite").parquet(s"$stateDir/docs")
-    Dedup.lshBands(standing0, "doc_id", "text")
-      .write.mode("overwrite").parquet(s"$stateDir/bands")
+    writeSeed(standing0, s"$stateDir/docs")
+    writeSeed(Dedup.lshBands(standing0, "doc_id", "text"),
+      s"$stateDir/bands")
     val ckpt = java.nio.file.Files.createTempDirectory("e18ckpt").toString
     val q = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -739,7 +794,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    spark.read.parquet(outDir)
+    readCommitted(spark, outDir, stateDir)
   }
 
   /** e21: the exact-SPAN ingest loop — the span family's streaming
@@ -763,7 +818,7 @@ object EventStreams {
                                   stateDir: String,
                                   outDir: String): DataFrame = {
     import graft.ext.Dedup
-    Dedup.writeGramIndex(standing0, s"$stateDir/grams")
+    Dedup.writeGramIndex(standing0, seedPath(s"$stateDir/grams"))
     val ckpt = java.nio.file.Files.createTempDirectory("e21ckpt").toString
     val q = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -776,10 +831,14 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    spark.read.parquet(outDir)
+    readCommitted(spark, outDir, stateDir)
   }
 
-  /** One e21 micro-batch fold (see [[spanIngestStreamFromParquet]]). */
+  /** One e21 micro-batch fold (see [[spanIngestStreamFromParquet]]).
+    * Exactly-once: state reads see only the seed + COMMITTED gram
+    * segments, both writes land batch-scoped, and the single commit
+    * marker (stateDir) lands last — a pre-commit crash leaves only
+    * invisible partial dirs the replay overwrites. */
   private[graft] def spanIngestBatch(spark: SparkSession, batch: DataFrame,
                                      batchId: Long, stateDir: String,
                                      outDir: String): Unit = {
@@ -789,20 +848,20 @@ object EventStreams {
       // merge the gram segments on read: existence per gram is what
       // the probe needs, but summed counts keep the index the exact
       // writeGramIndex frame a compaction would produce
-      val standing = spark.read.parquet(s"$stateDir/grams")
+      val standing = readCommitted(spark, s"$stateDir/grams", stateDir)
         .groupBy("h").agg(sum(col("__ns")).as("__ns"))
-      Dedup.incrementalSpansIndexed(standing, b)
-        .localCheckpoint(eager = true) // never read-own-append
-        .write.mode("append").parquet(outDir)
-      Dedup.gramSegment(b)
-        .write.mode("append").parquet(s"$stateDir/grams")
+      writeBatchScoped(Dedup.incrementalSpansIndexed(standing, b)
+        .localCheckpoint(eager = true), outDir, batchId)
+      writeBatchScoped(Dedup.gramSegment(b), s"$stateDir/grams", batchId)
       commitBatch(stateDir, batchId)
     }
   }
 
-  /** One e18 micro-batch fold, guarded by [[lastCommittedBatch]] —
-    * extracted so the replay no-op is directly testable with explicit
-    * batch ids (EventStreamsSpec). */
+  /** One e18 micro-batch fold — extracted so the replay no-op and the
+    * mid-batch-crash replay are directly testable with explicit batch
+    * ids (EventStreamsSpec). Exactly-once: the standing docs/bands
+    * reads see only seed + COMMITTED batches, all three writes land
+    * batch-scoped, and the single stateDir marker commits last. */
   private[graft] def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
                                       batchId: Long, stateDir: String,
                                       outDir: String): Unit = {
@@ -810,21 +869,21 @@ object EventStreams {
     if (batchId > lastCommittedBatch(stateDir)) { // replay = no-op
       val b = batch.localCheckpoint(eager = true)
       val surv = Dedup.incrementalRewrite(
-          spark.read.parquet(s"$stateDir/docs"),
-          spark.read.parquet(s"$stateDir/bands"), b)
+          readCommitted(spark, s"$stateDir/docs", stateDir),
+          readCommitted(spark, s"$stateDir/bands", stateDir), b)
         .localCheckpoint(eager = true)
-      surv.write.mode("append").parquet(outDir)
+      writeBatchScoped(surv, outDir, batchId)
       val kept = b.join(surv.select(col("doc_id")), Seq("doc_id"),
           "left_semi")
         .localCheckpoint(eager = true)
-      kept.write.mode("append").parquet(s"$stateDir/docs")
-      Dedup.lshBands(kept, "doc_id", "text")
-        .write.mode("append").parquet(s"$stateDir/bands")
+      writeBatchScoped(kept, s"$stateDir/docs", batchId)
+      writeBatchScoped(Dedup.lshBands(kept, "doc_id", "text"),
+        s"$stateDir/bands", batchId)
       commitBatch(stateDir, batchId)
     }
   }
 
-  /** One e20 micro-batch fold, guarded like [[dedupIngestBatch]]. */
+  /** One e20 micro-batch fold, exactly-once like [[dedupIngestBatch]]. */
   private[graft] def phashIngestBatch(spark: SparkSession, batch: DataFrame,
                                       batchId: Long, stateDir: String,
                                       outDir: String): Unit = {
@@ -832,11 +891,12 @@ object EventStreams {
     if (batchId > lastCommittedBatch(stateDir)) { // replay = no-op
       val b = batch.localCheckpoint(eager = true)
       val pairs = Multimodal.phashIncremental(
-          spark.read.parquet(s"$stateDir/hashes"), b, maxHamming = 2)
+          readCommitted(spark, s"$stateDir/hashes", stateDir), b,
+          maxHamming = 2)
         .localCheckpoint(eager = true)
-      pairs.write.mode("append").parquet(outDir)
-      Multimodal.hashIndex(b)
-        .write.mode("append").parquet(s"$stateDir/hashes")
+      writeBatchScoped(pairs, outDir, batchId)
+      writeBatchScoped(Multimodal.hashIndex(b), s"$stateDir/hashes",
+        batchId)
       commitBatch(stateDir, batchId)
     }
   }
@@ -864,18 +924,20 @@ object EventStreams {
       .parquet(docDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // replay guard: exact-integer SUMS are the one segment shape
+        // exactly-once: exact-integer SUMS are the one segment shape
         // that is NOT replay-idempotent (unlike e17's max-merge
-        // registers) — a double-appended segment double-counts
+        // registers) — a double-counted segment corrupts the card, so
+        // the segment lands batch-scoped and the serve reads committed
         if (batchId > lastCommittedBatch(outDir)) {
-          batch.toDF().select(col("lang"), col("source"), col("n_chars"),
-              TextOps.tokenCount(col("text")).cast("long").as("__tok"),
-              Num.roundLike(TextOps.qualityScore(col("text")) * 10000, 0)
-                .cast("long").as("__q4"))
-            .groupBy("lang", "source")
-            .agg(count(lit(1)).as("n"), sum("__tok").as("tok"),
-              sum("n_chars").as("chars"), sum("__q4").as("q4"))
-            .write.mode("append").parquet(outDir)
+          writeBatchScoped(
+            batch.toDF().select(col("lang"), col("source"), col("n_chars"),
+                TextOps.tokenCount(col("text")).cast("long").as("__tok"),
+                Num.roundLike(TextOps.qualityScore(col("text")) * 10000, 0)
+                  .cast("long").as("__q4"))
+              .groupBy("lang", "source")
+              .agg(count(lit(1)).as("n"), sum("__tok").as("tok"),
+                sum("n_chars").as("chars"), sum("__q4").as("q4")),
+            outDir, batchId)
           commitBatch(outDir, batchId)
         }
       }
@@ -883,8 +945,8 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    // serve: merge the segments and attach the corpus share
-    val seg = spark.read.parquet(outDir)
+    // serve: merge the committed segments and attach the corpus share
+    val seg = readCommitted(spark, outDir, outDir)
     val merged = seg.groupBy("lang", "source").agg(
       sum("n").as("n_docs"), sum("tok").as("total_tokens"),
       sum("chars").as("total_chars"), sum("q4").as("__qs"))
@@ -914,7 +976,7 @@ object EventStreams {
                                    stateDir: String,
                                    outDir: String): DataFrame = {
     import graft.ext.Multimodal
-    standing0Hashes.write.mode("overwrite").parquet(s"$stateDir/hashes")
+    writeSeed(standing0Hashes, s"$stateDir/hashes")
     val ckpt = java.nio.file.Files.createTempDirectory("e20ckpt").toString
     val q = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -927,7 +989,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    spark.read.parquet(outDir)
+    readCommitted(spark, outDir, stateDir)
   }
 
   def bandIngestStreamFromParquet(spark: SparkSession, docDir: String,
@@ -940,10 +1002,11 @@ object EventStreams {
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastCommittedBatch(outDir)) { // replay = no-op
-          graft.ext.Dedup.lshBands(batch.toDF(), "doc_id", "text")
-            .select(col("doc").as("doc_id"),
-              col("band").cast("long").as("band"), col("band_hash"))
-            .write.mode("append").parquet(outDir)
+          writeBatchScoped(
+            graft.ext.Dedup.lshBands(batch.toDF(), "doc_id", "text")
+              .select(col("doc").as("doc_id"),
+                col("band").cast("long").as("band"), col("band_hash")),
+            outDir, batchId)
           commitBatch(outDir, batchId)
         }
       }
@@ -951,7 +1014,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    spark.read.parquet(outDir)
+    readCommitted(spark, outDir, outDir)
   }
 
   /** e11: the S12 response memo-cache as a STREAMING service loop —
@@ -981,15 +1044,21 @@ object EventStreams {
       .parquet(reqDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // replay guard: a replayed batch would re-serve every request
-        // (all memo HITS the second time — flipping the `cached`
-        // flags) AND double-append its response rows. Marker lives in
-        // outDir; the memo dir needs none (its entries are
-        // content-keyed and only ever re-read, so a pre-commit crash
-        // can at worst leave already-valid memo rows behind).
+        // exactly-once on the RESPONSE LOG: a replayed batch would
+        // re-serve every request AND double-append its response rows,
+        // so responses land batch-scoped under the outDir marker. The
+        // memo dir stays plain-append (its entries are content-keyed
+        // and only ever re-read, so a pre-commit crash at worst leaves
+        // already-valid memo rows behind — with one honest caveat: a
+        // request replayed AFTER its memo rows landed but BEFORE its
+        // response committed re-serves as a memo HIT, so the `cached`
+        // observability flag can differ from the uncrashed run; the
+        // response payload itself is key-pure and cannot).
         if (batchId > lastCommittedBatch(outDir)) {
-          graft.core.Serving.serveCachedDir(batch.toDF(), memoDir, compute)
-            .write.mode("append").parquet(outDir)
+          writeBatchScoped(
+            graft.core.Serving.serveCachedDir(batch.toDF(), memoDir,
+              compute),
+            outDir, batchId)
           commitBatch(outDir, batchId)
         }
       }
@@ -997,7 +1066,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally dropCheckpoint(ckpt)
-    spark.read.parquet(outDir)
+    readCommitted(spark, outDir, outDir)
   }
 
   /** Streaming gap-sessionization via flatMapGroupsWithState: emits a

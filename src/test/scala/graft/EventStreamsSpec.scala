@@ -350,7 +350,8 @@ class EventStreamsSpec extends SparkSpec {
       == Seq(5L, 9L))
     // survivors-only state: the standing docs dir holds 1, 5, 9 — the
     // dropped 3 and 7 never grew the index
-    assert(spark.read.parquet(s"$tmp/state/docs")
+    assert(EventStreams.readCommitted(spark, s"$tmp/state/docs",
+        s"$tmp/state")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 5L, 9L))
   }
@@ -399,7 +400,8 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set((10L, 2L, 44L), (20L, 3L, 46L), (20L, 47L, 94L)),
       s"got $out")
     // the standing gram index grew by BOTH batches' segments
-    val grams = spark.read.parquet(s"$tmp/state/grams")
+    val grams = EventStreams.readCommitted(spark, s"$tmp/state/grams",
+      s"$tmp/state")
     assert(grams.agg(org.apache.spark.sql.functions.sum("__ns"))
       .collect()(0).getLong(0) > 0)
   }
@@ -420,7 +422,8 @@ class EventStreamsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("e13replay").toString
     docs.coalesce(1).write.parquet(s"$tmp/docs")
-    def seg = spark.read.parquet(s"$tmp/out").collect()
+    def seg = EventStreams.readCommitted(spark, s"$tmp/out", s"$tmp/out")
+      .collect()
       .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
         r.getLong(3)))
     EventStreams.bm25IngestStreamFromParquet(spark, s"$tmp/docs",
@@ -443,12 +446,14 @@ class EventStreamsSpec extends SparkSpec {
       (5L, "completely different sentence about spark plans"))
       .toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("e18replay").toString
-    standing.write.parquet(s"$tmp/state/docs")
-    Dedup.lshBands(standing, "doc_id", "text")
-      .write.parquet(s"$tmp/state/bands")
-    def outIds = spark.read.parquet(s"$tmp/out")
+    EventStreams.writeSeed(standing, s"$tmp/state/docs")
+    EventStreams.writeSeed(Dedup.lshBands(standing, "doc_id", "text"),
+      s"$tmp/state/bands")
+    def outIds = EventStreams.readCommitted(spark, s"$tmp/out",
+        s"$tmp/state")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    def stateIds = spark.read.parquet(s"$tmp/state/docs")
+    def stateIds = EventStreams.readCommitted(spark, s"$tmp/state/docs",
+        s"$tmp/state")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     EventStreams.dedupIngestBatch(spark, batch, 0L, s"$tmp/state",
       s"$tmp/out")
@@ -821,5 +826,128 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(out == Set(("click", 2L, true), ("view", 3L, true),
       ("buy", 1L, true)))
+  }
+
+  // ------- exactly-once crash injection (r13 verdict #1) -------
+
+  /** multiset canon of a committed dir: every column stringified so
+    * duplicate rows count, not collapse */
+  private def multiset(dir: String, markerDir: String): Map[String, Int] =
+    EventStreams.readCommitted(spark, dir, markerDir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|"))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  test("crash injection e18: a crash between a batch's writes and its " +
+      "commit double-appends nothing — replay restores multiset " +
+      "equality with the uncrashed run") {
+    import graft.ext.Dedup
+    val standing = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val b0 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (5L, "completely different sentence about spark plans"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (7L, "completely different sentence about spark plans"), // dup of 5
+      (9L, "another singleton batch document nothing matches"))
+      .toDF("doc_id", "text")
+    def seed(root: String): Unit = {
+      EventStreams.writeSeed(standing, s"$root/state/docs")
+      EventStreams.writeSeed(Dedup.lshBands(standing, "doc_id", "text"),
+        s"$root/state/bands")
+    }
+    // uncrashed twin: batches 0 and 1 fold cleanly
+    val clean = java.nio.file.Files.createTempDirectory("e18clean").toString
+    seed(clean)
+    EventStreams.dedupIngestBatch(spark, b0, 0L, s"$clean/state",
+      s"$clean/out")
+    EventStreams.dedupIngestBatch(spark, b1, 1L, s"$clean/state",
+      s"$clean/out")
+    // crashed run: batch 0 commits; batch 1 CRASHES mid-batch — its
+    // survivors landed in out/b1 and HALF its kept docs landed in
+    // docs/b1, but neither bands/b1 nor the commit marker did (the
+    // exact pre-commit window the r12 guard left open)
+    val root = java.nio.file.Files.createTempDirectory("e18crash").toString
+    seed(root)
+    EventStreams.dedupIngestBatch(spark, b0, 0L, s"$root/state",
+      s"$root/out")
+    b1.filter(col("doc_id") === 7L) // partial + WRONG rows: 7 is a dup
+      .write.parquet(EventStreams.batchPath(s"$root/out", 1L))
+    b1.limit(1)
+      .write.parquet(EventStreams.batchPath(s"$root/state/docs", 1L))
+    // the uncommitted partial rows are invisible to every reader
+    assert(EventStreams.readCommitted(spark, s"$root/out", s"$root/state")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // restart: Structured Streaming re-delivers batch 1 in full; the
+    // replay overwrites both partial dirs wholesale and commits
+    EventStreams.dedupIngestBatch(spark, b1, 1L, s"$root/state",
+      s"$root/out")
+    assert(multiset(s"$root/out", s"$root/state")
+      == multiset(s"$clean/out", s"$clean/state"),
+      "crashed+replayed output differs from the uncrashed run")
+    assert(multiset(s"$root/state/docs", s"$root/state")
+      == multiset(s"$clean/state/docs", s"$clean/state"),
+      "crashed+replayed docs state differs from the uncrashed run")
+    assert(multiset(s"$root/state/bands", s"$root/state")
+      == multiset(s"$clean/state/bands", s"$clean/state"),
+      "crashed+replayed bands state differs from the uncrashed run")
+  }
+
+  test("crash injection e21: partial span output + gram segment without " +
+      "a commit are invisible and the replay restores exactly-once") {
+    import graft.ext.Dedup
+    val sh = "the exact same forty eight character sentence ok".take(48)
+    val standing = Seq((1L, "q" * 10 + sh + "r" * 10))
+      .toDF("doc_id", "text")
+    val b0 = Seq((10L, "a" * 44 + "kkkk")).toDF("doc_id", "text")
+    val b1 = Seq((20L, "mm" + "a" * 44 + sh + "pp")).toDF("doc_id", "text")
+    def run(root: String, crash: Boolean): Unit = {
+      Dedup.writeGramIndex(standing,
+        EventStreams.seedPath(s"$root/state/grams"))
+      EventStreams.spanIngestBatch(spark, b0, 0L, s"$root/state",
+        s"$root/out")
+      if (crash) {
+        // mid-batch-1 crash: the span rows and the gram segment both
+        // landed, the commit did not — the worst pre-commit cut
+        Dedup.incrementalSpansIndexed(
+            EventStreams.readCommitted(spark, s"$root/state/grams",
+              s"$root/state").groupBy("h")
+              .agg(org.apache.spark.sql.functions.sum(col("__ns"))
+                .as("__ns")), b1)
+          .write.parquet(EventStreams.batchPath(s"$root/out", 1L))
+        Dedup.gramSegment(b1)
+          .write.parquet(EventStreams.batchPath(s"$root/state/grams", 1L))
+        // invisible: committed marker still at 0
+        assert(EventStreams.readCommitted(spark, s"$root/out",
+          s"$root/state").collect().map(_.getLong(0)).toSet == Set(10L))
+      }
+      EventStreams.spanIngestBatch(spark, b1, 1L, s"$root/state",
+        s"$root/out")
+    }
+    val clean = java.nio.file.Files.createTempDirectory("e21clean").toString
+    val root = java.nio.file.Files.createTempDirectory("e21crash").toString
+    run(clean, crash = false)
+    run(root, crash = true)
+    assert(multiset(s"$root/out", s"$root/state")
+      == multiset(s"$clean/out", s"$clean/state"),
+      "crashed+replayed span output differs from the uncrashed run")
+    assert(multiset(s"$root/state/grams", s"$root/state")
+      == multiset(s"$clean/state/grams", s"$clean/state"),
+      "crashed+replayed gram state differs from the uncrashed run")
+  }
+
+  test("commit-aware reader never surfaces an uncommitted batch dir, " +
+      "even one far above the marker") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("roCommit").toString
+    EventStreams.writeSeed(df, s"$tmp/data")
+    // junk from a writer that died before ANY commit
+    Seq((99L, "junk")).toDF("doc_id", "text")
+      .write.parquet(EventStreams.batchPath(s"$tmp/data", 0L))
+    Seq((98L, "junk")).toDF("doc_id", "text")
+      .write.parquet(EventStreams.batchPath(s"$tmp/data", 7L))
+    val seen = EventStreams.readCommitted(spark, s"$tmp/data", tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(seen == Set(1L), s"uncommitted batch rows surfaced: $seen")
   }
 }

@@ -22,10 +22,8 @@ tmo = int(sys.argv[3]) if len(sys.argv) > 3 else 900
 # certificate-form passes as OK_CERT (distinct from a full-oracle OK)
 # and an absent witness fixture as MISSING_FIXTURE (ADVICE r12).
 env = dict(os.environ)
-overridden = set()
 if os.path.exists(f"{out}/oracle_sql_sf1.json"):
     env["CHECK_ORACLE_OVERRIDES"] = f"{out}/oracle_sql_sf1.json"
-    overridden = set(json.load(open(f"{out}/oracle_sql_sf1.json")))
 
 status = json.load(open(f"{out}/status.json"))
 results = {}
@@ -61,10 +59,17 @@ for name in sorted(status):
             # the ORACLE blew its memory cap, not the engine — an
             # oracle-intractability exclusion, not a mismatch
             verdict = "ORACLE_OOM " + verdict.split(":", 1)[1].strip()
+        # the oracle-form column mirrors the CHILD's actual judgment
+        # (check.py intersects the override file with its own
+        # OVERRIDE_ALLOWLIST and prints OK_CERT only when an override
+        # really applied) — deriving it from the raw override-file key
+        # set could contradict the child on a non-allowlisted key
+        # (ADVICE r13)
         results[name] = {"verdict": verdict.split()[0],
                          "detail": verdict[:300],
                          "oracle": ("certificate_override"
-                                    if name in overridden else "full"),
+                                    if verdict.split()[0] == "OK_CERT"
+                                    else "full"),
                          "sec": round(time.time() - t0, 1)}
     except subprocess.TimeoutExpired:
         results[name] = {"verdict": "ORACLE_TIMEOUT",
