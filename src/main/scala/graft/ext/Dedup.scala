@@ -765,6 +765,13 @@ object Dedup {
     * real document length. */
   private val PosBase = 4294967296L // 1L << 32
 
+  /** d16's window→groupBy crossover: inputs estimated above this take
+    * the skew-safe [[exactSpansDist]]/[[incrementalSpansIndexedDist]]
+    * branch (see [[exactSpans]]'s regime-dispatch scaladoc). 256 MiB
+    * of text ≈ 2.7e8 gram positions — the most a worst-case
+    * single-gram corpus may ask one window task to hold. */
+  val SpanWindowMaxBytes: Long = 256L << 20
+
   /** Widen a small input before a high-fan-out explode: the gate\u2019s
     * documents table is ONE parquet file \u2192 one scan partition, and a
     * 260\u00d7 position fan-out then shuffle-writes 1.3M rows from a single
@@ -821,11 +828,27 @@ object Dedup {
     * map-side partial aggregation does not apply to windows and AQE's
     * skew splitting applies only to joins — so ONE boilerplate gram
     * repeated 10⁸-10⁹ times (exactly what a web corpus contains)
-    * lands a single task. At that scale use [[exactSpansDist]] (the
-    * a6/g6/g8/mmr regime-split pattern; same oracle). */
+    * lands a single task.
+    *
+    * Regime dispatch (r13 verdict #2): this default entry point
+    * routes itself — an input whose Catalyst size estimate exceeds
+    * `windowMaxBytes` takes the [[exactSpansDist]] branch (same
+    * oracle, identical output; TextDedupSpec pins both the identity
+    * and the routed plan shape). The crossover is a conservative
+    * BYTES proxy for the real hazard (one gram's repeat count, which
+    * no cheap stat sees): at [[SpanWindowMaxBytes]] even a
+    * worst-case fully-boilerplate corpus caps the hot window task at
+    * ~the input's character count, and past it the skew-safe form's
+    * two extra exchanges are noise against the scan. Callers that
+    * know their skew pass a higher cap (or call a branch directly);
+    * `windowMaxBytes <= 0` forces the dist branch — the `_dist`
+    * lane convention. */
   def exactSpans(docs: DataFrame, minLen: Int = 40,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text",
+                 windowMaxBytes: Long = SpanWindowMaxBytes): DataFrame = {
+    if (graft.core.Regime.overBytes(docs, windowMaxBytes))
+      return exactSpansDist(docs, minLen, idCol, textCol)
     import org.apache.spark.sql.expressions.Window
     val grams = spanGramKeys(docs, minLen, idCol, textCol)
     val wh = Window.partitionBy("h")
@@ -927,10 +950,19 @@ object Dedup {
   /** [[incrementalSpans]] over an EXPLICIT standing index frame
     * (freshly aggregated or reopened from a [[writeGramIndex]]
     * snapshot) — the serve stage runs only the batch's gram scan, the
-    * index equi-join and the batch window. */
+    * index equi-join and the batch window. Regime dispatch (r13
+    * verdict #2): the hazard window is BATCH-internal, so a batch
+    * estimated above `windowMaxBytes` routes itself through
+    * [[incrementalSpansIndexedDist]] (same oracle; the standing-index
+    * probe is a skew-splittable equi-join in both branches). */
   def incrementalSpansIndexed(standingIndex: DataFrame, batch: DataFrame,
                               minLen: Int = 40, idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text",
+                              windowMaxBytes: Long = SpanWindowMaxBytes)
+      : DataFrame = {
+    if (graft.core.Regime.overBytes(batch, windowMaxBytes))
+      return incrementalSpansIndexedDist(standingIndex, batch, minLen,
+        idCol, textCol)
     import org.apache.spark.sql.expressions.Window
     val sg = standingIndex
     val bg = spanGramKeys(batch, minLen, idCol, textCol)

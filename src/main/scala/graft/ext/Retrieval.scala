@@ -321,13 +321,30 @@ object Retrieval {
     * ties break on id — the total order every other op ranks by.
     * Output: (probe_id, rank, corpus_id, rel, mmr) where rank is
     * selection order and mmr the objective at selection time (rel
-    * itself for the first pick). */
+    * itself for the first pick).
+    *
+    * Regime dispatch (r13 verdict #2): the one-task fold buffers one
+    * probe's pool (≤ `poolN` rows + vectors) in a single task, so the
+    * routing stat is `poolN` itself — static, zero-cost, and exact
+    * (unlike the d16 bytes estimate). Pools above `oneTaskMaxPool`
+    * route through [[mmrFromPoolDist]]'s relational rounds (same
+    * oracle — RetrievalSpec pins local == dist on the same frames);
+    * `oneTaskMaxPool <= 0` forces the dist branch (the `_dist` lane
+    * convention). */
   def mmrRerank(corpus: DataFrame, probeMax: Long, poolN: Int = 20,
                 k: Int = 10, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                oneTaskMaxPool: Int = MmrOneTaskMaxPool): DataFrame = {
     val (vecs, pool) = mmrPool(corpus, probeMax, poolN, idCol, vecCol)
-    mmrFromPool(vecs, pool, k)
+    if (oneTaskMaxPool <= 0 || poolN > oneTaskMaxPool)
+      mmrFromPoolDist(vecs, pool, k)
+    else mmrFromPool(vecs, pool, k)
   }
+
+  /** One-task MMR pool bound: 100k pool rows × a ~100-dim double
+    * vector ≈ 80 MB per task — the LocalChain-style ceiling under
+    * which [[MmrLocal.select]]'s per-probe array buffer is safe. */
+  val MmrOneTaskMaxPool: Int = 100000
 
   /** [[mmrRerank]] through the all-relational greedy iteration — the
     * r3_mmr_rerank_dist lane, pinned against the SAME oracle as the

@@ -251,4 +251,41 @@ class RetrievalSpec extends SparkSpec {
     assert(keyed(local) == keyed(dist))
     assert(local.length == 5 * 7)
   }
+
+  test("mmr regime dispatch: poolN above the one-task bound routes the " +
+      "default entry through the relational rounds, same rows") {
+    val rows = (0 until 40).map { i =>
+      val v = Array.tabulate(8) { d =>
+        val h = (i * 1000003 + d * 97) % 17
+        ((h - 8).toFloat / 8.0f)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs.map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        if (r.isNullAt(4)) Long.MinValue
+        else java.lang.Double.doubleToLongBits(r.getDouble(4)))
+    }.toSet
+    // the one-task branch plans a typed MapGroups; the relational
+    // branch never does — the marker that proves the routing
+    def hasMapGroups(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.optimizedPlan.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.MapGroups =>
+          true
+      }.nonEmpty
+    val byDefault = graft.ext.Retrieval.mmrRerank(df, probeMax = 4,
+      poolN = 9, k = 5)
+    assert(hasMapGroups(byDefault), "default (small pool) must be one-task")
+    // poolN over the bound → relational rounds; 0 forces it too
+    val routed = graft.ext.Retrieval.mmrRerank(df, probeMax = 4,
+      poolN = 9, k = 5, oneTaskMaxPool = 8)
+    val forced = graft.ext.Retrieval.mmrRerank(df, probeMax = 4,
+      poolN = 9, k = 5, oneTaskMaxPool = 0)
+    assert(!hasMapGroups(routed) && !hasMapGroups(forced),
+      "routed pools must take the relational branch")
+    assert(keyed(routed.collect()) == keyed(byDefault.collect()))
+    assert(keyed(forced.collect()) == keyed(byDefault.collect()))
+  }
 }

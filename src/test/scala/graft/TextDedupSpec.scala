@@ -967,6 +967,24 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(incDist) == incWin && incWin.nonEmpty)
     assert(windowKeys(incDist).forall(_ == Set("doc_id")),
       s"incDist plan windows: ${windowKeys(incDist)}")
+    // regime DISPATCH (r13 verdict #2): the default entry points route
+    // themselves on the input's size estimate — under a 1-byte
+    // crossover the returned plan must be the dist shape (no gram-key
+    // window) with the same rows, and 0 forces dist (the _dist pin
+    // convention); the tiny spec frame stays under the real default
+    // crossover, which the sanity leg above already proves (the
+    // default call's plan HAS the gram-key window)
+    val routed = Dedup.exactSpans(d, minLen = 40, windowMaxBytes = 1L)
+    assert(rows(routed) == win)
+    assert(windowKeys(routed).forall(_ == Set("doc_id")),
+      s"routed plan kept a gram-key window: ${windowKeys(routed)}")
+    assert(windowKeys(Dedup.exactSpans(d, minLen = 40,
+      windowMaxBytes = 0L)).forall(_ == Set("doc_id")))
+    val routedInc = Dedup.incrementalSpansIndexed(idx, batch,
+      minLen = 40, windowMaxBytes = 1L)
+    assert(rows(routedInc) == incWin)
+    assert(windowKeys(routedInc).forall(_ == Set("doc_id")),
+      s"routed inc plan kept a gram-key window: ${windowKeys(routedInc)}")
   }
 
   test("exactSpanRewrite cuts the union of OVERLAPPING spans via the " +
