@@ -3383,6 +3383,24 @@ UNION ALL
 SELECT doc_id + (SELECT v FROM s), doc_id + 2*(SELECT v FROM s),
        CAST(4 AS BIGINT)
 FROM documents WHERE doc_id % 91 = 0""",
+    // the MIXED corpus (even docs GIF, odd docs AVI, plants in the
+    // OPPOSITE container) runs the same plant structure — container
+    // choice cannot appear in the oracle because both containers
+    // round-trip the same frame rule pixel-exactly, which is the
+    // claim this lane pins: a cross-container pair hashes like a
+    // same-container pair
+    "m7_video_neardup_mixed" -> raw"""
+WITH s AS (SELECT max(doc_id) + 1 AS v FROM documents)
+SELECT doc_id AS media_a, doc_id + (SELECT v FROM s) AS media_b,
+       CAST(4 AS BIGINT) AS n_shared_frames
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, doc_id + 2*(SELECT v FROM s), CAST(4 AS BIGINT)
+FROM documents WHERE doc_id % 13 = 0
+UNION ALL
+SELECT doc_id + (SELECT v FROM s), doc_id + 2*(SELECT v FROM s),
+       CAST(4 AS BIGINT)
+FROM documents WHERE doc_id % 91 = 0""",
     "m4_feature_extract" -> s"WITH $mmCtes\n$m4Sql",
     // real-ImageIO pins: Spark DECODES actual PNG bytes; the oracle
     // PREDICTS the metadata from the fixture's id-derived dimension

@@ -1940,6 +1940,41 @@ object QueryDefs {
           base.filter(col("media_id") % 13 === 0), shiftId = 2 * shift))
       Multimodal.videoNearDup(base.unionByName(planted), maxHamming = 2)
     }),
+    // ...and the MIXED corpus (r13 verdict #5): containers arrive
+    // heterogeneous — even docs as GIF, odd docs as AVI — and every
+    // plant lands in the OPPOSITE container of its base, so each
+    // %7/%13 pair is a TRUE cross-container near-dup (GIF base paired
+    // with a perturbed AVI re-encode and vice versa) through the one
+    // frame-hash engine. Same oracle arithmetic verbatim: the two
+    // containers round-trip the same frame rule pixel-exactly
+    // (SimilaritySpec's cross-container hash-identity leg), so the
+    // plant structure is container-invariant.
+    "m7_video_neardup_mixed" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val shift = plantShift(docs)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      val base = Multimodal.synthesizeGifs(even, "doc_id")
+        .unionByName(Multimodal.synthesizeAvis(odd, "doc_id"))
+      val planted = Multimodal.perturbAvis(
+          Multimodal.synthesizeAvis(
+            even.filter(col("doc_id") % 7 === 0), "doc_id"),
+          shiftId = shift)
+        .unionByName(Multimodal.perturbGifs(
+          Multimodal.synthesizeGifs(
+            odd.filter(col("doc_id") % 7 === 0), "doc_id"),
+          shiftId = shift))
+      val tweaked = Multimodal.tweakAvis(
+          Multimodal.synthesizeAvis(
+            even.filter(col("doc_id") % 13 === 0), "doc_id"),
+          shiftId = 2 * shift)
+        .unionByName(Multimodal.tweakGifs(
+          Multimodal.synthesizeGifs(
+            odd.filter(col("doc_id") % 13 === 0), "doc_id"),
+          shiftId = 2 * shift))
+      Multimodal.videoNearDup(
+        base.unionByName(planted).unionByName(tweaked), maxHamming = 2)
+    }),
     "m3_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.decode(Multimodal.synthesize(
@@ -2195,6 +2230,7 @@ object QueryDefs {
         "m5_decode_real",
         "m5_resize_real", "m5_decode_audio_real", "m5_decode_video_real",
         "m5_decode_avi_real", "m7_video_neardup_avi",
+        "m7_video_neardup_mixed",
         "m4_pixel_stats", "m8_phash_incremental")),
       // sub-second certificate / metadata / tiny-result lanes: the
       // median would time JVM noise, not the operator (their engines
