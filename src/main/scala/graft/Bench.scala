@@ -80,41 +80,79 @@ object Bench {
     // "errors", and the remaining reps are skipped.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
-    /** One lane measurement: `reps` forced executions; returns
-      * (median, per-rep secs, error, max 1-min loadavg seen across the
-      * reps). The load column is what makes the artifact adjudicable:
-      * r11 AND r12 both shipped medians smeared by external box load
-      * that only a postmortem could see (r12's start gate passed at
-      * 0.73, then load hit 7.26 MID-run) — now every lane carries the
-      * worst load any of its reps ran under, so the judge can tell a
-      * regression from a noisy neighbor per-lane, not per-run. */
-    def measure(name: String)
-        : (Double, Vector[Double], Option[String], Double) = {
+    // total JVM GC millis so far — per-rep deltas name the cause of
+    // outlier reps (r13 verdict #6: the official artifact's one-off
+    // 17.3 s q6 rep on a quiet box had no attributable column)
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // Served/snapshot lanes deliberately pay their artifact build on
+    // rep 1 (the build cost is benched separately — q6_snapshot_build
+    // etc.), which made their SPREADS meaningless ([0.77, 17.3] around
+    // a 0.79 median in r13). They now get one UNMEASURED build rep —
+    // the session-level warm-up pattern applied per-lane (r13 verdict
+    // #6) — so every measured rep is the warm serve; the build second
+    // count stays visible in "warmup_sec".
+    def servedWarmup(name: String): Boolean =
+      name.endsWith("_served") || name == "s12_response_cache" ||
+        name == "s11_tree_refresh"
+
+    case class Lane(med: Double, secs: Vector[Double],
+                    err: Option[String], maxLoad: Double,
+                    gc: Vector[Double], warmSec: Double,
+                    tree: Vector[Map[String, Double]])
+
+    /** One lane measurement: `reps` forced executions (plus one
+      * unmeasured warm-up for served lanes) with per-rep seconds, GC
+      * delta, worst 1-min loadavg, and — for the s11 tree lanes — the
+      * per-rep sub-component timings Pipeline publishes. The load
+      * column is what makes the artifact adjudicable: r11 AND r12
+      * both shipped medians smeared by external box load that only a
+      * postmortem could see — every lane carries the worst load any
+      * of its reps ran under, so the judge can tell a regression from
+      * a noisy neighbor per-lane, not per-run. */
+    def measure(name: String): Lane = {
       val fn = SparkEntry.queries(name)
       var err: Option[String] = None
       var maxLoad = load1m
-      val secs = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
-        val t0 = System.nanoTime()
-        // force via the lane's OWN optimized plan (toRdd), not a bare
-        // count(): Catalyst legally deletes work under count — e.g. a
-        // left join to a unique-keyed right side with no referenced
-        // columns vanishes, and with it everything feeding it
-        // (CountPruneProbe found 10 benched lanes under-measured this
-        // way; worst case s12: 6 joins benched as 1). toRdd executes
-        // every operator the lane declares and counts result rows.
-        err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None } catch {
+      // force via the lane's OWN optimized plan (toRdd), not a bare
+      // count(): Catalyst legally deletes work under count — e.g. a
+      // left join to a unique-keyed right side with no referenced
+      // columns vanishes, and with it everything feeding it
+      // (CountPruneProbe found 10 benched lanes under-measured this
+      // way; worst case s12: 6 joins benched as 1). toRdd executes
+      // every operator the lane declares and counts result rows.
+      def run(): Unit =
+        err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+        catch {
           // NonFatal only: an OOM/LinkageError must crash the bench
           // (the driver records rc!=0) instead of timing later queries
           // in a possibly-corrupted JVM
           case scala.util.control.NonFatal(e) =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
+      val warmSec = if (!servedWarmup(name)) -1.0 else {
+        val t0 = System.nanoTime(); run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val gcs = Vector.newBuilder[Double]
+      val trees = Vector.newBuilder[Map[String, Double]]
+      val secs = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
+        val t0 = System.nanoTime()
+        val gc0 = gcMillis
+        run()
+        gcs += (gcMillis - gc0) / 1e3
+        if (name.startsWith("s11_tree"))
+          trees += graft.core.Pipeline.lastTreeTimings
         maxLoad = math.max(maxLoad, load1m)
         (System.nanoTime() - t0) / 1e9
       }.toVector
       val med = if (err.isDefined) -1.0
         else secs.sorted.apply((secs.size - 1) / 2)
-      (med, if (err.isDefined) Vector.empty else secs, err, maxLoad)
+      Lane(med, if (err.isDefined) Vector.empty else secs, err, maxLoad,
+        gcs.result(), warmSec, trees.result())
     }
 
     val firstPass = names.map(n => n -> measure(n))
@@ -147,7 +185,7 @@ object Bench {
     val reruns = scala.collection.mutable.Map[String, Int]()
     val results = firstPass.map { case (name, first) =>
       var best = first
-      while (best._4 > rerunGate && best._3.isEmpty &&
+      while (best.maxLoad > rerunGate && best.err.isEmpty &&
           reruns.getOrElse(name, 0) < 2 &&
           System.nanoTime() < rerunDeadline) {
         // wait (within budget) for the box to drain before re-running
@@ -158,14 +196,14 @@ object Bench {
         }
         if (System.nanoTime() < rerunDeadline) {
           System.err.println(s"[bench] re-running loaded lane $name " +
-            s"(max rep load ${best._4})")
+            s"(max rep load ${best.maxLoad})")
           reruns(name) = reruns.getOrElse(name, 0) + 1
           val again = measure(name)
           // keep the cleaner of the two measurements
-          if (again._4 < best._4) best = again
+          if (again.maxLoad < best.maxLoad) best = again
         }
       }
-      (name, best._1, best._2, best._3, best._4)
+      name -> best
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -178,25 +216,44 @@ object Bench {
     def sec(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4,
         BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + sec(v) }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + sec(v.med) }
       .mkString("{", ",", "}")
     val spread = results.collect {
-      case (k, _, ss, None, _) if ss.nonEmpty =>
-        jstr(k) + s":[${sec(ss.min)},${sec(ss.max)}]" }
+      case (k, v) if v.err.isEmpty && v.secs.nonEmpty =>
+        jstr(k) + s":[${sec(v.secs.min)},${sec(v.secs.max)}]" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(m), _) =>
-      jstr(k) + ":" + jstr(m.take(200)) }.mkString("{", ",", "}")
-    val total = sec(results.map(_._2).filter(_ >= 0).sum)
+    val errs = results.collect { case (k, v) if v.err.isDefined =>
+      jstr(k) + ":" + jstr(v.err.get.take(200)) }.mkString("{", ",", "}")
+    val total = sec(results.map(_._2.med).filter(_ >= 0).sum)
     val load = s"[${sec(loadStart)},${sec(load1m)}]"
     // per-lane worst rep loadavg + rerun counts: the adjudication
     // columns (full maps live in the FILE artifact; stdout carries
     // only the over-gate count to stay inside the driver's tail window)
-    val laneLoad = results.map { case (k, _, _, _, ml) =>
-      jstr(k) + ":" + sec(ml) }.mkString("{", ",", "}")
+    val laneLoad = results.map { case (k, v) =>
+      jstr(k) + ":" + sec(v.maxLoad) }.mkString("{", ",", "}")
     val rer = reruns.toSeq.sortBy(_._1).map { case (k, n) =>
       jstr(k) + ":" + n }.mkString("{", ",", "}")
-    val overGate = results.count(_._5 > rerunGate)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"rerun_gate":${sec(rerunGate)},"lanes_over_gate":$overGate,"reruns":$rer,"queries":$qs,"spread":$spread,"errors":$errs,"lane_load":$laneLoad,"sf":"$sfDir"}"""
+    val overGate = results.count(_._2.maxLoad > rerunGate)
+    // postmortem columns (file artifact only): per-rep GC seconds —
+    // an outlier rep with matching GC delta is named, not mysterious —
+    // the served lanes' unmeasured build second, and the s11 lanes'
+    // per-rep sub-component timings (render vs write attribution)
+    val laneGc = results.collect {
+      case (k, v) if v.gc.nonEmpty =>
+        jstr(k) + ":" + v.gc.map(sec).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val warm = results.collect { case (k, v) if v.warmSec >= 0 =>
+      jstr(k) + ":" + sec(v.warmSec) }.mkString("{", ",", "}")
+    val treeComp = results.collect {
+      case (k, v) if v.tree.nonEmpty =>
+        val comps = v.tree.flatMap(_.keys).distinct.sorted.map { c =>
+          jstr(c) + ":" +
+            v.tree.map(m => sec(m.getOrElse(c, -1.0)))
+              .mkString("[", ",", "]")
+        }
+        jstr(k) + ":" + comps.mkString("{", ",", "}") }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"rerun_gate":${sec(rerunGate)},"lanes_over_gate":$overGate,"reruns":$rer,"queries":$qs,"spread":$spread,"errors":$errs,"lane_load":$laneLoad,"lane_gc":$laneGc,"warmup_sec":$warm,"tree_components":$treeComp,"sf":"$sfDir"}"""
     // the FULL result (incl. per-lane spreads) goes to a file the
     // driver/judge can always read whole...
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -193,12 +193,16 @@ object Pipeline {
     val edgesC = ds.edges.persist(StorageLevel.MEMORY_AND_DISK)
     val nodesC = ds.nodes.persist(StorageLevel.MEMORY_AND_DISK)
     val sym = GraphOps.symmetrize(edgesC).persist(StorageLevel.MEMORY_AND_DISK)
-    // SPARK_GRAFT_TIMING=1: per-lane wall-clock to stderr (diagnostic)
+    // per-lane wall-clock: always recorded into [[lastTreeTimings]]
+    // (the s11 bench artifact's sub-component attribution — r13
+    // verdict #3); SPARK_GRAFT_TIMING=1 additionally echoes to stderr
     val t0 = System.nanoTime()
+    val timings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     def timed[T](lane: String)(f: => T): T = {
       val s = System.nanoTime(); val r = f
+      val now = System.nanoTime()
+      timings.put(lane, (now - s) / 1e9)
       if (sys.env.contains("SPARK_GRAFT_TIMING")) {
-        val now = System.nanoTime()
         System.err.println(f"[graft-tree] $lane%-18s ${(now - s) / 1e9}%8.2fs" +
           f"  (ended at ${(now - t0) / 1e9}%8.2fs)")
       }
@@ -329,8 +333,26 @@ object Pipeline {
       sym.unpersist(blocking = false)
       edgesC.unpersist(blocking = false)
       nodesC.unpersist(blocking = false)
+      // publish the run's sub-component timings for the bench artifact;
+      // chromosomeDocsWrite is the stream writer's pure file-IO time
+      // (the render-vs-write split inside the chromosomeDocs lane —
+      // zero when the distributed writer ran, whose IO is executor-side)
+      import scala.jdk.CollectionConverters._
+      lastTreeTimings = timings.asScala.toMap +
+        ("chromosomeDocsWrite" ->
+          graft.io.CytoscapeJson.lastStreamWriteIoSec)
     }
   }
+
+  /** Sub-component wall-clock of the MOST RECENT [[writeDatasetTree]]
+    * in this JVM (seconds per timed lane, plus `chromosomeDocsWrite` —
+    * the driver stream writer's accumulated file-IO time, so
+    * chromosomeDocs − chromosomeDocsWrite ≈ plan execution + render).
+    * The bench scrapes this after each s11 rep so the artifact can
+    * attribute an s11 swing to a named sub-component (r13 verdict #3)
+    * instead of one opaque total. */
+  @volatile private[graft] var lastTreeTimings: Map[String, Double] =
+    Map.empty
 
   /** Incremental tree maintenance: rewrite ONLY the requested
     * chromosomes' documents in an existing tree — the 100 TB delta

@@ -281,12 +281,35 @@ object CytoscapeJson {
       .orderBy("__doc", "__g", "__k1", "__k2")
 
     def path(c: String) = java.nio.file.Paths.get(s"$dir/chr$c.json")
+    // IO-vs-render attribution (r13 verdict #3): every byte reaches
+    // the file through one TimedWriter per document, whose underlying
+    // write/flush/close time accumulates here — BufferedWriter batches
+    // the element writes into 8 KiB chunks, so the timing calls are
+    // per-chunk, not per-element (negligible overhead). The total is
+    // published to [[lastStreamWriteIoSec]] for the bench artifact.
+    var ioNanos = 0L
+    final class TimedWriter(under: java.io.Writer) extends java.io.Writer {
+      override def write(cbuf: Array[Char], off: Int, len: Int): Unit = {
+        val t = System.nanoTime(); under.write(cbuf, off, len)
+        ioNanos += System.nanoTime() - t
+      }
+      override def flush(): Unit = {
+        val t = System.nanoTime(); under.flush()
+        ioNanos += System.nanoTime() - t
+      }
+      override def close(): Unit = {
+        val t = System.nanoTime(); under.close()
+        ioNanos += System.nanoTime() - t
+      }
+    }
     chrs.foreach { c =>
       // a prior distributed-lines run leaves chr<c>.json as a DIRECTORY
       // — writeString on it would throw before any element streams
       val p = path(c)
       if (java.nio.file.Files.isDirectory(p)) deleteRecursively(p)
+      val t = System.nanoTime()
       java.nio.file.Files.writeString(p, "{}")
+      ioNanos += System.nanoTime() - t
     }
     var cur: String = null
     var held: String = null // first element of the current document
@@ -313,15 +336,24 @@ object CytoscapeJson {
         } else if (skipDoc) ()
         else if (held != null) {
           if (isNode) {
-            out = java.nio.file.Files.newBufferedWriter(path(cur))
+            out = new java.io.BufferedWriter(new TimedWriter(
+              java.nio.file.Files.newBufferedWriter(path(cur))))
             out.write("["); out.write(held); out.write(","); out.write(el)
             held = null
           } else { held = null; skipDoc = true }
         } else { out.write(","); out.write(el) }
       }
       closeDoc()
-    } finally if (out != null) out.close()
+    } finally {
+      if (out != null) out.close()
+      lastStreamWriteIoSec = ioNanos / 1e9
+    }
   }
+
+  /** Pure file-IO seconds of the MOST RECENT stream-writer run in
+    * this JVM ([[writeChromosomeDocuments]]) — the write half of the
+    * s11 render-vs-write bench attribution. */
+  @volatile private[graft] var lastStreamWriteIoSec: Double = 0.0
 
   /** Fully-distributed document writer: the same sorted elements as ONE
     * text file of newline-separated rows — "[" prefixes the first
