@@ -1295,27 +1295,97 @@ FROM ($outer) mu""")
   /** How far the macro-expanded replay can go: 448 merges. The chain's
     * round CTEs sit ~2 binder-recursion levels apart, and DuckDB's
     * max_expression_depth is a hard 1000 that the driver's session
-    * never raises — measured: 448 rounds bind and run (~100 s at
-    * sf0.01), 496 throw BinderException (a recursive list-state CTE
-    * avoids the depth but runs >40× slower — measured, rejected).
-    * 448 is 37× the 12-round gate lane and already deep into
-    * one-job-per-merge-is-not-a-plan territory for the relational
-    * regime; the 32k-merge evidence beyond the oracle's reach stays
-    * with BpeScaleProbe. */
+    * never raises — measured: 448 rounds bind and run, 496 throw
+    * BinderException (a recursive list-state CTE avoids the depth but
+    * runs >40× slower — measured, rejected). 448 is 37× the 12-round
+    * gate lane and already deep into one-job-per-merge-is-not-a-plan
+    * territory for the relational regime; the 32k-merge evidence
+    * beyond the oracle's reach stays with BpeScaleProbe. */
   private val Bpe448Rounds = 448
 
-  /** The [[Bpe448Rounds]]-merge BPE chain over the trigram-derived
+  /** The [[Bpe448Rounds]]-merge BPE replay over the trigram-derived
     * corpus (TextOps.trigramDocs mirrored from the SAME pinned `toks`
     * token stream): the t16_bpe_train_448 oracle — a full independent
-    * DuckDB replay of every merge, not a fixture pin. Measured
-    * ~0.2 s/round, linear in rounds. */
+    * DuckDB replay of every merge, not a fixture pin.
+    *
+    * Form (r13 verdict #4 — oracle headroom): a DELTA-maintained
+    * RECURSIVE iteration instead of the [[bpeCtesFrom]] macro
+    * expansion. The recount chain re-split the whole vocab every
+    * round and paid DuckDB a per-materialized-CTE overhead 448 times
+    * — 694 s of the 900 s sf1 budget (and the binder depth capped the
+    * round count at 448 in the first place). Here the state is ONE
+    * recursive working table carrying word rows (tag 0: wid, wcount,
+    * wstr) and pair-count rows (tag 1: a, b, cnt); each iteration
+    * takes the top pair (cnt DESC, a, b — the engine's tiebreak),
+    * applies the identical `replace` merge, and updates the pair
+    * counts by the CHANGED words' deltas only — old adjacent pairs
+    * subtracted, new ones added in one concat-unnest pass (BpeLocal's
+    * batched-delta trick as SQL; exact multiset counts never go
+    * negative, so `HAVING sum > 0` leaves the table row-identical to
+    * a full recount). Merge rows (tag 2) accumulate in the recursive
+    * result and are the output. r12 rejected a recursive LIST-STATE
+    * replay as >40× slower — that held for the recount arithmetic;
+    * with deltas the recursive form is the fastest by far (validated
+    * row-for-row against the recount chain at sf0.01/448: 101.8 s →
+    * 6.7 s; sf1 694 s → 54 s, 16× under the gate budget) and is no
+    * longer binder-depth-bounded. */
   private val bpe448Sql: String = {
-    val tri = raw"""
+    val r = Bpe448Rounds
+    raw"""WITH RECURSIVE $docCtes,
 tritoks AS (SELECT doc_id, list_transform(generate_series(1, len(toks)-2),
-    i -> toks[i]||toks[i+1]||toks[i+2]) AS toks FROM toks)""".drop(1)
-    val (chunkCtes, sel) = bpeMergeSelect("k", Bpe448Rounds)
-    dq(sel, extra = tri + ",\n" +
-      bpeCtesFrom("tritoks", "k", Bpe448Rounds) + ",\n" + chunkCtes)
+    i -> toks[i]||toks[i+1]||toks[i+2]) AS toks FROM toks),
+kw0 AS (SELECT row_number() OVER (ORDER BY word) AS wid, wcount,
+    '|' || array_to_string(list_transform(generate_series(1, length(word)),
+      i -> word[i:i]) || ['</w>'], '||') || '|' AS wstr
+  FROM (SELECT word, CAST(count(*) AS BIGINT) AS wcount
+        FROM (SELECT unnest(toks) AS word FROM tritoks) uw
+        WHERE word NOT LIKE '%|%' GROUP BY word) w0),
+kc0 AS (SELECT pp.a AS a, pp.b AS b, CAST(sum(wcount) AS BIGINT) AS cnt
+  FROM (SELECT wcount, unnest(list_transform(
+      generate_series(1, len(syms) - 1),
+      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS pp
+    FROM (SELECT wcount, string_split(wstr[2:length(wstr)-1], '||') AS syms
+      FROM kw0) s) ue GROUP BY 1, 2),
+st AS (
+  SELECT 1 AS it, 0 AS tag, wid, wcount, wstr,
+         NULL::VARCHAR AS a, NULL::VARCHAR AS b, NULL::BIGINT AS cnt
+  FROM kw0
+  UNION ALL
+  SELECT 1, 1, NULL, NULL, NULL, a, b, cnt FROM kc0
+  UNION ALL
+  (WITH prev AS (SELECT * FROM st),
+    rr AS (SELECT max(it) AS r FROM prev),
+    bb AS (SELECT a, b, cnt FROM prev WHERE tag = 1
+           ORDER BY cnt DESC, a, b LIMIT 1),
+    nw AS (SELECT wid, wcount, wstr AS ow,
+        replace(wstr, '|' || bb.a || '||' || bb.b || '|',
+          '|' || bb.a || bb.b || '|') AS wstr
+      FROM prev, bb WHERE tag = 0),
+    dd AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        SELECT a, b, cnt FROM prev WHERE tag = 1
+        UNION ALL
+        SELECT pp.a, pp.b, pp.c
+        FROM (SELECT unnest(list_concat(
+            list_transform(generate_series(1, len(os) - 1),
+              i -> struct_pack(a := os[i], b := os[i+1], c := -wcount)),
+            list_transform(generate_series(1, len(ns) - 1),
+              i -> struct_pack(a := ns[i], b := ns[i+1], c := wcount)))) AS pp
+          FROM (SELECT wcount,
+              string_split(ow[2:length(ow)-1], '||') AS os,
+              string_split(wstr[2:length(wstr)-1], '||') AS ns
+            FROM nw WHERE wstr <> ow) s) u
+      ) g GROUP BY 1, 2 HAVING CAST(sum(cnt) AS BIGINT) > 0)
+  SELECT rr.r + 1, 0, wid, wcount, wstr, NULL, NULL, NULL::BIGINT
+  FROM nw, rr WHERE rr.r < $r
+  UNION ALL
+  SELECT rr.r + 1, 1, NULL, NULL, NULL, a, b, cnt FROM dd, rr
+  WHERE rr.r < $r
+  UNION ALL
+  SELECT rr.r, 2, NULL, NULL, NULL, bb.a, bb.b, bb.cnt FROM bb, rr
+  WHERE rr.r <= $r))
+SELECT CAST(it AS BIGINT) AS merge_round, a AS lhs, b AS rhs,
+       a || b AS merged, cnt AS pair_count
+FROM st WHERE tag = 2"""
   }
 
 
