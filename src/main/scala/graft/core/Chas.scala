@@ -47,6 +47,18 @@ object Chas {
     when(col("__sx") > 0 && col("__sy") > 0,
       col("__cov") / (col("__sx") * col("__sy")))
 
+  /** Both edge orientations with `keys` riding along — explode form
+    * (one pass over the input) instead of a self-union (which plans
+    * the upstream lineage once per branch; see GraphOps.symmetrize). */
+  private def symWith(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val k = keys.map(col)
+    df.select(explode(array(
+        struct(k :+ col("src") :+ col("dst"): _*),
+        struct(k :+ col("dst").as("src") :+ col("src").as("dst"): _*)))
+      .as("__e"))
+      .select((keys :+ "src" :+ "dst").map(c => col(s"__e.$c").as(c)): _*)
+  }
+
   /** The ONE ChAs aggregation all four surfaces share: join a
     * symmetrized edge frame (optionally carrying extra grouping
     * columns — replica, subnet) to the feature table on both endpoints
@@ -249,22 +261,33 @@ object Chas {
     lap("init")
 
     if (nBase <= localMaxChainRows) {
-      // bounded regime: one task per replica runs the whole chain in
-      // arrays (LocalChain — bit-identical to the rounds below). The
-      // explode keeps the shuffle tiny (nBase × nReplicates rows) and
-      // groupByKey gives each replica its own task.
+      // bounded regime: one task per (replica, GROUP) runs that
+      // group's whole chain in arrays (LocalChain — bit-identical to
+      // the rounds below). Pairing is scoped to (replica, bin) and the
+      // audit to (replica, group), so a chain given only one group's
+      // edges emits exactly the rows the one-task-per-replica form
+      // emitted for that group — the split buys tagged chains
+      // (featuresMetadataSubnets: net/pp/po) nReplicates×nGroups-way
+      // task parallelism instead of nReplicates (untagged chains have
+      // one group and keep the old fan-out). The explode keeps the
+      // shuffle tiny (nBase × nReplicates rows).
       import org.apache.spark.sql.Encoders
       val in4 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
         Encoders.STRING, Encoders.scalaInt)
+      val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
       val out4 = Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
         Encoders.STRING, Encoders.STRING)
       val chained = base
         .withColumn("replica", explode(sequence(lit(0), lit(nReplicates - 1))))
         .select(col("src"), col("dst"), col("__bin"), col("replica"))
         .as[(String, String, String, Int)](in4)
-        .groupByKey(_._4)(Encoders.scalaInt)
-        .flatMapGroups { (rep: Int, it: Iterator[(String, String, String, Int)]) =>
-          LocalChain.runReplica(rep, it.map(t => (t._1, t._2, t._3)),
+        .groupByKey { t =>
+          val cut = t._3.indexOf('|')
+          (t._4, if (cut < 0) t._3 else t._3.substring(0, cut))
+        }(keyEnc)
+        .flatMapGroups { (key: (Int, String),
+                          it: Iterator[(String, String, String, Int)]) =>
+          LocalChain.runReplica(key._1, it.map(t => (t._1, t._2, t._3)),
             seed, rounds)
         }(out4)
         .toDF("replica", "__bin", "src", "dst")
@@ -412,9 +435,7 @@ object Chas {
     val rand = randomize(edges, nReplicates, seed, distMatch, rounds)
     // ChAs per (feature, replica) in one aggregation: replica rides along
     // as a grouping key.
-    val sym = rand.select(col("replica"), col("src"), col("dst"))
-      .unionAll(rand.select(col("replica"), col("dst").as("src"),
-        col("src").as("dst")))
+    val sym = symWith(rand, Seq("replica"))
     chasBy(sym, features, Seq("replica"))
       .groupBy(col("feature"))
       .agg(min(col("chas")).as("chas_min"), max(col("chas")).as("chas_max"))
@@ -438,9 +459,7 @@ object Chas {
         .as("subnet"))
 
     // observed ChAs per (subnet, feature)
-    val sym = tagged.select(col("subnet"), col("src"), col("dst"))
-      .unionAll(tagged.select(col("subnet"), col("dst").as("src"),
-        col("src").as("dst")))
+    val sym = symWith(tagged, Seq("subnet"))
     val obs = chasBy(sym, features, Seq("subnet"))
 
     // per-subnet degree and node set
@@ -458,9 +477,7 @@ object Chas {
 
     // envelope: all replicas x all subnets in one randomized plan
     val rand = randomizeTagged(tagged, "subnet", nReplicates, seed, distMatch)
-    val rsym = rand.select(col("replica"), col("subnet"), col("src"), col("dst"))
-      .unionAll(rand.select(col("replica"), col("subnet"),
-        col("dst").as("src"), col("src").as("dst")))
+    val rsym = symWith(rand, Seq("replica", "subnet"))
     val env = chasBy(rsym, features, Seq("subnet", "replica"))
       .groupBy(col("subnet"), col("feature"))
       .agg(min(col("chas")).as("chas_min"), max(col("chas")).as("chas_max"))

@@ -76,10 +76,19 @@ object GraphOps {
     }
   }
 
-  /** Both directions of an undirected edge list (src,dst) ∪ (dst,src). */
+  /** Both directions of an undirected edge list (src,dst) ∪ (dst,src).
+    * Emitted via a per-row explode, NOT a self-union: a union of two
+    * projections plans the WHOLE upstream subtree twice (the a4 plan
+    * scanned lineitem and ran the simplify window once per branch —
+    * guide §2.4 "remove shuffles outright" applies to duplicated
+    * upstream work just as much), while the explode reads the input
+    * once and doubles rows inline. Row multiset is identical, so every
+    * aggregate/join downstream is unchanged. */
   def symmetrize(edges: DataFrame): DataFrame =
-    edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
 
   /** Bounded-regime cutoff for the iterative graph passes, in
     * SYMMETRIZED rows: at or below this, CC and the diameter run as ONE
@@ -946,9 +955,25 @@ object GraphOps {
     * |E|-sized equi-join + (node, label) count + per-node argmax
     * window per round; labels are node ids (strings), so no state
     * beyond the (id, label) frame ever shuffles. */
-  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+                       localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // bounded regime: one CSR task (the g9 pageRank routing — 4
+      // rounds of join+agg+window+checkpoint are pure scheduling
+      // overhead at this size); bit-identical labels, LocalGraphSpec
+      // pins local == distributed
+      val nRows = sym.count()
+      if (nRows <= localMaxEdges) {
+        return localPairs(sym)
+          .mapPartitions(it =>
+            LocalGraph.labelProp(LocalGraph.build(it), rounds))(
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.STRING))
+          .toDF("id", "label")
+          .localCheckpoint(eager = true)
+      }
       var lab = sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
         .localCheckpoint(eager = true)

@@ -136,6 +136,59 @@ private[graft] object LocalGraph {
     Iterator.range(0, n).map(v => (g.ids(v), r(v)))
   }
 
+  /** Synchronous label propagation on the CSR — the one-task twin of
+    * [[GraphOps.labelPropagation]]'s relational rounds: `rounds` FIXED
+    * synchronous rounds, each node adopting the most frequent label
+    * among its neighbors with the (count DESC, label ASC) total tie
+    * order, labels compared as node-id STRINGS under UTF8String binary
+    * order — exactly the distributed window's (count desc, label asc)
+    * sort. Bit-identical output, same regime rationale as
+    * [[pageRankFp]]: at bounded sizes the 4 rounds of
+    * join+agg+window+checkpoint are pure scheduling overhead. */
+  def labelProp(g: Csr, rounds: Int): Iterator[(String, String)] = {
+    val n = g.n
+    // rank of each node id under UTF8String binary order: the ASC
+    // tie-break on label strings becomes an int compare
+    val byId = Array.range(0, n).sortWith((a, b) =>
+      UTF8String.fromString(g.ids(a)).compareTo(
+        UTF8String.fromString(g.ids(b))) < 0)
+    val rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(byId(i)) = i; i += 1 }
+    var lab = Array.range(0, n) // initial label = own id
+    // per-node neighbor-label counting with a stamped scratch array
+    val cnt = new Array[Int](n)
+    val stamp = new Array[Int](n)
+    var version = 0
+    var r = 0
+    while (r < rounds) {
+      val nl = new Array[Int](n)
+      var v = 0
+      while (v < n) {
+        version += 1
+        var best = -1
+        var bestCnt = 0
+        var e = g.off(v); val end = g.off(v + 1)
+        while (e < end) {
+          val l = lab(g.adj(e))
+          if (stamp(l) != version) { stamp(l) = version; cnt(l) = 0 }
+          cnt(l) += 1
+          val c = cnt(l)
+          if (c > bestCnt || (c == bestCnt && rank(l) < rank(best)))
+            { best = l; bestCnt = c }
+          e += 1
+        }
+        // every node in an edge list has degree >= 1, but keep the
+        // isolated-node fallback total (label unchanged)
+        nl(v) = if (best < 0) lab(v) else best
+        v += 1
+      }
+      lab = nl
+      r += 1
+    }
+    Iterator.range(0, n).map(v => (g.ids(v), g.ids(lab(v))))
+  }
+
   def componentStats(g: Csr): (Long, Long, Long) = {
     val comp = compIds(g)
     val nComp = if (comp.isEmpty) 0 else comp.max + 1

@@ -82,6 +82,115 @@ private[ext] object LocalKnn {
     out.toArray
   }
 
+  /** One-task twin of [[Similarity.beamCore]] — the expand-score-prune
+    * beam loop replicated operation for operation: same
+    * md5(probe:i:beam) mod n entry lottery constrained to `nodeIds`,
+    * same per-step (neighbors-of-beam ∪ beam) \ {probe} candidate set,
+    * same round6 scores, same (cos desc, node asc) top-`beam` prune
+    * (java.lang.Double.compare = Catalyst double order, NaN largest).
+    * Probes are independent, so the per-probe loops run on the common
+    * ForkJoin pool (the LocalChain precedent — concurrent lanes share
+    * the executor's cores). `adj` must be the DEDUPED symmetrized
+    * adjacency ([[Similarity.symmetrized]] semantics). Returns the
+    * final top-`m` rows per probe as (probe, rank, node, cos). */
+  def beamSearch(vecs: Array[(Long, Array[Double])],
+                 nodeIds: java.util.Set[java.lang.Long],
+                 probes: Array[Long],
+                 edges: Array[(Long, Long)],
+                 n: Long, m: Int, beam: Int, steps: Int, seeds: Int)
+      : Iterator[(Long, Long, Long, Double)] = {
+    val byId = mutable.LongMap.empty[Array[Double]]
+    vecs.foreach { case (id, v) => byId.update(id, v) }
+    // deduped symmetric adjacency
+    val adjSet = mutable.LongMap.empty[mutable.HashSet[Long]]
+    edges.foreach { case (s, d) =>
+      adjSet.getOrElseUpdate(s, mutable.HashSet.empty) += d
+      adjSet.getOrElseUpdate(d, mutable.HashSet.empty) += s
+    }
+    val adj = mutable.LongMap.empty[Array[Long]]
+    adjSet.foreach { case (id, s) => adj.update(id, s.toArray) }
+    // (cos desc, node asc) — Catalyst double order via Double.compare
+    val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    val out = new Array[Array[(Long, Long, Long, Double)]](probes.length)
+    java.util.stream.IntStream.range(0, probes.length).parallel()
+      .forEach { pi =>
+        val p = probes(pi)
+        val vp = byId(p)
+        def score(node: Long): (Long, Double) =
+          (node, round6(cosine(vp, byId(node))))
+        // entry lottery ∩ nodeIds, minus the probe itself
+        val entry = mutable.HashSet.empty[Long]
+        var i = 0
+        while (i < seeds) {
+          val node = java.lang.Math.floorMod(
+            hex12(md5hex(s"$p:$i:beam")), n)
+          if (node != p && nodeIds.contains(node)) entry += node
+          i += 1
+        }
+        var c = entry.toArray.map(score).sorted(ord).take(beam)
+        var st = 0
+        while (st < steps) {
+          val cand = mutable.HashSet.empty[Long]
+          c.foreach { case (node, _) =>
+            cand += node
+            adj.get(node).foreach(_.foreach(cand += _))
+          }
+          cand -= p
+          c = cand.toArray.map(score).sorted(ord).take(beam)
+          st += 1
+        }
+        out(pi) = c.take(m).zipWithIndex.map { case ((node, cos), r) =>
+          (p, (r + 1).toLong, node, cos) }
+      }
+    out.iterator.flatMap(_.iterator)
+  }
+
+  /** One-task twin of [[Similarity.mergeForward]]: reverse edges
+    * propose, affected base nodes re-rank old ∪ proposals to top-k,
+    * untouched rows pass through, every row ranked per src by
+    * (cos desc, dst asc). Duplicate rows survive exactly like the
+    * relational unionAll (lists, never sets). Returns
+    * (src, rank, dst, cos). */
+  def mergeForward(old: Array[(Long, Long, Double)],
+                   fwd: Array[(Long, Long, Double)], k: Int)
+      : Iterator[(Long, Long, Long, Double)] = {
+    val aff = mutable.HashSet.empty[Long]
+    fwd.foreach { case (_, d, _) => aff += d } // rev srcs = fwd dsts
+    val ordE: Ordering[(Long, Long, Double)] =
+      new Ordering[(Long, Long, Double)] {
+        def compare(a: (Long, Long, Double), b: (Long, Long, Double)): Int = {
+          val c = java.lang.Double.compare(b._3, a._3)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+    val bySrc = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Long, Double)]]
+    def add(e: (Long, Long, Double)): Unit =
+      bySrc.getOrElseUpdate(e._1, mutable.ArrayBuffer.empty) += e
+    // affected: old rows ∪ reverse proposals, re-ranked to top-k;
+    // untouched old rows and the forward rows pass through whole
+    val affRows = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Long, Double)]]
+    old.foreach { e =>
+      if (aff.contains(e._1))
+        affRows.getOrElseUpdate(e._1, mutable.ArrayBuffer.empty) += e
+      else add(e)
+    }
+    fwd.foreach { case (s, d, c) =>
+      affRows.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += ((d, s, c))
+      add((s, d, c))
+    }
+    affRows.foreach { case (_, lst) =>
+      lst.sorted(ordE).take(k).foreach(add) }
+    bySrc.iterator.flatMap { case (_, lst) =>
+      lst.sorted(ordE).zipWithIndex.map { case ((s, d, c), r) =>
+        (s, (r + 1).toLong, d, c) }
+    }
+  }
+
   /** The full build; returns (src, rank, dst, cosine) rows. */
   def descent(vecs: Array[(Long, Array[Double])], k: Int, rounds: Int,
               cap: Int): Iterator[(Long, Long, Long, Double)] = {

@@ -1329,11 +1329,24 @@ object Similarity {
                       probeMax: Long, k: Int = 10, beam: Int = 20,
                       steps: Int = 5, seeds: Int = 10,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      localMaxVectors: Long = LocalKnnMaxVectors)
+      : DataFrame = {
     val vecs = corpus.select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint(eager = true)
     val n = vecs.count()
+    if (n <= localMaxVectors) {
+      // one-task twin (the knnGraphNNDescent routing): the 5
+      // expand-score-prune steps are ~18 near-empty stages at this
+      // size — LocalKnn.beamSearch replays them bit-identically
+      // inside one task over the tag-unioned (vectors ∪ edges) rows
+      return localBeamFrame(vecs, graph,
+        nodeFilter = None, probeMax = Some(probeMax), n = n,
+        m = k, beam = beam, steps = steps, seeds = seeds)
+        .select(col("probe_id"), col("rank"),
+          col("node").as("corpus_id"), col("cos").as("cosine"))
+    }
     val gsym = symmetrized(graph)
     val c = beamCore(vecs, vecs.select("vid"),
       vecs.filter(col("vid") < probeMax).select(col("vid").as("probe_id")),
@@ -1342,6 +1355,62 @@ object Similarity {
     beamTop(c, k).withColumn("rank", row_number().over(w).cast("long"))
       .select(col("probe_id"), col("rank"), col("node").as("corpus_id"),
         col("cos").as("cosine"))
+  }
+
+  /** The one-task beam route shared by [[graphBeamSearch]] (probes =
+    * corpus ids < probeMax, nodes = the whole corpus) and
+    * [[forwardCore]] (probes = the batch, nodes = the base): vectors
+    * and graph edges tag-union into ONE frame, coalesce to one task,
+    * and [[LocalKnn.beamSearch]] replays the relational loop there.
+    * `nodeFilter` marks which vector rows are legal entry/expansion
+    * NODES (None = all; Some(pred) = base rows only — batch rows are
+    * probes and score-only). Output: (probe_id, rank, node, cos),
+    * checkpointed (consumers branch on it). */
+  private def localBeamFrame(vecs: DataFrame, graph: DataFrame,
+                             nodeFilter: Option[Column],
+                             probeMax: Option[Long], n: Long, m: Int,
+                             beam: Int, steps: Int, seeds: Int,
+                             probeTag: Option[Column] = None): DataFrame = {
+    val spark = vecs.sparkSession
+    val isNode = nodeFilter.getOrElse(lit(true))
+    val isProbe = probeTag.getOrElse(probeMax.map(col("vid") < _)
+      .getOrElse(lit(false)))
+    val tagged = vecs.select(lit(0).as("t"), col("vid").as("a"),
+        lit(0L).as("b"), col("v"),
+        isNode.as("nd"), isProbe.as("pr"))
+      .unionAll(graph.select(lit(1).as("t"),
+        col("src").cast("long").as("a"), col("dst").cast("long").as("b"),
+        lit(null).cast("array<double>").as("v"),
+        lit(false).as("nd"), lit(false).as("pr")))
+    val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
+      val vb = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Double])]
+      val eb = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val nodeIds = new java.util.HashSet[java.lang.Long]()
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { r =>
+        if (r.getInt(0) == 0) {
+          val id = r.getLong(1)
+          vb += ((id, r.getSeq[Double](3).toArray))
+          if (r.getBoolean(4)) nodeIds.add(id)
+          if (r.getBoolean(5)) probes += id
+        } else eb += ((r.getLong(1), r.getLong(2)))
+      }
+      LocalKnn.beamSearch(vb.toArray, nodeIds, probes.toArray, eb.toArray,
+          n, m, beam, steps, seeds)
+        .map { case (p, rk, node, c) =>
+          org.apache.spark.sql.Row(p, rk, node, c) }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("probe_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rows, schema).localCheckpoint(eager = true)
   }
 
   /** Both edge directions of a kNN graph, deduped and materialized —
@@ -1478,11 +1547,25 @@ object Similarity {
   private def forwardCore(base: DataFrame, graph: DataFrame,
                           batch: DataFrame, k: Int, beam: Int,
                           steps: Int, seeds: Int, idCol: String,
-                          vecCol: String): DataFrame = {
+                          vecCol: String,
+                          localMaxVectors: Long = LocalKnnMaxVectors)
+      : DataFrame = {
     def sel(df: DataFrame) = df.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
     val vecsB = sel(base).localCheckpoint(eager = true)
     val n = vecsB.count() // the seed lottery's id-space modulus
+    if (n <= localMaxVectors) {
+      // one-task twin (graphBeamSearch's routing): base rows are the
+      // legal entry/expansion nodes, batch rows are score-only probes
+      return localBeamFrame(
+        vecsB.withColumn("__base", lit(true))
+          .unionAll(sel(batch).withColumn("__base", lit(false))),
+        graph, nodeFilter = Some(col("__base")), probeMax = None,
+        n = n, m = k, beam = beam, steps = steps, seeds = seeds,
+        probeTag = Some(!col("__base")))
+        .select(col("probe_id").as("src"), col("node").as("dst"),
+          col("cos"))
+    }
     val scoreVecs = vecsB.unionAll(sel(batch))
       .localCheckpoint(eager = true)
     val gsym = symmetrized(graph)
@@ -1513,18 +1596,68 @@ object Similarity {
   def knnGraphInsert(base: DataFrame, graph: DataFrame, batch: DataFrame,
                      k: Int = 10, beam: Int = 20, steps: Int = 5,
                      seeds: Int = 10, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame =
+                     vecCol: String = "embedding",
+                     localMaxVectors: Long = LocalKnnMaxVectors,
+                     localMaxMergeRows: Long = LocalMergeMaxRows)
+      : DataFrame =
     mergeForward(graph,
       forwardCore(base, graph, batch, k, beam, steps, seeds,
-        idCol, vecCol), k)
+        idCol, vecCol, localMaxVectors), k, localMaxMergeRows)
 
   /** The merge stage of [[knnGraphInsert]] from already-landed forward
     * rows: reverse edges propose, affected base nodes re-rank, the
     * rest passes through. */
+  /** Row bound for the one-task merge: standing graph + forward rows
+    * both fit one task's heap with room to spare (the LocalKnn regime
+    * sized by rows, not vectors — a 4096-vector graph is ≤ 82k rows).
+    * The routing count on `graph` is column-pruned (a parquet-backed
+    * standing index answers it from row-group metadata; the gate
+    * lanes pass checkpointed frames where it is a block count). */
+  private[ext] val LocalMergeMaxRows = 262144L
+
   private def mergeForward(graph: DataFrame, forward: DataFrame,
-                           k: Int): DataFrame = {
+                           k: Int,
+                           localMaxRows: Long = LocalMergeMaxRows)
+      : DataFrame = {
     // forward: the new ids' own adjacency rows (read 3x below)
     val fwd = forward.localCheckpoint(eager = true)
+    val nFwd = fwd.count()
+    val oldRows = graph.select(col("src"), col("dst"),
+      col("cosine").as("cos"))
+    if (nFwd <= localMaxRows && {
+        val nOld = oldRows.count(); nOld + nFwd <= localMaxRows }) {
+      // one-task twin (the beam/descent routing): rev-propose,
+      // re-rank affected, pass the rest through — LocalKnn.mergeForward
+      // replays the relational merge bit for bit
+      val spark = fwd.sparkSession
+      val tagged = oldRows.select(lit(0).as("t"), col("src"), col("dst"),
+          col("cos"))
+        .unionAll(fwd.select(lit(1).as("t"), col("src"), col("dst"),
+          col("cos")))
+      val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
+        val ob = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        val fb = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        it.foreach { r =>
+          val e = (r.getLong(1), r.getLong(2), r.getDouble(3))
+          if (r.getInt(0) == 0) ob += e else fb += e
+        }
+        LocalKnn.mergeForward(ob.toArray, fb.toArray, k)
+          .map { case (s, rk, d, c) => org.apache.spark.sql.Row(s, rk, d, c) }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dst",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType)))
+      return spark.createDataFrame(rows, schema)
+        .localCheckpoint(eager = true)
+    }
     val rev = fwd.select(col("dst").as("src"), col("src").as("dst"),
       col("cos"))
     val aff = rev.select("src").distinct()

@@ -387,6 +387,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map("1" -> "1", "2" -> "1", "3" -> "1",
       "4" -> "4", "5" -> "4", "6" -> "4"))
     assert(labels(edges.repartition(7)) == out)
+    // regime equivalence (the g9 pattern): the one-task CSR twin is
+    // bit-identical to the distributed rounds on a messy random graph
+    // (hubs, chains, ties), including the (count DESC, label ASC
+    // UTF8-order) tie-break
+    val rnd = new scala.util.Random(1405)
+    val mess = ((0 until 300).map { _ =>
+      (s"n${rnd.nextInt(80)}", s"n${rnd.nextInt(80)}") } ++
+      (0 until 20).map(i => (s"q$i", s"q${i + 1}")))
+      .filter(e => e._1 != e._2).distinct
+    val g = mess.toDF("src", "dst")
+    val localL = GraphOps.labelPropagation(g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val distL = GraphOps.labelPropagation(g, localMaxEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(localL == distL)
   }
 
   test("G9 PageRank: exact fixed-point longs on the hand-computed path") {

@@ -241,6 +241,30 @@ class KnnGraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("beam/insert one-task twins are bit-identical to the " +
+      "relational regimes") {
+    // r14 optimization: graphBeamSearch / knnGraphInsert route bounded
+    // corpora through LocalKnn one-task twins — force the relational
+    // regime (localMax* = 0) and assert row-set equality, the
+    // a6/g6/g9 regime-twin pattern
+    val g = Similarity.knnGraphNNDescent(clustered, k = 5, rounds = 2)
+      .select(col("src"), col("dst"), col("cosine"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val bLocal = Similarity.graphBeamSearch(clustered,
+      g.select("src", "dst"), probeMax = 7)
+    val bDist = Similarity.graphBeamSearch(clustered,
+      g.select("src", "dst"), probeMax = 7, localMaxVectors = 0L)
+    assert(rows(bLocal) == rows(bDist))
+    val base = clustered.filter(col("vec_id") % 7 =!= 0)
+    val batch = clustered.filter(col("vec_id") % 7 === 0)
+    val gb = Similarity.knnGraphNNDescent(base, k = 5, rounds = 2)
+    val iLocal = Similarity.knnGraphInsert(base, gb, batch, k = 5)
+    val iDist = Similarity.knnGraphInsert(base, gb, batch, k = 5,
+      localMaxVectors = 0L, localMaxMergeRows = 0L)
+    assert(rows(iLocal) == rows(iDist))
+  }
+
   test("ranks are 1..k per source with descending rounded cosine") {
     val g = Similarity.knnGraphNNDescent(clustered, k = 5, rounds = 1)
       .collect().groupBy(_.getLong(0))
