@@ -876,9 +876,13 @@ object GraphOps {
     * (each triangle counted once); triads = Σ d(d-1)/2.
     * Reference: transitivity(net), network_generator_lib.R:436. */
   def transitivity(edges: DataFrame): DataFrame = {
+    // the ordered pair set feeds FOUR subtrees (three legs of the
+    // triangle self-join + the triad degree count): materialize the
+    // distinct once instead of re-shuffling the input per leg
     val e = edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint(eager = true)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),

@@ -274,13 +274,174 @@ object Layout {
     xm.zip(ym)
   }
 
+  /** Row bound for the WHOLE-layout one-task route (components +
+    * per-component positions + packing inside a single task): node
+    * rows + edge rows together. The per-component layout work was
+    * single-task already (the cogroup); below this bound the route
+    * also collapses the surrounding relational machinery — the CC
+    * persist/count/label jobs, the cogroup's two shuffles, and pack's
+    * checkpoint + count + rank + two joins (~10 near-empty stages on
+    * a served subnet) — into one task, with per-component layouts
+    * running on the common ForkJoin pool. Above it the relational
+    * pipeline is unchanged. */
+  val LocalLayoutMaxRows = 2000000L
+
   /** CoSE layout, one task per component: components stream through a
     * cogroup (nodes, edges keyed by component label), each laid out by
     * [[coseLocal]] in its own task — parallel across components, no
-    * driver state — then packed. */
+    * driver state — then packed. Bounded inputs take the one-task
+    * whole-layout route ([[localWholeLayout]] — bit-identical
+    * positions, LayoutSpec pins the regime equality). */
   def cose(nodes: DataFrame, edges: DataFrame,
-           p: CoseParams = CoseParams()): DataFrame =
-    pack(coseRel(nodes, edges, p), p.spacing)
+           p: CoseParams = CoseParams(),
+           localMaxRows: Long = LocalLayoutMaxRows): DataFrame = {
+    val n = nodes.localCheckpoint(eager = true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = true)
+    if (n.count() + e.count() <= localMaxRows)
+      localWholeLayout(n, e, p.spacing,
+        (ids, eIdx) => coseLocal(ids, eIdx, p))
+    else pack(coseRel(n, e, p), p.spacing)
+  }
+
+  /** The whole layout — component labels, per-component positions,
+    * grid packing — in ONE task over the tag-unioned (nodes ∪ edges)
+    * rows, replicating the relational route operation for operation:
+    * CC labels are the component-min endpoint id (UTF8 binary order,
+    * [[LocalGraph.componentLabels]] = the distributed min-label
+    * propagation); per-component ids sort exactly like coseRel's
+    * cogroup (String natural order); edges key by comp(src), dangling
+    * dst drops; `layoutOf` is the SAME per-component function the
+    * cogroup ran ([[coseLocal]] / [[coseLocalBh]] — integer-micro
+    * deterministic); packing mirrors [[pack]]'s arithmetic term for
+    * term ((cnt desc, component) rank, ceil(sqrt(ncomp)) columns,
+    * max-extent cells, integer-micro offsets). Output rows are
+    * bit-identical to pack(coseRel(...)) — LayoutSpec asserts it. */
+  private def localWholeLayout(nodes: DataFrame, edges: DataFrame,
+                               spacing: Long,
+                               layoutOf: (Array[String], Array[(Int, Int)])
+                                 => Array[(Long, Long)]): DataFrame = {
+    val spark = nodes.sparkSession
+    val idCol = nodes.columns.head
+    val tagged = nodes.select(lit(0).as("t"), col(idCol).as("a"),
+        lit(null).cast("string").as("b"))
+      .unionAll(edges.select(lit(1).as("t"), col("src").as("a"),
+        col("dst").as("b")))
+    val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
+      val nodeIds = new scala.collection.mutable.ArrayBuffer[String]()
+      val es = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+      it.foreach { r =>
+        if (r.getInt(0) == 0) nodeIds += r.getString(1)
+        else es += ((r.getString(1), r.getString(2)))
+      }
+      if (nodeIds.isEmpty) Iterator.empty
+      else {
+        import org.apache.spark.unsafe.types.UTF8String
+        // CC labels over the edge endpoints (min id, UTF8 order)
+        val lbl = new java.util.HashMap[String, String]()
+        LocalGraph.componentLabels(LocalGraph.build(
+          es.iterator.flatMap(e => Iterator(e, (e._2, e._1)))))
+          .foreach { case (id, c) => lbl.put(id, c) }
+        def compOf(id: String): String = {
+          val c = lbl.get(id); if (c == null) id else c
+        }
+        val nodeSet = new java.util.HashSet[String]()
+        nodeIds.foreach(nodeSet.add)
+        // group node ids / edges per component (coseRel's cogroup)
+        val nByC = new java.util.HashMap[String,
+          scala.collection.mutable.ArrayBuffer[String]]()
+        nodeIds.foreach { id =>
+          val c = compOf(id)
+          var b = nByC.get(c)
+          if (b == null) {
+            b = new scala.collection.mutable.ArrayBuffer[String]()
+            nByC.put(c, b)
+          }
+          b += id
+        }
+        val eByC = new java.util.HashMap[String,
+          scala.collection.mutable.ArrayBuffer[(String, String)]]()
+        es.foreach { case (s, d) =>
+          if (nodeSet.contains(s)) { // inner join on comp(src)
+            val c = compOf(s)
+            var b = eByC.get(c)
+            if (b == null) {
+              b = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+              eByC.put(c, b)
+            }
+            b += ((s, d))
+          }
+        }
+        // per-component layout — parallel over components (the common
+        // pool; results are per-component pure, order re-imposed below)
+        val comps = {
+          import scala.jdk.CollectionConverters._
+          nByC.keySet().iterator().asScala.toArray
+        }
+        val perComp = new Array[(String, Array[String],
+          Array[(Long, Long)])](comps.length)
+        java.util.stream.IntStream.range(0, comps.length).parallel()
+          .forEach { ci =>
+            val c = comps(ci)
+            val ids = nByC.get(c).toArray.sorted // String order = cogroup
+            val idx = ids.zipWithIndex.toMap
+            val ebuf = eByC.get(c)
+            val eIdx =
+              if (ebuf == null) Array.empty[(Int, Int)]
+              else ebuf.iterator.flatMap { case (s, d) =>
+                idx.get(d).map(b => (idx(s), b)) }.toArray
+            perComp(ci) = (c, ids, layoutOf(ids, eIdx))
+          }
+        // pack, mirroring [[pack]]'s arithmetic: per-component extents,
+        // (cnt desc, component asc UTF8) rank, ceil(sqrt(ncomp)) grid
+        val ext = perComp.map { case (c, ids, pos) =>
+          var minx = Long.MaxValue; var maxx = Long.MinValue
+          var miny = Long.MaxValue; var maxy = Long.MinValue
+          pos.foreach { case (x, y) =>
+            if (x < minx) minx = x; if (x > maxx) maxx = x
+            if (y < miny) miny = y; if (y > maxy) maxy = y
+          }
+          (c, minx, maxx, miny, maxy, ids.length.toLong)
+        }
+        val ranked = ext.sortWith { (a, b) =>
+          if (a._6 != b._6) a._6 > b._6
+          else UTF8String.fromString(a._1)
+            .compareTo(UTF8String.fromString(b._1)) < 0
+        }
+        val ncomp = ranked.length.toLong
+        var maxw = Long.MinValue; var maxh = Long.MinValue
+        ranked.foreach { e =>
+          if (e._3 - e._2 > maxw) maxw = e._3 - e._2
+          if (e._5 - e._4 > maxh) maxh = e._5 - e._4
+        }
+        val ncols = math.ceil(math.sqrt(ncomp.toDouble)).toLong
+        val cellw = maxw + spacing * Micro
+        val cellh = maxh + spacing * Micro
+        val off = new java.util.HashMap[String, (Long, Long)]()
+        ranked.zipWithIndex.foreach { case ((c, minx, _, miny, _, _), i) =>
+          val idxL = i.toLong
+          off.put(c, ((idxL % ncols) * cellw - minx,
+            math.floor(idxL.toDouble / ncols).toLong * cellh - miny))
+        }
+        perComp.iterator.flatMap { case (c, ids, pos) =>
+          val (ox, oy) = off.get(c)
+          ids.iterator.zip(pos.iterator).map { case (id, (x, y)) =>
+            org.apache.spark.sql.Row(id, c,
+              (x + ox).toDouble / MicroD, (y + oy).toDouble / MicroD)
+          }
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rows, schema).localCheckpoint(eager = true)
+  }
 
   /** [[cose]] before packing: per-component micro positions
     * (component, id, x_micro, y_micro) — the form [[coseRouted]]
@@ -734,8 +895,15 @@ object Layout {
     * rounds. */
   def coseLocalBarnesHut(nodes: DataFrame, edges: DataFrame,
                          p: CoseParams = CoseParams(iters = 12),
-                         levels: Int = 3): DataFrame =
-    pack(coseLocalBhRel(nodes, edges, p, levels), p.spacing)
+                         levels: Int = 3,
+                         localMaxRows: Long = LocalLayoutMaxRows): DataFrame = {
+    val n = nodes.localCheckpoint(eager = true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = true)
+    if (n.count() + e.count() <= localMaxRows)
+      localWholeLayout(n, e, p.spacing,
+        (ids, eIdx) => coseLocalBh(ids, eIdx, p, levels))
+    else pack(coseLocalBhRel(n, e, p, levels), p.spacing)
+  }
 
   private[graft] def coseLocalBhRel(nodes: DataFrame, edges: DataFrame,
                                     p: CoseParams,

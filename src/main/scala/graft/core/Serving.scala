@@ -28,10 +28,15 @@ object Serving {
     * interactive query served from it. */
   def buildSnapshot(vertices: DataFrame, edges: DataFrame,
                     dir: String): Unit = {
-    graft.io.Readers.snapshot(vertices, s"$dir/nodes")
-    graft.io.Readers.snapshot(edges, s"$dir/edges")
-    graft.io.Readers.snapshot(Search.buildNameIndex(vertices),
-      s"$dir/name_index")
+    // vertices feed TWO writes (nodes + the name index) — pin them for
+    // the build so the annotation/vertex lineage runs once, not twice
+    val v = vertices.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.io.Readers.snapshot(v, s"$dir/nodes")
+      graft.io.Readers.snapshot(edges, s"$dir/edges")
+      graft.io.Readers.snapshot(Search.buildNameIndex(v),
+        s"$dir/name_index")
+    } finally v.unpersist(blocking = false)
   }
 
   /** Serve-time: open a snapshot, pin all three frames, and force
@@ -76,21 +81,30 @@ object Serving {
   def buildSnapshotPartitioned(vertices: DataFrame, edges: DataFrame,
                                dir: String): Unit = {
     import org.apache.spark.sql.functions._
-    graft.io.Readers.snapshot(vertices, s"$dir/nodes", Seq("chr"))
-    graft.io.Readers.snapshot(
-      edges.withColumn("src_chr", split(col("src"), "_").getItem(0))
-           .withColumn("dst_chr", split(col("dst"), "_").getItem(0)),
-      s"$dir/edges", Seq("src_chr"))
-    // the adjacency-sharded symmetric copy: each undirected edge lands
-    // in both endpoints' src_chr partitions, so "edges incident to X"
-    // is a pruned scan of X's chromosome regardless of orientation
-    val bare = edges.select(col("src"), col("dst"))
-    graft.io.Readers.snapshot(
-      bare.unionAll(bare.select(col("dst").as("src"), col("src").as("dst")))
-        .withColumn("src_chr", split(col("src"), "_").getItem(0)),
-      s"$dir/edges_sym", Seq("src_chr"))
-    graft.io.Readers.snapshot(Search.buildNameIndex(vertices),
-      s"$dir/name_index")
+    // vertices feed two writes, edges feed two (directed + symmetric
+    // copy): pin both for the build — one lineage run each
+    val v = vertices.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.io.Readers.snapshot(v, s"$dir/nodes", Seq("chr"))
+      graft.io.Readers.snapshot(
+        e.withColumn("src_chr", split(col("src"), "_").getItem(0))
+          .withColumn("dst_chr", split(col("dst"), "_").getItem(0)),
+        s"$dir/edges", Seq("src_chr"))
+      // the adjacency-sharded symmetric copy: each undirected edge lands
+      // in both endpoints' src_chr partitions, so "edges incident to X"
+      // is a pruned scan of X's chromosome regardless of orientation
+      // (symmetrize = one explode pass, not a cache-scan-twice union)
+      graft.io.Readers.snapshot(
+        GraphOps.symmetrize(e.select(col("src"), col("dst")))
+          .withColumn("src_chr", split(col("src"), "_").getItem(0)),
+        s"$dir/edges_sym", Seq("src_chr"))
+      graft.io.Readers.snapshot(Search.buildNameIndex(v),
+        s"$dir/name_index")
+    } finally {
+      v.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
   }
 
   /** Open the partitioned layout without pinning anything. Partition

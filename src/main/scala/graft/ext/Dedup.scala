@@ -203,7 +203,15 @@ object Dedup {
         col("l.band_hash") === col("r.band_hash") &&
         col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
-    val pairs = cross.union(intra).distinct()
+    // the candidate pairs feed three subtrees (both sides of the id
+    // union + the verify join) at the end of a deep band-join chain —
+    // the one place in this family where materialize-once beat the
+    // parallel re-execution of duplicated subtrees on an idle box
+    // (d15 4.7 -> 3.5 s; the same checkpoint on the SHALLOW band/
+    // shingle subtrees measured a ~1 s LOSS on d2 and was reverted:
+    // eager checkpoints serialize the DAG, and an underutilized
+    // cluster absorbs duplicated subtrees in parallel for free)
+    val pairs = cross.union(intra).distinct().localCheckpoint(eager = true)
     // verify with candidate-bounded text access: only docs that made
     // it into a pair have their shingle sets (re)computed — at scale
     // the standing side is a semi-join-pruned scan, not a full pass

@@ -101,6 +101,16 @@ class LayoutSpec extends SparkSpec {
     val local = posMap(Layout.cose(nodes, edges))
     val dist = posMap(Layout.coseDistributed(nodes, edges))
     assert(local == dist)
+    // r14: the default one-task WHOLE-layout route (components +
+    // layout + pack in one task) vs the cogroup-per-component route
+    // forced with localMaxRows = 0 — bit-identical rows
+    val cogrouped = posMap(Layout.cose(nodes, edges, CoseParams(),
+      localMaxRows = 0L))
+    assert(local == cogrouped)
+    val bhWhole = posMap(Layout.coseLocalBarnesHut(nodes, edges))
+    val bhCogrouped = posMap(Layout.coseLocalBarnesHut(nodes, edges,
+      localMaxRows = 0L))
+    assert(bhWhole == bhCogrouped)
   }
 
   test("G8 BH interaction lists partition every pair exactly once") {
