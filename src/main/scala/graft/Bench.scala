@@ -166,7 +166,7 @@ object Bench {
     // both tries is flagged by its load column (ADVICE r13: this
     // comment now states the code's actual keep policy).
     val rerunBudgetSec = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_RERUN_SEC", "900").toInt
+      "SPARK_GRAFT_BENCH_RERUN_SEC", "1800").toInt
     // The bench's own 32-thread lanes raise 1-min loadavg well above
     // the idle gate (the JVM's run queue IS load), so the re-run
     // trigger compares against a laxer mid-run threshold calibrated
@@ -181,12 +181,25 @@ object Bench {
     // clean lanes.
     val rerunGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_GATE",
       (loadGate + cpus.toInt / 2.0).toString).toDouble
+    // Second smear trigger (r14 verdict #6): loadavg alone missed the
+    // r14 pollution at 32c — an external process capped elsewhere (a
+    // cgroup) or IO-bound smears lanes 10-20x while the box's 1-min
+    // load stays under any plausible 32-core gate. The lane's OWN rep
+    // spread names those runs: on an idle box medians sit within
+    // ~1.3x of the best rep, under smear the official s12 showed reps
+    // [9.0, 88.5]. A lane whose median exceeds spreadGate x its best
+    // rep (and isn't sub-second scheduling noise) re-measures.
+    val spreadGate = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SPREAD_GATE", "2.0").toDouble
+    def smeared(l: Lane): Boolean =
+      l.err.isEmpty && l.secs.nonEmpty && l.med > 0.5 &&
+        l.med > spreadGate * l.secs.min
     val rerunDeadline = System.nanoTime() + rerunBudgetSec * 1e9.toLong
     val reruns = scala.collection.mutable.Map[String, Int]()
     val results = firstPass.map { case (name, first) =>
       var best = first
-      while (best.maxLoad > rerunGate && best.err.isEmpty &&
-          reruns.getOrElse(name, 0) < 2 &&
+      while ((best.maxLoad > rerunGate || smeared(best)) &&
+          best.err.isEmpty && reruns.getOrElse(name, 0) < 2 &&
           System.nanoTime() < rerunDeadline) {
         // wait (within budget) for the box to drain before re-running
         while (load1m > loadGate && System.nanoTime() < rerunDeadline) {
@@ -195,12 +208,17 @@ object Bench {
           Thread.sleep(15000)
         }
         if (System.nanoTime() < rerunDeadline) {
-          System.err.println(s"[bench] re-running loaded lane $name " +
-            s"(max rep load ${best.maxLoad})")
+          System.err.println(s"[bench] re-running lane $name " +
+            s"(max rep load ${best.maxLoad}, reps " +
+            s"[${best.secs.min}, ${best.secs.max}])")
           reruns(name) = reruns.getOrElse(name, 0) + 1
           val again = measure(name)
-          // keep the cleaner of the two measurements
-          if (again.maxLoad < best.maxLoad) best = again
+          // keep the cleaner of the two measurements: external load
+          // only ever INFLATES a rep, so the lower median is the one
+          // closer to the code's true cost (tie-break on rep load)
+          if (again.err.isEmpty && (again.med < best.med ||
+              (again.med == best.med && again.maxLoad < best.maxLoad)))
+            best = again
         }
       }
       name -> best
@@ -268,7 +286,7 @@ object Bench {
     // shutdown logging cannot trail it, and build.sbt suppresses sbt's
     // own "[success]" trailer.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"lanes_over_gate":$overGate,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$load,"load_waited_sec":$waited,"lanes_over_gate":$overGate,"reruns":$rer,"queries":$qs,"errors":$errs,"sf":"$sfDir","detail_file":${jstr(outFile)}}""")
     System.out.flush()
   }
 }

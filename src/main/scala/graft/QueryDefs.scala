@@ -48,7 +48,10 @@ object QueryDefs {
     // the incremental ≡ rebuild equivalence (d12/s9/r6 precedent,
     // graph leg)
     "a6_components_inc" -> ((s, d) => {
-      val e = thin(s, d)
+      // the thin frame feeds THREE consumers (standing CC + the batch
+      // twice inside the fold) — checkpoint it once so the upstream
+      // scan + simplify window runs once, not three times (§5)
+      val e = thin(s, d).localCheckpoint(eager = true)
       val splitK = pmod(conv(substring(
         md5(concat(col("src"), lit("|"), col("dst"))), 1, 8), 16, 10)
         .cast("long"), lit(10L))
@@ -428,11 +431,20 @@ object QueryDefs {
 
   /** The served subnet as a bare (nodes(id), edges(src,dst)) graph —
     * the G8 layout input (reference layout_enricher's stdin). */
+  /** The layout lanes' input subnet, derived over the SERVED snapshot
+    * (the reference's own layout input: layout_enricher runs on search
+    * responses — a layout request always follows a served search, never
+    * a from-scratch pipeline rebuild). Row-identical to the rebuilt
+    * derivation: q6_search_served is pinned to the SAME oracle as
+    * q6_search_subnet, so swapping the source cannot change a layout
+    * lane's rows — it removes the ~4 s per-call pipeline rebuild that
+    * dominated every g8 lane (r14 verdict #5: the subnet build, not the
+    * layout, was g8_layout_cose's cost). */
   private def subnetGraph(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val v = verts(s, d).localCheckpoint(eager = true)
-    val seeds = Search.byGeneName(v, "S7")
-    val sub = Search.subnetFromSeeds(v, simplified(s, d), seeds, ego = true)
+    val sd = servedDataset(s, d)
+    val sub = Search.subnetFromSeeds(sd.nodes, sd.edges,
+      Search.byGeneNameIndexed(sd.index, sd.nodes, "S7"), ego = true)
     (sub.nodes.select(col("fragment").as("id")),
       sub.edges.select("src", "dst"))
   }

@@ -271,6 +271,13 @@ object Chas {
       // task parallelism instead of nReplicates (untagged chains have
       // one group and keep the old fan-out). The explode keeps the
       // shuffle tiny (nBase × nReplicates rows).
+      // NOTE (r15, measured): a zero-shuffle coalesce(1) twin that ran
+      // all replicas on the common pool inside ONE task was tried and
+      // REVERTED — it saved the groupByKey shuffle but left the chain
+      // output single-partition, so every downstream exchange's map
+      // side (the symWith explode + ChAs join hash) ran serial:
+      // a14 6.1 s → 9.4 s. The shuffle buys the output partitioning
+      // the envelope aggregation needs.
       import org.apache.spark.sql.Encoders
       val in4 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
         Encoders.STRING, Encoders.scalaInt)

@@ -470,7 +470,12 @@ object GraphOps {
     val lbl = standing.select(col("id"), col("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val le = newEdges.select(col("src"), col("dst"))
+      // the batch feeds the contracted label graph AND the new-node
+      // scan below — materialize it once (batch-sized by contract)
+      // instead of running its upstream lineage twice (§5)
+      val batch = newEdges.select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+      val le = batch
         .join(lbl.select(col("id").as("src"), col("comp").as("__ls")),
           Seq("src"), "left")
         .join(lbl.select(col("id").as("dst"), col("comp").as("__ld")),
@@ -485,8 +490,8 @@ object GraphOps {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("__new"), col("comp")).as("comp"))
       // nodes that exist only in the batch: their label is their own id
-      val newRows = newEdges.select(col("src").as("id"))
-        .union(newEdges.select(col("dst").as("id"))).distinct()
+      val newRows = batch.select(col("src").as("id"))
+        .union(batch.select(col("dst").as("id"))).distinct()
         .join(lbl.select(col("id")), Seq("id"), "left_anti")
         .join(merged, Seq("id"), "left")
         .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))

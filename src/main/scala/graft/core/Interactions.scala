@@ -75,32 +75,29 @@ object Interactions {
                hicMode: Boolean = false): DataFrame = {
     val baitNames = if (hasNames) col("baitName") else lit("")
     val oeNames = if (hasNames) col("oeName") else lit("")
-    // bait + oe halves stacked via ONE explode pass (not a self-union,
-    // which would plan the interaction scan twice — the symmetrize
-    // rationale, GraphOps.symmetrize)
-    val stacked = interactions.select(explode(array(
-        struct(
-          fragmentId(col("baitChr"), col("baitStart"), col("baitEnd"))
-            .as("fragment"),
-          coalesce(baitNames, lit("")).as("gene_names"),
-          col("baitChr").as("chr"), col("baitStart").as("start"),
-          col("baitEnd").as("end"),
-          lit(if (hicMode) "O" else "P").as("type")),
-        struct(
-          fragmentId(col("oeChr"), col("oeStart"), col("oeEnd"))
-            .as("fragment"),
-          coalesce(oeNames, lit("")).as("gene_names"),
-          col("oeChr").as("chr"), col("oeStart").as("start"),
-          col("oeEnd").as("end"), lit("O").as("type")))).as("__v"))
-      .select(col("__v.fragment").as("fragment"),
-        col("__v.gene_names").as("gene_names"), col("__v.chr").as("chr"),
-        col("__v.start").as("start"), col("__v.end").as("end"),
-        col("__v.type").as("type"))
+    // bait + oe halves as a self-UNION of two column-pruned scans —
+    // NOT the explode form: vertices' upstream is a bare filtered
+    // parquet scan (no window/shuffle to duplicate), so two scans each
+    // decoding only its half's columns beat one all-columns scan plus
+    // a row-doubling Generate (r15 isolated A/B: explode cost a1 1.46
+    // →1.93 s, j3 1.59→2.32 s, a15 1.46→1.69 s). The explode stays the
+    // right shape where the duplicated upstream is EXPENSIVE
+    // (GraphOps.symmetrize over the simplify window).
+    val baits = interactions.select(
+      fragmentId(col("baitChr"), col("baitStart"), col("baitEnd")).as("fragment"),
+      coalesce(baitNames, lit("")).as("gene_names"),
+      col("baitChr").as("chr"), col("baitStart").as("start"),
+      col("baitEnd").as("end"), lit(if (hicMode) "O" else "P").as("type"))
+    val oes = interactions.select(
+      fragmentId(col("oeChr"), col("oeStart"), col("oeEnd")).as("fragment"),
+      coalesce(oeNames, lit("")).as("gene_names"),
+      col("oeChr").as("chr"), col("oeStart").as("start"),
+      col("oeEnd").as("end"), lit("O").as("type"))
     // P wins over O for fragments seen on both sides: max(type)
     // ("P" > "O" lexically) — one shuffle, no window. chr/start/end are
     // functionally determined by the fragment key, so first() is
     // deterministic in value.
-    stacked
+    baits.unionAll(oes)
       .groupBy("fragment")
       .agg(
         concat_ws(" ", collect_list(when(col("type") === "P", col("gene_names"))))

@@ -295,13 +295,22 @@ object Layout {
   def cose(nodes: DataFrame, edges: DataFrame,
            p: CoseParams = CoseParams(),
            localMaxRows: Long = LocalLayoutMaxRows): DataFrame = {
-    val n = nodes.localCheckpoint(eager = true)
+    // project to the columns either regime reads BEFORE checkpointing
+    // (narrower blocks), and both regimes consume each frame at least
+    // twice — the checkpoint pays for itself on either route; the
+    // routing decision is then one count job over the pinned blocks
+    val n = nodes.select(col("id")).localCheckpoint(eager = true)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = true)
-    if (n.count() + e.count() <= localMaxRows)
+    if (routingRows(n, e) <= localMaxRows)
       localWholeLayout(n, e, p.spacing,
         (ids, eIdx) => coseLocal(ids, eIdx, p))
     else pack(coseRel(n, e, p), p.spacing)
   }
+
+  /** nodes+edges row total for regime routing as ONE job: a tag-union
+    * count over the two checkpointed frames (was two count() jobs). */
+  private def routingRows(n: DataFrame, e: DataFrame): Long =
+    n.select(lit(1).as("one")).unionAll(e.select(lit(1).as("one"))).count()
 
   /** The whole layout — component labels, per-component positions,
     * grid packing — in ONE task over the tag-unioned (nodes ∪ edges)
@@ -321,8 +330,10 @@ object Layout {
                                layoutOf: (Array[String], Array[(Int, Int)])
                                  => Array[(Long, Long)]): DataFrame = {
     val spark = nodes.sparkSession
-    val idCol = nodes.columns.head
-    val tagged = nodes.select(lit(0).as("t"), col(idCol).as("a"),
+    // bind the id column BY NAME, exactly like the relational route
+    // (components/coseRel select col("id")) — a nodes frame whose id
+    // column is not first binds identically in both regimes
+    val tagged = nodes.select(lit(0).as("t"), col("id").as("a"),
         lit(null).cast("string").as("b"))
       .unionAll(edges.select(lit(1).as("t"), col("src").as("a"),
         col("dst").as("b")))
@@ -897,9 +908,9 @@ object Layout {
                          p: CoseParams = CoseParams(iters = 12),
                          levels: Int = 3,
                          localMaxRows: Long = LocalLayoutMaxRows): DataFrame = {
-    val n = nodes.localCheckpoint(eager = true)
+    val n = nodes.select(col("id")).localCheckpoint(eager = true)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = true)
-    if (n.count() + e.count() <= localMaxRows)
+    if (routingRows(n, e) <= localMaxRows)
       localWholeLayout(n, e, p.spacing,
         (ids, eIdx) => coseLocalBh(ids, eIdx, p, levels))
     else pack(coseLocalBhRel(n, e, p, levels), p.spacing)

@@ -229,8 +229,10 @@ object Serving {
       .select(col("key"), col("fragment").as("id")).distinct()
       .localCheckpoint(eager = true) // read 4x below (hop/induced/flag)
     val edges = sd.edges.select("src", "dst")
-    val sym = edges
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // one scan of the pinned edges, not a self-union of two
+    // (GraphOps.symmetrize rationale: the union branch plans — and for
+    // a cached frame, scans — the input once per direction)
+    val sym = GraphOps.symmetrize(edges)
     // per-key 1-hop closure, then the induced edge set on it — the
     // subnetFromSeeds(ego = true) semantics with `key` riding along
     val hop = sym.join(seeds.withColumnRenamed("id", "src"), Seq("src"))

@@ -123,13 +123,17 @@ private[ext] object LocalKnn {
         val vp = byId(p)
         def score(node: Long): (Long, Double) =
           (node, round6(cosine(vp, byId(node))))
-        // entry lottery ∩ nodeIds, minus the probe itself
+        // entry lottery ∩ nodeIds, minus the probe itself. Candidates
+        // without a vector drop BEFORE scoring — the relational
+        // beamCore's inner join on scoreVecs does the same, so a
+        // dangling graph edge is tolerated identically in both regimes
         val entry = mutable.HashSet.empty[Long]
         var i = 0
         while (i < seeds) {
           val node = java.lang.Math.floorMod(
             hex12(md5hex(s"$p:$i:beam")), n)
-          if (node != p && nodeIds.contains(node)) entry += node
+          if (node != p && nodeIds.contains(node) && byId.contains(node))
+            entry += node
           i += 1
         }
         var c = entry.toArray.map(score).sorted(ord).take(beam)
@@ -141,7 +145,8 @@ private[ext] object LocalKnn {
             adj.get(node).foreach(_.foreach(cand += _))
           }
           cand -= p
-          c = cand.toArray.map(score).sorted(ord).take(beam)
+          c = cand.toArray.filter(byId.contains).map(score)
+            .sorted(ord).take(beam)
           st += 1
         }
         out(pi) = c.take(m).zipWithIndex.map { case ((node, cos), r) =>

@@ -50,6 +50,12 @@ object Retrieval {
                 textCol: String): Bm25Index = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextOps.tokens(lower(col(textCol))).as("__toks"))
+    // Deliberately NOT checkpointed: all consumers of these frames
+    // (the postings join, df, dl, stats — even prfExpand's three
+    // passes) land in ONE plan per action, where ReusedExchange shares
+    // the tf/dl aggregation shuffles across consumers; eager
+    // checkpoints here measured r1_bm25 0.87→1.26 s and r2 1.16→1.92 s
+    // (a materialization barrier for work the planner already shared).
     val dl = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
     // sum/count explicitly: Spark's avg(long) and DuckDB's avg(BIGINT)
     // may round intermediate state differently; exact-integer division

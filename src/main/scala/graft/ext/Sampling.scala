@@ -220,6 +220,11 @@ object Sampling {
   def curateCorpus(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", rounds: Int = 12,
                    nShards: Int = 8, budget: Long = 512L): DataFrame = {
+    // NOT checkpointed: stage-2 consumes the survivors twice (block-df
+    // + scrub join-back), but both consumers live in ONE plan, where
+    // Spark's ReusedExchange already shares the NB subtree's shuffles —
+    // an eager checkpoint here materializes the survivors' full text
+    // for nothing (measured: 4.2 s → 7.9 s isolated at sf0.1)
     val kept = docs.join(
       TextOps.nbQualityClassifier(docs, idCol, textCol)
         .filter(col("nb_label") === "pos")

@@ -282,14 +282,17 @@ object CytoscapeJson {
     * instead of their sum. Row order (and therefore output bytes) is
     * identical — partitions are still consumed strictly in order;
     * peak driver memory is `ahead`+1 partitions instead of 1 (both
-    * bounded by shuffle-partition sizing, the scaladoc contract). */
-  private def prefetchedRows(df: DataFrame, ahead: Int = 2)
-      : Iterator[org.apache.spark.sql.Row] = {
-    val rdd = df.rdd
-    val sc = df.sparkSession.sparkContext
-    val n = rdd.getNumPartitions
-    if (n == 0) return Iterator.empty
-    def submit(p: Int) = {
+    * bounded by shuffle-partition sizing, the scaladoc contract).
+    * The iterator is AutoCloseable: an aborting consumer (a write
+    * failure mid-stream) closes it from its finally, which cancels
+    * every still-in-flight partition job instead of letting up to
+    * `ahead`+1 of them keep running and buffering on the driver. */
+  private final class PrefetchedRows(df: DataFrame, ahead: Int)
+      extends Iterator[org.apache.spark.sql.Row] with AutoCloseable {
+    private val rdd = df.rdd
+    private val sc = df.sparkSession.sparkContext
+    private val n = rdd.getNumPartitions
+    private def submit(p: Int) = {
       var buf: Array[org.apache.spark.sql.Row] = null
       sc.submitJob[org.apache.spark.sql.Row,
           Array[org.apache.spark.sql.Row],
@@ -297,26 +300,30 @@ object CytoscapeJson {
         rdd, _.toArray, Seq(p),
         (_, a) => buf = a, buf)
     }
-    val inFlight =
+    private val inFlight =
       new java.util.ArrayDeque[org.apache.spark.SimpleFutureAction[
         Array[org.apache.spark.sql.Row]]]()
-    var nextPart = 0
+    private var nextPart = 0
     while (nextPart < math.min(ahead + 1, n)) {
       inFlight.add(submit(nextPart)); nextPart += 1
     }
-    new Iterator[org.apache.spark.sql.Row] {
-      private var cur: Iterator[org.apache.spark.sql.Row] = Iterator.empty
-      private def advance(): Unit = {
-        while (!cur.hasNext && !inFlight.isEmpty) {
-          val fa = inFlight.poll()
-          cur = scala.concurrent.Await
-            .result(fa, scala.concurrent.duration.Duration.Inf).iterator
-          if (nextPart < n) { inFlight.add(submit(nextPart)); nextPart += 1 }
-        }
+    private var cur: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+    private def advance(): Unit = {
+      while (!cur.hasNext && !inFlight.isEmpty) {
+        val fa = inFlight.poll()
+        cur = scala.concurrent.Await
+          .result(fa, scala.concurrent.duration.Duration.Inf).iterator
+        if (nextPart < n) { inFlight.add(submit(nextPart)); nextPart += 1 }
       }
-      def hasNext: Boolean = { advance(); cur.hasNext }
-      def next(): org.apache.spark.sql.Row = { advance(); cur.next() }
     }
+    def hasNext: Boolean = { advance(); cur.hasNext }
+    def next(): org.apache.spark.sql.Row = { advance(); cur.next() }
+    /** Cancel every still-running prefetch job (no-op when drained). */
+    def close(): Unit =
+      while (!inFlight.isEmpty) {
+        try inFlight.poll().cancel()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
   }
 
   def writeChromosomeDocuments(nodes: DataFrame, edges: DataFrame,
@@ -366,7 +373,7 @@ object CytoscapeJson {
       if (out != null) { out.write("]"); out.close(); out = null }
       held = null // a lone held element leaves the "{}" guard in place
     }
-    val it = prefetchedRows(sorted)
+    val it = new PrefetchedRows(sorted, ahead = 2)
     try {
       while (it.hasNext) {
         val r = it.next()
@@ -392,6 +399,7 @@ object CytoscapeJson {
       }
       closeDoc()
     } finally {
+      it.close() // cancel any still-in-flight prefetch jobs on abort
       if (out != null) out.close()
       lastStreamWriteIoSec = ioNanos / 1e9
     }

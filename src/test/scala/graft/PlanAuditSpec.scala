@@ -65,14 +65,16 @@ class PlanAuditSpec extends SparkSpec {
       "component packing × 1-row global-extent aggregate (Layout.pack)",
     "g8_layout_concentric" ->
       "component packing × 1-row global-extent aggregate (Layout.pack)",
-    "g8_layout_cose" ->
-      "component packing × 1-row global-extent aggregate (Layout.pack)",
+    // g8_layout_cose and g8_layout_cose_bh_local are deliberately
+    // ABSENT: below Layout.LocalLayoutMaxRows they route through
+    // localWholeLayout (CC + per-component kernels + pack arithmetic in
+    // one task), whose plan has NO nested loop — at the audit's
+    // sf0.001 data the positive no-BNL check is exactly what pins that
+    // route; the relational `_dist`/`_bh` twins keep their pack rows.
     "g8_layout_cose_dist" ->
       "component packing × 1-row global-extent aggregate (Layout.pack)",
     "g8_layout_cose_bh" ->
       "component packing × 1-row global-extent aggregate (Layout.pack); the far-field iteration itself is all equi-joins on (component, cell) keys",
-    "g8_layout_cose_bh_local" ->
-      "component packing × 1-row global-extent aggregate (Layout.pack); the one-task far-field twin packs through the same route",
     "r1_bm25" ->
       "postings frame × broadcast 1-row corpus stats (N, avgdl) (Retrieval.bm25)",
     "r1_bm25_served" ->
